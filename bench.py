@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total warm sec q1-q8>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Methodology mirrors BASELINE.md: per-query warm wall-clock (the reference
+logs per-query exec_time_sec on a warm MySQL); Spark session startup and
+first-run JIT/codegen are excluded by a warmup pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_etl_elt_dashboard_spark.plans import REGISTRY  # noqa: E402
+from bigdata_etl_elt_dashboard_spark.session import get_spark  # noqa: E402
+
+#: Headline suite = the reference's 8 verification queries (BASELINE.md).
+HEADLINE = {
+    "q1": "q1_total_revenue",
+    "q2": "q2_revenue_per_year",
+    "q3": "q3_top5_nations_by_revenue",
+    "q4": "q4_units_per_part_type",
+    "q5": "q5_avg_margin_per_status",
+    "q6": "q6_revenue_per_region_year",
+    "q7": "q7_top10_orders_by_price",
+    "q8": "q8_avg_ship_days_per_nation",
+}
+
+
+def run_once(spark, sf_dir: str, name: str) -> float:
+    t0 = time.perf_counter()
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench")
+
+    # Warmup: full pass (codegen + JIT + file listing caches).
+    for name in HEADLINE.values():
+        run_once(spark, sf_dir, name)
+
+    timings = {}
+    for label, name in HEADLINE.items():
+        timings[label] = round(min(run_once(spark, sf_dir, name) for _ in range(2)), 4)
+
+    result = {
+        "metric": "warm per-query wall-clock, reference q1-q8 suite (sum)",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Scalable deduplication (BASELINE.json north star: LLM-data-pipeline ops).
+
+Four families, all shuffle-conscious:
+
+- **Exact**: md5 fingerprint of normalized text → groupBy(fingerprint) →
+  keep min doc_id. One shuffle on the 32-hex-char key; at 100 TB this is the
+  canonical hash-partition dedup (no sort, no window over the whole table —
+  min() is a partial-aggregatable function, unlike row_number).
+- **MinHash + LSH banding**: shingle → k min-hashes → b bands of r hashes →
+  candidate pairs join on (band_idx, band_signature). Cost is
+  O(docs × shingles) + a self-join keyed on band buckets — never the O(n²)
+  cross join. Hashes are md5-based (engine-portable; lexicographic min over
+  salted hex digests is a valid min-hash family), not xxhash64 (JVM-only).
+- **Exact n-gram Jaccard**: inverted-index join (explode shingles → join on
+  shingle → count common per pair) — again no cross join; used standalone or
+  as the verify stage after LSH candidates.
+- **SimHash**: 64-bit signature from per-shingle md5 bits, majority vote per
+  bit position; near-dups = signatures within small Hamming distance.
+
+All computation is built-in expressions (md5, explode, groupBy, bit ops) —
+no Python on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, normalized_text, shingles
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: (fingerprint, keeper=min doc_id, n_copies) per distinct
+    content. Partial-aggregatable → map-side combine, one shuffle."""
+    return (
+        docs.select("doc_id", fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup applied: keep one row per distinct normalized text."""
+    keep = exact_dedup_groups(docs, text_col).select(F.col("keep_doc_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "semi")
+
+
+def _doc_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, shingle) exploded, distinct per doc."""
+    return docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("sh")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """k min-hashes per doc: min over shingles of md5(salt_i ‖ shingle).
+
+    One explode + one groupBy(doc_id) with k partial-aggregatable min()s —
+    a single shuffle regardless of k."""
+    sh = _doc_shingles(docs, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate pairs.
+
+    Returns distinct (doc_a < doc_b) pairs. The join is keyed on
+    (band_idx, band_sig) — bucket sizes are small for non-dup content, so
+    the self-join stays near-linear; a hot bucket (boilerplate text) is
+    exactly the skew AQE's skew-join handling splits."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, n, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            ).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_sig").alias("band_sig")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted-index join.
+
+    explode(shingles) → self-join on shingle → count common shingles per
+    (doc_a, doc_b) → |A∩B| / (|A| + |B| − |A∩B|). The join key is the
+    shingle, so only docs sharing content ever meet — no cross join."""
+    sh = _doc_shingles(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / F.nullif((F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"), F.lit(0.0)),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+#: SimHash width: 60 bits (15 hex chars of md5) — stays inside a signed
+#: 64-bit long so the bit arithmetic is ANSI-overflow-safe in both engines.
+SIMHASH_BITS = 60
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """60-bit SimHash per doc from shingle md5s.
+
+    Bit i of the signature is the majority vote of bit i across the doc's
+    shingle hashes. Uses conv(hex→dec) on the md5 prefix to get the integer,
+    then per-bit sums — all built-in expressions (one explode + one
+    groupBy; the 60 per-bit sums are partial-aggregatable)."""
+    sh = _doc_shingles(docs, text_col, n)
+    h = F.conv(F.substring(F.md5(F.col("sh")), 1, SIMHASH_BITS // 4), 16, 10).cast("long")
+    sh = sh.select("doc_id", h.alias("h"))
+    bit_sums = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ],
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sig = sig + F.when(
+            F.col(f"b{i}") * 2 > F.col("n"), F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Blocking: split the signature into 4 bands of 15 bits; pairs within
+    Hamming ≤ 3 must agree exactly on ≥1 band (pigeonhole), so candidates
+    come from a band-keyed self-join — no cross join — then exact Hamming
+    via bit_count(xor) filters."""
+    sigs = simhash_signatures(docs, text_col, n)
+    band_width = SIMHASH_BITS // 4
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), b * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+The `embeddings` table carries `embedding array<float>`. Two paths:
+
+- **Brute-force top-k** (baseline, exact): broadcast the (small) query set,
+  one narrow pass over the corpus computing cosine via higher-order array
+  functions (zip_with + aggregate — JVM-side, no Python), then per-query
+  top-k with a window. Cost: O(corpus × queries × dim) FLOPs, zero shuffle
+  on the corpus side until the final tiny top-k.
+- **LSH-bucketed ANN** (scale path): random-hyperplane signatures → only
+  same-bucket pairs are scored. Hyperplanes are a deterministic seeded
+  matrix broadcast as literals; at 100 TB the candidate join is keyed on
+  the signature, exactly like MinHash banding.
+
+Everything stays in array<double> once cast — float math differs between
+engines and between SIMD paths, so we standardize on double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (sequential array-order summation —
+    deterministic and oracle-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast; the corpus is scanned once (narrow). The
+    window's partition count equals the number of queries — small — so the
+    final rank shuffle is negligible. Self-matches are excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def threshold_cosine_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    min_sim: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (query, neighbor) pairs with cosine ≥ min_sim — the
+    embedding-cosine near-dup primitive (no rank cutoff → no tie hazard)."""
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec"))
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= F.lit(min_sim))
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded LCG, no numpy import
+    needed at executor side — these become plan literals)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to [-1, 1)
+            row.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit b = sign(vec · plane_b) packed into
+    a long. Planes are array literals — the dot products are higher-order
+    expressions over broadcast constants."""
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        p = F.array(*[F.lit(v) for v in plane])
+        sig = sig + F.when(dot(vec, p) >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only same-LSH-bucket candidates.
+
+    With 12 planes the corpus splits into ≤4096 buckets; the candidate join
+    is an equi-join on the signature — this is the plan shape that survives
+    a 100×-bigger corpus (bucket join instead of cross product)."""
+    planes = _hyperplanes(dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("sig", lsh_signature(F.col("q_vec"), planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("c_vec"),
+    ).withColumn("sig", lsh_signature(F.col("c_vec"), planes))
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

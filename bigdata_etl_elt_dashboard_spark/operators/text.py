@@ -1,0 +1,134 @@
+"""Text analysis for training-data pipelines (BASELINE.json north star).
+
+All hot-path expressions are built-in Spark SQL functions (split,
+higher-order array functions, regexp, md5) — JVM-side, codegen'd, zero
+Python UDFs — so they scale to a 100 TB `documents` table exactly like any
+other projection. Driver-side state: none.
+
+Operators:
+- tokenization + token counting (whitespace; BPE-ish regex variant)
+- quality scoring (length / punctuation / stopword ratios)
+- language ID (stopword-hit heuristic over a small per-language lexicon)
+- document fingerprinting (md5 of whitespace-normalized text; shingle
+  min-fingerprint as the rolling-hash analog)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lexicons for the language-ID heuristic.
+#: Deliberately small and hard-coded: the heuristic must be reproducible in
+#: ANSI SQL for the oracle, not model-driven.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "nicht"),
+}
+
+#: BPE-ish token pattern: runs of word chars OR single non-space symbols —
+#: approximates subword pre-tokenization (public GPT-2 style regex, ASCII).
+BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(tokens(text)))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish regex tokens (word runs + digit runs + symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens that are in ``words`` (higher-order filter — no UDF)."""
+    wl = ", ".join(f"'{w}'" for w in words)
+    return F.size(F.filter(tokens(text), lambda x: x.isin(*words)))
+
+
+def punct_count(text: Column) -> Column:
+    """Number of punctuation characters ``.,!?;:`` in the text."""
+    return F.length(F.regexp_replace(text, r"[^.,!?;:]", ""))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring projection: per-doc length, token count, mean token
+    length, punctuation ratio, stopword ratio, and a deterministic composite
+    quality bucket (good/fair/poor)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    sw = stopword_hits(t, LANG_STOPWORDS["en"])
+    punct_ratio = punct_count(t) / F.nullif(n_chars.cast("double"), F.lit(0.0))
+    stop_ratio = sw / F.nullif(n_tokens.cast("double"), F.lit(0.0))
+    mean_tok_len = (F.length(F.regexp_replace(t, r"\s+", ""))) / F.nullif(
+        n_tokens.cast("double"), F.lit(0.0)
+    )
+    bucket = (
+        F.when((n_tokens < 5) | (mean_tok_len > 15), "poor")
+        .when(stop_ratio >= 0.05, "good")
+        .otherwise("fair")
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+def lang_scores(text: Column) -> list[Column]:
+    """Per-language stopword-hit counts (one column per language)."""
+    return [stopword_hits(text, ws).alias(f"hits_{lang}") for lang, ws in LANG_STOPWORDS.items()]
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: argmax of per-language stopword hits, with a
+    deterministic tie-break (language name ascending); 'und' when no hits.
+
+    Expressed as a greatest/CASE chain so the oracle can reproduce it."""
+    t = F.col(text_col)
+    scored = df.select("doc_id", "lang", *lang_scores(t))
+    langs = sorted(LANG_STOPWORDS)  # tie-break order
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # build reversed so earlier (alphabetical) languages win ties
+    for lang in reversed(langs):
+        pred = F.when((best > 0) & (F.col(f"hits_{lang}") == best), lang).otherwise(pred)
+    return scored.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+def normalized_text(text: Column) -> Column:
+    """Whitespace-collapsed, lowercased, trimmed text (fingerprint input)."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of normalized text. md5 (not xxhash64)
+    because it is engine-portable — the DuckDB oracle computes the identical
+    digest."""
+    return F.md5(normalized_text(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> (near-dup unit).
+
+    Built with sequence+transform+slice — all JVM higher-order functions;
+    docs shorter than n shingle to the whole normalized text."""
+    toks = F.split(normalized_text(text), " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(ngrams)

@@ -1,0 +1,64 @@
+"""Star-schema warehouse builder (SURVEY §2.1 S7, §2.3 J2–J5, §2.5 W2).
+
+The reference builds its warehouse with MySQL DDL + AUTO_INCREMENT surrogate
+keys, then *reads the dimension tables back* to resolve FKs in pandas
+(etl_pipeline/load.py:161-276 — a client/server round-trip per dimension).
+Spark-first replacement: dimensions are ``distinct() + row_number()`` plans,
+facts resolve FKs via in-plan broadcast joins — no round-trip, no mutation.
+
+Surrogate-key determinism (SURVEY §7.4.1): ids are assigned by
+``row_number() OVER (ORDER BY natural key)`` — stable across runs and
+engines, unlike AUTO_INCREMENT insertion order or
+``monotonically_increasing_id()``.
+
+Scale note: a global row_number over a dimension is a single-partition
+window — fine for dimensions (they are small by definition: the reference's
+largest is 185 countries). Facts NEVER get a global window; the fact build
+below is pure narrow projections + broadcast joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_dim(
+    df: DataFrame,
+    natural_key: list[str],
+    id_col: str,
+    extra_cols: list | None = None,
+) -> DataFrame:
+    """A9 + W2: distinct natural keys + deterministic surrogate id.
+
+    ``extra_cols`` are expressions derived from the natural key (e.g.
+    year/month derived from the date key in dim_date, load.py:161-176).
+    """
+    w = Window.orderBy(*natural_key)
+    dim = df.select(*natural_key).distinct()
+    dim = dim.withColumn(id_col, F.row_number().over(w).cast("int"))
+    cols = [id_col, *natural_key] + list(extra_cols or [])
+    return dim.select(*cols)
+
+
+def resolve_fk(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    id_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """J2–J5: enrich the fact with one dimension's surrogate key via a
+    broadcast join on the natural key, then drop the natural-key payload
+    (the reference's pandas merge + column-subset, load.py:206-276)."""
+    dim_small = dim.select(*on, id_col)
+    return fact.join(F.broadcast(dim_small), on=on, how=how)
+
+
+def fk_integrity(fact: DataFrame, fk_cols: list[str]) -> DataFrame:
+    """§2.9 rule 5 / §5.2 invariant: count rows whose FK failed to resolve
+    (anti-join-empty check). Returns a 1-row DataFrame."""
+    aggs = [F.count("*").alias("n_rows")] + [
+        F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_unresolved") for c in fk_cols
+    ]
+    return fact.agg(*aggs)

@@ -1,0 +1,595 @@
+"""Reference-parity analytics (SURVEY §2.4, §2.6, §2.9, §2.10).
+
+The reference's verification queries q1–q8 (etl_pipeline/load.py:284-337),
+the ELT notebook aggregations (elt/transforms.ipynb:cell14-19,
+elt/hold.ipynb:cell14), the dashboard aggregations
+(dashboard/app.py:303-432), and the data-quality report
+(etl_pipeline/transform.py:84-127) — each re-expressed as one declarative
+DataFrame plan over the TPC-H-ish testdata (role mapping in FIXTURES.md §4:
+orders+lineitem = fact; customer→nation→region = dim_country; p_type =
+item_type; o_orderpriority = order_priority).
+
+Scale notes (SURVEY §4.3):
+- Dim-side joins (nation/region/customer/part) carry ``broadcast()`` hints —
+  at 100 TB the fact side never shuffles for these.
+- Aggregations are plain ``groupBy().agg()`` → Catalyst partial+final
+  HashAggregate (map-side combine), one shuffle on the group keys.
+- Top-k queries are ``orderBy().limit()`` → TakeOrderedAndProject (no full
+  sort materialization), with explicit tie-break keys for determinism.
+- Double sums use the exact fixed-point form from ``_exact`` so results are
+  order-independent (partitioning-proof) and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+from ..functions.exact_agg import TENTHS_OF_MILLI, xavg, xavg_sql, xsum, xsum_sql
+from .registry import register
+
+
+# Revenue expression used throughout (fact measure, F13-style derived column).
+# Built lazily: Column construction needs an active SparkContext.
+def _rev():
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+_REV_SQL = "l_extendedprice * (1.0 - l_discount)"
+
+# Exact-sum SQL fragments shared by the oracles below.
+_XS_TOTALPRICE = xsum_sql("o_totalprice")  # 2dp money
+_XS_REV = xsum_sql(_REV_SQL, TENTHS_OF_MILLI)  # 2dp × 2dp product → 4dp
+_XA_DISCOUNT = xavg_sql("l_discount")  # 2dp rate
+_XA_EXTPRICE = xavg_sql("l_extendedprice")  # 2dp money
+
+
+# --------------------------------------------------------------------------
+# q1–q8 — the reference's analytic verification suite (load.py:284-337)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_total_revenue",
+    oracle=f"SELECT {_XS_REV} AS total_revenue FROM lineitem",
+    doc="q1: global SUM over the fact table (A1; load.py:284-287).",
+)
+def q1_total_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").agg(
+        xsum(_rev(), TENTHS_OF_MILLI).alias("total_revenue")
+    )
+
+
+@register(
+    "q2_revenue_per_year",
+    oracle=f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               {_XS_TOTALPRICE} AS revenue
+        FROM orders GROUP BY order_year ORDER BY order_year
+    """,
+    doc="q2: revenue per year (A2 group-by + SUM; load.py:288-294).",
+)
+def q2_revenue_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(xsum(F.col("o_totalprice")).alias("revenue"))
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "q3_top5_nations_by_revenue",
+    oracle=f"""
+        SELECT n_name, {_XS_TOTALPRICE} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name LIMIT 5
+    """,
+    doc="q3 (flagship): top-5 'countries' by revenue — scan→join→agg→top-k "
+    "(J8+A2+T1; load.py:295-302). customer/nation joins are broadcast.",
+)
+def q3_top5_nations_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(xsum(F.col("o_totalprice")).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .limit(5)
+    )
+
+
+@register(
+    "q4_units_per_part_type",
+    oracle="""
+        SELECT p_type, SUM(l_quantity) AS total_units
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type ORDER BY p_type
+    """,
+    doc="q4: units sold per item type (A2; load.py:303-309). Quantities are "
+    "integral doubles — exact in any summation order, no fixed-point needed.",
+)
+def q4_units_per_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type")), lineitem.l_partkey == part.p_partkey
+        )
+        .groupBy("p_type")
+        .agg(F.sum("l_quantity").alias("total_units"))
+        .orderBy("p_type")
+    )
+
+
+@register(
+    "q5_avg_margin_per_status",
+    oracle=f"""
+        SELECT l_linestatus, {_XA_DISCOUNT} AS avg_margin
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    doc="q5: average margin ratio per 'channel' (A3, 2 groups; load.py:310-315).",
+)
+def q5_avg_margin_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(xavg(F.col("l_discount")).alias("avg_margin"))
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q6_revenue_per_region_year",
+    oracle=f"""
+        SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               {_XS_TOTALPRICE} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, order_year ORDER BY r_name, order_year
+    """,
+    doc="q6: revenue per region×year (A2 multi-key; load.py:316-323).",
+)
+def q6_revenue_per_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").alias("order_year"))
+        .agg(xsum(F.col("o_totalprice")).alias("revenue"))
+        .orderBy("r_name", "order_year")
+    )
+
+
+@register(
+    "q7_top10_orders_by_price",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(o_orderdate AS DATE) AS order_date
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="q7: top-10 rows by measure, no join (T2; load.py:324-329). "
+    "TakeOrderedAndProject; o_orderkey tie-break for determinism.",
+)
+def q7_top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q8_avg_ship_days_per_nation",
+    oracle="""
+        SELECT n_name,
+               AVG(CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT))
+                   AS avg_shipping_days
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+    doc="q8: avg shipping days per country (A3 + F6; load.py:330-336). "
+    "Integer day-diffs sum exactly in any order (no fixed-point needed). "
+    "The lineitem⋈orders join is the only non-broadcast join: both sides "
+    "shuffle on orderkey (at 100 TB: co-bucket both tables on orderkey).",
+)
+def q8_avg_ship_days_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    days = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(F.avg(days.cast("bigint")).alias("avg_shipping_days"))
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# ELT notebook aggregations (A4–A6; transforms.ipynb cells 14–19, hold cell14)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_priority_distribution",
+    oracle=f"""
+        SELECT o_orderpriority, COUNT(*) AS cnt, {_XS_TOTALPRICE} AS total_value
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="A4: COUNT+SUM distribution per category "
+    "(margin-category distribution, transforms.ipynb:cell15).",
+)
+def agg_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("cnt"), xsum(F.col("o_totalprice")).alias("total_value"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_price_by_qty_bucket",
+    oracle=f"""
+        SELECT CASE WHEN l_quantity < 10 THEN 'small'
+                    WHEN l_quantity <= 25 THEN 'medium'
+                    ELSE 'large' END AS order_size_category,
+               {_XA_EXTPRICE} AS avg_price, COUNT(*) AS cnt
+        FROM lineitem GROUP BY order_size_category ORDER BY order_size_category
+    """,
+    doc="A5 + F14: CASE bucketization (asymmetric bounds: <10 / <=25, "
+    "mirroring order_size_category's `<50 small / <=200 medium`, "
+    "transforms.ipynb:cell13,cell14).",
+)
+def agg_price_by_qty_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") <= 25, "medium")
+        .otherwise("large")
+        .alias("order_size_category")
+    )
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(bucket)
+        .agg(xavg(F.col("l_extendedprice")).alias("avg_price"), F.count("*").alias("cnt"))
+        .orderBy("order_size_category")
+    )
+
+
+@register(
+    "agg_discount_by_ship_speed",
+    oracle=f"""
+        SELECT CASE WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 30 THEN 'fast'
+                    WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 60 THEN 'normal'
+                    ELSE 'slow' END AS shipping_speed_category,
+               {_XA_DISCOUNT} AS avg_discount, COUNT(*) AS cnt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY shipping_speed_category ORDER BY shipping_speed_category
+    """,
+    doc="A5 + F6 + F14: shipping-speed buckets (fast/normal/slow CASE chain, "
+    "transforms.ipynb:cell12,cell16).",
+)
+def agg_discount_by_ship_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = (F.when(days <= 30, "fast").when(days <= 60, "normal").otherwise("slow")).alias(
+        "shipping_speed_category"
+    )
+    return (
+        lineitem.select("l_orderkey", "l_shipdate", "l_discount")
+        .join(orders.select("o_orderkey", "o_orderdate"), lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket)
+        .agg(xavg(F.col("l_discount")).alias("avg_discount"), F.count("*").alias("cnt"))
+        .orderBy("shipping_speed_category")
+    )
+
+
+@register(
+    "agg_margin_pct_by_part_type",
+    oracle=f"""
+        SELECT p_type,
+               ROUND({xsum_sql("l_extendedprice * l_discount", TENTHS_OF_MILLI)}
+                     / NULLIF({xsum_sql("l_extendedprice")}, 0) * 100, 2) AS discount_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type ORDER BY p_type
+    """,
+    doc="A6: post-agg derived metric ROUND(SUM/SUM*100,2) per item type "
+    "(hold.ipynb:cell14 query_margin), NULLIF-guarded (F11).",
+)
+def agg_margin_pct_by_part_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    num = xsum(F.col("l_extendedprice") * F.col("l_discount"), TENTHS_OF_MILLI)
+    den = xsum(F.col("l_extendedprice"))
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_type")), lineitem.l_partkey == part.p_partkey
+        )
+        .groupBy("p_type")
+        .agg(F.round(num / F.nullif(den, F.lit(0)) * 100, 2).alias("discount_pct"))
+        .orderBy("p_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Dashboard aggregations (A1/A7/A8/A17; dashboard/app.py:303-432)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "kpi_totals",
+    oracle=f"""
+        SELECT COUNT(*) AS n_items,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               {_XS_REV} AS total_revenue,
+               SUM(l_quantity) AS total_units
+        FROM lineitem
+    """,
+    doc="Dashboard KPI row (A1; dashboard/app.py:336-339).",
+)
+def kpi_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n_items"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        xsum(_rev(), TENTHS_OF_MILLI).alias("total_revenue"),
+        F.sum("l_quantity").alias("total_units"),
+    )
+
+
+@register(
+    "trend_monthly_revenue",
+    oracle=f"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               {_XS_TOTALPRICE} AS revenue, COUNT(*) AS n_orders
+        FROM orders GROUP BY order_month ORDER BY order_month
+    """,
+    doc="A7: monthly trend via yyyy-MM bucketing (dashboard/app.py:355; "
+    "hold.ipynb:cell14 query_trend `DATE_FORMAT(date,'%Y-%m')`).",
+)
+def trend_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(xsum(F.col("o_totalprice")).alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "hist_totalprice_30bins",
+    oracle="""
+        WITH b AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
+        SELECT CAST(LEAST(FLOOR((o_totalprice - b.mn) / ((b.mx - b.mn) / 30.0)), 29) AS INTEGER) AS bin,
+               COUNT(*) AS cnt
+        FROM orders, b GROUP BY bin ORDER BY bin
+    """,
+    doc="A17: 30-bin histogram (dashboard/app.py:384-388). Spark side "
+    "computes min/max in a first 1-row pass (driver-side scalars, SURVEY "
+    "§4.3) then bins in a single narrow projection.",
+)
+def hist_totalprice_30bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    mn, mx = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    width = (mx - mn) / 30.0
+    bin_col = F.least(F.floor((F.col("o_totalprice") - F.lit(mn)) / F.lit(width)), F.lit(29))
+    return (
+        orders.groupBy(bin_col.cast("int").alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bin")
+    )
+
+
+@register(
+    "by_status_revenue",
+    oracle=f"""
+        SELECT o_orderstatus, {_XS_TOTALPRICE} AS revenue
+        FROM orders GROUP BY o_orderstatus ORDER BY revenue DESC, o_orderstatus
+    """,
+    doc="A8: per-'channel' bars (dashboard/app.py:394).",
+)
+def by_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(xsum(F.col("o_totalprice")).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderstatus")
+    )
+
+
+@register(
+    "by_region_units",
+    oracle="""
+        SELECT r_name, SUM(l_quantity) AS total_units
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY total_units DESC, r_name
+    """,
+    doc="A8 + T4: per-region bars sorted desc (dashboard/app.py:413).",
+)
+def by_region_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        lineitem.select("l_orderkey", "l_quantity")
+        .join(orders.select("o_orderkey", "o_custkey"), lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum("l_quantity").alias("total_units"))
+        .orderBy(F.desc("total_units"), "r_name")
+    )
+
+
+@register(
+    "filtered_kpis",
+    oracle=f"""
+        SELECT COUNT(*) AS n_orders, {_XS_TOTALPRICE} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+          AND r_name IN ('AMERICA', 'ASIA')
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    doc="Dashboard filter stack (P7 date-range + P8 isin + P9 conjunction; "
+    "dashboard/app.py:256-289) feeding the KPI agg. Filters are plain "
+    "Column predicates → parquet row-group skipping via pushdown.",
+)
+def filtered_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        orders.filter(
+            F.col("o_orderdate").cast("date").between(F.lit("1996-01-01"), F.lit("1997-12-31"))
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name").isin("AMERICA", "ASIA"))
+        .agg(F.count("*").alias("n_orders"), xsum(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+@register(
+    "point_lookup_order",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey = 42
+    """,
+    doc="P10: point lookup by key (hold.ipynb:cell9 `WHERE Order ID = ...`). "
+    "Pushed to the parquet scan → row-group min/max skip.",
+)
+def point_lookup_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality report (§2.9; etl_pipeline/transform.py:84-127)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dq_report_orders",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_duplicates,
+               COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS pk_nulls,
+               COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS totalprice_nulls,
+               COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS orderdate_nulls,
+               COUNT(*) FILTER (WHERE o_totalprice < 0) AS totalprice_negatives
+        FROM orders
+    """,
+    doc="§2.9 rules 1/2/3/5 in ONE single-pass aggregation: PK dup count "
+    "(A11), null counts (A12), negative range check, PK-null referential "
+    "check (transform.py:98-121).",
+)
+def dq_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("pk_duplicates"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("pk_nulls"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("totalprice_nulls"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("orderdate_nulls"),
+        F.count(F.when(F.col("o_totalprice") < 0, 1)).alias("totalprice_negatives"),
+    )
+
+
+@register(
+    "dq_summary_stats_lineitem",
+    oracle=f"""
+        SELECT COUNT(l_quantity) AS qty_count,
+               MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+               AVG(l_quantity) AS qty_mean,
+               MIN(l_extendedprice) AS price_min, MAX(l_extendedprice) AS price_max,
+               {_XA_EXTPRICE} AS price_mean
+        FROM lineitem
+    """,
+    doc="§2.9 rule 6 / A16: numeric distribution summary (describe()-style, "
+    "transform.py:123-125) as one pass. Integral qty averages exactly; "
+    "price mean uses the exact fixed-point numerator.",
+)
+def dq_summary_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("l_quantity").alias("qty_count"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.avg("l_quantity").alias("qty_mean"),
+        F.min("l_extendedprice").alias("price_min"),
+        F.max("l_extendedprice").alias("price_max"),
+        xavg(F.col("l_extendedprice")).alias("price_mean"),
+    )

@@ -1,0 +1,488 @@
+"""Beyond-reference extension queries (BASELINE.json north star; SURVEY §7.5):
+text analysis, deduplication, similarity search, event-stream analytics,
+multimodal plumbing — each registered with a DuckDB oracle where ANSI-SQL
+can express the semantics, rows-only otherwise.
+
+The oracle SQL is generated from the SAME constants (stopword lexicons,
+shingle width, hash salts, band layout) as the Spark implementations, so
+the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+from ..sources.catalog import table
+from ..streaming import events as E
+from ..functions.exact_agg import MICROS, xsum, xsum_sql
+from .registry import register
+
+# ----------------------------- shared SQL fragments -----------------------
+
+#: whitespace tokens of lower(trim(text)) — DuckDB twin of text.tokens()
+_TOKS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+#: whitespace-normalized text — twin of text.normalized_text()
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    wl = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_TOKS_SQL}, x -> x IN ({wl})))"
+
+
+#: (doc_id, sh) distinct 3-gram shingles — twin of dedup._doc_shingles(n=3)
+_SHINGLES_SQL = f"""
+    SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+        FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents),
+             UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
+    )
+"""
+
+_NUM_HASHES = 8
+_BANDS = 4
+
+_MINHASH_AGGS_SQL = ",\n               ".join(
+    f"min(md5('s{i}:' || sh)) AS h{i}" for i in range(_NUM_HASHES)
+)
+
+_BANDED_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(h{2 * b} || '|' || h{2 * b + 1}) AS band_sig FROM sig"
+    for b in range(_BANDS)
+)
+
+
+# ----------------------------- text analysis ------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE CAST(len({_TOKS_SQL}) AS INTEGER) END AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{X.BPE_TOKEN_PATTERN}')) AS INTEGER)
+                   AS n_bpe_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens "
+    "(split / regexp_extract_all — JVM-side, no UDF).",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars_m,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE CAST(len({_TOKS_SQL}) AS INTEGER) END AS n_tokens,
+               ROUND(length(regexp_replace(text, '\\s+', '', 'g'))
+                     / NULLIF(CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END) AS DOUBLE), 0.0), 4)
+                   AS mean_token_len,
+               ROUND(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                     / NULLIF(CAST(length(text) AS DOUBLE), 0.0), 4) AS punct_ratio,
+               ROUND({_hits_sql(X.LANG_STOPWORDS["en"])}
+                     / NULLIF(CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END) AS DOUBLE), 0.0), 4)
+                   AS stopword_ratio,
+               CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END) < 5
+                         OR length(regexp_replace(text, '\\s+', '', 'g'))
+                            / NULLIF(CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END) AS DOUBLE), 0.0) > 15
+                    THEN 'poor'
+                    WHEN {_hits_sql(X.LANG_STOPWORDS["en"])}
+                         / NULLIF(CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END) AS DOUBLE), 0.0) >= 0.05
+                    THEN 'good'
+                    ELSE 'fair' END AS quality_bucket
+        FROM documents ORDER BY doc_id
+    """,
+    doc="Quality scoring: length / punctuation / stopword ratios + "
+    "deterministic quality bucket — one narrow projection per doc.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    out = X.quality_metrics(docs)
+    # n_tokens int on both sides
+    return out.withColumn("n_tokens", F.col("n_tokens").cast("int")).withColumn(
+        "n_chars_m", F.col("n_chars_m").cast("int")
+    ).orderBy("doc_id")
+
+
+def _langid_case_sql() -> str:
+    langs = sorted(X.LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    whens = "\n                    ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    hits = ",\n                   ".join(
+        f"{_hits_sql(X.LANG_STOPWORDS[lang])} AS hits_{lang}" for lang in langs
+    )
+    return f"""
+        SELECT doc_id, lang,
+               CASE WHEN {best} = 0 THEN 'und'
+                    {whens}
+                    ELSE 'und' END AS lang_pred
+        FROM (SELECT doc_id, lang, text,
+                   {hits}
+              FROM documents)
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "text_langid",
+    oracle=_langid_case_sql(),
+    doc="Language-ID heuristic: argmax of per-language stopword hits with "
+    "alphabetical tie-break ('und' when zero hits). Pure column "
+    "expressions, reproducible in ANSI SQL.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return X.lang_id(docs).orderBy("doc_id")
+
+
+@register(
+    "text_lang_rollup",
+    oracle="""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(AVG(CAST(n_chars AS DOUBLE)), 2) AS avg_chars
+        FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+    doc="Corpus rollup by (lang, source) — the `documents` analog of the "
+    "reference's category aggregations (A4/A5).",
+)
+def text_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents ORDER BY doc_id
+    """,
+    doc="Document fingerprinting: md5 of whitespace-normalized text "
+    "(engine-portable digest; xxhash64 would be JVM-only).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+# ----------------------------- deduplication ------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    oracle=f"""
+        SELECT md5({_NORM_SQL}) AS fp,
+               MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY fp ORDER BY keep_doc_id
+    """,
+    doc="Exact dedup via content fingerprint: groupBy(md5) keep min doc_id "
+    "— partial-aggregatable (map-side combine), ONE shuffle; the 100 TB "
+    "shape (no global window/sort).",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs).orderBy("keep_doc_id")
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL})
+        SELECT doc_id,
+               {_MINHASH_AGGS_SQL}
+        FROM sh GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="MinHash signatures (k=8) over 3-gram shingles — md5-salted min "
+    "hashes (engine-portable min-hash family). One explode + one groupBy.",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, num_hashes=_NUM_HASHES).orderBy("doc_id")
+
+
+@register(
+    "dedup_lsh_candidates",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sig AS (
+            SELECT doc_id, {_MINHASH_AGGS_SQL}
+            FROM sh GROUP BY doc_id
+        ),
+        banded AS ({_BANDED_SQL})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                      AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+    """,
+    doc="MinHash-LSH banding (4 bands × 2 rows): near-dup candidate pairs "
+    "from a band-keyed self-join — never the O(n²) cross join.",
+)
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               ROUND(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
+    doc="Exact n-gram Jaccard ≥ 0.5 via inverted-index join (explode "
+    "shingles → join on shingle) — docs only meet if they share content.",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    out = D.jaccard_pairs(docs, min_jaccard=0.5)
+    # re-derive filter on unrounded value to match oracle's WHERE exactly
+    return out.orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # hex→int conversion differs per engine; verified rows-only + unit tests
+    doc="SimHash (60-bit) signatures per doc: per-bit majority vote over "
+    "shingle md5s — one explode + one groupBy with 60 partial-aggregatable "
+    "bit sums. Near-pairs via 4-band pigeonhole blocking + bit_count XOR.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.simhash_signatures(docs).orderBy("doc_id")
+
+
+# ----------------------------- similarity search --------------------------
+
+_SIM_SCORED_SQL = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(list_dot_product(qv, cv)
+                     / NULLIF(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), 0.0),
+                     6) AS cosine_sim
+        FROM c, q WHERE neighbor_id <> query_id
+    )
+"""
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=_SIM_SCORED_SQL
+    + """
+        SELECT query_id, neighbor_id, cosine_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS INTEGER) AS "rank"
+        FROM scored
+        QUALIFY "rank" <= 5
+        ORDER BY query_id, "rank"
+    """,
+    doc="Brute-force exact top-5 cosine neighbors for 5 query vectors: "
+    "broadcast queries, one narrow corpus pass (zip_with/aggregate dot "
+    "products, JVM-side), tiny per-query rank window. Rounded to 6dp "
+    "BEFORE ranking so ties break identically across engines.",
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.topk_cosine(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+@register(
+    "sim_threshold_pairs",
+    oracle=_SIM_SCORED_SQL
+    + """
+        SELECT query_id, neighbor_id, cosine_sim
+        FROM scored WHERE cosine_sim >= 0.2
+        ORDER BY query_id, neighbor_id
+    """,
+    doc="Embedding-cosine near-dup primitive: all pairs with cosine ≥ 0.2 "
+    "(threshold form has no rank-cut tie hazard).",
+)
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.threshold_cosine_pairs(emb, queries, min_sim=0.2).orderBy("query_id", "neighbor_id")
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=None,  # plane literals make the SQL unwieldy; recall is unit-tested vs brute force
+    doc="ANN scale path: random-hyperplane LSH (12 planes, seeded, "
+    "deterministic) — candidates only within the same signature bucket; "
+    "the candidate join is an equi-join on the signature.",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ann_lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+# ----------------------------- event streams ------------------------------
+
+
+@register(
+    "ev_tumbling_hourly",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events, (CAST(SUM(CAST(ROUND((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0) AS total_value
+        FROM events GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+    doc="Tumbling 1h event-time window (batch form of the streaming agg; "
+    "window(ts,'1 hour') ≡ date_trunc). Streaming twin: "
+    "streaming.events.stream_tumbling (watermark + late-data drop).",
+)
+def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return E.tumbling_agg(ev, "1 hour").orderBy("window_start", "event_type")
+
+
+@register(
+    "ev_sliding_1h_30m",
+    oracle="""
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL '30 minutes'
+                   AS window_start,
+               COUNT(*) AS n_events, (CAST(SUM(CAST(ROUND((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0) AS total_value
+        FROM events, (SELECT UNNEST([0, 1]) AS off) o
+        GROUP BY window_start ORDER BY window_start
+    """,
+    doc="Sliding window (1h duration, 30m slide): each event belongs to 2 "
+    "windows. Oracle reproduces Spark's epoch-aligned window set via "
+    "time_bucket + offset union.",
+)
+def ev_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return E.sliding_agg(ev, "1 hour", "30 minutes").orderBy("window_start")
+
+
+@register(
+    "ev_session_10m",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL '10 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+            FROM marked
+        )
+        SELECT MIN(ts) AS session_start, user_id,
+               COUNT(*) AS n_events, (CAST(SUM(CAST(ROUND((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0) AS total_value
+        FROM sessions GROUP BY user_id, sess
+        ORDER BY user_id, session_start
+    """,
+    doc="Session windows (10m gap) per user — Spark's native "
+    "session_window; oracle is the classic gaps-and-islands rewrite. "
+    "New-session rule `diff >= gap` matches session_window's exclusive "
+    "window end. Streaming twin: streaming.events.stream_session.",
+)
+def ev_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return E.session_agg(ev, "10 minutes").orderBy("user_id", "session_start")
+
+
+@register(
+    "ev_json_rollup",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Semi-structured path: extract a JSON field from `props` "
+    "(get_json_object, JVM-side) and aggregate — no Python JSON parsing.",
+)
+def ev_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return E.json_props_rollup(ev).orderBy("event_type")
+
+
+@register(
+    "ev_user_activity",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               COUNT(DISTINCT event_type) AS n_types,
+               (CAST(SUM(CAST(ROUND((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0) AS total_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Per-user activity rollup (count / distinct-count / sum) — the "
+    "events analog of the reference's per-dimension aggregations.",
+)
+def ev_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            xsum(F.col("value"), MICROS).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ----------------------------- multimodal ---------------------------------
+
+
+@register(
+    "mm_feature_extract",
+    oracle=None,  # sha256/mapInPandas not expressible in the oracle; deterministic → unit-tested
+    doc="Multimodal plumbing: binary media column → mapInPandas (Arrow "
+    "batches) → (byte_len, sha256, feature vector). Decode is stubbed "
+    "(no codecs in container); schema/partitioning/batch shape are real.",
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    media = M.as_media_table(docs)
+    return (
+        M.extract_features(media)
+        .select("media_id", "byte_len", "content_sha")
+        .orderBy("media_id")
+    )

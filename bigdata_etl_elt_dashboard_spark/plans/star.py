@@ -1,0 +1,186 @@
+"""Star-schema build as verifiable queries (SURVEY §2.1 S7, §2.3 J12, §2.5 W2).
+
+The reference's two warehouse variants (dw_sales, etl_pipeline/load.py:51-139;
+elt star schema, elt/hold.ipynb:cell13 + transforms.ipynb:cell20-29) mapped
+onto the testdata: dim_date from o_orderdate, dim_geo from region×nation
+(dim_country analog), fact from orders with FK resolution + the integrity
+invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.warehouse import build_dim, fk_integrity, resolve_fk
+from ..sources.catalog import table
+from ..functions.exact_agg import xsum, xsum_sql
+from .registry import register
+
+
+def _dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(F.col("o_orderdate").cast("date").alias("order_date"))
+    return build_dim(
+        base,
+        ["order_date"],
+        "date_id",
+        extra_cols=[
+            F.year("order_date").alias("order_year"),
+            F.month("order_date").alias("order_month"),
+        ],
+    )
+
+
+def _dim_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    base = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("r_name").alias("region"), F.col("n_name").alias("country"))
+    )
+    return build_dim(base, ["region", "country"], "geo_id")
+
+
+@register(
+    "star_dim_date",
+    oracle="""
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY order_date) AS INTEGER) AS date_id,
+               order_date,
+               CAST(year(order_date) AS INTEGER) AS order_year,
+               CAST(month(order_date) AS INTEGER) AS order_month
+        FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders)
+        ORDER BY date_id
+    """,
+    doc="S7+W2: dim_date with deterministic surrogate keys (load.py:161-176 "
+    "sorts by order_date before insert — same order here, in-plan).",
+)
+def star_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dim_date(spark, sf_dir)
+
+
+@register(
+    "star_dim_geo",
+    oracle="""
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY region, country) AS INTEGER) AS geo_id,
+               region, country
+        FROM (
+            SELECT DISTINCT r_name AS region, n_name AS country
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        )
+        ORDER BY geo_id
+    """,
+    doc="S7+W2+A9: dim_country analog — composite natural key "
+    "(region, country), surrogate id ordered by it (load.py:178-183).",
+)
+def star_dim_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dim_geo(spark, sf_dir)
+
+
+_FACT_ORACLE = """
+    WITH dim_date AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY order_date) AS INTEGER) AS date_id, order_date
+        FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders)
+    ), dim_geo AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY region, country) AS INTEGER) AS geo_id,
+               region, country
+        FROM (
+            SELECT DISTINCT r_name AS region, n_name AS country
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+        )
+    ), geo_of_cust AS (
+        SELECT c_custkey, geo_id
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN dim_geo ON r_name = region AND n_name = country
+    )
+    SELECT o_orderkey AS sales_id, d.date_id, g.geo_id, o_totalprice
+    FROM orders o
+    LEFT JOIN dim_date d ON CAST(o.o_orderdate AS DATE) = d.order_date
+    LEFT JOIN geo_of_cust g ON o.o_custkey = g.c_custkey
+"""
+
+
+@register(
+    "star_fact_sales",
+    oracle=_FACT_ORACLE + " ORDER BY sales_id",
+    doc="J2–J5+J12: fact build — FK resolution via in-plan broadcast joins "
+    "on natural keys (replaces the reference's dim read-back round-trip, "
+    "load.py:178-199 + pandas merges 206-253).",
+)
+def star_fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+
+    dim_date = _dim_date(spark, sf_dir).select("date_id", "order_date")
+    dim_geo = _dim_geo(spark, sf_dir)
+
+    geo_of_cust = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", F.col("r_name").alias("region"), F.col("n_name").alias("country"))
+    )
+    geo_of_cust = resolve_fk(geo_of_cust, dim_geo, ["region", "country"], "geo_id", how="inner")
+
+    fact = orders.select(
+        F.col("o_orderkey").alias("sales_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    fact = resolve_fk(fact, dim_date, ["order_date"], "date_id")
+    fact = fact.join(
+        F.broadcast(geo_of_cust.select("c_custkey", "geo_id")),
+        fact.o_custkey == geo_of_cust.c_custkey,
+        "left",
+    )
+    return fact.select("sales_id", "date_id", "geo_id", "o_totalprice").orderBy("sales_id")
+
+
+@register(
+    "star_fk_integrity",
+    oracle=f"""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE date_id IS NULL) AS date_id_unresolved,
+               COUNT(*) FILTER (WHERE geo_id IS NULL) AS geo_id_unresolved
+        FROM ({_FACT_ORACLE})
+    """,
+    doc="§2.9 rule 5 + §5.2 invariant: every fact FK resolves "
+    "(anti-join-empty check, transform.py:118-121).",
+)
+def star_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = star_fact_sales(spark, sf_dir)
+    return fk_integrity(fact, ["date_id", "geo_id"])
+
+
+@register(
+    "star_region_report",
+    oracle=f"""
+        WITH fact AS ({_FACT_ORACLE}),
+        dim_geo AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY region, country) AS INTEGER) AS geo_id,
+                   region, country
+            FROM (
+                SELECT DISTINCT r_name AS region, n_name AS country
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+            )
+        )
+        SELECT g.region, COUNT(*) AS n_sales, {xsum_sql("f.o_totalprice")} AS revenue
+        FROM fact f JOIN dim_geo g ON f.geo_id = g.geo_id
+        GROUP BY g.region ORDER BY g.region
+    """,
+    doc="J13+A4: analytic report over the built star schema "
+    "(hold.ipynb:cell14 region report: COUNT + SUM per region).",
+)
+def star_region_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = star_fact_sales(spark, sf_dir)
+    dim_geo = _dim_geo(spark, sf_dir)
+    return (
+        fact.join(F.broadcast(dim_geo), "geo_id")
+        .groupBy("region")
+        .agg(F.count("*").alias("n_sales"), xsum(F.col("o_totalprice")).alias("revenue"))
+        .orderBy("region")
+    )

@@ -1,0 +1,323 @@
+"""Transform-stage operators as verifiable queries (SURVEY §2.2, §2.8, §7.4).
+
+The reference's cleaning pipeline (etl_pipeline/transform.py:131-244 and the
+ELT UPDATE chain, elt/transforms.ipynb:cell4-13) decomposed into individually
+oracle-checkable operators over the testdata. The generic column-expression
+implementations live in ``functions/``; these plans instantiate them on the
+TPC-H-ish role mapping.
+
+Determinism decisions from SURVEY §7.4 are encoded here:
+- dedup keep-"first" uses an explicit window order, never physical order
+- surrogate keys / one-hot categories come from sorted natural keys
+- division is nullif-guarded (ANSI-safe)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+from .registry import register
+
+
+@register(
+    "tr_dedup_keep_first",
+    oracle="""
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice
+        FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+    doc="W1/J10/A10: deterministic dedup keep-earliest-per-key via "
+    "row_number window (replaces the reference's self-join DELETE, "
+    "transforms.ipynb:cell5, and physical-order drop_duplicates, "
+    "transform.py:158). One shuffle on the partition key.",
+)
+def tr_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+        )
+    )
+
+
+@register(
+    "tr_union_reconcile",
+    oracle="""
+        WITH local_src AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+        ), api_src AS (
+            SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+        ), unioned AS (
+            SELECT *, 0 AS source_rank FROM local_src
+            UNION ALL
+            SELECT *, 1 AS source_rank FROM api_src
+        )
+        SELECT o_orderkey, o_totalprice,
+               COALESCE(o_orderstatus, 'unknown') AS o_orderstatus,
+               source_rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                         ORDER BY source_rank) AS rn
+            FROM unioned
+        ) WHERE rn = 1
+    """,
+    doc="J1+J9+W1: two-source union with explicit source_rank (local wins "
+    "over api — the reference's concat-order artifact made deterministic, "
+    "SURVEY §7.4.3) + COALESCE reconciliation (transforms.ipynb:cell4).",
+)
+def tr_union_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    local_src = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .withColumn("source_rank", F.lit(0))
+    )
+    api_src = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_totalprice", F.lit(None).cast("string").alias("o_orderstatus"))
+        .withColumn("source_rank", F.lit(1))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("source_rank")
+    return (
+        local_src.unionByName(api_src)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.coalesce("o_orderstatus", F.lit("unknown")).alias("o_orderstatus"),
+            "source_rank",
+        )
+    )
+
+
+@register(
+    "tr_smart_fill_region",
+    oracle="""
+        WITH damaged AS (
+            SELECT c_custkey, c_nationkey,
+                   CASE WHEN c_custkey % 10 = 0 THEN NULL
+                        ELSE CAST(c_nationkey AS VARCHAR) END AS nation_code
+        FROM customer
+        ), ref AS (
+            SELECT DISTINCT c_nationkey, nation_code FROM damaged WHERE nation_code IS NOT NULL
+        )
+        SELECT d.c_custkey,
+               COALESCE(d.nation_code, r.nation_code, 'Unknown') AS nation_code
+        FROM damaged d LEFT JOIN ref r ON d.c_nationkey = r.c_nationkey
+        ORDER BY c_custkey
+    """,
+    doc="J11: 'smart fill' — repair NULL categoricals from a DISTINCT "
+    "reference mapping derived from the non-null rows, then "
+    "COALESCE(col, ref, 'Unknown') (hold.ipynb:cell7). The reference "
+    "mapping is tiny → broadcast join.",
+)
+def tr_smart_fill_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    damaged = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey").cast("string"))
+        .alias("nation_code"),
+    )
+    ref = (
+        damaged.filter(F.col("nation_code").isNotNull())
+        .select("c_nationkey", F.col("nation_code").alias("ref_code"))
+        .distinct()
+    )
+    return (
+        damaged.join(F.broadcast(ref), "c_nationkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("nation_code", "ref_code", F.lit("Unknown")).alias("nation_code"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "tr_impute_median",
+    oracle="""
+        WITH damaged AS (
+            SELECT c_custkey,
+                   CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS acctbal
+            FROM customer
+        ), med AS (
+            SELECT quantile_cont(acctbal, 0.5) AS m FROM damaged
+        )
+        SELECT c_custkey,
+               ROUND(COALESCE(acctbal, med.m), 2) AS acctbal_imputed
+        FROM damaged, med ORDER BY c_custkey
+    """,
+    doc="F12+A14: median imputation of nulls (transform.py:161-166). Exact "
+    "percentile (linear interpolation, matching DuckDB quantile_cont — "
+    "SURVEY §7.4.2); median is a driver-side scalar injected as a literal.",
+)
+def tr_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    damaged = customer.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("acctbal"),
+    )
+    med = damaged.agg(F.expr("percentile(acctbal, 0.5)")).first()[0]
+    return damaged.select(
+        "c_custkey",
+        F.round(F.coalesce("acctbal", F.lit(med)), 2).alias("acctbal_imputed"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "tr_clip_iqr",
+    oracle="""
+        WITH q AS (
+            SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                   quantile_cont(o_totalprice, 0.75) AS q3
+            FROM orders
+        )
+        SELECT o_orderkey,
+               ROUND(GREATEST(LEAST(o_totalprice, q.q3 + 1.5 * (q.q3 - q.q1)),
+                              q.q1 - 1.5 * (q.q3 - q.q1)), 2) AS totalprice_clipped
+        FROM orders, q ORDER BY o_orderkey
+    """,
+    doc="F15+A13: IQR winsorize (clip to [Q1-1.5·IQR, Q3+1.5·IQR], "
+    "transform.py:37-58). Quantiles are one driver-side agg pass; the clip "
+    "itself is a narrow codegen'd expression. Output rounded to 2dp to "
+    "absorb interpolation ULP drift between engines (SURVEY §7.4.2).",
+)
+def tr_clip_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    q1, q3 = orders.agg(
+        F.expr("percentile(o_totalprice, 0.25)"), F.expr("percentile(o_totalprice, 0.75)")
+    ).first()
+    iqr = q3 - q1
+    lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    return orders.select(
+        "o_orderkey",
+        F.round(F.greatest(F.least(F.col("o_totalprice"), F.lit(hi)), F.lit(lo)), 2).alias(
+            "totalprice_clipped"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "tr_minmax_norm",
+    oracle="""
+        WITH b AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
+        SELECT o_orderkey,
+               ROUND(CASE WHEN b.mx = b.mn THEN 0.0
+                          ELSE (o_totalprice - b.mn) / (b.mx - b.mn) END, 6) AS totalprice_norm
+        FROM orders, b ORDER BY o_orderkey
+    """,
+    doc="F16+A15: min-max normalization with the max==min→0.0 guard "
+    "(transform.py:62-73). Bounds from one 1-row agg; rounded to 6dp.",
+)
+def tr_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    mn, mx = orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    if mx == mn:
+        norm = F.lit(0.0)
+    else:
+        norm = (F.col("o_totalprice") - F.lit(mn)) / F.lit(mx - mn)
+    return orders.select(
+        "o_orderkey", F.round(norm, 6).alias("totalprice_norm")
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "tr_onehot_priority",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS "opri_2_HIGH",
+               CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS "opri_3_MEDIUM",
+               CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS "opri_4_NOT_SPECIFIED",
+               CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS "opri_5_LOW"
+        FROM orders ORDER BY o_orderkey
+    """,
+    doc="F17: one-hot with drop_first=True over sorted categories — "
+    "deterministic reproduction of pd.get_dummies(drop_first=True) "
+    "(transform.py:197-204; SURVEY §7.4.4). Category list from a "
+    "driver-side distinct() on a low-cardinality column.",
+)
+def tr_onehot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    orders = table(spark, sf_dir, "orders")
+    cats = sorted(r[0] for r in orders.select("o_orderpriority").distinct().collect())
+    exprs = [
+        F.when(F.col("o_orderpriority") == F.lit(c), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("opri_" + re.sub(r"[^0-9a-zA-Z_]", "_", c))
+        for c in cats[1:]  # drop first alphabetical (pd.get_dummies drop_first)
+    ]
+    return orders.select("o_orderkey", *exprs).orderBy("o_orderkey")
+
+
+@register(
+    "tr_date_features",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+               strftime(o_orderdate, '%Y-%m') AS order_ym
+        FROM orders ORDER BY o_orderkey
+    """,
+    doc="F7+F8: date-part feature extraction (transform.py:234-235; "
+    "hold.ipynb:cell14 DATE_FORMAT) — all narrow codegen'd expressions.",
+)
+def tr_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "tr_derived_measures",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1.0 - l_discount) AS revenue,
+               l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charged,
+               l_extendedprice / NULLIF(l_quantity, 0) AS unit_price,
+               ROUND(l_discount * 100, 2) AS discount_pct
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="F13+F11+F19: derived measures with nullif-guarded division "
+    "(transform.py:215-228; transforms.ipynb:cell9,cell11). The whole "
+    "column set is ONE projection — Catalyst CollapseProject fuses what "
+    "the reference ran as 5 sequential UPDATEs.",
+)
+def tr_derived_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
+        (
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+        ).alias("charged"),
+        (F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0))).alias("unit_price"),
+        F.round(F.col("l_discount") * 100, 2).alias("discount_pct"),
+    ).orderBy("l_orderkey", "l_linenumber")

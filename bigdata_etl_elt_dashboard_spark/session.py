@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+The reference has no engine of its own (eager pandas + MySQL; SURVEY §3), so
+this module is where our engine's global execution posture lives:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting) —
+  at sf0.001–0.1 the data is far smaller than the default 200 shuffle
+  partitions; at 100 TB AQE re-plans around skewed keys.
+- ``spark.sql.shuffle.partitions`` sized from SPARK_GRAFT_CPUS for local
+  mode; on a real cluster this would be ~2–3× total cores and AQE coalesces.
+- UTC session timezone: parquet timestamps are timezone-naive; pinning UTC
+  makes year()/date_trunc() agree with the DuckDB oracle.
+- ANSI mode is left at the Spark 4 default (ON). All engine expressions are
+  written ANSI-safe (nullif-guarded division, explicit casts) so they run
+  identically under ANSI and legacy modes — mirroring the reference's
+  coerce-to-null semantics without requiring a session-level switch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "bigdata-etl-elt-dashboard-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    local[N] for tests/bench; the same config block is what we would ship in
+    ``spark-defaults.conf`` on a 1000-executor cluster (minus ``master``).
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

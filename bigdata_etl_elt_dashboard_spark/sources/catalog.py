@@ -1,0 +1,70 @@
+"""Table catalog over the parquet data lake.
+
+Replaces the reference's MySQL databases (``dw_sales``/``elt_sales_db``) and
+CSV datalake layers (SURVEY §1.1) with a parquet lake: columnar storage,
+min/max statistics for predicate pushdown, and partition pruning come free.
+
+One quirk is isolated here: ``events.parquet`` is written with
+TIMESTAMP(NANOS), which Spark's parquet reader rejects by default. We flip
+``spark.sql.legacy.parquet.nanosAsLong`` for the read (runtime-settable,
+restored afterwards) and rebuild a microsecond TimestampType column with
+integer division — ``ts div 1000`` — because nanosecond longs (~1.7e18)
+exceed double's 2^53 exact-integer range, so float division would corrupt
+timestamps. This truncates toward negative infinity exactly like DuckDB's
+ns→us read path, keeping the oracle comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TABLE_NAMES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read the nanosecond-timestamp events table; see module docstring."""
+    try:
+        prev = spark.conf.get(_NANOS_CONF)
+    except Exception:
+        prev = None
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        raw = spark.read.parquet(path)
+    finally:
+        if prev is not None:
+            spark.conf.set(_NANOS_CONF, prev)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (lazy parquet scan)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _read_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    names: tuple[str, ...] = TABLE_NAMES,
+    register_views: bool = False,
+) -> dict[str, DataFrame]:
+    """Load the testdata tables; optionally register them as temp views so
+    the SQL surface (`plans.elt`) can run ``spark.sql`` against them."""
+    out = {}
+    for name in names:
+        df = table(spark, sf_dir, name)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

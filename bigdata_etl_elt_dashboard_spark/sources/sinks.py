@@ -1,0 +1,57 @@
+"""Sinks (SURVEY §2.1 S4–S8).
+
+The reference's loads are full-refresh: TRUNCATE/DELETE then append
+(etl_pipeline/load.py:143-157), batched inserts with chunksize=1000
+(elt/extract_load_csv.ipynb:cell8). In Spark the native idiom is
+``mode("overwrite")`` — atomic directory swap for parquet, per-partition
+batched writes for JDBC — so the whole FK-checks-off / truncate dance
+disappears (SURVEY §4.1).
+
+Scale posture: fact tables are written partitioned by a low-cardinality
+time-derived column (e.g. order_year) so the dashboard's date-range filter
+(P7) becomes partition pruning instead of a 100 TB scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Datalake CSV layer (S6) — kept for reference parity; parquet is the
+    engine's standard interchange format."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    batchsize: int = 1000,
+) -> None:
+    """JDBC sink (S4 append / S5 overwrite). ``batchsize`` mirrors the
+    reference's chunksize=1000, applied per partition in parallel."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    writer = writer.option("batchsize", str(batchsize))
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def save_as_table(df: DataFrame, name: str, mode: str = "overwrite") -> None:
+    """Managed-table sink (replaces CREATE TABLE + INSERT, S7/S8)."""
+    df.write.mode(mode).saveAsTable(name)

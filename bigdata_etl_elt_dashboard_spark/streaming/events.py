@@ -1,0 +1,113 @@
+"""Event-stream analytics (SURVEY §2.12, §7.5 extension).
+
+The reference is batch-only; this module adds the streaming surface the
+build target mandates. Every windowed aggregation exists in TWO forms with
+identical semantics:
+
+- a **batch** form (plain groupBy over the parquet `events` table) — this is
+  what `queries()` registers, so the DuckDB oracle can check the windowing
+  math (date_trunc / gaps-and-islands SQL);
+- a **streaming** form (readStream + withWatermark + the same window
+  expression) — exercised by tests/test_streaming.py with a rate/file
+  source, proving the operators run under the micro-batch engine with
+  late-data drop.
+
+Spark's window()/session_window() produce identical results in batch and
+streaming mode for on-time data (the watermark only governs state eviction
+and late drops), which is what makes this dual registration honest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exact_agg import MICROS, xsum
+
+
+def tumbling_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window: count + sum(value) per (window, type)."""
+    return (
+        events.groupBy(
+            F.window("ts", duration).alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"), xsum(F.col("value"), MICROS).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, duration: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding window (duration 1h, slide 30m): each event lands in
+    duration/slide windows."""
+    return (
+        events.groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), xsum(F.col("value"), MICROS).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session window per user: sessions close after `gap` of inactivity.
+
+    Batch-mode session_window — the same expression runs under
+    applyInPandasWithState-free streaming (Spark's native session windows)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), xsum(F.col("value"), MICROS).alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def json_props_rollup(events: DataFrame) -> DataFrame:
+    """Semi-structured path: parse the JSON `props` column (get_json_object,
+    JVM-side) and aggregate on an extracted field."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ----------------------------- streaming forms -----------------------------
+
+
+def stream_events_from_parquet(spark, path: str, schema) -> DataFrame:
+    """readStream over a parquet directory (file micro-batch source)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_tumbling(events_stream: DataFrame, duration: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Streaming tumbling agg with watermark: late events beyond the
+    watermark are dropped; state for closed windows is evicted."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), xsum(F.col("value"), MICROS).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def stream_session(events_stream: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Streaming session windows (native session_window + watermark)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
+    )

@@ -1,0 +1,32 @@
+"""Shared fixtures: one SparkSession per test session (JVM startup ~10 s,
+paid once), testdata locations."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bigdata_etl_elt_dashboard_spark.session import get_spark  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="engine-tests", master="local[8]", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_smoke() -> str:
+    return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def sf_oracle() -> str:
+    return SF_ORACLE

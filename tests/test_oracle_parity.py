@@ -1,0 +1,37 @@
+"""Differential test: every registered query with an oracle must match
+DuckDB exactly at sf0.01 — the local mirror of the driver's t2 gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+
+from .oracle_harness import compare, duck_connection
+
+_WITH_ORACLE = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
+_ROWS_ONLY = sorted(name for name, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_oracle):
+    con = duck_connection(sf_oracle)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_match(spark, sf_oracle, duck, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, sf_oracle)
+    report = compare(df, duck, q.oracle)
+    assert report["ok"], f"{name}: {report['mismatches']}"
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_runs(spark, sf_oracle, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, sf_oracle)
+    n = df.count()
+    assert n >= 0
+    assert df.columns  # stable schema exists
