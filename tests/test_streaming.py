@@ -1,0 +1,124 @@
+"""Structured Streaming tests (SURVEY §2.12 extension): the streaming forms
+produce the batch results for on-time data, and the watermark drops late
+events (the semantics the batch oracle can't check)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_etl_elt_dashboard_spark.streaming.events import (
+    stream_events_from_parquet,
+    stream_tumbling,
+    tumbling_agg,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 3, 1, h, m)
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def event_dir(spark, tmp_path):
+    path = str(tmp_path / "events_stream")
+    _write_events(
+        spark,
+        path,
+        [
+            (1, _ts(10, 5), 1, "view", 1.0),
+            (2, _ts(10, 45), 1, "view", 2.0),
+            (3, _ts(11, 10), 2, "click", 3.0),
+            (4, _ts(12, 0), 2, "view", 4.0),
+        ],
+    )
+    return path
+
+
+def test_stream_tumbling_equals_batch(spark, event_dir):
+    batch = spark.read.parquet(event_dir)
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in tumbling_agg(batch).collect()
+    }
+
+    stream = stream_events_from_parquet(spark, event_dir, EVENT_SCHEMA)
+    q = (
+        tumbling_agg(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_eq")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM tumbling_eq").collect()
+    }
+    assert got == expected and len(got) == 3  # 10:05+10:45 share the 10:00 window
+
+
+def test_stream_watermark_drops_late_events(spark, tmp_path):
+    """Two sequential runs over one checkpoint (guaranteed watermark
+    advancement between micro-batches): run 1 sets the watermark to
+    12:00−2h = 10:00; run 2 brings an event at 05:30 (window end 06:00 <
+    watermark → dropped) plus an on-time one. The 05:00 window must never
+    reach the append output."""
+    path = str(tmp_path / "events_late")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run(_: str):
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+        q = (
+            stream_tumbling(stream, duration="1 hour", watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {r["window_start"] for r in spark.read.parquet(out).collect()}
+
+    _write_events(
+        spark,
+        path,
+        [
+            (1, _ts(10, 5), 1, "view", 1.0),
+            (2, _ts(12, 0), 1, "view", 2.0),
+        ],
+    )
+    run("late_run1")  # watermark now 10:00, no window closed yet
+
+    _write_events(
+        spark,
+        path,
+        [
+            (3, _ts(5, 30), 2, "click", 9.0),  # LATE: beyond watermark
+            (4, _ts(14, 0), 2, "view", 3.0),  # on time, advances watermark to 12:00
+        ],
+    )
+    starts = run("late_run2")
+    assert _ts(5) not in starts, f"late event leaked into append output: {starts}"
+    # the 10:00 window closed once the watermark reached 12:00
+    assert _ts(10) in starts
