@@ -49,6 +49,58 @@ def _fake_feature(content: bytes, dim: int = 8) -> list[float]:
     return [b / 255.0 for b in digest[:dim]]
 
 
+def resize_image(content: bytes, width: int, height: int) -> bytes:
+    """STUB: real image resize (PIL/opencv are not in this container).
+
+    A real implementation decodes, resamples, and re-encodes inside the
+    same mapInPandas batch loop as ``extract_features``."""
+    raise NotImplementedError("image resize requires PIL/opencv in the runtime image")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+        T.StructField("frame_len", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 64, stride: int = 4) -> DataFrame:
+    """Video-style frame sampling over an opaque binary column.
+
+    DECODE IS STUBBED (no av/ffmpeg in this container): the byte stream is
+    treated as fixed-``frame_size`` frames and every ``stride``-th frame is
+    kept — deterministic, so the Spark plumbing (mapInPandas fan-out of one
+    input row to many output rows, Arrow batch shape, binary column dropped
+    after the map) is real and testable. A real decoder replaces only the
+    inner slicing loop."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas, lens = [], [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content)
+                n_frames = max((len(content) + frame_size - 1) // frame_size, 1)
+                for i in range(0, n_frames, stride):
+                    frame = content[i * frame_size : (i + 1) * frame_size]
+                    ids.append(media_id)
+                    idxs.append(i)
+                    shas.append(hashlib.sha256(frame).hexdigest())
+                    lens.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_sha": pd.Series(shas, dtype="object"),
+                    "frame_len": pd.Series(lens, dtype="int32"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(sample, FRAME_SCHEMA)
+
+
 def as_media_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Build a media-shaped table from `documents` (content = utf-8 bytes).
 

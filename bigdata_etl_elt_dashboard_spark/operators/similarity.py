@@ -101,6 +101,96 @@ def threshold_cosine_pairs(
     )
 
 
+def near_dup_pairs(
+    corpus: DataFrame,
+    min_sim: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs embedding-cosine near-dup: every (a, b) with a < b
+    and cosine ≥ min_sim, over the WHOLE corpus (not a query subset).
+
+    Shape: self nested-loop join with the smaller projection broadcast —
+    exact but O(n²) FLOPs, so it is the per-block/verification kernel. At
+    100 TB the outer loop is replaced by LSH blocking (ann candidates from
+    ``ann_lsh_topk``'s bucket join) and THIS function scores only the
+    candidate pairs; the driver-registered oracle uses the exact form at
+    test scale where n² is trivial."""
+    a = corpus.select(F.col(id_col).alias("doc_a"), _as_double(F.col(vec_col)).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("doc_b"), _as_double(F.col(vec_col)).alias("_vb"))
+    return (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= F.lit(min_sim))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF-flat: a coarse quantizer of ``n_cells``
+    centroids partitions the corpus into inverted lists; each query probes
+    its ``nprobe`` nearest cells and scores only those lists.
+
+    Centroids are the ``n_cells`` lowest-id corpus vectors (deterministic,
+    no trained k-means — the container has no MLlib fit here and the cell
+    assignment math is what matters). They are collected once driver-side
+    (tiny, like the reference's driver-computed stats) and injected as plan
+    literals, so cell assignment is a narrow JVM-side pass. The candidate
+    join is an equi-join on cell id — the inverted-list shape that survives
+    scale; expected FLOPs drop by ~n_cells/nprobe vs brute force."""
+    cent_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    centroids = [[float(x) for x in r[vec_col]] for r in cent_rows]
+
+    def probed_cells(vec: Column, n_best: int) -> Column:
+        # struct array sorts ascending by (sim, -cell): reversing yields
+        # descending sim with smaller cell winning ties — deterministic.
+        sims = F.array(
+            *[
+                F.struct(
+                    F.round(cosine(vec, F.array(*[F.lit(v) for v in c])), 9).alias("sim"),
+                    F.lit(-i).alias("negcell"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(sims)), 1, n_best)
+        return F.transform(top, lambda s: -s.negcell)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("cell", probed_cells(F.col("c_vec"), 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).select("query_id", "q_vec", F.explode(probed_cells(F.col("q_vec"), nprobe)).alias("cell"))
+
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (seeded LCG, no numpy import
     needed at executor side — these become plan literals)."""

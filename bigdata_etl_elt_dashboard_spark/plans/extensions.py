@@ -359,6 +359,43 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               ROUND(list_dot_product(a.ve, b.ve)
+                     / NULLIF(sqrt(list_dot_product(a.ve, a.ve))
+                              * sqrt(list_dot_product(b.ve, b.ve)), 0.0), 6) AS cosine_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.ve, b.ve)
+                    / NULLIF(sqrt(list_dot_product(a.ve, a.ve))
+                             * sqrt(list_dot_product(b.ve, b.ve)), 0.0), 6) >= 0.4
+        ORDER BY doc_a, doc_b
+    """,
+    doc="Embedding-cosine near-dup over the WHOLE corpus: exact all-pairs "
+    "cosine ≥ 0.4 (a < b). Exact form is the per-block verification "
+    "kernel; at 100 TB LSH blocking supplies the candidate pairs and this "
+    "scores them (see operators.similarity.near_dup_pairs).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(emb, min_sim=0.4).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=None,  # approximate (nprobe < n_cells); recall unit-tested vs brute force
+    doc="ANN scale path #2: IVF-flat — deterministic coarse centroids, "
+    "corpus bucketed into inverted lists, queries probe nprobe nearest "
+    "cells; candidate join is an equi-join on cell id.",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
 # ----------------------------- event streams ------------------------------
 
 
@@ -485,4 +522,21 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.extract_features(media)
         .select("media_id", "byte_len", "content_sha")
         .orderBy("media_id")
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=None,  # mapInPandas row fan-out not oracle-expressible; deterministic → unit-tested
+    doc="Video-style frame sampling: one binary row fans out to every "
+    "stride-th fixed-size frame via mapInPandas (decode stubbed — byte "
+    "slicing stands in; the fan-out plumbing is real).",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    media = M.as_media_table(docs)
+    return (
+        M.sample_frames(media)
+        .select("media_id", "frame_idx", "frame_sha", "frame_len")
+        .orderBy("media_id", "frame_idx")
     )

@@ -86,6 +86,52 @@ def test_ann_recall_vs_bruteforce(spark, sf_oracle):
     assert recall >= 0.2, f"ANN recall collapsed: {recall}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_oracle):
+    emb = table(spark, sf_oracle, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in S.topk_cosine(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in S.ivf_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nprobe=3 of 8 cells scans ~3/8 of the corpus; near neighbors
+    # concentrate in the probed cells so recall must beat that fraction
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+    # every query produced a full (or cell-limited) ranked list
+    ranks = S.ivf_topk(emb, queries, k=5).groupBy("query_id").count().collect()
+    assert len(ranks) == 5
+
+
+def test_near_dup_pairs_symmetric_subset(spark, sf_oracle):
+    emb = table(spark, sf_oracle, "embeddings")
+    pairs = S.near_dup_pairs(emb, min_sim=0.45).collect()
+    assert all(r["doc_a"] < r["doc_b"] for r in pairs)
+    assert all(r["cosine_sim"] >= 0.45 for r in pairs)
+    # loosening the threshold can only add pairs
+    looser = {(r["doc_a"], r["doc_b"]) for r in S.near_dup_pairs(emb, min_sim=0.4).collect()}
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} <= looser
+
+
+def test_frame_sampling_fanout(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 300, "en", "src0", 300), (2, "", "en", "src0", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    media = M.as_media_table(docs)
+    frames = M.sample_frames(media, frame_size=64, stride=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    # 300 bytes / 64 = 5 frames, stride 2 keeps idx 0, 2, 4
+    assert [r["frame_idx"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [0, 2, 4]
+    assert sorted(by_doc[1], key=lambda r: r["frame_idx"])[-1]["frame_len"] == 300 - 4 * 64
+    # empty payload still yields exactly one (empty) frame
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["frame_len"] == 0
+    assert by_doc[2][0]["frame_sha"] == hashlib.sha256(b"").hexdigest()
+
+
 def test_multimodal_features_deterministic(spark):
     docs = spark.createDataFrame(
         [(1, "hello world", "en", "src0", 11), (2, "", "en", "src0", 0)],
