@@ -1,0 +1,83 @@
+"""Skew-handling primitives for the 100 TB posture (SURVEY §7.5).
+
+AQE's skew-join splitting (enabled in session.py) handles most runtime skew;
+these helpers are the *explicit* forms for the two cases AQE cannot fix:
+
+- **Salted aggregation**: a groupBy on a power-law key (one user = 30% of
+  events) funnels that key's entire partition through one task. Salting
+  splits each hot key across ``buckets`` sub-keys in a first partial pass,
+  then merges the tiny salted partials in a second pass. Both passes are
+  partial-aggregatable, so total shuffle volume ≈ unsalted; only the
+  per-task maximum drops.
+- **Salted broadcast-replicate join**: joining a big skewed fact against a
+  small dim by replicating the dim once per salt bucket, so one hot fact
+  key spreads over ``buckets`` tasks. The salt on the fact side must vary
+  WITHIN a join key, so it hashes a caller-named disambiguator column
+  (never rand() — results must be deterministic and retry-safe).
+
+The salted plans are equivalence-tested against their unsalted twins; the
+salted aggregation is also registered in the driver's correctness gate with
+the plain GROUP BY as its oracle (agg_salted_status_rollup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: merge rule per partial-aggregatable measure: final_agg(partial_col)
+_MERGE = {
+    "sum": F.sum,
+    "count": F.sum,  # counts merge by summing
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    measures: dict[str, tuple[str, Column]],
+    salt_from: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation.
+
+    ``measures`` maps output column → (kind, input expression) with kind in
+    {sum, count, min, max} — the decomposable aggregates. Stage 1 groups by
+    (keys…, salt) where salt = hash(salt_from) % buckets; stage 2 merges
+    per key. count uses count() in stage 1 and sum() in stage 2.
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(buckets)).alias("_salt")
+    stage1 = df.groupBy(*[F.col(k) for k in keys], salt).agg(
+        *[
+            (F.count(expr) if kind == "count" else getattr(F, kind)(expr)).alias(f"_p_{out}")
+            for out, (kind, expr) in measures.items()
+        ]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[
+            _MERGE[kind](F.col(f"_p_{out}")).alias(out)
+            for out, (kind, _) in measures.items()
+        ]
+    )
+
+
+def salted_broadcast_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_from: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed fact to a small dim with dim replicated per salt bucket.
+
+    The join key becomes (key, salt): fact rows of one hot key scatter over
+    ``buckets`` tasks, and the dim — already broadcast-sized — grows only
+    ``buckets``×. Column set of the result matches a plain fact.join(dim,
+    key, how)."""
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(buckets))
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn("_salt", F.explode(F.array(*[F.lit(b) for b in range(buckets)])))
+    return f.join(F.broadcast(d), [key, "_salt"], how).drop("_salt")

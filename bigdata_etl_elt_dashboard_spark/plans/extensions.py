@@ -482,6 +482,44 @@ def ev_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_salted_user_rollup",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               (CAST(SUM(CAST(ROUND((value) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0) AS total_value,
+               MAX(CAST(ROUND((value) * 1000000) AS BIGINT) / 1000000.0) AS max_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Skew-safe two-stage salted aggregation (operators.scale.salted_agg): "
+    "hot keys split across 16 salt buckets in a partial pass, merged per "
+    "key in a second pass — same answer as the plain GROUP BY oracle, "
+    "bounded per-task input at any key skew.",
+)
+def agg_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import scale as SC
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value_fp", F.round(F.col("value") * MICROS).cast("long")
+    )
+    out = SC.salted_agg(
+        ev,
+        keys=["user_id"],
+        measures={
+            "n_events": ("count", F.lit(1)),
+            "total_value_fp": ("sum", F.col("value_fp")),
+            "max_value_fp": ("max", F.col("value_fp")),
+        },
+        salt_from="event_id",
+        buckets=16,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.col("total_value_fp") / MICROS).alias("total_value"),
+        (F.col("max_value_fp") / MICROS).alias("max_value"),
+    ).orderBy("user_id")
+
+
+@register(
     "ev_user_activity",
     oracle="""
         SELECT user_id, COUNT(*) AS n_events,

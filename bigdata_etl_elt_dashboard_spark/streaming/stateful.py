@@ -1,0 +1,54 @@
+"""Custom stateful streaming operator via applyInPandasWithState (§7.5).
+
+Native window()/session_window() cover the reference-shaped aggregations in
+streaming mode (streaming/events.py); this module is the escape hatch for
+state machines they can't express — here, per-user RUNNING totals that
+survive across micro-batches (a lifetime-counter, not a windowed count).
+
+Shape notes for scale:
+- State is partitioned by the group key (user_id): one state row per user,
+  updated with Arrow-batched pandas frames per micro-batch — the streaming
+  analog of a shuffled hash aggregation, never a global collect.
+- Emission is one row per user per micro-batch that touched the user
+  ("update" output mode), so downstream sinks see a changelog.
+- State lives in the checkpoint; a restarted query resumes exactly
+  (tested by running two availableNow passes over one checkpoint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n long, total double"
+
+
+def _update_user_totals(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += int(len(pdf))
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def running_user_totals(events_stream: DataFrame) -> DataFrame:
+    """Per-user lifetime (n_events, total_value), carried across batches.
+
+    Use with ``outputMode("update")``. Equivalent batch form is a plain
+    groupBy(user_id).agg(count, sum) — which is exactly how the test
+    cross-checks the final state."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

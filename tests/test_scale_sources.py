@@ -1,0 +1,203 @@
+"""Scale-path primitives (salting, bucketing, stateful streaming) and the
+source/sink layer: equivalence to unsalted twins, shuffle elimination via
+bucketed tables, state carried across streaming restarts, and partition
+pruning from the sink's layout."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import zipfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_etl_elt_dashboard_spark.operators import scale as SC
+from bigdata_etl_elt_dashboard_spark.sources import readers, sinks
+from bigdata_etl_elt_dashboard_spark.streaming.stateful import running_user_totals
+
+
+def _skewed_df(spark):
+    # user 1 owns ~70% of rows — the shape that funnels into one task unsalted
+    rows = [(i, 1 if i % 10 < 7 else i % 10, float(i % 100)) for i in range(1000)]
+    return spark.createDataFrame(rows, "event_id long, user_id long, value double")
+
+
+def test_salted_agg_matches_plain(spark):
+    df = _skewed_df(spark)
+    plain = {
+        r["user_id"]: (r["n"], r["s"], r["m"])
+        for r in df.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"), F.max("value").alias("m"))
+        .collect()
+    }
+    salted = {
+        r["user_id"]: (r["n"], r["s"], r["m"])
+        for r in SC.salted_agg(
+            df,
+            keys=["user_id"],
+            measures={
+                "n": ("count", F.lit(1)),
+                "s": ("sum", F.col("value")),
+                "m": ("max", F.col("value")),
+            },
+            salt_from="event_id",
+            buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_broadcast_join_matches_plain(spark):
+    fact = _skewed_df(spark)
+    dim = spark.createDataFrame(
+        [(u, f"user_{u}") for u in range(10)], "user_id long, user_name string"
+    )
+    plain = sorted(
+        (r["event_id"], r["user_name"]) for r in fact.join(dim, "user_id").collect()
+    )
+    salted = sorted(
+        (r["event_id"], r["user_name"])
+        for r in SC.salted_broadcast_join(
+            fact, dim, key="user_id", salt_from="event_id", buckets=8
+        ).collect()
+    )
+    assert salted == plain
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Co-located join (SURVEY q8 doc: 'at 100 TB co-bucket both tables on
+    orderkey'): with both sides bucketed on the join key, the sort-merge
+    join needs NO Exchange."""
+    fact = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("v")
+    )
+    dim = spark.range(0, 10000, 7).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    for name, df in (("t_bkt_fact", fact), ("t_bkt_dim", dim)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        df.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(name)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bkt_fact").join(spark.table("t_bkt_dim"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() == len(range(0, 10000, 7))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_fact")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_dim")
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_stateful_totals_survive_restart(spark, tmp_path):
+    """applyInPandasWithState: state lives in the checkpoint, so a second
+    availableNow run resumes the per-user totals instead of recounting."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    sink = str(tmp_path / "sink")
+
+    def run(qname):
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(
+                lambda df, epoch: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # update mode emits one row per touched user per micro-batch;
+        # the latest emission (max n_events — totals only grow) is the state
+        out: dict[int, tuple[int, float]] = {}
+        for r in spark.read.parquet(sink).collect():
+            cur = out.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                out[r["user_id"]] = (r["n_events"], r["total_value"])
+        return out
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+    write([(1, t0, 1, 1.5), (2, t0, 1, 2.5), (3, t0, 2, 10.0)])
+    first = run("stateful_run1")
+    assert first[1] == (2, 4.0) and first[2] == (1, 10.0)
+
+    write([(4, t0, 1, 1.0), (5, t0, 3, 7.0)])
+    second = run("stateful_run2")
+    # user 1 resumed from n=2/total=4.0 — not recounted from zero
+    assert second[1] == (3, 5.0)
+    assert second[3] == (1, 7.0)
+    # batch cross-check: stream state == plain groupBy over everything
+    batch = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    merged = {**first, **second}
+    assert merged == batch
+
+
+def test_csv_roundtrip_explicit_schema(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", None)], schema)
+    path = str(tmp_path / "csv_out")
+    sinks.write_csv(df, path)
+    back = readers.read_csv(spark, path, schema=schema)
+    assert back.schema == schema
+    assert sorted((r["id"], r["name"], r["amount"]) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", None),
+    ]
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, 2020 + i % 3, float(i)) for i in range(300)],
+        "order_id long, order_year int, amount double",
+    )
+    path = str(tmp_path / "fact")
+    sinks.write_parquet(df, path, partition_by=["order_year"])
+    assert any(n.startswith("order_year=") for n in os.listdir(path))
+    back = spark.read.parquet(path).filter(F.col("order_year") == 2021)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "2021" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert back.count() == 100
+
+
+def test_land_archive_zip(tmp_path):
+    csv = tmp_path / "data.csv"
+    csv.write_text("a,b\n1,2\n")
+    archive = tmp_path / "bundle.zip"
+    with zipfile.ZipFile(archive, "w") as zf:
+        zf.write(csv, "data.csv")
+    landed = readers.land_archive(str(archive), str(tmp_path / "landing"))
+    assert len(landed) == 1 and landed[0].endswith("data.csv")
+    assert open(landed[0]).read() == "a,b\n1,2\n"
