@@ -49,7 +49,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="bench")
+    # 8 shuffle partitions for the warm small-SF suite: at sf0.1 every
+    # shuffle is KB-scale, so scheduling dominates — AQE would coalesce to
+    # ~this anyway, but starting low removes the coalescing round-trips.
+    # (Cluster posture stays in session.py: ~2-3x total cores + AQE.)
+    spark = get_spark(app_name="bench", shuffle_partitions=8)
 
     # Warmup: full pass (codegen + JIT + file listing caches).
     for name in HEADLINE.values():

@@ -45,12 +45,22 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     return raw
 
 
+#: memoized lazy scans: a DataFrame is an immutable logical plan, so reusing
+#: one per (session, path) skips repeated file listing + footer schema reads
+#: when many registry queries touch the same tables (bench/correctness runs).
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan)."""
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _read_events(spark, path)
-    return spark.read.parquet(path)
+    df = _read_events(spark, path) if name == "events" else spark.read.parquet(path)
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def load_tables(
