@@ -117,6 +117,18 @@ def clip_outliers_iqr(df: DataFrame, cols: tuple[str, ...], k: float = 1.5) -> D
     return df.withColumns(out)
 
 
+def flag_outliers_iqr(
+    df: DataFrame, col: str, k: float = 1.5, flag_col: str = "is_outlier"
+) -> DataFrame:
+    """F20: append ``is_outlier = 1 WHERE col > Q3 + k·IQR`` — the
+    reference's pandas-computes-threshold / SQL-applies pattern
+    (elt/hold.ipynb:cell12). Threshold rounded to 2dp so the comparison is
+    engine-reproducible at the boundary."""
+    q1, q3 = df.agg(F.expr(f"percentile({col}, array(0.25, 0.75))")).first()[0]
+    thr = round(q3 + k * (q3 - q1), 2)
+    return df.withColumn(flag_col, (F.col(col) > F.lit(thr)).cast("int"))
+
+
 def min_max_scale(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     """F16/A15: append {col}_norm ∈ [0,1] (transform.py:62-73,190-195)."""
     present = [c for c in cols if c in df.columns]

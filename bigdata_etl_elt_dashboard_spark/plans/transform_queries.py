@@ -213,6 +213,40 @@ def tr_clip_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tr_outlier_flag",
+    oracle="""
+        WITH q AS (
+            SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                   quantile_cont(o_totalprice, 0.75) AS q3
+            FROM orders
+        )
+        SELECT o_orderkey,
+               CAST(o_totalprice > ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 2) AS INTEGER)
+                   AS is_outlier,
+               (SELECT CAST(SUM(CAST(o_totalprice >
+                       ROUND(q2.q3 + 1.5 * (q2.q3 - q2.q1), 2) AS INTEGER)) AS BIGINT)
+                FROM orders, q AS q2) AS n_outliers
+        FROM orders, q ORDER BY o_orderkey
+    """,
+    doc="F20+A18: is_outlier flag where measure > Q3+1.5·IQR, threshold "
+    "computed driver-side and applied as a literal (hold.ipynb:cell12's "
+    "pandas-computes/SQL-applies split); n_outliers = the verification "
+    "count the notebook prints.",
+)
+def tr_outlier_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transforms import flag_outliers_iqr
+
+    orders = table(spark, sf_dir, "orders")
+    flagged = flag_outliers_iqr(
+        orders.select("o_orderkey", "o_totalprice"), "o_totalprice"
+    )
+    n = flagged.agg(F.sum("is_outlier").cast("bigint")).first()[0]
+    return flagged.select(
+        "o_orderkey", "is_outlier", F.lit(n).cast("bigint").alias("n_outliers")
+    ).orderBy("o_orderkey")
+
+
+@register(
     "tr_minmax_norm",
     oracle="""
         WITH b AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders)
