@@ -11,11 +11,18 @@ a thin adapter over its query registry (plans.registry.REGISTRY).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+# Importable regardless of the harness's working directory.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from bigdata_etl_elt_dashboard_spark.plans import REGISTRY  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

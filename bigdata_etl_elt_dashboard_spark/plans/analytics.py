@@ -221,8 +221,10 @@ def q7_top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="q8: avg shipping days per country (A3 + F6; load.py:330-336). "
     "Integer day-diffs sum exactly in any order (no fixed-point needed). "
-    "The lineitem⋈orders join is the only non-broadcast join: both sides "
-    "shuffle on orderkey (at 100 TB: co-bucket both tables on orderkey).",
+    "lineitem⋈orders is fact⋈fact: shuffle_hash hint — orders cannot be "
+    "broadcast at scale, and hash beats sort-merge because neither side "
+    "needs sorted output (at 100 TB: co-bucket both tables on orderkey "
+    "and the shuffle disappears, see test_bucketed_join_eliminates_shuffle).",
 )
 def q8_avg_ship_days_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = table(spark, sf_dir, "lineitem")
@@ -233,7 +235,7 @@ def q8_avg_ship_days_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.select("l_orderkey", "l_shipdate")
         .join(
-            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            orders.select("o_orderkey", "o_custkey", "o_orderdate").hint("shuffle_hash"),
             lineitem.l_orderkey == orders.o_orderkey,
         )
         .join(
@@ -323,7 +325,10 @@ def agg_discount_by_ship_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.select("l_orderkey", "l_shipdate", "l_discount")
-        .join(orders.select("o_orderkey", "o_orderdate"), lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            orders.select("o_orderkey", "o_orderdate").hint("shuffle_hash"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
         .groupBy(bucket)
         .agg(xavg(F.col("l_discount")).alias("avg_discount"), F.count("*").alias("cnt"))
         .orderBy("shipping_speed_category")
@@ -463,7 +468,10 @@ def by_region_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region")
     return (
         lineitem.select("l_orderkey", "l_quantity")
-        .join(orders.select("o_orderkey", "o_custkey"), lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            orders.select("o_orderkey", "o_custkey").hint("shuffle_hash"),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
         .join(
             F.broadcast(customer.select("c_custkey", "c_nationkey")),
             orders.o_custkey == customer.c_custkey,

@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bigdata_etl_elt_dashboard_spark.streaming.events import (
+    session_agg,
     stream_events_from_parquet,
+    stream_session,
     stream_tumbling,
     tumbling_agg,
 )
@@ -74,6 +76,45 @@ def test_stream_tumbling_equals_batch(spark, event_dir):
         for r in spark.sql("SELECT * FROM tumbling_eq").collect()
     }
     assert got == expected and len(got) == 3  # 10:05+10:45 share the 10:00 window
+
+
+def test_stream_session_windows_equal_batch(spark, tmp_path):
+    """Native session_window under the micro-batch engine merges the same
+    sessions the batch form computes: two bursts 5 min apart fuse into one
+    session; a burst past the 10-min gap opens a new one."""
+    path = str(tmp_path / "events_sess")
+    _write_events(
+        spark,
+        path,
+        [
+            (1, _ts(10, 0), 1, "view", 1.0),
+            (2, _ts(10, 5), 1, "view", 1.0),  # same session (gap 5m < 10m)
+            (3, _ts(10, 30), 1, "view", 1.0),  # new session (gap 25m)
+            (4, _ts(10, 0), 2, "click", 2.0),
+        ],
+    )
+    batch = spark.read.parquet(path)
+    expected = {
+        (r["session_start"], r["user_id"]): r["n_events"]
+        for r in session_agg(batch).collect()
+    }
+    assert expected[(_ts(10, 0), 1)] == 2 and expected[(_ts(10, 30), 1)] == 1
+
+    stream = stream_events_from_parquet(spark, path, EVENT_SCHEMA)
+    q = (
+        stream_session(stream)
+        .writeStream.format("memory")
+        .queryName("sess_eq")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["session_start"], r["user_id"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_eq").collect()
+    }
+    assert got == expected
 
 
 def test_stream_watermark_drops_late_events(spark, tmp_path):
