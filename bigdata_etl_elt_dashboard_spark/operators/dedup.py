@@ -143,6 +143,54 @@ def jaccard_pairs(
     )
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the LSH candidate
+    graph, labeling every doc with the min doc_id reachable from it
+    (cluster_id). The canonical keeper per cluster is doc_id == cluster_id.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels — converges in O(component
+    diameter) rounds (near-dup components are shallow: transitively-similar
+    boilerplate chains). Each round is one shuffle join + one groupBy;
+    ``localCheckpoint`` truncates the lineage so the plan doesn't grow with
+    iterations — the standard Spark shape for iterative algorithms. At
+    extreme graph sizes, swap in large-star/small-star; the per-round
+    operators are identical.
+    """
+    pairs = lsh_candidate_pairs(docs, text_col, n, num_hashes, bands)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.select(F.col("doc_id").alias("dst"), "cluster_id"), "dst"
+        ).select(F.col("src").alias("doc_id"), "cluster_id")
+        labels = (
+            labels.union(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:  # labels only decrease; equal sum == fixpoint
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 #: SimHash width: 60 bits (15 hex chars of md5) — stays inside a signed
 #: 64-bit long so the bit arithmetic is ANSI-overflow-safe in both engines.
 SIMHASH_BITS = 60

@@ -278,6 +278,44 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+        sig AS (
+            SELECT doc_id, {_MINHASH_AGGS_SQL}
+            FROM sh GROUP BY doc_id
+        ),
+        banded AS ({_BANDED_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a
+            JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                          AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        cc(doc_id, reach) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, cc.reach FROM edges e JOIN cc ON cc.doc_id = e.dst
+        )
+        SELECT doc_id, MIN(reach) AS cluster_id FROM cc
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Near-dup clusters: connected components over the MinHash-LSH "
+    "candidate graph via iterative min-label propagation (localCheckpoint "
+    "per round — the Spark iterative-algorithm shape). Oracle is the "
+    "recursive-CTE transitive closure of the same graph.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.near_dup_clusters(docs, num_hashes=_NUM_HASHES, bands=_BANDS).orderBy("doc_id")
+
+
+@register(
     "dedup_simhash",
     oracle=None,  # hex→int conversion differs per engine; verified rows-only + unit tests
     doc="SimHash (60-bit) signatures per doc: per-bit majority vote over "

@@ -60,6 +60,17 @@ def test_minhash_lsh_candidates(spark):
     assert (1, 4) not in pairs and (3, 4) not in pairs
 
 
+def test_near_dup_clusters_transitive(spark):
+    """1~2 (exact) and 1~3 (near) must land in ONE cluster even if 2~3
+    never directly band-collides — that's the transitivity clusters add
+    over raw pair output. Doc 4 stays a singleton."""
+    docs = _docs_df(spark)
+    labels = {r["doc_id"]: r["cluster_id"] for r in D.near_dup_clusters(docs).collect()}
+    assert labels[1] == labels[2] == 1
+    assert labels[3] == 1  # pulled in via doc 1 or doc 2
+    assert labels[4] == 4
+
+
 def test_simhash_hamming(spark):
     docs = _docs_df(spark)
     sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
