@@ -37,6 +37,16 @@ HEADLINE = {
 }
 
 
+#: one representative per extension family (dedup / ANN / text / events)
+EXTENSION_SUITE = (
+    "dedup_exact_groups",
+    "dedup_lsh_candidates",
+    "sim_topk_cosine",
+    "text_quality",
+    "ev_session_10m",
+)
+
+
 def run_once(spark, sf_dir: str, name: str) -> float:
     t0 = time.perf_counter()
     df = REGISTRY[name].fn(spark, sf_dir)
@@ -63,12 +73,20 @@ def main() -> None:
     for label, name in HEADLINE.items():
         timings[label] = round(min(run_once(spark, sf_dir, name) for _ in range(2)), 4)
 
+    # Beyond-baseline extension suite (no reference number exists; recorded
+    # so round-over-round regressions in the training-data ops are visible).
+    ext = {}
+    for name in EXTENSION_SUITE:
+        run_once(spark, sf_dir, name)  # warm
+        ext[name] = round(min(run_once(spark, sf_dir, name) for _ in range(2)), 4)
+
     result = {
         "metric": "warm per-query wall-clock, reference q1-q8 suite (sum)",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "extension_queries": ext,
     }
     print(json.dumps(result))
     spark.stop()

@@ -63,3 +63,21 @@ def test_dedup_exact_has_single_shuffle(spark, sf_oracle):
     plan = explain_str(REGISTRY["dedup_exact_groups"].fn(spark, sf_oracle), "simple")
     assert plan.count("Exchange") <= 2  # agg shuffle (+AQE final sort for orderBy)
     assert "Window" not in plan
+
+
+def test_q8_fact_join_is_shuffle_hash(spark, sf_oracle):
+    """lineitem⋈orders must be a ShuffledHashJoin (not broadcast — orders
+    is fact-sized at scale; not sort-merge — no side needs sorted output);
+    the dim lookups behind it stay broadcast."""
+    plan = explain_str(REGISTRY["q8_avg_ship_days_per_nation"].fn(spark, sf_oracle))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_candidates_join_on_band_key(spark, sf_oracle):
+    """The near-dup candidate join must be keyed on (band_idx, band_sig) —
+    an equi-join — never a nested-loop cross product."""
+    plan = explain_str(REGISTRY["dedup_lsh_candidates"].fn(spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
