@@ -52,17 +52,43 @@ def _doc_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     )
 
 
+#: universal-hash family over one md5 base hash: h_i = (a_i·h + b_i) mod P.
+#: P is a Mersenne prime < 2^31 so a_i·(h mod P) + b_i < 2^62 — no overflow
+#: under ANSI mode in either engine. a_i/b_i from a fixed LCG seed so the
+#: Spark implementation and the DuckDB oracle derive identical constants.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    state = seed
+    out = []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = state % (MINHASH_P - 1) + 1  # a ∈ [1, P-1]
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = state % MINHASH_P  # b ∈ [0, P-1]
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
-    """k min-hashes per doc: min over shingles of md5(salt_i ‖ shingle).
+    """k min-hashes per doc: min over shingles of (a_i·h + b_i) mod P where
+    h = the shingle's md5 prefix as an integer.
 
-    One explode + one groupBy(doc_id) with k partial-aggregatable min()s —
-    a single shuffle regardless of k."""
+    ONE md5 per shingle + k integer multiply-adds (vs k md5s): the string
+    hashing is the hot cost at corpus scale. One explode + one
+    groupBy(doc_id) with k partial-aggregatable min()s — a single shuffle
+    regardless of k."""
     sh = _doc_shingles(docs, text_col, n)
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long"), F.lit(MINHASH_P)
+    )
+    sh = sh.select("doc_id", h.alias("h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("sh")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -86,7 +112,13 @@ def lsh_candidate_pairs(
         F.struct(
             F.lit(b).alias("band_idx"),
             F.md5(
-                F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
             ).alias("band_sig"),
         )
         for b in range(bands)

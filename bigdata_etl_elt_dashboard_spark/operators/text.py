@@ -125,10 +125,19 @@ def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array<string> (near-dup unit).
 
     Built with sequence+transform+slice — all JVM higher-order functions;
-    docs shorter than n shingle to the whole normalized text."""
-    toks = F.split(normalized_text(text), " ")
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.array_distinct(ngrams)
+    docs shorter than n shingle to the whole normalized text.
+
+    The tokenization is bound to a lambda variable (via the one-element
+    transform) so the regex+split runs ONCE per document; referencing the
+    raw split expression inside the per-shingle lambda would re-evaluate
+    it for every shingle index (~tokens× more regex work — measured 5×
+    slower on the documents corpus)."""
+
+    def build(toks: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+
+    bound = F.transform(F.array(F.split(normalized_text(text), " ")), build)
+    return F.array_distinct(bound[0])

@@ -47,8 +47,12 @@ _SHINGLES_SQL = f"""
 _NUM_HASHES = 8
 _BANDS = 4
 
+#: base hash twin of dedup.minhash_signatures: md5 15-hex prefix → BIGINT mod P
+_HBASE_SQL = f"(('0x' || substr(md5(sh), 1, 15))::BIGINT % {D.MINHASH_P})"
+
 _MINHASH_AGGS_SQL = ",\n               ".join(
-    f"min(md5('s{i}:' || sh)) AS h{i}" for i in range(_NUM_HASHES)
+    f"min((hsh * {a} + {b}) % {D.MINHASH_P}) AS h{i}"
+    for i, (a, b) in enumerate(D.minhash_coeffs(_NUM_HASHES))
 )
 
 _BANDED_SQL = "\nUNION ALL\n".join(
@@ -214,10 +218,13 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH sh AS ({_SHINGLES_SQL})
         SELECT doc_id,
                {_MINHASH_AGGS_SQL}
-        FROM sh GROUP BY doc_id ORDER BY doc_id
+        FROM (SELECT doc_id, {_HBASE_SQL} AS hsh FROM sh)
+        GROUP BY doc_id ORDER BY doc_id
     """,
-    doc="MinHash signatures (k=8) over 3-gram shingles — md5-salted min "
-    "hashes (engine-portable min-hash family). One explode + one groupBy.",
+    doc="MinHash signatures (k=8) over 3-gram shingles — universal-hash "
+    "family (a·h+b mod P) over one md5 base hash per shingle; "
+    "engine-portable and one string hash instead of k. One explode + one "
+    "groupBy.",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -230,7 +237,8 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH sh AS ({_SHINGLES_SQL}),
         sig AS (
             SELECT doc_id, {_MINHASH_AGGS_SQL}
-            FROM sh GROUP BY doc_id
+            FROM (SELECT doc_id, {_HBASE_SQL} AS hsh FROM sh)
+            GROUP BY doc_id
         ),
         banded AS ({_BANDED_SQL})
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -283,7 +291,8 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
         sig AS (
             SELECT doc_id, {_MINHASH_AGGS_SQL}
-            FROM sh GROUP BY doc_id
+            FROM (SELECT doc_id, {_HBASE_SQL} AS hsh FROM sh)
+            GROUP BY doc_id
         ),
         banded AS ({_BANDED_SQL}),
         pairs AS (
