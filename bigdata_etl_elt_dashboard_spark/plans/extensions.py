@@ -324,12 +324,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_clusters(docs, num_hashes=_NUM_HASHES, bands=_BANDS).orderBy("doc_id")
 
 
+_SIMHASH_BIT_SUMS_SQL = ",\n                   ".join(
+    f"SUM((h >> {i}) & 1) AS b{i}" for i in range(D.SIMHASH_BITS)
+)
+_SIMHASH_VOTE_SQL = "\n                 + ".join(
+    f"(CASE WHEN b{i} * 2 > n THEN (1::BIGINT << {i}) ELSE 0 END)"
+    for i in range(D.SIMHASH_BITS)
+)
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # hex→int conversion differs per engine; verified rows-only + unit tests
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        bits AS (
+            SELECT doc_id, COUNT(*) AS n,
+                   {_SIMHASH_BIT_SUMS_SQL}
+            FROM (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh)
+            GROUP BY doc_id
+        )
+        SELECT doc_id,
+               ({_SIMHASH_VOTE_SQL}) AS simhash
+        FROM bits ORDER BY doc_id
+    """,
     doc="SimHash (60-bit) signatures per doc: per-bit majority vote over "
     "shingle md5s — one explode + one groupBy with 60 partial-aggregatable "
-    "bit sums. Near-pairs via 4-band pigeonhole blocking + bit_count XOR.",
+    "bit sums. Near-pairs via 4-band pigeonhole blocking + bit_count XOR. "
+    "Oracle reproduces the votes bit-for-bit via '0x'-parsed md5 prefixes.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -595,10 +616,17 @@ def ev_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_feature_extract",
-    oracle=None,  # sha256/mapInPandas not expressible in the oracle; deterministic → unit-tested
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               sha256(text) AS content_sha
+        FROM documents ORDER BY media_id
+    """,
     doc="Multimodal plumbing: binary media column → mapInPandas (Arrow "
     "batches) → (byte_len, sha256, feature vector). Decode is stubbed "
-    "(no codecs in container); schema/partitioning/batch shape are real.",
+    "(no codecs in container); schema/partitioning/batch shape are real. "
+    "The Python-side sha256/length are cross-checked against DuckDB's "
+    "UTF-8 sha256/octet_length — the mapInPandas path itself is gated.",
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
