@@ -276,6 +276,68 @@ def agg_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_rollup_region_year",
+    oracle=f"""
+        SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               {_XS_TOTALPRICE} AS revenue, COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, order_year)
+        ORDER BY r_name NULLS FIRST, order_year NULLS FIRST
+    """,
+    doc="OLAP rollup (beyond-reference): region → region×year → grand "
+    "total in ONE pass (Catalyst Expand + single hash agg) instead of the "
+    "reference's separate per-level queries; subtotal rows carry NULL "
+    "group keys, identical to the SQL ROLLUP semantics.",
+)
+def agg_rollup_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", F.year("o_orderdate").alias("order_year"))
+        .agg(xsum(F.col("o_totalprice")).alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("order_year"))
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders, {_XS_TOTALPRICE} AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="OLAP cube (beyond-reference): all 2^2 grouping combinations in "
+    "one Expand+agg pass — the dashboard's 'slice by any dimension' "
+    "precomputation.",
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), xsum(F.col("o_totalprice")).alias("revenue"))
+        .orderBy(
+            F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority")
+        )
+    )
+
+
+@register(
     "agg_price_by_qty_bucket",
     oracle=f"""
         SELECT CASE WHEN l_quantity < 10 THEN 'small'
