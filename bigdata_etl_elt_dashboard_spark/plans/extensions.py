@@ -193,6 +193,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
+@register(
+    "text_ngram_topk",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL})
+        SELECT sh AS ngram, COUNT(*) AS n_docs
+        FROM sh GROUP BY sh
+        ORDER BY n_docs DESC, ngram LIMIT 20
+    """,
+    doc="Corpus-wide top-20 3-gram shingles by document frequency "
+    "(boilerplate detection — the usual precursor to dedup thresholds). "
+    "explode → partial-agg count → TakeOrdered; one shuffle.",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(X.shingles(F.col("text"))).alias("ngram"))
+    return (
+        sh.groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
 # ----------------------------- deduplication ------------------------------
 
 
@@ -331,6 +354,51 @@ _SIMHASH_VOTE_SQL = "\n                 + ".join(
     f"(CASE WHEN b{i} * 2 > n THEN (1::BIGINT << {i}) ELSE 0 END)"
     for i in range(D.SIMHASH_BITS)
 )
+
+
+@register(
+    "dedup_apply_canonical",
+    oracle=f"""
+        WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+        sig AS (
+            SELECT doc_id, {_MINHASH_AGGS_SQL}
+            FROM (SELECT doc_id, {_HBASE_SQL} AS hsh FROM sh)
+            GROUP BY doc_id
+        ),
+        banded AS ({_BANDED_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a
+            JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                          AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        cc(doc_id, reach) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, cc.reach FROM edges e JOIN cc ON cc.doc_id = e.dst
+        ),
+        labels AS (SELECT doc_id, MIN(reach) AS cluster_id FROM cc GROUP BY doc_id)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+        WHERE l.doc_id = l.cluster_id
+        ORDER BY d.doc_id
+    """,
+    doc="End-to-end dedup APPLY: keep one canonical doc per near-dup "
+    "cluster (doc_id == cluster_id, i.e. the min-id representative) — the "
+    "corpus a training pipeline would actually ship. Labels from "
+    "near_dup_clusters; survivors via an equi-join filter (no second "
+    "pass over text).",
+)
+def dedup_apply_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    labels = D.near_dup_clusters(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+    keep = labels.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    return docs.join(keep, "doc_id", "semi").select("doc_id", "lang", "source").orderBy("doc_id")
 
 
 @register(

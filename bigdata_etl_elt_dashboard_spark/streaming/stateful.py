@@ -39,6 +39,18 @@ def _update_user_totals(
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
 
 
+def stream_dedup_exact(events_stream: DataFrame, key: str = "event_id") -> DataFrame:
+    """Streaming exact dedup: emit each key once across ALL micro-batches
+    (state = set of seen keys, kept in the checkpoint).
+
+    This is the streaming twin of the batch hash-dedup
+    (operators.dedup.exact_dedup): an at-most-once filter for continuous
+    ingestion. Unbounded state by design here; bound it with
+    ``withWatermark(ts, ...)`` + ``dropDuplicatesWithinWatermark`` when the
+    key space only needs dedup within a time horizon."""
+    return events_stream.dropDuplicates([key])
+
+
 def running_user_totals(events_stream: DataFrame) -> DataFrame:
     """Per-user lifetime (n_events, total_value), carried across batches.
 

@@ -14,7 +14,10 @@ from pyspark.sql import types as T
 
 from bigdata_etl_elt_dashboard_spark.operators import scale as SC
 from bigdata_etl_elt_dashboard_spark.sources import readers, sinks
-from bigdata_etl_elt_dashboard_spark.streaming.stateful import running_user_totals
+from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
+    running_user_totals,
+    stream_dedup_exact,
+)
 
 
 def _skewed_df(spark):
@@ -201,3 +204,39 @@ def test_land_archive_zip(tmp_path):
     landed = readers.land_archive(str(archive), str(tmp_path / "landing"))
     assert len(landed) == 1 and landed[0].endswith("data.csv")
     assert open(landed[0]).read() == "a,b\n1,2\n"
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """dropDuplicates on a stream keeps a seen-set in the checkpoint: a key
+    replayed in a LATER micro-batch (a re-delivered event) must not be
+    emitted twice."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (
+            stream_dedup_exact(stream, "event_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+
+    write([(1, t0, 1, 1.0), (2, t0, 1, 2.0), (2, t0, 1, 2.0)])  # in-batch dup
+    assert run() == [1, 2]
+    write([(2, t0, 1, 2.0), (3, t0, 2, 3.0)])  # cross-batch replay of id 2
+    assert run() == [1, 2, 3]
