@@ -240,3 +240,70 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path):
     assert run() == [1, 2]
     write([(2, t0, 1, 2.0), (3, t0, 2, 3.0)])  # cross-batch replay of id 2
     assert run() == [1, 2, 3]
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S3/S4/S5 against an embedded Derby DB (ships with Spark): overwrite
+    sink, plain scan, and a partitioned range scan that fans out over
+    numPartitions parallel connections."""
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) + 0.5) for i in range(10)],
+        "id bigint, name string, amount double",
+    )
+    sinks.write_jdbc(df, url, "t_sales", mode="overwrite", properties=props)
+    # append mode: second write adds rows (S4)
+    sinks.write_jdbc(df.limit(2), url, "t_sales", mode="append", properties=props)
+
+    back = readers.read_jdbc(spark, url, "t_sales", properties=props)
+    assert back.count() == 12
+
+    part = readers.read_jdbc(
+        spark,
+        url,
+        "t_sales",
+        properties=props,
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=10,
+        num_partitions=4,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 12
+    got = {r["id"] for r in part.collect()}
+    assert got == set(range(10))
+
+
+def test_csv_malformed_row_handling(spark, tmp_path):
+    """S1 defensive-read semantics: PERMISSIVE captures a malformed row in
+    the corrupt-record column (the row-level analog of the reference's
+    errors='coerce'), DROPMALFORMED silently drops it."""
+    p = tmp_path / "bad.csv"
+    p.write_text("id,amount\n1,1.5\nnot_a_number,oops,extra\n3,2.5\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    permissive = readers.read_csv(
+        spark,
+        str(p),
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    ).cache()
+    bad = permissive.filter(F.col("_corrupt_record").isNotNull()).collect()
+    good = permissive.filter(F.col("_corrupt_record").isNull()).collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
+    assert sorted(r["id"] for r in good) == [1, 3]
+
+    dropped = readers.read_csv(
+        spark,
+        str(p),
+        schema=T.StructType(schema.fields[:2]),
+        mode="DROPMALFORMED",
+    )
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
