@@ -276,6 +276,45 @@ def agg_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "by_supplier_nation_revenue",
+    oracle=f"""
+        SELECT n_name, COUNT(DISTINCT s_suppkey) AS n_suppliers,
+               {xsum_sql("l_extendedprice")} AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name LIMIT 10
+    """,
+    doc="Top-10 supplier nations by shipped revenue (A2+J8+T1 shape on "
+    "the supply side): lineitem⋈supplier broadcast, nation broadcast, "
+    "distinct-count + exact fixed-point sum, TakeOrdered top-k.",
+)
+def by_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        lineitem.select("l_suppkey", "l_extendedprice")
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            lineitem.l_suppkey == supplier.s_suppkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            xsum(F.col("l_extendedprice")).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+        .limit(10)
+    )
+
+
+@register(
     "agg_rollup_region_year",
     oracle=f"""
         SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS order_year,
