@@ -163,3 +163,24 @@ def test_stream_watermark_drops_late_events(spark, tmp_path):
     assert _ts(5) not in starts, f"late event leaked into append output: {starts}"
     # the 10:00 window closed once the watermark reached 12:00
     assert _ts(10) in starts
+
+
+def test_stream_static_enrich_join(spark, event_dir):
+    """Stream-static join: a micro-batch stream broadcast-enriched against
+    a static dimension — the streaming form of the fact→dim joins (J2-J5).
+    Static side is re-resolvable per micro-batch; no watermark needed."""
+    user_dim = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "user_id long, user_name string"
+    )
+    stream = stream_events_from_parquet(spark, event_dir, EVENT_SCHEMA)
+    enriched = stream.join(F.broadcast(user_dim), "user_id").groupBy("user_name").count()
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_eq")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_name"]: r["count"] for r in spark.sql("SELECT * FROM enrich_eq").collect()}
+    assert got == {"alice": 2, "bob": 2}
