@@ -618,6 +618,24 @@ def ev_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_sketches",
+    oracle=None,  # HLL/t-digest estimates are engine-specific; error bounds unit-tested
+    doc="Approximate sketches — the 100 TB answer when exact "
+    "COUNT(DISTINCT) / percentile would shuffle every value: "
+    "approx_count_distinct (HyperLogLog++, mergeable partials, one small "
+    "sketch per partition) and percentile_approx (t-digest). Relative "
+    "error vs the exact forms is bounded in tests/test_scale_sources.py.",
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_median_value"),
+        F.count("*").alias("n_events"),
+    ).orderBy("event_type")
+
+
+@register(
     "agg_salted_user_rollup",
     oracle="""
         SELECT user_id, COUNT(*) AS n_events,

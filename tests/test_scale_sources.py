@@ -307,3 +307,31 @@ def test_csv_malformed_row_handling(spark, tmp_path):
         mode="DROPMALFORMED",
     )
     assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+
+def test_approx_sketches_error_bounds(spark, sf_oracle):
+    """HLL distinct counts within the configured 2% rsd (allow 3x slack),
+    t-digest median within 5% of exact — the contract that justifies
+    replacing exact distinct/percentile at 100 TB."""
+    from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+    from bigdata_etl_elt_dashboard_spark.sources.catalog import table as load
+
+    approx = {
+        r["event_type"]: (r["approx_users"], r["approx_median_value"])
+        for r in REGISTRY["agg_approx_sketches"].fn(spark, sf_oracle).collect()
+    }
+    exact = {
+        r["event_type"]: (r["exact_users"], r["exact_median"])
+        for r in load(spark, sf_oracle, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.expr("percentile(value, 0.5)").alias("exact_median"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for et, (au, am) in approx.items():
+        eu, em = exact[et]
+        assert abs(au - eu) / eu <= 0.06, f"{et}: HLL off by {abs(au-eu)/eu:.1%}"
+        assert abs(am - em) / max(abs(em), 1e-9) <= 0.05, f"{et}: median off"
