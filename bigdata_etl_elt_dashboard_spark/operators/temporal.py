@@ -1,0 +1,61 @@
+"""Temporal join operators Spark lacks natively (as-of join).
+
+The as-of join — "for each left row, the most recent right row at or
+before its timestamp, per key" — is the backbone of event-attribution and
+point-in-time-correct feature lookup. Naive implementations are per-row
+subqueries (driver loop) or an inequality theta-join (BroadcastNestedLoop /
+cartesian — dies at scale). The scalable composition used here:
+
+1. union the two sides on (key, ts) with a side tag,
+2. one window per key ordered by (ts, side) carrying
+   ``last(value, ignorenulls=True)`` forward,
+3. keep the left rows.
+
+Cost: ONE shuffle on the key (the window partition) — identical shape to a
+co-partitioned merge-as-of at cluster scale. Right rows sort before left
+rows at equal ts, giving the inclusive (>=) as-of semantics of DuckDB's
+ASOF JOIN, which serves as the differential oracle.
+
+Ties among right rows at the same (key, ts) are resolved by requiring the
+right side to be unique per (key, ts) — callers pre-aggregate (the
+registered query keeps max(value)); otherwise "most recent" is undefined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    out_prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: attach the latest ``value_cols`` from ``right`` with
+    right.ts <= left.ts, matching on ``key``. Left rows with no prior right
+    row get nulls. Right must be unique per (key, ts)."""
+    r = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    l = left.withColumn("_side", F.lit(1))
+    both = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        both = both.withColumn(
+            f"{out_prefix}{c}", F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w)
+        )
+    return both.filter(F.col("_side") == 1).drop(
+        "_side", *[f"_v_{c}" for c in value_cols]
+    )

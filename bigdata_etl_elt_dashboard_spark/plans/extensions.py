@@ -618,6 +618,54 @@ def ev_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_asof_last_view",
+    oracle="""
+        WITH clicks AS (
+            SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+        ),
+        views AS (
+            SELECT user_id, ts, MAX(value) AS view_value
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        )
+        SELECT c.event_id, c.user_id,
+               (CAST(ROUND(v.view_value * 1000000) AS BIGINT) / 1000000.0)
+                   AS asof_view_value
+        FROM clicks c
+        ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+        ORDER BY c.event_id
+    """,
+    doc="As-of join (operators.temporal.asof_join): each click gets the "
+    "most recent view's value at-or-before its timestamp per user — "
+    "point-in-time-correct attribution via ONE keyed shuffle "
+    "(union + sorted window carry-forward), never a theta/nested-loop "
+    "join. Oracle is DuckDB's native ASOF LEFT JOIN. Right side "
+    "pre-aggregated per (user, ts) so 'most recent' is well-defined.",
+)
+def ev_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(clicks, views, key="user_id", ts="ts", value_cols=["view_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.round(F.col("asof_view_value") * MICROS).cast("long") / MICROS).alias(
+            "asof_view_value"
+        ),
+    ).orderBy("event_id")
+
+
+@register(
     "agg_approx_sketches",
     oracle=None,  # HLL/t-digest estimates are engine-specific; error bounds unit-tested
     doc="Approximate sketches — the 100 TB answer when exact "

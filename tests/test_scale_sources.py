@@ -335,3 +335,27 @@ def test_approx_sketches_error_bounds(spark, sf_oracle):
         eu, em = exact[et]
         assert abs(au - eu) / eu <= 0.06, f"{et}: HLL off by {abs(au-eu)/eu:.1%}"
         assert abs(am - em) / max(abs(em), 1e-9) <= 0.05, f"{et}: median off"
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive (>=) as-of: a right row at exactly the left ts matches;
+    earlier rights carry forward; lefts before any right get null."""
+    from bigdata_etl_elt_dashboard_spark.operators.temporal import asof_join
+
+    t = lambda m: dt.datetime(2024, 3, 1, 10, m)
+    left = spark.createDataFrame(
+        [(1, 1, t(0)), (2, 1, t(5)), (3, 1, t(20)), (4, 2, t(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 50.0), (1, t(10), 100.0), (2, t(40), 7.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r["asof_v"]
+        for r in asof_join(left, right, "user_id", "ts", ["v"]).collect()
+    }
+    assert out[1] is None          # before any right row
+    assert out[2] == 50.0          # right at exactly ts matches (inclusive)
+    assert out[3] == 100.0         # latest at-or-before carries forward
+    assert out[4] is None          # other key's rights never leak; 10:40 is after
