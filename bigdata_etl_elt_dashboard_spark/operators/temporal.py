@@ -27,6 +27,43 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Time-range join: pair each left row with the right rows of the same
+    ``key`` whose timestamp lies in ``[left_ts - window, left_ts)``.
+
+    A naive inequality join is a BroadcastNestedLoop/cartesian product.
+    Scalable shape: bucket both sides by ``window_seconds``-wide epoch
+    buckets; a window of that width spans at most two buckets, so each
+    left row probes (bucket-1, bucket) and the join is an EQUI-join on
+    (key, bucket) with the exact range predicate as a residual filter in
+    the join condition. LEFT semantics: unmatched left rows survive with
+    null right columns (probe duplicates carry nulls and aggregate to
+    zero). Right columns come back prefixed ``r_``.
+    """
+    w = window_seconds
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / w)
+    l = left.withColumn("_probe", F.explode(F.array(lb - 1, lb)))
+    r = right.select(
+        F.col(key).alias("_rkey"),
+        F.col(right_ts).alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)],
+    ).withColumn("_bucket", F.floor(F.unix_timestamp(F.col("r_ts")) / w))
+    cond = (
+        (l[key] == r["_rkey"])
+        & (l["_probe"] == r["_bucket"])
+        & (r["r_ts"] >= F.col(left_ts) - F.expr(f"INTERVAL {w} SECONDS"))
+        & (r["r_ts"] < F.col(left_ts))
+    )
+    return l.join(r, cond, "left").drop("_probe", "_rkey", "_bucket")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -666,6 +666,50 @@ def ev_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_range_recent_views",
+    oracle="""
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        views AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+        )
+        SELECT c.event_id,
+               COUNT(v.ts) AS n_recent_views,
+               (CAST(SUM(CAST(ROUND(v.value * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0)
+                   AS recent_view_value
+        FROM clicks c
+        LEFT JOIN views v
+          ON c.user_id = v.user_id
+         AND v.ts >= c.ts - INTERVAL 10 MINUTE
+         AND v.ts < c.ts
+        GROUP BY c.event_id ORDER BY c.event_id
+    """,
+    doc="Range join (operators.temporal.range_join): views within the 10 "
+    "minutes before each click, per user — epoch-bucketed EQUI-join "
+    "(each left probes 2 buckets) with the exact range as residual "
+    "predicate; the plain inequality join the oracle runs would be a "
+    "nested-loop at scale.",
+)
+def ev_range_recent_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import range_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = range_join(clicks, views, key="user_id", left_ts="ts", right_ts="ts",
+                        window_seconds=600)
+    return (
+        joined.groupBy("event_id")
+        .agg(
+            F.count("r_ts").alias("n_recent_views"),
+            xsum(F.col("r_value"), MICROS).alias("recent_view_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "agg_approx_sketches",
     oracle=None,  # HLL/t-digest estimates are engine-specific; error bounds unit-tested
     doc="Approximate sketches — the 100 TB answer when exact "

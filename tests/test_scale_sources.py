@@ -359,3 +359,31 @@ def test_asof_join_semantics(spark):
     assert out[2] == 50.0          # right at exactly ts matches (inclusive)
     assert out[3] == 100.0         # latest at-or-before carries forward
     assert out[4] is None          # other key's rights never leak; 10:40 is after
+
+
+def test_range_join_boundaries(spark):
+    """[ts-600s, ts) inclusivity: a right row exactly 600s before is IN,
+    one at exactly ts is OUT; bucket-boundary crossings are covered by the
+    two-bucket probe."""
+    from bigdata_etl_elt_dashboard_spark.operators.temporal import range_join
+
+    t = lambda m, s=0: dt.datetime(2024, 3, 1, 10, m, s)
+    left = spark.createDataFrame(
+        [(1, 1, t(10))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(0), 1.0),    # exactly ts-600 -> included
+            (1, t(9, 59), 2.0),  # just before ts -> included (crosses bucket)
+            (1, t(10), 4.0),   # exactly ts -> excluded
+            (2, t(5), 8.0),    # other key -> excluded
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = (
+        range_join(left, right, "user_id", "ts", "ts", 600)
+        .groupBy("event_id")
+        .agg(F.count("r_ts").alias("n"), F.sum("r_value").alias("s"))
+        .collect()
+    )
+    assert len(out) == 1 and out[0]["n"] == 2 and out[0]["s"] == 3.0
