@@ -315,6 +315,87 @@ def by_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_priority_by_status",
+    oracle=f"""
+        SELECT o_orderpriority,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "n_F",
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "n_O",
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "n_P"
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Pivot / cross-tab (beyond-reference dashboard op): order counts "
+    "per priority × status via groupBy().pivot() with an EXPLICIT value "
+    "list — one pass, no second scan for value discovery, deterministic "
+    "column set (the at-scale rule for pivot).",
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in ("F", "O", "P")],
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "trend_mom_revenue_delta",
+    oracle=f"""
+        WITH m AS (
+            SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+                   {_XS_TOTALPRICE} AS revenue
+            FROM orders GROUP BY month
+        )
+        SELECT month, revenue,
+               ROUND(revenue - LAG(revenue) OVER (ORDER BY month), 2) AS mom_delta
+        FROM m ORDER BY month
+    """,
+    doc="Month-over-month revenue delta: the trend A7 aggregation plus a "
+    "lag() window over the (tiny) month series — window runs on the "
+    "post-agg rows, never the fact table.",
+)
+def trend_mom_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"))
+        .agg(xsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    return m.withColumn(
+        "mom_delta", F.round(F.col("revenue") - F.lag("revenue").over(w), 2)
+    ).orderBy("month")
+
+
+@register(
+    "set_ops_priority_years",
+    oracle="""
+        SELECT o_orderpriority FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        INTERSECT
+        SELECT o_orderpriority FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        EXCEPT
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY o_orderpriority
+    """,
+    doc="Set operations (INTERSECT/EXCEPT — absent from the reference, "
+    "part of the engine's SQL surface): priorities present in both 1995 "
+    "and 1996 minus those ever seen on status-P orders. Both ops are "
+    "hash-based distinct joins (left-semi / left-anti) in Catalyst.",
+)
+def set_ops_priority_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    p95 = orders.filter(yr == 1995).select("o_orderpriority")
+    p96 = orders.filter(yr == 1996).select("o_orderpriority")
+    pp = orders.filter(F.col("o_orderstatus") == "P").select("o_orderpriority")
+    return p95.intersect(p96).subtract(pp).orderBy("o_orderpriority")
+
+
+@register(
     "agg_rollup_region_year",
     oracle=f"""
         SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS order_year,
