@@ -532,6 +532,84 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def _langid_pred_sql() -> str:
+    """Scalar lang_pred expression fragment (argmax of stopword hits)."""
+    langs = sorted(X.LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(_hits_sql(X.LANG_STOPWORDS[lang]) for lang in langs) + ")"
+    whens = " ".join(
+        f"WHEN {_hits_sql(X.LANG_STOPWORDS[lang])} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+_NTOK_SQL = f"(CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END)"
+_QUALITY_POOR_SQL = f"""(
+    {_NTOK_SQL} < 5
+    OR length(regexp_replace(text, '\\s+', '', 'g'))
+       / NULLIF(CAST({_NTOK_SQL} AS DOUBLE), 0.0) > 15
+)"""
+
+
+@register(
+    "docs_training_corpus",
+    oracle=f"""
+        WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
+        sig AS (
+            SELECT doc_id, {_MINHASH_AGGS_SQL}
+            FROM (SELECT doc_id, {_HBASE_SQL} AS hsh FROM sh)
+            GROUP BY doc_id
+        ),
+        banded AS ({_BANDED_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a
+            JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                          AND a.doc_id < b.doc_id
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        cc(doc_id, reach) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, cc.reach FROM edges e JOIN cc ON cc.doc_id = e.dst
+        ),
+        labels AS (SELECT doc_id, MIN(reach) AS cluster_id FROM cc GROUP BY doc_id)
+        SELECT d.doc_id, d.source,
+               CAST({_NTOK_SQL} AS INTEGER) AS n_tokens
+        FROM documents d
+        JOIN labels l ON d.doc_id = l.doc_id
+        WHERE l.doc_id = l.cluster_id
+          AND ({_langid_pred_sql()}) = 'en'
+          AND NOT {_QUALITY_POOR_SQL}
+        ORDER BY d.doc_id
+    """,
+    doc="CAPSTONE — end-to-end training-corpus selection: near-dup "
+    "canonical survivors ∩ predicted-English ∩ not-poor-quality, with "
+    "token counts for budget accounting. Composes dedup clusters (one "
+    "candidate-graph pass), lang-ID and quality scoring (narrow "
+    "projections) and a semi-join — the full curation funnel as ONE lazy "
+    "plan.",
+)
+def docs_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    labels = D.near_dup_clusters(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+    keep = labels.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    lang = X.lang_id(docs).filter(F.col("lang_pred") == "en").select("doc_id")
+    q = X.quality_metrics(docs).filter(F.col("quality_bucket") != "poor").select(
+        "doc_id", "n_tokens"
+    )
+    return (
+        docs.join(keep, "doc_id", "semi")
+        .join(lang, "doc_id", "semi")
+        .join(q, "doc_id")
+        .select("doc_id", "source", F.col("n_tokens").cast("int").alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
 # ----------------------------- event streams ------------------------------
 
 
