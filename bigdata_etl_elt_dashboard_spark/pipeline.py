@@ -40,6 +40,15 @@ class RunMetrics:
         self.stages[stage] = {"seconds": round(seconds, 3), "rows": rows, **extra}
         log.info("stage=%s seconds=%.3f rows=%s %s", stage, seconds, rows, extra)
 
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """Structured run-metadata table (the reference's rotating-log lines
+        as rows — SURVEY §1.1 'logs as metadata store', made queryable)."""
+        rows = [
+            (stage, float(m["seconds"]), m.get("rows"))
+            for stage, m in self.stages.items()
+        ]
+        return spark.createDataFrame(rows, "stage string, seconds double, rows long")
+
 
 def build_sales_warehouse(sales: DataFrame) -> dict[str, DataFrame]:
     """§2.10 `load_dimensions` + `load_fact_sales`: star schema from the
@@ -134,5 +143,7 @@ def run_pipeline(
                 partition_by=["order_year"] if name == "fact_sales" else None,
             )
         metrics.record("write", time.perf_counter() - t0)
+        # S10: persist the run metadata beside the warehouse as a table
+        write_parquet(metrics.to_df(spark), f"{warehouse_path}/_run_metrics")
 
     return wh, report, metrics

@@ -65,3 +65,10 @@ def test_pipeline_end_to_end(spark, tmp_path):
 
     # written warehouse reads back with same row count
     assert spark.read.parquet(str(tmp_path / "wh" / "fact_sales")).count() == n_fact
+
+    # S10: run metadata persisted as a queryable table beside the warehouse
+    mrows = {
+        r["stage"]: r for r in spark.read.parquet(str(tmp_path / "wh" / "_run_metrics")).collect()
+    }
+    assert set(mrows) == {"transform", "quality", "warehouse", "write"}
+    assert mrows["transform"]["rows"] == 11 and mrows["transform"]["seconds"] > 0
