@@ -89,3 +89,40 @@ def test_dedup_keep_first_deterministic_winner(spark, rows):
         if k not in expected or (sr, p) < expected[k]:
             expected[k] = (sr, p)
     assert got == expected
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=25),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)), min_size=0, max_size=25),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join == per-row brute force: for every left row, the right row
+    with the greatest ts <= left ts on the same key (rights deduped per
+    (key, ts) keeping max payload, as the operator requires)."""
+    import datetime as dtm
+
+    from bigdata_etl_elt_dashboard_spark.operators.temporal import asof_join
+
+    base = dtm.datetime(2024, 1, 1)
+    t = lambda m: base + dtm.timedelta(minutes=m)
+    dedup_r = {}
+    for k, m, v in rights:
+        dedup_r[(k, m)] = max(v, dedup_r.get((k, m), -1))
+    left = spark.createDataFrame(
+        [(i, k, t(m)) for i, (k, m) in enumerate(lefts)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, t(m), float(v)) for (k, m), v in dedup_r.items()],
+        "user_id long, ts timestamp, v double",
+    ) if dedup_r else spark.createDataFrame([], "user_id long, ts timestamp, v double")
+
+    got = {
+        r["event_id"]: r["asof_v"]
+        for r in asof_join(left, right, "user_id", "ts", ["v"]).collect()
+    }
+    for i, (k, m) in enumerate(lefts):
+        candidates = [(rm, v) for (rk, rm), v in dedup_r.items() if rk == k and rm <= m]
+        expected = float(max(candidates)[1]) if candidates else None
+        assert got[i] == expected, f"left {i} (key={k}, t={m}): {got[i]} != {expected}"
