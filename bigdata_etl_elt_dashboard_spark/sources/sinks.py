@@ -57,6 +57,24 @@ def save_as_table(df: DataFrame, name: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).saveAsTable(name)
 
 
+def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Incremental load: replace ONLY the partitions present in ``df``,
+    leaving all other partitions untouched (dynamic partition overwrite).
+
+    This is the idempotent micro-batch/late-backfill pattern for a
+    partitioned warehouse without a transactional table format: re-running
+    a day's load replaces that day's partition exactly; static overwrite
+    (the default) would wipe the whole table. Pairs with
+    ``foreachBatch`` for streaming upserts into the Gold layer."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def compact_parquet(
     spark,
     path: str,

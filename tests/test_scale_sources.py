@@ -406,3 +406,22 @@ def test_compact_parquet_small_files(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10000
     assert back.agg(F.sum("v")).first()[0] == sum(i * 2.0 for i in range(10000))
+
+
+def test_overwrite_partitions_is_surgical(spark, tmp_path):
+    """Dynamic partition overwrite replaces only the incoming partitions:
+    re-loading 2021 leaves 2020 untouched and fully replaces 2021."""
+    path = str(tmp_path / "wh")
+    b1 = spark.createDataFrame(
+        [(1, 2020, 1.0), (2, 2020, 2.0), (3, 2021, 3.0)],
+        "id long, order_year int, v double",
+    )
+    sinks.overwrite_partitions(b1, path, ["order_year"])
+    b2 = spark.createDataFrame([(9, 2021, 9.0)], "id long, order_year int, v double")
+    sinks.overwrite_partitions(b2, path, ["order_year"])
+
+    back = spark.read.parquet(path)
+    got = {(r["order_year"], r["id"]): r["v"] for r in back.collect()}
+    assert got == {(2020, 1): 1.0, (2020, 2): 2.0, (2021, 9): 9.0}
+    # conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
