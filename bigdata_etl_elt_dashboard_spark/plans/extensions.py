@@ -532,6 +532,64 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, tok, COUNT(*) AS tf
+            FROM (SELECT doc_id, UNNEST({_TOKS_SQL}) AS tok
+                  FROM documents WHERE trim(text) <> '')
+            GROUP BY doc_id, tok
+        ),
+        df AS (SELECT tok, COUNT(*) AS n_docs FROM tok GROUP BY tok),
+        n AS (SELECT COUNT(*) AS n_total FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.tok,
+                   ROUND(t.tf * ln(CAST(n.n_total AS DOUBLE) / df.n_docs), 6) AS tfidf
+            FROM tok t JOIN df USING (tok) CROSS JOIN n
+        )
+        SELECT doc_id, tok, tfidf FROM (
+            SELECT doc_id, tok, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, tok) AS rnk
+            FROM scored
+        ) WHERE rnk <= 3 AND doc_id < 50
+        ORDER BY doc_id, tfidf DESC, tok
+    """,
+    doc="TF-IDF top-3 terms per document (keyword extraction): explode "
+    "tokens → per-doc TF (one shuffle) → document frequency (partial-agg "
+    "count) joined back by token, scalar N via a 1-row cross join, "
+    "per-doc rank window. Ties broken lexicographically; rounded to 6dp "
+    "BEFORE ranking so both engines rank identically.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tok.groupBy("tok").agg(F.count("*").alias("n_docs"))
+    n_total = docs.count()
+    scored = tok.join(dfreq, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_total)) / F.col("n_docs")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "tok", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "tok")
+    )
+
+
 def _langid_pred_sql() -> str:
     """Scalar lang_pred expression fragment (argmax of stopword hits)."""
     langs = sorted(X.LANG_STOPWORDS)
