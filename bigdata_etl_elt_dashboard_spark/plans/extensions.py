@@ -590,6 +590,38 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_stratified_sample",
+    oracle="""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+        ORDER BY lang, doc_id
+    """,
+    doc="Deterministic stratified downsampling: 20 docs per language, "
+    "selected by hash order (md5 of the id) — reproducible across runs "
+    "and engines, unlike rand()-based sampleBy. Corpus-balancing shape: "
+    "one window per stratum; at scale the per-stratum rank prunes early "
+    "via WindowGroupLimit (rank-limit pushdown).",
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
 def _langid_pred_sql() -> str:
     """Scalar lang_pred expression fragment (argmax of stopword hits)."""
     langs = sorted(X.LANG_STOPWORDS)
