@@ -146,3 +146,33 @@ def elt_region_rollup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r_name ORDER BY r_name
         """,
     )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT r_name, o_orderpriority, COUNT(*) AS n_orders,
+           (CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0)
+               AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+    ORDER BY r_name NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register(
+    "elt_grouping_sets_sql",
+    oracle=_GROUPING_SETS_SQL,
+    doc="SQL-mode GROUPING SETS (completes the rollup/cube/grouping-sets "
+    "trio): per-region totals, per-priority totals, and the grand total "
+    "in one Expand+agg pass — identical SQL text runs on Spark and the "
+    "DuckDB oracle.",
+)
+def elt_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(
+        spark,
+        sf_dir,
+        ("orders", "customer", "nation", "region"),
+        _GROUPING_SETS_SQL,
+    )
