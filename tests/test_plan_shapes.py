@@ -81,3 +81,21 @@ def test_lsh_candidates_join_on_band_key(spark, sf_oracle):
     plan = explain_str(REGISTRY["dedup_lsh_candidates"].fn(spark, sf_oracle))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_has_no_nested_loop(spark, sf_oracle):
+    """The as-of join must compile to union + window (one keyed shuffle) —
+    never an inequality nested-loop/cartesian join."""
+    plan = explain_str(REGISTRY["ev_asof_last_view"].fn(spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_join(spark, sf_oracle):
+    """The bucketed range join must be a hash/merge EQUI-join with the
+    range predicate as residual — never a nested loop."""
+    plan = explain_str(REGISTRY["ev_range_recent_views"].fn(spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
