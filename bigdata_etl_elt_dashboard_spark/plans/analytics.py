@@ -315,6 +315,77 @@ def by_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_orders_per_region",
+    oracle=f"""
+        SELECT r_name, o_orderkey, o_totalprice FROM (
+            SELECT r_name, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY r_name
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+        ) WHERE rnk <= 3
+        ORDER BY r_name, o_totalprice DESC, o_orderkey
+    """,
+    doc="Top-k PER GROUP (top-3 orders per region): rank window over the "
+    "enriched fact — Catalyst's WindowGroupLimit pushes the rank-3 cut "
+    "below the final sort, so each partition keeps only k rows; distinct "
+    "pattern from global top-k (T1/T2).",
+)
+def topk_orders_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    enriched = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            customer.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    w = Window.partitionBy("r_name").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        enriched.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("r_name", "o_orderkey", "o_totalprice")
+        .orderBy("r_name", F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    doc="Anti-join (NOT EXISTS): customers with no orders — the "
+    "referential-orphan check as a hash left-anti join (no subquery "
+    "re-execution per row).",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders.select("o_custkey"),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
     "pivot_priority_by_status",
     oracle=f"""
         SELECT o_orderpriority,
