@@ -386,6 +386,71 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_above_customer_avg",
+    oracle=f"""
+        WITH ca AS (
+            SELECT o_custkey AS k, {xavg_sql("o_totalprice")} AS avg_price, COUNT(*) AS n
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_orderkey, o_custkey,
+               o_totalprice - avg_price AS above_avg_by
+        FROM orders JOIN ca ON o_custkey = ca.k
+        WHERE n >= 2 AND o_totalprice > avg_price * 1.5
+        ORDER BY o_orderkey
+    """,
+    doc="Correlated-subquery pattern ('orders 50% above their customer's "
+    "average') decorrelated explicitly into a per-key aggregate + "
+    "self-join — what Catalyst's RewriteCorrelatedScalarSubquery does, "
+    "written as the one-shuffle plan directly. Average via exact "
+    "fixed-point sum (xavg); the delta is left UNROUNDED — both engines "
+    "then run identical IEEE ops on identical inputs (bit-equal), "
+    "whereas ROUND(double, 2) itself diverges at half-cent boundaries "
+    "(Spark rounds the shortest-decimal string, DuckDB the binary value).",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    ca = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        xavg(F.col("o_totalprice")).alias("avg_price"), F.count("*").alias("n")
+    )
+    return (
+        orders.join(ca, orders.o_custkey == ca.k)
+        .filter((F.col("n") >= 2) & (F.col("o_totalprice") > F.col("avg_price") * 1.5))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") - F.col("avg_price")).alias("above_avg_by"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "agg_median_price_per_status",
+    oracle="""
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+               ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Exact per-group percentiles IN the aggregation (vs the "
+    "driver-side scalar pattern of A13/A14): Spark's exact percentile() "
+    "uses the same linear interpolation as DuckDB quantile_cont "
+    "(SURVEY §7.4.2). Exact percentile sorts per group — at 100 TB swap "
+    "to percentile_approx (t-digest, agg_approx_sketches).",
+)
+def agg_median_price_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "pivot_priority_by_status",
     oracle=f"""
         SELECT o_orderpriority,
