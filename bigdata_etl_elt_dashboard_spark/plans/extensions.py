@@ -769,6 +769,77 @@ def ev_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_event_bigrams",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+        ORDER BY n DESC, prev_type, event_type
+    """,
+    doc="Event-sequence mining: consecutive (prev, next) event-type "
+    "bigrams per user via lag() over (user, ts) — the sessionized "
+    "transition matrix. One window shuffle on user_id + one partial-agg "
+    "count; event_id tie-break makes same-ts ordering deterministic.",
+)
+def ev_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "prev_type", "event_type")
+    )
+
+
+@register(
+    "sim_label_centroids",
+    oracle="""
+        WITH pos AS (
+            SELECT label, i - 1 AS pos, emb[i] AS x
+            FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                 UNNEST(range(1, len(emb) + 1)) AS t(i)
+        ),
+        avgs AS (
+            SELECT label, pos, ROUND(AVG(x), 6) AS mu
+            FROM pos GROUP BY label, pos
+        )
+        SELECT label, COUNT(*) AS dim,
+               ROUND(SUM(mu * mu), 6) AS centroid_sq_norm
+        FROM avgs GROUP BY label ORDER BY label
+    """,
+    doc="Per-label embedding centroids: posexplode → per-(label, "
+    "position) mean → centroid squared norm (scalar digest so the "
+    "oracle compares a stable value, not array ordering). The "
+    "position-wise partial-agg mean is the distributed form of a "
+    "k-means update step.",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double")))
+    ).withColumnsRenamed({"pos": "pos", "col": "x"})
+    avgs = pos.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("mu"))
+    return (
+        avgs.groupBy("label")
+        .agg(
+            F.count("*").alias("dim"),
+            F.round(F.sum(F.col("mu") * F.col("mu")), 6).alias("centroid_sq_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
     "ev_json_rollup",
     oracle="""
         SELECT event_type, COUNT(*) AS n_events,
