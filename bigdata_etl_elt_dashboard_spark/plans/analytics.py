@@ -919,3 +919,97 @@ def dq_summary_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_extendedprice").alias("price_max"),
         xavg(F.col("l_extendedprice")).alias("price_mean"),
     )
+
+
+@register(
+    "trend_cumulative_revenue",
+    oracle="""
+        WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY order_month
+        )
+        SELECT order_month, cents / 100.0 AS revenue,
+               SUM(cents) OVER (ORDER BY order_month
+                                ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_revenue,
+               n_orders
+        FROM m ORDER BY order_month
+    """,
+    doc="Running cumulative revenue: monthly xsum (exact integer cents, "
+    "order-independent) then a running-total window over the ~dozens of "
+    "post-agg rows — the unpartitioned window never sees fact-table "
+    "cardinality, so the single-partition sort is O(months), not O(rows). "
+    "Cumulating the integer cents keeps the running sum exact too.",
+)
+def trend_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    monthly = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("order_month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        monthly.select(
+            "order_month",
+            (F.col("cents") / 100.0).alias("revenue"),
+            (F.sum("cents").over(w) / 100.0).alias("cum_revenue"),
+            "n_orders",
+        )
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "cust_spend_deciles",
+    oracle="""
+        WITH s AS (
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        d AS (
+            SELECT o_custkey, cents,
+                   NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+            FROM s
+        )
+        SELECT decile, COUNT(*) AS n_customers,
+               SUM(cents) / 100.0 AS total_spend,
+               MIN(cents) / 100.0 AS min_spend,
+               MAX(cents) / 100.0 AS max_spend
+        FROM d GROUP BY decile ORDER BY decile
+    """,
+    doc="Customer lifetime-spend deciles: per-customer exact-cents sum "
+    "(one keyed shuffle), NTILE(10) over (spend DESC, custkey) — the "
+    "custkey tie-break makes bucket membership deterministic across "
+    "engines — then per-decile stats. The ntile window is over the "
+    "customer-level rollup (|customers| rows, not |orders|); at 100 TB "
+    "swap the global ntile for approx percentile_approx cutpoints + a "
+    "broadcast range join if the customer dimension itself outgrows a "
+    "single sort partition.",
+)
+def cust_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.orderBy(F.desc("cents"), "o_custkey")
+    dec = spend.select("o_custkey", "cents", F.ntile(10).over(w).alias("decile"))
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum("cents") / 100.0).alias("total_spend"),
+            (F.min("cents") / 100.0).alias("min_spend"),
+            (F.max("cents") / 100.0).alias("max_spend"),
+        )
+        .orderBy("decile")
+    )

@@ -1070,3 +1070,146 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "frame_idx", "frame_sha", "frame_len")
         .orderBy("media_id", "frame_idx")
     )
+
+
+@register(
+    "ev_cohort_retention",
+    oracle="""
+        WITH first AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   date_trunc('week', e.ts) AS active_week
+            FROM events e JOIN first f USING (user_id)
+        )
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', cohort_week, active_week) / 7 AS INTEGER)
+                   AS weeks_since,
+               COUNT(DISTINCT user_id) AS active_users
+        FROM active GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Cohort retention matrix: cohort = Monday-truncated week of each "
+    "user's first event (both engines truncate weeks to Monday), then "
+    "distinct (cohort, week-offset, user) → counts. Two keyed shuffles "
+    "on user_id (min-agg + join reuse the same hash partitioning, so "
+    "AQE coalesces them) and one on the (cohort, offset) pair; the "
+    "distinct is partial-aggregated map-side. Week offsets are exact "
+    "multiples of 7 days, so the /7 division is engine-exact.",
+)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("active_week"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+@register(
+    "ev_funnel_conversion",
+    oracle="""
+        WITH m AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_users,
+               COUNT(t_view) AS viewed,
+               COUNT(CASE WHEN t_click > t_view THEN 1 END) AS view_then_click,
+               COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click
+                     THEN 1 END) AS full_funnel
+        FROM m
+    """,
+    doc="Ordered conversion funnel view→click→purchase: per-user "
+    "conditional MIN timestamps in ONE pass over events (no self-joins "
+    "— the naive funnel is a 3-way self-join; conditional aggregation "
+    "is the scale-correct form), then a global count rollup. One keyed "
+    "shuffle + one single-row reduce. COUNT(CASE...) not SUM so both "
+    "engines emit BIGINT.",
+)
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return m.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("viewed"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias(
+            "view_then_click"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("full_funnel"),
+    )
+
+
+@register(
+    "ev_rolling_7d_activity",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS dau
+            FROM events GROUP BY day
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, n_events, dau,
+               SUM(n_events) OVER (ORDER BY day RANGE BETWEEN
+                   INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS roll7_events,
+               COUNT(*) OVER (ORDER BY day RANGE BETWEEN
+                   INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS roll7_days
+        FROM d ORDER BY day
+    """,
+    doc="Daily activity + trailing-7-day rolling totals: daily "
+    "count/DAU rollup first (one shuffle; the window then runs over "
+    "|days| rows, not |events|), then a RANGE frame keyed on the "
+    "epoch-day number — a true calendar frame that tolerates gap days, "
+    "unlike a ROWS 6 PRECEDING frame. Integer sums, engine-exact.",
+)
+def ev_rolling_7d_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("dau"),
+    )
+    w = Window.orderBy(F.unix_date(F.col("day"))).rangeBetween(-6, 0)
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "dau",
+            F.sum("n_events").over(w).alias("roll7_events"),
+            F.count(F.lit(1)).over(w).alias("roll7_days"),
+        )
+        .orderBy("day")
+    )
