@@ -99,3 +99,33 @@ def test_range_join_is_equi_join(spark, sf_oracle):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_funnel_is_one_keyed_shuffle(spark, sf_oracle):
+    """The conversion funnel must be conditional aggregation (one user_id
+    shuffle + a single-row reduce) — never the naive 3-way self-join."""
+    plan = explain_str(REGISTRY["ev_funnel_conversion"].fn(spark, sf_oracle), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_cohort_retention_broadcasts_user_firsts(spark, sf_oracle):
+    """The per-user first-touch rollup is |users|-sized; joining it back to
+    events must not nested-loop, and the distinct must partial-aggregate."""
+    plan = explain_str(REGISTRY["ev_cohort_retention"].fn(spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan  # map-side partial for the distinct
+
+
+def test_post_agg_windows_never_see_fact_rows(spark, sf_oracle):
+    """Running-total / ntile / rolling windows run over post-aggregation
+    rollups (months, customers, days) — the plan must place the Window
+    ABOVE a HashAggregate, so the single-partition sort is O(groups)."""
+    for name in ("trend_cumulative_revenue", "cust_spend_deciles",
+                 "ev_rolling_7d_activity"):
+        plan = explain_str(REGISTRY[name].fn(spark, sf_oracle), "simple")
+        assert "Window" in plan, name
+        w_pos = plan.index("Window")
+        assert "HashAggregate" in plan[w_pos:], name  # agg below the window
