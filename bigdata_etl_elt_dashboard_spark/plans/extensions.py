@@ -1213,3 +1213,86 @@ def ev_rolling_7d_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "sim_assign_centroid",
+    oracle="""
+        WITH pts AS (
+            SELECT vec_id, label, i - 1 AS pos,
+                   CAST(ROUND(emb[i] * 1000000) AS BIGINT) AS xi
+            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+                 UNNEST(range(1, len(emb) + 1)) AS t(i)
+        ),
+        cent AS (
+            SELECT label AS c_label, pos,
+                   CAST(ROUND(AVG(xi)) AS BIGINT) AS mi
+            FROM pts GROUP BY c_label, pos
+        ),
+        d AS (
+            SELECT p.vec_id, p.label, c.c_label,
+                   SUM((p.xi - c.mi) * (p.xi - c.mi)) AS d2
+            FROM pts p JOIN cent c USING (pos)
+            GROUP BY p.vec_id, p.label, c.c_label
+        ),
+        best AS (
+            SELECT vec_id, label, c_label AS assigned
+            FROM d
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, c_label) = 1
+        )
+        SELECT label, assigned, COUNT(*) AS n_vecs
+        FROM best GROUP BY label, assigned ORDER BY label, assigned
+    """,
+    doc="K-means assignment step (E-step) as a confusion matrix: vectors "
+    "are quantized to micro-unit BIGINTs so squared distances are EXACT "
+    "integers — argmin is engine-deterministic with no float-tie risk; "
+    "integer partial sums stay below 2^53 so even the centroid means are "
+    "order-independent. Spark side is the scale-correct plan: the k x dim "
+    "centroid matrix (tiny) is collected driver-side and inlined as array "
+    "literals, so per-row distances are zip_with/aggregate JVM "
+    "expressions — no explode fan-out, no join, no shuffle on the fact "
+    "side; only the final confusion-matrix groupBy shuffles (k*k rows). "
+    "The oracle uses the equivalent explode-join form.",
+)
+def sim_assign_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    to_fixed = lambda arr: F.transform(  # noqa: E731 — bound once below
+        arr, lambda x: F.round(x.cast("double") * 1_000_000).cast("long")
+    )
+    pts = emb.select(
+        "label", F.posexplode(to_fixed(F.col("embedding")))
+    ).withColumnsRenamed({"col": "xi"})
+    cent_rows = (
+        pts.groupBy("label", "pos")
+        .agg(F.round(F.avg("xi")).cast("long").alias("mi"))
+        .collect()
+    )
+    cents: dict[int, list[int]] = {}
+    for r in cent_rows:
+        cents.setdefault(r["label"], [0] * 64)[r["pos"]] = r["mi"]
+
+    fixed = emb.withColumn("xi_arr", to_fixed(F.col("embedding")))
+    dists = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("xi_arr"),
+                    F.array(*[F.lit(m) for m in mis]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+            F.lit(lbl).alias("lbl"),
+        )
+        for lbl, mis in sorted(cents.items())
+    ]
+    assigned = F.array_sort(F.array(*dists))[0]["lbl"]
+    return (
+        fixed.select("label", assigned.alias("assigned"))
+        .groupBy("label", "assigned")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("label", "assigned")
+    )
