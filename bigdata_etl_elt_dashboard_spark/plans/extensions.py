@@ -1296,3 +1296,97 @@ def sim_assign_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vecs"))
         .orderBy("label", "assigned")
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+        WITH c AS (
+            SELECT source,
+                   COUNT(*) OVER (PARTITION BY md5({_NORM_SQL})) AS n_copies
+            FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(CASE WHEN n_copies > 1 THEN 1 END) AS n_dup_docs,
+               COUNT(CASE WHEN n_copies > 1 THEN 1 END) * 100.0 / COUNT(*)
+                   AS dup_pct
+        FROM c GROUP BY source ORDER BY source
+    """,
+    doc="Contamination dashboard: per-source exact-duplicate rate — the "
+    "per-source view a corpus curator triages by. One fingerprint-keyed "
+    "window shuffle (count of copies per normalized-content hash; no "
+    "join-back needed) then a per-source rollup. dup_pct is one IEEE "
+    "division of exact integer counts, engine-identical; the divisor is "
+    "a group's own row count so it can never be zero under ANSI.",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(X.normalized_text(F.col("text")))
+    c = docs.select(
+        "source", F.count("*").over(Window.partitionBy(fp)).alias("n_copies")
+    )
+    dup = F.count(F.when(F.col("n_copies") > 1, 1))
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dup.alias("n_dup_docs"),
+            (dup * 100.0 / F.count("*")).alias("dup_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "ev_session_stats",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL '10 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM seq
+        ),
+        agg AS (
+            SELECT user_id, sid, COUNT(*) AS n_events,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT COUNT(*) AS n_sessions,
+               COUNT(CASE WHEN n_events = 1 THEN 1 END) AS n_single_event,
+               SUM(n_events) * 1.0 / COUNT(*) AS avg_events_per_session,
+               quantile_cont(dur_us, 0.5) / 1000000.0 AS median_dur_s,
+               quantile_cont(dur_us, 0.9) / 1000000.0 AS p90_dur_s
+        FROM agg
+    """,
+    doc="Session-length distribution: native session_window sessionization "
+    "(one user_id shuffle) then a single-row global rollup with exact "
+    "percentiles over microsecond-integer durations — integer inputs make "
+    "the percentile interpolation one identical IEEE expression in both "
+    "engines. Oracle rebuilds Spark's session semantics via the "
+    "lag-gap >= 10min cumulative-sum form. At 100 TB the global exact "
+    "percentile swaps for percentile_approx (t-digest).",
+)
+def ev_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window("ts", "10 minutes").alias("w"), F.col("user_id")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).alias("n_single_event"),
+        (F.sum("n_events") * 1.0 / F.count("*")).alias("avg_events_per_session"),
+        (F.expr("percentile(dur_us, 0.5)") / 1_000_000.0).alias("median_dur_s"),
+        (F.expr("percentile(dur_us, 0.9)") / 1_000_000.0).alias("p90_dur_s"),
+    )
