@@ -27,9 +27,26 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ via zip_with + aggregate (sequential array-order summation —
-    deterministic and oracle-reproducible)."""
+#: width of the `embeddings.embedding` column; lets the kernels emit the
+#: unrolled codegen form (see `dot`). Pass dim=None for unknown-width input.
+EMBEDDING_DIM = 64
+
+
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Σ aᵢ·bᵢ, sequential array-order summation — deterministic and
+    oracle-reproducible.
+
+    With ``dim`` known, the sum is UNROLLED into a flat left-associative
+    expression chain (a[0]·b[0] + a[1]·b[1] + …): bit-identical to the
+    higher-order ``aggregate`` form (0.0 + t is exact), but whole-stage
+    codegen compiles it — Spark interprets lambda-bearing higher-order
+    functions per element, which is ~30× slower in quadratic kernels.
+    Requires every array to actually have ``dim`` elements."""
+    if dim is not None:
+        expr = a[0] * b[0]
+        for i in range(1, dim):
+            expr = expr + a[i] * b[i]
+        return expr
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -37,12 +54,23 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        return F.sqrt(dot(a, a, dim))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / F.nullif(norm(a, dim) * norm(b, dim), F.lit(0.0))
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread the compute-heavy side across all cores. The corpus arrives
+    from a compact parquet scan — at small SF a single input split — but
+    the per-row work downstream (signatures, O(n) pair fan-out) is quadratic
+    in value, so one input partition serializes the whole kernel. One tiny
+    round-robin shuffle of n rows buys full parallelism over n² work."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def topk_cosine(
@@ -60,7 +88,7 @@ def topk_cosine(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
     )
-    c = corpus.select(
+    c = _fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
     )
     scored = (
@@ -68,7 +96,7 @@ def topk_cosine(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(cosine(F.col("q_vec"), F.col("c_vec"), EMBEDDING_DIM), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -95,7 +123,7 @@ def threshold_cosine_pairs(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(cosine(F.col("q_vec"), F.col("c_vec"), EMBEDDING_DIM), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= F.lit(min_sim))
     )
@@ -110,20 +138,62 @@ def near_dup_pairs(
     """Exact all-pairs embedding-cosine near-dup: every (a, b) with a < b
     and cosine ≥ min_sim, over the WHOLE corpus (not a query subset).
 
-    Shape: self nested-loop join with the smaller projection broadcast —
-    exact but O(n²) FLOPs, so it is the per-block/verification kernel. At
-    100 TB the outer loop is replaced by LSH blocking (ann candidates from
-    ``ann_lsh_topk``'s bucket join) and THIS function scores only the
-    candidate pairs; the driver-registered oracle uses the exact form at
-    test scale where n² is trivial."""
-    a = corpus.select(F.col(id_col).alias("doc_a"), _as_double(F.col(vec_col)).alias("_va"))
-    b = corpus.select(F.col(id_col).alias("doc_b"), _as_double(F.col(vec_col)).alias("_vb"))
+    Shape: BLOCKED pair enumeration as an EQUI-join, never a nested loop.
+    Each vector lands in one of ``n_blocks`` hash blocks; the left replica
+    carries keys (own_block, j ≥ own_block), the right replica (i ≤
+    own_block, own_block), so every unordered block pair meets on exactly
+    one (i, j) key. That keeps the join a ShuffledHashJoin whose pair
+    stream runs INSIDE whole-stage codegen — a BroadcastNestedLoopJoin
+    never codegens, which makes the interpreted per-pair cosine ~50×
+    slower. Block-pair keys are near-uniform by construction (hash
+    blocks), so the n² work spreads evenly across B(B+1)/2 tasks; at
+    100 TB grow ``n_blocks`` with the cluster. Cosine is exactly
+    symmetric (commutative products, same summation order), so emitting
+    least/greatest ids preserves the oracle's a < b orientation."""
+    n_blocks = 16
+    keys = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
+
+    def side(id_alias, vec_alias, norm_alias, key_exprs):
+        return (
+            _fan_out(corpus)
+            .select(
+                F.col(id_col).alias(id_alias),
+                _as_double(F.col(vec_col)).alias(vec_alias),
+                F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+            )
+            .withColumn(norm_alias, norm(F.col(vec_alias), EMBEDDING_DIM))
+            .withColumn("_k", F.explode(key_exprs))
+            .select(
+                id_alias, vec_alias, norm_alias, "_blk",
+                F.col("_k.i").alias("_ki"), F.col("_k.j").alias("_kj"),
+            )
+        )
+
+    pair_structs = F.array(
+        *[F.struct(F.lit(i).alias("i"), F.lit(j).alias("j")) for i, j in keys]
+    )
+    left_keys = F.filter(pair_structs, lambda s: s["i"] == F.col("_blk"))
+    right_keys = F.filter(pair_structs, lambda s: s["j"] == F.col("_blk"))
+    a = side("doc_a", "_va", "_na", left_keys)
+    b = side("doc_b", "_vb", "_nb", right_keys).drop("_blk")
+
     return (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["_ki", "_kj"])
+        # same-block pairs meet twice (both orientations): keep one; the
+        # least/greatest projection then canonicalizes cross-block pairs
+        .filter(
+            (F.col("_ki") != F.col("_kj"))
+            | (F.col("doc_a") < F.col("doc_b"))
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine_sim"),
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            F.round(
+                dot(F.col("_va"), F.col("_vb"), EMBEDDING_DIM)
+                / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= F.lit(min_sim))
     )
@@ -167,7 +237,7 @@ def ivf_topk(
         top = F.slice(F.reverse(F.array_sort(sims)), 1, n_best)
         return F.transform(top, lambda s: -s.negcell)
 
-    c = corpus.select(
+    c = _fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
     ).withColumn("cell", probed_cells(F.col("c_vec"), 1)[0])
     q = queries.select(
@@ -180,7 +250,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(cosine(F.col("q_vec"), F.col("c_vec"), EMBEDDING_DIM), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -213,6 +283,9 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     sig = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
         p = F.array(*[F.lit(v) for v in plane])
+        # interpreted dot on purpose: 16 tables x 6 planes x 64 unrolled terms
+        # builds a ~6k-node expression tree that Catalyst/codegen churns into
+        # an OOM; the per-row signature cost is linear and fan-out parallelizes it
         sig = sig + F.when(dot(vec, p) >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
             F.lit(0).cast("long")
         )
@@ -240,38 +313,78 @@ def ann_lsh_topk(
     (table_id, sig): the plan shape that survives a 100×-bigger corpus
     (bucket join, never a cross product)."""
     all_planes = _hyperplanes(dim, n_tables * planes_per_table)
-    tables = [
-        all_planes[t * planes_per_table : (t + 1) * planes_per_table] for t in range(n_tables)
-    ]
+    # Planes live in a 96-row broadcast DATAFRAME, not as plan literals:
+    # inlining 96 dot products over 64-element literal arrays builds a
+    # multi-thousand-node expression tree that Catalyst re-walks per rule —
+    # tens of seconds of driver-side plan time dwarfing the actual compute.
+    # As data, the tree stays tiny and the dots distribute with the corpus.
+    spark = corpus.sparkSession
+    planes_df = spark.createDataFrame(
+        [
+            (t, b, all_planes[t * planes_per_table + b])
+            for t in range(n_tables)
+            for b in range(planes_per_table)
+        ],
+        "table_id int, bit int, plane array<double>",
+    )
 
     def with_sigs(df, id_alias):
-        vec = _as_double(F.col(vec_col))
-        sig_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table_id"),
-                    lsh_signature(F.col("_v"), tables[t]).alias("sig"),
-                )
-                for t in range(n_tables)
-            ]
+        v = df.select(
+            F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias("_v")
         )
         return (
-            df.select(F.col(id_col).alias(id_alias), vec.alias("_v"))
-            .select(id_alias, "_v", F.explode(sig_structs).alias("b"))
-            .select(id_alias, "_v", F.col("b.table_id").alias("table_id"), F.col("b.sig").alias("sig"))
+            v.crossJoin(F.broadcast(planes_df))
+            .select(
+                id_alias,
+                "table_id",
+                F.when(
+                    dot(F.col("_v"), F.col("plane")) >= 0,
+                    F.expr("shiftleft(1L, bit)"),
+                )
+                .otherwise(F.lit(0).cast("long"))
+                .alias("bitval"),
+            )
+            .groupBy(id_alias, "table_id")
+            .agg(F.sum("bitval").alias("sig"))  # exact integer OR-as-sum
         )
 
-    q = with_sigs(queries, "query_id").withColumnRenamed("_v", "q_vec")
-    c = with_sigs(corpus, "neighbor_id").withColumnRenamed("_v", "c_vec")
-    scored = (
-        c.join(F.broadcast(q), ["table_id", "sig"])
+    q = with_sigs(queries, "query_id")
+    c = with_sigs(_fan_out(corpus), "neighbor_id")
+    # candidate union across tables carries ONLY the id pair — vectors are
+    # 64 doubles/row, and dragging them through the dropDuplicates shuffle
+    # multiplies its payload ~30×; re-attaching them afterwards is two
+    # cheap joins (queries broadcast; candidates ≪ corpus)
+    cand = (
+        c.select("neighbor_id", "table_id", "sig")
+        .join(
+            F.broadcast(q.select("query_id", "table_id", "sig")),
+            ["table_id", "sig"],
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
-        .dropDuplicates(["query_id", "neighbor_id"])  # union across tables
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = (
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("c_vec"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(id_col).alias("query_id"),
+                    _as_double(F.col(vec_col)).alias("q_vec"),
+                )
+            ),
+            "query_id",
+        )
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(cosine(F.col("q_vec"), F.col("c_vec"), EMBEDDING_DIM), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
