@@ -44,6 +44,9 @@ EXTENSION_SUITE = (
     "sim_topk_cosine",
     "text_quality",
     "ev_session_10m",
+    # the two quadratic kernels — the scale stress tests of the suite
+    "dedup_embedding_cosine",
+    "sim_ann_lsh",
 )
 
 
