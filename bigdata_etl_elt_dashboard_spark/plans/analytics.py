@@ -1013,3 +1013,62 @@ def cust_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "cust_rfm_segments",
+    oracle="""
+        WITH rfm AS (
+            SELECT o_custkey, MAX(o_orderdate) AS last_order,
+                   COUNT(*) AS frequency,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey, cents,
+                   NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+                   NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+                   NTILE(4) OVER (ORDER BY cents DESC, o_custkey) AS m
+            FROM rfm
+        )
+        SELECT r || '-' || f || '-' || m AS segment,
+               COUNT(*) AS n_customers,
+               SUM(cents) / 100.0 AS total_spend
+        FROM scored GROUP BY segment ORDER BY segment
+    """,
+    doc="RFM customer segmentation: one orders rollup (keyed shuffle) to "
+    "recency/frequency/monetary per customer, then three NTILE(4) scores "
+    "— each window runs over the |customers| rollup, never order rows, "
+    "and each orders by (metric DESC, custkey) so quartile membership is "
+    "deterministic across engines — concatenated into 64 possible "
+    "segments. Monetary uses exact integer cents.",
+)
+def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    rfm = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "cents",
+        F.ntile(4).over(Window.orderBy(F.desc("last_order"), "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "o_custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy(F.desc("cents"), "o_custkey")).alias("m"),
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws("-", "r", "f", "m").alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum("cents") / 100.0).alias("total_spend"),
+        )
+        .orderBy("segment")
+    )
