@@ -129,3 +129,14 @@ def test_post_agg_windows_never_see_fact_rows(spark, sf_oracle):
         assert "Window" in plan, name
         w_pos = plan.index("Window")
         assert "HashAggregate" in plan[w_pos:], name  # agg below the window
+
+
+def test_all_pairs_cosine_is_blocked_equi_join(spark, sf_oracle):
+    """The all-pairs near-dup kernel must enumerate pairs through a
+    block-keyed EQUI-join (codegen-able hash/merge join) — never a
+    BroadcastNestedLoopJoin, which cannot whole-stage-codegen and
+    serializes on a single input split."""
+    plan = explain_str(REGISTRY["dedup_embedding_cosine"].fn(spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
