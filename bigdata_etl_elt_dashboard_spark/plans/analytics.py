@@ -1072,3 +1072,39 @@ def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "by_priority_revenue_share",
+    oracle="""
+        WITH m AS (
+            SELECT o_orderpriority,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, cents / 100.0 AS revenue,
+               cents * 100.0 / SUM(cents) OVER () AS share_pct
+        FROM m ORDER BY o_orderpriority
+    """,
+    doc="Percent-of-total (market share) by priority: exact integer-cents "
+    "rollup, then an unpartitioned window SUM over the 5 post-agg rows "
+    "for the denominator. Total cents stays < 2^53 so the single share "
+    "division is engine-identical.",
+)
+def by_priority_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        m.select(
+            "o_orderpriority",
+            (F.col("cents") / 100.0).alias("revenue"),
+            (F.col("cents") * 100.0 / F.sum("cents").over(w)).alias("share_pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
