@@ -85,18 +85,25 @@ def topk_cosine(
     ``queries`` is broadcast; the corpus is scanned once (narrow). The
     window's partition count equals the number of queries — small — so the
     final rank shuffle is negligible. Self-matches are excluded."""
+    # norms are projected per ROW before the join; the join-stage projection
+    # then holds a single unrolled dot — three inlined dots make the BNLJ's
+    # generated method too large to compile (Janino bails, Spark interprets)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("_nq", norm(F.col("q_vec"), EMBEDDING_DIM))
     c = _fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
-    )
+    ).withColumn("_nc", norm(F.col("c_vec"), EMBEDDING_DIM))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec"), EMBEDDING_DIM), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"), EMBEDDING_DIM)
+                / F.nullif(F.col("_nq") * F.col("_nc"), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -116,14 +123,22 @@ def threshold_cosine_pairs(
 ) -> DataFrame:
     """All (query, neighbor) pairs with cosine ≥ min_sim — the
     embedding-cosine near-dup primitive (no rank cutoff → no tie hazard)."""
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("_nq", norm(F.col("q_vec"), EMBEDDING_DIM))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("_nc", norm(F.col("c_vec"), EMBEDDING_DIM))
     return (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec"), EMBEDDING_DIM), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"), EMBEDDING_DIM)
+                / F.nullif(F.col("_nq") * F.col("_nc"), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= F.lit(min_sim))
     )
@@ -143,9 +158,10 @@ def near_dup_pairs(
     carries keys (own_block, j ≥ own_block), the right replica (i ≤
     own_block, own_block), so every unordered block pair meets on exactly
     one (i, j) key. That keeps the join a ShuffledHashJoin whose pair
-    stream runs INSIDE whole-stage codegen — a BroadcastNestedLoopJoin
-    never codegens, which makes the interpreted per-pair cosine ~50×
-    slower. Block-pair keys are near-uniform by construction (hash
+    stream runs INSIDE whole-stage codegen — the BroadcastNestedLoopJoin
+    alternative compiles the whole pair-projection into one oversized
+    method that Janino rejects, so it runs interpreted, ~50× slower.
+    Block-pair keys are near-uniform by construction (hash
     blocks), so the n² work spreads evenly across B(B+1)/2 tasks; at
     100 TB grow ``n_blocks`` with the cluster. Cosine is exactly
     symmetric (commutative products, same summation order), so emitting
