@@ -1390,3 +1390,52 @@ def ev_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("percentile(dur_us, 0.5)") / 1_000_000.0).alias("median_dur_s"),
         (F.expr("percentile(dur_us, 0.9)") / 1_000_000.0).alias("p90_dur_s"),
     )
+
+
+@register(
+    "ev_purchase_intervals",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        gaps AS (
+            SELECT epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+            FROM p WHERE prev_ts IS NOT NULL
+        )
+        SELECT COUNT(*) AS n_gaps,
+               quantile_cont(gap_us, 0.5) / 1000000.0 AS median_gap_s,
+               quantile_cont(gap_us, 0.9) / 1000000.0 AS p90_gap_s,
+               MIN(gap_us) / 1000000.0 AS min_gap_s,
+               MAX(gap_us) / 1000000.0 AS max_gap_s
+        FROM gaps
+    """,
+    doc="Inter-purchase interval distribution: filter pushes to the scan "
+    "(only purchase rows shuffle into the per-user lag window), gaps are "
+    "exact integer microseconds, and the global rollup uses the "
+    "percentile/quantile_cont interpolation parity on integer inputs. "
+    "event_id tie-break keeps same-timestamp ordering deterministic.",
+)
+def ev_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))).alias(
+                "gap_us"
+            )
+        )
+    )
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        (F.expr("percentile(gap_us, 0.5)") / 1_000_000.0).alias("median_gap_s"),
+        (F.expr("percentile(gap_us, 0.9)") / 1_000_000.0).alias("p90_gap_s"),
+        (F.min("gap_us") / 1_000_000.0).alias("min_gap_s"),
+        (F.max("gap_us") / 1_000_000.0).alias("max_gap_s"),
+    )
