@@ -1439,3 +1439,34 @@ def ev_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("gap_us") / 1_000_000.0).alias("min_gap_s"),
         (F.max("gap_us") / 1_000_000.0).alias("max_gap_s"),
     )
+
+
+@register(
+    "text_len_percentiles_by_lang",
+    oracle="""
+        SELECT lang, COUNT(*) AS n_docs,
+               quantile_cont(n_chars, 0.25) AS p25_chars,
+               quantile_cont(n_chars, 0.5) AS p50_chars,
+               quantile_cont(n_chars, 0.95) AS p95_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Per-language document-length profile — the corpus-curation view "
+    "that drives truncation/length-filter thresholds. Exact per-group "
+    "percentiles over integer n_chars in ONE aggregation pass (percentile/"
+    "quantile_cont interpolation parity); per-group sort cost is bounded "
+    "by group size, and at 100 TB swaps to percentile_approx.",
+)
+def text_len_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("percentile(n_chars, 0.25)").alias("p25_chars"),
+            F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+            F.expr("percentile(n_chars, 0.95)").alias("p95_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
