@@ -1108,3 +1108,59 @@ def by_priority_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "supplier_revenue_rank",
+    oracle="""
+        WITH s AS (
+            SELECT s.s_name, n.n_name,
+                   SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                            AS BIGINT)) AS tenths
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY s.s_name, n.n_name
+        )
+        SELECT s_name, n_name, tenths / 10000.0 AS revenue,
+               DENSE_RANK() OVER (ORDER BY tenths DESC) AS revenue_rank
+        FROM s
+        QUALIFY revenue_rank <= 10
+        ORDER BY revenue_rank, s_name
+    """,
+    doc="Top-10 suppliers by discounted revenue with DENSE_RANK over the "
+    "supplier rollup: lineitem never shuffles for the dim lookups "
+    "(supplier and nation broadcast), one keyed aggregation with exact "
+    "fixed-point discounted revenue (4dp product scale), then the rank "
+    "window over |suppliers| post-agg rows. Equal exact-integer revenues "
+    "share a rank, so the cutoff is engine-deterministic.",
+)
+def supplier_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    rolled = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            ).alias("tenths")
+        )
+    )
+    w = Window.orderBy(F.desc("tenths"))
+    return (
+        rolled.select(
+            "s_name",
+            "n_name",
+            (F.col("tenths") / 10000.0).alias("revenue"),
+            F.dense_rank().over(w).alias("revenue_rank"),
+        )
+        .filter(F.col("revenue_rank") <= 10)
+        .orderBy("revenue_rank", "s_name")
+    )
