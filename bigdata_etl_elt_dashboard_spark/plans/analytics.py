@@ -1164,3 +1164,68 @@ def supplier_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("revenue_rank") <= 10)
         .orderBy("revenue_rank", "s_name")
     )
+
+
+@register(
+    "dq_order_lineitem_reconcile",
+    oracle="""
+        WITH li AS (
+            SELECT l_orderkey,
+                   SUM(CAST(ROUND(l_extendedprice * (1 + l_tax) * (1 - l_discount)
+                                  * 100) AS BIGINT)) AS li_cents
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        j AS (
+            SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS o_cents,
+                   li.li_cents
+            FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+        )
+        SELECT COUNT(*) AS n_orders,
+               COUNT(CASE WHEN o_cents = li_cents THEN 1 END) AS exact_match,
+               COUNT(CASE WHEN o_cents <> li_cents
+                          AND ABS(o_cents - li_cents) <= 100 THEN 1 END)
+                   AS within_one_dollar,
+               COUNT(CASE WHEN ABS(o_cents - li_cents) > 100 THEN 1 END)
+                   AS discrepant,
+               MAX(ABS(o_cents - li_cents)) / 100.0 AS max_abs_diff
+        FROM j
+    """,
+    doc="Cross-fact reconciliation: does each order's header total match "
+    "the sum of its line items (price x (1+tax) x (1-discount))? Both "
+    "sides quantized to exact integer cents with identical left-assoc "
+    "IEEE products, so the equality buckets are engine-deterministic. "
+    "Plan shape: lineitem pre-aggregates on its join key BEFORE the "
+    "fact-to-fact join (partial-agg shrinks the shuffle to |orders| "
+    "rows), then one co-partitioned equi-join on orderkey — the "
+    "at-scale form; with both tables bucketed by orderkey the shuffle "
+    "disappears entirely.",
+)
+def dq_order_lineitem_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice")
+                    * (1 + F.col("l_tax"))
+                    * (1 - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            ).alias("li_cents")
+        )
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents")
+    )
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey).select("o_cents", "li_cents")
+    diff = F.abs(F.col("o_cents") - F.col("li_cents"))
+    return j.agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("o_cents") == F.col("li_cents"), 1)).alias("exact_match"),
+        F.count(
+            F.when((F.col("o_cents") != F.col("li_cents")) & (diff <= 100), 1)
+        ).alias("within_one_dollar"),
+        F.count(F.when(diff > 100, 1)).alias("discrepant"),
+        (F.max(diff) / 100.0).alias("max_abs_diff"),
+    )
