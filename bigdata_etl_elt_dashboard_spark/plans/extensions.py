@@ -1470,3 +1470,36 @@ def text_len_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "docs_quality_by_lang_source",
+    oracle=f"""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               COUNT(CASE WHEN n_chars >= 100 THEN 1 END) AS long_enough,
+               COUNT(CASE WHEN trim(text) <> ''
+                          AND len({_TOKS_SQL}) >= 5 THEN 1 END) AS token_rich
+        FROM documents
+        GROUP BY lang, source ORDER BY lang, source
+    """,
+    doc="Corpus health cross-tab: per (lang, source) doc counts with "
+    "length and token-richness gates — the acceptance matrix a curation "
+    "pipeline monitors per ingest source. Single pass, one two-key "
+    "shuffle, all predicates JVM-side string ops.",
+)
+def docs_quality_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("n_chars") >= 100, 1)).alias("long_enough"),
+            F.count(
+                F.when(
+                    (F.trim(F.col("text")) != "") & (F.size(toks) >= 5), 1
+                )
+            ).alias("token_rich"),
+        )
+        .orderBy("lang", "source")
+    )
