@@ -126,3 +126,45 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
         candidates = [(rm, v) for (rk, rm), v in dedup_r.items() if rk == k and rm <= m]
         expected = float(max(candidates)[1]) if candidates else None
         assert got[i] == expected, f"left {i} (key={k}, t={m}): {got[i]} != {expected}"
+
+
+@given(
+    seeds=st.lists(
+        st.tuples(
+            st.lists(st.integers(-2, 2), min_size=4, max_size=4),
+            st.booleans(),  # True → zero out the vector entirely
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_blocked_all_pairs_enumeration_is_complete(spark, seeds):
+    """The blocked equi-join must enumerate EVERY unordered pair exactly
+    once — the invariant the (own_block, j≥blk)/(i≤blk, own_block) key
+    replication exists to guarantee — and zero-norm vectors must drop via
+    the nullif guard, for ANY corpus (sizes, duplicates, zero vectors)."""
+    from bigdata_etl_elt_dashboard_spark.operators.similarity import (
+        EMBEDDING_DIM,
+        near_dup_pairs,
+    )
+
+    vecs = [
+        [0.0] * EMBEDDING_DIM if zero else [float(s[i % 4]) for i in range(EMBEDDING_DIM)]
+        for s, zero in seeds
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in near_dup_pairs(df, min_sim=-1.0).collect()
+    }
+    nonzero = {i for i, v in enumerate(vecs) if any(x != 0.0 for x in v)}
+    want = {
+        (a, b)
+        for a in nonzero
+        for b in nonzero
+        if a < b
+    }
+    assert got == want
