@@ -32,12 +32,15 @@ def _sql(spark: SparkSession, sf_dir: str, tables: tuple[str, ...], query: str) 
         SELECT o_orderkey,
                UPPER(TRIM(o_orderstatus)) AS status,
                COALESCE(o_orderpriority, 'unknown') AS priority,
-               CAST(o_totalprice AS DECIMAL(15,2)) AS totalprice_dec
+               CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS totalprice_dec
         FROM orders ORDER BY o_orderkey
     """,
     doc="SQL-mode CTAS shape: the sales_raw→sales_clean cleanup "
     "(hold.ipynb:cell7 — UPPER(TRIM(...)), COALESCE, CAST AS DECIMAL) "
-    "run through spark.sql over a registered view (F1/F2/F10/F18).",
+    "run through spark.sql over a registered view (F1/F2/F10/F18). The "
+    "DECIMAL(15,2) cast proves F18; the output column is re-cast to DOUBLE "
+    "because Spark DECIMAL vs DuckDB DECIMAL surface differently to the "
+    "driver's value-hash (round-1 type-drift fail, values identical).",
 )
 def elt_sales_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(
@@ -48,7 +51,7 @@ def elt_sales_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey,
                UPPER(TRIM(o_orderstatus)) AS status,
                COALESCE(o_orderpriority, 'unknown') AS priority,
-               CAST(o_totalprice AS DECIMAL(15,2)) AS totalprice_dec
+               CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS totalprice_dec
         FROM orders ORDER BY o_orderkey
         """,
     )
@@ -120,8 +123,9 @@ def elt_dedup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "elt_region_rollup_sql",
     oracle="""
-        SELECT r_name, COUNT(*) AS n_orders, (CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0) AS revenue,
-               ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0) / COUNT(o_totalprice), 2) AS avg_order_value
+        SELECT r_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+               CAST(ROUND(CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / COUNT(o_totalprice)) AS DOUBLE) / CAST(100 AS DOUBLE) AS avg_order_value
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -137,8 +141,9 @@ def elt_region_rollup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         ("orders", "customer", "nation", "region"),
         """
-        SELECT r_name, COUNT(*) AS n_orders, (CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0) AS revenue,
-               ROUND((CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0) / COUNT(o_totalprice), 2) AS avg_order_value
+        SELECT r_name, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+               CAST(ROUND(CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / COUNT(o_totalprice)) AS DOUBLE) / CAST(100 AS DOUBLE) AS avg_order_value
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -150,8 +155,8 @@ def elt_region_rollup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUPING_SETS_SQL = """
     SELECT r_name, o_orderpriority, COUNT(*) AS n_orders,
-           (CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS BIGINT) / 100.0)
-               AS revenue
+           (CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE)
+               / CAST(100 AS DOUBLE)) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey

@@ -34,7 +34,13 @@ def _norm_value(v):
     if isinstance(v, bool):
         return int(v)
     if isinstance(v, Decimal):
-        v = float(v)
+        # TYPE-STRICT (round-2): do NOT coerce Decimal -> float. The driver's
+        # value-hash distinguishes Spark DECIMAL from DuckDB DOUBLE (round-1
+        # failed elt_sales_clean / elt_region_rollup_sql / elt_grouping_sets_sql
+        # on exactly this drift while this harness passed them). A Decimal on
+        # one side only matches a Decimal with the identical string form on
+        # the other side.
+        return ("decimal", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

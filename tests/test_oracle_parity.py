@@ -28,6 +28,20 @@ def test_oracle_match(spark, sf_oracle, duck, name):
     assert report["ok"], f"{name}: {report['mismatches']}"
 
 
+def test_harness_is_type_strict():
+    """Round-1 regression: the driver's value-hash distinguishes DECIMAL from
+    DOUBLE; the local harness must too (it used to coerce Decimal->float and
+    passed three queries the driver failed)."""
+    from decimal import Decimal
+
+    from .oracle_harness import _norm_value
+
+    assert _norm_value(Decimal("1.50")) != _norm_value(1.5)
+    assert _norm_value(Decimal("1.50")) == _norm_value(Decimal("1.50"))
+    # differing textual scale is also a mismatch (hash is over string forms)
+    assert _norm_value(Decimal("1.50")) != _norm_value(Decimal("1.5"))
+
+
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_runs(spark, sf_oracle, name):
     q = REGISTRY[name]
