@@ -132,8 +132,11 @@ def star_fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     fact = resolve_fk(fact, dim_date, ["order_date"], "date_id")
+    # geo_of_cust is customer-cardinality (scales with SF) — no broadcast
+    # hint; AQE size-gates the strategy (auto-broadcast at small SF, shuffle
+    # join at scale).
     fact = fact.join(
-        F.broadcast(geo_of_cust.select("c_custkey", "geo_id")),
+        geo_of_cust.select("c_custkey", "geo_id"),
         fact.o_custkey == geo_of_cust.c_custkey,
         "left",
     )

