@@ -43,13 +43,23 @@ def range_join(
     buckets; a window of that width spans at most two buckets, so each
     left row probes (bucket-1, bucket) and the join is an EQUI-join on
     (key, bucket) with the exact range predicate as a residual filter in
-    the join condition. LEFT semantics: unmatched left rows survive with
-    null right columns (probe duplicates carry nulls and aggregate to
-    zero). Right columns come back prefixed ``r_``.
+    the join condition.
+
+    Exact LEFT semantics (row-level correct, not aggregate-only): the
+    two-bucket probe explode means the raw join emits a null-padded row
+    for every unmatched (left row, probe) pair — a matched left row would
+    still carry one padding row, and a fully-unmatched one two. A
+    per-left-row window then drops padding rows for matched left rows and
+    collapses unmatched rows to exactly one null-padded survivor, so
+    ``count(*)`` consumers are correct too. Cost: one extra shuffle on the
+    synthetic left-row id, after the (key, bucket) join shuffle. Right
+    columns come back prefixed ``r_``.
     """
     w = window_seconds
     lb = F.floor(F.unix_timestamp(F.col(left_ts)) / w)
-    l = left.withColumn("_probe", F.explode(F.array(lb - 1, lb)))
+    l = left.withColumn("_lid", F.monotonically_increasing_id()).withColumn(
+        "_probe", F.explode(F.array(lb - 1, lb))
+    )
     r = right.select(
         F.col(key).alias("_rkey"),
         F.col(right_ts).alias("r_ts"),
@@ -61,7 +71,15 @@ def range_join(
         & (r["r_ts"] >= F.col(left_ts) - F.expr(f"INTERVAL {w} SECONDS"))
         & (r["r_ts"] < F.col(left_ts))
     )
-    return l.join(r, cond, "left").drop("_probe", "_rkey", "_bucket")
+    joined = l.join(r, cond, "left")
+    n_matches = F.count("r_ts").over(Window.partitionBy("_lid"))
+    return (
+        joined.withColumn("_nmatch", n_matches)
+        # keep real matches; for left rows with no match anywhere, keep only
+        # the own-bucket probe's padding row (drop the bucket-1 duplicate)
+        .filter(F.col("r_ts").isNotNull() | ((F.col("_nmatch") == 0) & (F.col("_probe") == lb)))
+        .drop("_probe", "_rkey", "_bucket", "_lid", "_nmatch")
+    )
 
 
 def asof_join(

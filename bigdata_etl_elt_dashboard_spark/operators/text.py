@@ -50,7 +50,6 @@ def bpe_token_count(text: Column) -> Column:
 
 def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
     """Number of tokens that are in ``words`` (higher-order filter — no UDF)."""
-    wl = ", ".join(f"'{w}'" for w in words)
     return F.size(F.filter(tokens(text), lambda x: x.isin(*words)))
 
 

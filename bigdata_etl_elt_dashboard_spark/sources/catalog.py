@@ -48,12 +48,15 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
 #: memoized lazy scans: a DataFrame is an immutable logical plan, so reusing
 #: one per (session, path) skips repeated file listing + footer schema reads
 #: when many registry queries touch the same tables (bench/correctness runs).
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+#: Keyed on applicationId, not id(spark): CPython can reuse the id() of a
+#: stopped, garbage-collected session, which would hand back DataFrames bound
+#: to a dead SparkContext; applicationId is unique per started context.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan)."""
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

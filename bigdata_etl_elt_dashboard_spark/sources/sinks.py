@@ -88,10 +88,30 @@ def compact_parquet(
     reads. Sizing from the actual on-disk bytes (not row counts) keeps
     row-group sizes near the HDFS-block sweet spot. Returns the new file
     count. The rewrite goes to a sibling temp dir first so readers never
-    see a half-written directory."""
+    see a half-written directory.
+
+    NOT atomic: POSIX cannot atomically swap directories, so between the
+    two moves below there is a window where ``path`` does not exist and
+    concurrent readers fail; a crash in that window strands the data at
+    ``path + '._compact_old'``. Recovery is explicit: on entry, a leftover
+    ``._compact_old`` (crash after the first move) is restored if ``path``
+    is missing, and a stale ``._compact_tmp`` is discarded. Run compaction
+    from a single maintenance job, not concurrently with readers — on a
+    real deployment use a table format with atomic commit (Iceberg/Delta)
+    instead."""
     import math
     import os
     import shutil
+
+    old = path.rstrip("/") + "._compact_old"
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)  # prior run completed the swap but not cleanup
+        else:
+            shutil.move(old, path)  # prior run crashed mid-swap: restore
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # half-written rewrite from a crashed run
 
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -99,9 +119,7 @@ def compact_parquet(
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + "._compact_tmp"
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)

@@ -389,6 +389,38 @@ def test_range_join_boundaries(spark):
     assert len(out) == 1 and out[0]["n"] == 2 and out[0]["s"] == 3.0
 
 
+def test_range_join_row_level_left_semantics(spark):
+    """Round-1 advice: the two-bucket probe explode must NOT leak padding
+    rows. A matched left row emits exactly its matches (no extra null row
+    from the other probe); an unmatched left row emits exactly ONE
+    null-padded row — so count(*) consumers are correct, not just
+    count(non-null) ones."""
+    from bigdata_etl_elt_dashboard_spark.operators.temporal import range_join
+
+    t = lambda m, s=0: dt.datetime(2024, 3, 1, 10, m, s)
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(50)), (3, 2, t(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 1.0), (1, t(9), 2.0)],  # matches left event 1 only
+        "user_id long, ts timestamp, value double",
+    )
+    rows = range_join(left, right, "user_id", "ts", "ts", 600).collect()
+    by_event = {}
+    for r in rows:
+        by_event.setdefault(r["event_id"], []).append(r)
+    # matched row: exactly its 2 matches, no null padding
+    assert len(by_event[1]) == 2
+    assert all(r["r_ts"] is not None for r in by_event[1])
+    # unmatched rows (wrong time / wrong key): exactly one null row each
+    for eid in (2, 3):
+        assert len(by_event[eid]) == 1
+        assert by_event[eid][0]["r_ts"] is None
+    # total row count == left matched rows + 1 per unmatched left row
+    assert len(rows) == 4
+
+
 def test_compact_parquet_small_files(spark, tmp_path):
     """64 tiny files -> 1 compacted file, same rows/values."""
     path = str(tmp_path / "many")
@@ -406,6 +438,30 @@ def test_compact_parquet_small_files(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10000
     assert back.agg(F.sum("v")).first()[0] == sum(i * 2.0 for i in range(10000))
+
+
+def test_compact_parquet_recovers_from_crash_states(spark, tmp_path):
+    """Round-1 advice: a crash between the two directory moves strands data
+    at path._compact_old. On the next run the operator must restore it (and
+    discard any half-written ._compact_tmp) before compacting."""
+    import shutil
+
+    path = str(tmp_path / "lake")
+    spark.range(0, 1000).select(F.col("id"), (F.col("id") + 1.0).alias("v")) \
+        .repartition(8).write.parquet(path)
+
+    # simulate: crash after `move(path, old)` but before `move(tmp, path)`
+    shutil.move(path, path + "._compact_old")
+    os.makedirs(path + "._compact_tmp")  # half-written rewrite left behind
+    assert not os.path.exists(path)
+
+    n_files = sinks.compact_parquet(spark, path, target_file_mb=128)
+    assert n_files == 1
+    assert not os.path.exists(path + "._compact_old")
+    assert not os.path.exists(path + "._compact_tmp")
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).first()[0] == sum(i + 1.0 for i in range(1000))
 
 
 def test_overwrite_partitions_is_surgical(spark, tmp_path):
