@@ -1040,10 +1040,11 @@ def ev_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents ORDER BY media_id
     """,
     doc="Multimodal plumbing: binary media column → mapInPandas (Arrow "
-    "batches) → (byte_len, sha256, feature vector). Decode is stubbed "
-    "(no codecs in container); schema/partitioning/batch shape are real. "
-    "The Python-side sha256/length are cross-checked against DuckDB's "
-    "UTF-8 sha256/octet_length — the mapInPandas path itself is gated.",
+    "batches) → (byte_len, sha256, feature vector) over text-as-bytes "
+    "media (no image decode involved; see mm_decode_channel_stats for the "
+    "real decode path). The Python-side sha256/length are cross-checked "
+    "against DuckDB's UTF-8 sha256/octet_length — the mapInPandas path "
+    "itself is gated.",
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -1069,6 +1070,45 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.sample_frames(media)
         .select("media_id", "frame_idx", "frame_sha", "frame_len")
         .orderBy("media_id", "frame_idx")
+    )
+
+
+@register(
+    "mm_decode_channel_stats",
+    oracle="""
+        SELECT d.doc_id AS media_id, 4 AS width, 2 AS height,
+               AVG(((d.doc_id % 256) * 7 + 3 * (16 * y.y + 2 * x.x) + 0) % 256) AS mean_r,
+               AVG(((d.doc_id % 256) * 7 + 3 * (16 * y.y + 2 * x.x) + 1) % 256) AS mean_g,
+               AVG(((d.doc_id % 256) * 7 + 3 * (16 * y.y + 2 * x.x) + 2) % 256) AS mean_b
+        FROM documents d, range(4) x(x), range(2) y(y)
+        GROUP BY d.doc_id ORDER BY media_id
+    """,
+    doc="REAL image decode, in-container: synthesize one closed-form 8x4 "
+    "PPM (P6) per document (raster byte i = ((doc_id%256)*7+i)%256), run "
+    "decode -> nearest-neighbor resize to 4x2 -> decode -> per-channel "
+    "sums through mapInPandas (operators/multimodal.py), then derive "
+    "means. The oracle recomputes the expected pixels from the same "
+    "modular arithmetic WITHOUT touching the codec — nearest-neighbor at "
+    "4x2 picks source pixel (2x, 2y), i.e. raster index 16y+2x — so a "
+    "green row proves the decode+resize+re-encode roundtrip, not just "
+    "the plumbing. Integer channel sums divide once at the end, so the "
+    "doubles are engine-exact.",
+)
+def mm_decode_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    media = M.synth_ppm_table(docs, width=8, height=4)
+    stats = M.decode_image_stats(media, resize_to=(4, 2))
+    n_px = F.col("width") * F.col("height")
+    return (
+        stats.select(
+            "media_id",
+            "width",
+            "height",
+            (F.col("sum_r") / n_px).alias("mean_r"),
+            (F.col("sum_g") / n_px).alias("mean_g"),
+            (F.col("sum_b") / n_px).alias("mean_b"),
+        )
+        .orderBy("media_id")
     )
 
 

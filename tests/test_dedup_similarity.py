@@ -143,6 +143,66 @@ def test_frame_sampling_fanout(spark):
     assert by_doc[2][0]["frame_sha"] == hashlib.sha256(b"").hexdigest()
 
 
+def test_ppm_codec_roundtrip():
+    """Pure-Python PPM codec: encode -> decode is identity; header comments
+    and maxval parsing honored; truncated rasters rejected."""
+    img = M.DecodedImage(3, 2, bytes(range(18)))
+    assert M.decode_ppm(M.encode_ppm(img)) == img
+    # hand-written header with a comment line
+    with_comment = b"P6\n# made by hand\n3 2\n255\n" + bytes(range(18))
+    assert M.decode_ppm(with_comment) == img
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.decode_ppm(b"P6\n3 2\n255\n" + bytes(10))  # truncated raster
+    with _pytest.raises(ValueError):
+        M.decode_ppm(b"\x89PNG....")  # not a PPM
+
+
+def test_resize_nearest_neighbor_exact():
+    """Downscale 4x4 -> 2x2 picks source pixel (2x, 2y) exactly."""
+    # pixel (x, y) has RGB (x, y, 0)
+    px = bytes(b for y in range(4) for x in range(4) for b in (x, y, 0))
+    small = M.decode_ppm(M.resize_image(M.encode_ppm(M.DecodedImage(4, 4, px)), 2, 2))
+    assert (small.width, small.height) == (2, 2)
+    for y in range(2):
+        for x in range(2):
+            assert small.pixel(x, y) == (2 * x, 2 * y, 0)
+    # upscale 1x1 -> 3x3 replicates the single pixel
+    one = M.encode_ppm(M.DecodedImage(1, 1, bytes((9, 8, 7))))
+    big = M.decode_ppm(M.resize_image(one, 3, 3))
+    assert all(big.pixel(x, y) == (9, 8, 7) for x in range(3) for y in range(3))
+
+
+def test_decoder_is_pluggable():
+    """set_decoder swaps the decode path (the PIL/opencv hook)."""
+    calls = []
+
+    def fake_decoder(content: bytes) -> M.DecodedImage:
+        calls.append(content)
+        return M.DecodedImage(1, 1, b"\x00\x01\x02")
+
+    try:
+        M.set_decoder(fake_decoder)
+        img = M.decode_image(b"anything")
+        assert img.pixel(0, 0) == (0, 1, 2) and calls == [b"anything"]
+    finally:
+        M.set_decoder(M.decode_ppm)
+
+
+def test_decode_image_stats_spark(spark):
+    """synth PPM -> decode -> per-channel sums through mapInPandas match a
+    driver-side recomputation of the closed-form raster."""
+    docs = spark.createDataFrame([(0,), (5,), (300,)], "doc_id long")
+    rows = {r["media_id"]: r for r in M.decode_image_stats(M.synth_ppm_table(docs)).collect()}
+    for did in (0, 5, 300):
+        raster = [((did % 256) * 7 + i) % 256 for i in range(8 * 4 * 3)]
+        assert rows[did]["width"] == 8 and rows[did]["height"] == 4
+        assert rows[did]["sum_r"] == sum(raster[0::3])
+        assert rows[did]["sum_g"] == sum(raster[1::3])
+        assert rows[did]["sum_b"] == sum(raster[2::3])
+
+
 def test_multimodal_features_deterministic(spark):
     docs = spark.createDataFrame(
         [(1, "hello world", "en", "src0", 11), (2, "", "en", "src0", 0)],
