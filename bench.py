@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bigdata_etl_elt_dashboard_spark.plans import REGISTRY  # noqa: E402
 from bigdata_etl_elt_dashboard_spark.session import get_spark  # noqa: E402
+from bigdata_etl_elt_dashboard_spark.sources.catalog import load_tables  # noqa: E402
 
 #: Headline suite = the reference's 8 verification queries (BASELINE.md).
 HEADLINE = {
@@ -81,6 +82,23 @@ def main() -> None:
     # ~this anyway, but starting low removes the coalescing round-trips.
     # (Cluster posture stays in session.py: ~2-3x total cores + AQE.)
     spark = get_spark(app_name="bench", shuffle_partitions=8)
+
+    # Session-level warmup, charged to no query: JVM JIT, the first
+    # whole-stage-codegen compile, and the one-time parquet footer/listing
+    # reads otherwise land entirely on the first measured query's plan_s
+    # (round-1 bench showed plan_s(q1) 5.7 s vs 1.5 s for q2 — same-shaped
+    # plans; the delta was session warmup, not q1). The warmup touches every
+    # table's footer and runs one tiny joined aggregate through codegen.
+    tables = load_tables(spark, sf_dir)
+    for df in tables.values():
+        df.limit(1).collect()
+    orders, customer = tables["orders"], tables["customer"]
+    (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    )
 
     timings, plan_s = {}, {}
     for label, name in HEADLINE.items():
