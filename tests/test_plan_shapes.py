@@ -149,6 +149,61 @@ def test_post_agg_windows_never_see_fact_rows(spark, sf_oracle):
         assert "HashAggregate" in plan[w_pos:], name  # agg below the window
 
 
+def test_lsh_hot_bucket_gets_aqe_skew_split(spark):
+    """operators/dedup.py documents that a hot LSH bucket (boilerplate text
+    shared by thousands of docs) is exactly the skew AQE's skew-join
+    handling splits. Pin that claim: plant a corpus where 200 identical
+    docs all land in one (band_idx, band_sig) bucket, force the candidate
+    self-join onto the shuffle path with scaled-down skew thresholds, and
+    assert the executed plan actually took the skew split (skew=true) and
+    produced the complete pair set."""
+    from pyspark.sql import functions as F
+
+    from bigdata_etl_elt_dashboard_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = spark.range(220).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < 200,
+            F.lit("the same boilerplate legal disclaimer text repeated verbatim"),
+        )
+        .otherwise(F.concat(F.lit("unique document body number "), F.col("id")))
+        .alias("text"),
+    )
+    confs = {
+        # no broadcast anywhere: the hot-bucket problem only exists on the
+        # shuffle path (at corpus scale the banded table is never broadcast)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # scale the skew thresholds down to the test corpus' size so the
+        # hot bucket is "skewed" by the same factor-of-median rule it would
+        # trip at 100 TB with the default 256 MB threshold
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        pairs = lsh_candidate_pairs(docs)
+        rows = pairs.collect()  # executes → AQE finalizes the physical plan
+        # every identical-doc pair is a candidate: C(200, 2) from the hot
+        # bucket (the near-identical filler docs may add candidates of
+        # their own — correct LSH behavior, not asserted)
+        n_hot = sum(1 for r in rows if r["doc_a"] < 200 and r["doc_b"] < 200)
+        assert n_hot == 200 * 199 // 2
+        plan = explain_str(pairs, "simple")
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan, plan
+
+
 def test_all_pairs_cosine_is_blocked_equi_join(spark, sf_oracle):
     """The all-pairs near-dup kernel must enumerate pairs through a
     block-keyed EQUI-join (codegen-able hash/merge join) — never a
