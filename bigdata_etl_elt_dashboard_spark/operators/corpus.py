@@ -1,0 +1,126 @@
+"""Corpus-preparation operators for LLM training-data pipelines
+(BASELINE.json north star) — the steps between "deduped documents" and
+"training-ready shards": sequence packing, benchmark decontamination, PII
+redaction, vocabulary building, and quality-percentile filtering.
+
+All hot-path expressions are built-in Spark SQL functions (window sums,
+regexp, explode/groupBy, joins on shingles) — JVM-side, codegen'd, zero
+Python UDFs — and every operator has a DuckDB-oracle twin in
+plans/extensions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _doc_shingles
+
+# Public, simple PII patterns (regex dialect shared by Java regex and RE2 so
+# the DuckDB oracle runs the identical pattern).
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\d{3}-\d{3}-\d{4}"
+
+
+def sequence_packing(
+    docs: DataFrame,
+    token_col: str,
+    budget: int,
+    part_cols: tuple[str, ...] = ("lang",),
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a training pack: documents are concatenated
+    in ``order_col`` order within each ``part_cols`` stratum and split into
+    ``budget``-token context windows; a document's pack is the window its
+    first token lands in (the standard concat-then-chunk pretraining
+    layout, deterministic and engine-portable).
+
+    Adds ``tok_offset`` (tokens before this doc in its stratum) and
+    ``pack_id`` (= tok_offset div budget).
+
+    Scale: the running sum is one window per stratum — a per-stratum
+    ordered shuffle. At 100 TB pass a sharded stratum, e.g.
+    ``part_cols=("lang", "shard")`` with ``shard = pmod(hash(doc_id), K)``,
+    so no single partition holds a whole language; packs are then local to
+    (lang, shard), which is exactly how sharded pretraining data is laid
+    out anyway.
+    """
+    w = Window.partitionBy(*part_cols).orderBy(order_col)
+    cum = F.sum(token_col).over(w)
+    offset = (cum - F.col(token_col)).cast("long")
+    return docs.withColumn("tok_offset", offset).withColumn(
+        "pack_id", F.floor(F.col("tok_offset") / budget).cast("long")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: drop training documents sharing ANY
+    ``n``-gram shingle with the benchmark set (the conservative exact
+    n-gram-overlap rule used for eval-set hygiene).
+
+    Shape: explode both sides to (doc_id, shingle), inner-join on the
+    shingle (inverted index — only docs sharing content ever meet, never a
+    cross join), distinct contaminated ids, then anti-join. Benchmark sets
+    are tiny relative to the corpus, so the shingle join broadcasts the
+    benchmark side under AQE."""
+    t_sh = _doc_shingles(train, text_col, n)
+    b_sh = _doc_shingles(benchmark, text_col, n).select("sh").distinct()
+    contaminated = t_sh.join(b_sh, "sh").select("doc_id").distinct()
+    return train.join(contaminated, "doc_id", "left_anti")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for a text column."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0))),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), F.lit(0))),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails/phones with typed placeholder tokens."""
+    out = F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]")
+    return F.regexp_replace(out, PHONE_PATTERN, "[PHONE]")
+
+
+def vocab_top_terms(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus vocabulary head: top-``k`` whitespace tokens by document-
+    independent frequency, deterministic tie-break on the token itself.
+
+    explode → groupBy(token) (partial-aggregatable, one shuffle) →
+    TakeOrderedAndProject. The full vocabulary never sorts globally."""
+    from .text import tokens
+
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("token")).filter(
+        F.col("token") != ""
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def quality_percentile_filter(
+    docs: DataFrame,
+    score_col: str,
+    keep_fraction: float = 0.5,
+    part_cols: tuple[str, ...] = ("lang",),
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_fraction`` of documents per stratum by
+    ``score_col`` (highest first). percent_rank with an explicit tie-break
+    column makes the cutoff deterministic and engine-exact (the rank is a
+    ratio of integers). Adds ``pr`` (the percent_rank)."""
+    w = Window.partitionBy(*part_cols).orderBy(
+        F.desc(score_col), F.asc(tiebreak_col)
+    )
+    return docs.withColumn("pr", F.percent_rank().over(w)).filter(
+        F.col("pr") <= keep_fraction
+    )

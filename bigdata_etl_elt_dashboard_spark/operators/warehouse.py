@@ -55,6 +55,34 @@ def resolve_fk(
     return fact.join(F.broadcast(dim_small), on=on, how=how)
 
 
+def scd2_merge(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Type-2 slowly-changing dimension: version history from a base
+    snapshot plus an update batch, each carrying ``valid_from``.
+
+    union → one window per key ordered by valid_from → ``valid_to`` =
+    lead(valid_from) (half-open intervals), ``is_current`` = no successor.
+    One shuffle on the dimension key; no MERGE/UPDATE mutation — the
+    history is a derived, re-runnable plan (warehouse-standard SCD2
+    semantics without a mutable store).
+
+    Both inputs must have (key, *attr_cols, valid_from); a key appearing
+    only in ``updates`` is a late-arriving member and gets a single open
+    version."""
+    cols = [key, *attr_cols, "valid_from"]
+    hist = base.select(*cols).unionByName(updates.select(*cols))
+    w = Window.partitionBy(key).orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w)
+    return (
+        hist.withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )
+
+
 def fk_integrity(fact: DataFrame, fk_cols: list[str]) -> DataFrame:
     """§2.9 rule 5 / §5.2 invariant: count rows whose FK failed to resolve
     (anti-join-empty check). Returns a 1-row DataFrame."""

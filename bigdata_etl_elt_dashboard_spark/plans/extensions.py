@@ -10,7 +10,7 @@ the two sides cannot drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
@@ -1542,4 +1542,302 @@ def docs_quality_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_rich"),
         )
         .orderBy("lang", "source")
+    )
+
+
+# ----------------- corpus preparation (round-2 additions) -----------------
+
+#: whitespace token count twin (0 for blank text) used by packing/quality
+_NTOK_SQL = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS_SQL}) END"
+
+
+@register(
+    "docs_sequence_packing",
+    oracle=f"""
+        SELECT doc_id, lang, n_tokens, tok_offset,
+               CAST(floor(tok_offset / 2048.0) AS BIGINT) AS pack_id
+        FROM (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                        - n_tokens AS BIGINT) AS tok_offset
+            FROM (SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens FROM documents)
+        )
+        ORDER BY doc_id
+    """,
+    doc="Sequence packing (operators/corpus.sequence_packing): documents "
+    "concatenated per lang in doc_id order and split into 2048-token "
+    "context windows; pack_id = which window the doc starts in (standard "
+    "concat-then-chunk pretraining layout). One per-stratum window sum — "
+    "at 100 TB the stratum is (lang, shard) so no partition holds a whole "
+    "language.",
+)
+def docs_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import sequence_packing
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        sequence_packing(docs, "n_tokens", budget=2048, part_cols=("lang",))
+        .select("doc_id", "lang", "n_tokens", "tok_offset", "pack_id")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_decontaminate",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        contaminated AS (
+            SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (sh)
+            WHERE s.doc_id % 97 <> 0
+        )
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id % 97 <> 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ORDER BY d.doc_id
+    """,
+    doc="Benchmark decontamination (operators/corpus.decontaminate): drop "
+    "training docs sharing ANY 3-gram shingle with the held-out benchmark "
+    "slice (doc_id %% 97 == 0 stands in for an eval set). Inverted-index "
+    "shingle join + distinct + anti-join — the benchmark side is tiny and "
+    "broadcasts; never an all-pairs comparison.",
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        decontaminate(train, bench)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "docs_pii_redaction",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text2,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INTEGER)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text2, '\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS INTEGER)
+                   AS n_phones,
+               CAST(length(regexp_replace(regexp_replace(text2,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+                    '\\d{{3}}-\\d{{3}}-\\d{{4}}', '[PHONE]', 'g')) AS INTEGER)
+                   AS redacted_len
+        FROM (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+                        || CASE WHEN doc_id % 13 = 0
+                        THEN ' call 555-867-5309 today' ELSE '' END AS text2
+            FROM documents
+        )
+        ORDER BY doc_id
+    """,
+    doc="PII detection + redaction (operators/corpus.redact_pii): email "
+    "and phone patterns counted (regexp_extract_all) and replaced with "
+    "typed placeholders (regexp_replace), all JVM-side regex. The corpus "
+    "has no organic PII, so deterministic synthetic PII is appended to "
+    "doc_id %% 7 / %% 13 slices in BOTH engines — the oracle proves "
+    "pattern parity on text that genuinely contains matches.",
+)
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import pii_counts, redact_pii
+
+    docs = table(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" call 555-867-5309 today")).otherwise(
+            F.lit("")
+        ),
+    )
+    staged = docs.select("doc_id", text2.alias("text2"))
+    n_emails, n_phones = pii_counts(F.col("text2"))
+    return staged.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.length(redact_pii(F.col("text2"))).alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "docs_vocab_top_terms",
+    oracle=f"""
+        SELECT token, COUNT(*) AS n_occurrences
+        FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token ASC LIMIT 20
+    """,
+    doc="Vocabulary head (operators/corpus.vocab_top_terms): corpus-wide "
+    "top-20 tokens by frequency. explode -> partial-aggregatable count "
+    "(one shuffle on the token) -> TakeOrderedAndProject; the vocabulary "
+    "never sorts globally.",
+)
+def docs_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import vocab_top_terms
+
+    return vocab_top_terms(table(spark, sf_dir, "documents"), k=20)
+
+
+@register(
+    "docs_quality_percentile_filter",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars, pr FROM (
+            SELECT doc_id, lang, n_chars,
+                   percent_rank() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id ASC) AS pr
+            FROM documents
+        ) WHERE pr <= 0.5 ORDER BY doc_id
+    """,
+    doc="Quality-percentile filter (operators/corpus."
+    "quality_percentile_filter): keep the top half of each language by "
+    "n_chars. percent_rank over (score DESC, doc_id) — the explicit "
+    "tie-break makes the cutoff deterministic, and the rank is a ratio of "
+    "integers so the doubles are engine-exact.",
+)
+def docs_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import quality_percentile_filter
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        quality_percentile_filter(docs, "n_chars", 0.5, ("lang",))
+        .select("doc_id", "lang", "n_chars", "pr")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "scd2_customer_segments",
+    oracle="""
+        WITH hist AS (
+            SELECT c_custkey, c_mktsegment AS segment, DATE '2020-01-01' AS valid_from
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, 'UPGRADED' AS segment, DATE '2024-01-01' AS valid_from
+            FROM customer WHERE c_custkey % 5 = 0
+        )
+        SELECT c_custkey, segment, valid_from,
+               lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+                   AS valid_to,
+               lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+                   IS NULL AS is_current
+        FROM hist
+        ORDER BY c_custkey, valid_from
+    """,
+    doc="Type-2 slowly-changing dimension (operators/warehouse.scd2_merge): "
+    "base snapshot + an update batch (custkey %% 5 re-segmented) become "
+    "half-open version intervals via lead(valid_from) per key — "
+    "warehouse-standard SCD2 as a derived, re-runnable plan (no MERGE "
+    "mutation), one shuffle on the dimension key.",
+)
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.warehouse import scd2_merge
+
+    customer = table(spark, sf_dir, "customer")
+    base = customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+    )
+    updates = customer.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("UPGRADED").alias("segment"),
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+    )
+    return scd2_merge(base, updates, "c_custkey", ["segment"]).orderBy(
+        "c_custkey", "valid_from"
+    )
+
+
+@register(
+    "ev_dedup_tolerance",
+    oracle="""
+        SELECT event_id FROM (
+            SELECT event_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        ) WHERE gap_us IS NULL OR gap_us > 1000000
+        ORDER BY event_id
+    """,
+    doc="Tolerance dedup for event streams: drop an event arriving within "
+    "1s of the previous same-(user, type) event (sensor double-fire "
+    "suppression). lag() over one keyed window — a single shuffle, the "
+    "batch twin of the streaming dropDuplicates-within-watermark.",
+)
+def ev_dedup_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        ev.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 1_000_000))
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "ent_resolve_part_names",
+    oracle="""
+        WITH damaged AS (
+            SELECT p_partkey AS rec_id,
+                   substr(p_name, 1, 2) || substr(p_name, 4) AS dname
+            FROM part WHERE p_partkey % 13 = 0
+        ),
+        cand AS (
+            SELECT d.rec_id, d.dname, o.p_partkey AS matched_key,
+                   levenshtein(d.dname, o.p_name) AS lev
+            FROM damaged d
+            JOIN part o
+              ON regexp_extract(d.dname, '[^ ]+$', 0) = regexp_extract(o.p_name, '[^ ]+$', 0)
+            WHERE levenshtein(d.dname, o.p_name) <= 1
+        )
+        SELECT rec_id, matched_key, lev FROM cand
+        QUALIFY row_number() OVER (PARTITION BY rec_id ORDER BY lev, matched_key) = 1
+        ORDER BY rec_id
+    """,
+    doc="Entity resolution by blocked fuzzy name match: damaged part names "
+    "(3rd char dropped, partkey %% 13 slice) are re-linked to the catalog "
+    "by an EQUI-join on a blocking key (last name token, unaffected by "
+    "the damage) with levenshtein <= 1 as residual, then best-match "
+    "(min distance, deterministic tie-break) per record. Blocking keeps "
+    "the candidate set near-linear — never an all-pairs edit-distance "
+    "scan.",
+)
+def ent_resolve_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    damaged = part.filter(F.col("p_partkey") % 13 == 0).select(
+        F.col("p_partkey").alias("rec_id"),
+        F.concat(
+            F.substring(F.col("p_name"), 1, 2), F.expr("substring(p_name, 4)")
+        ).alias("dname"),
+    )
+    orig = part.select(F.col("p_partkey").alias("matched_key"), "p_name")
+    block_d = F.regexp_extract(F.col("dname"), "[^ ]+$", 0)
+    block_o = F.regexp_extract(F.col("p_name"), "[^ ]+$", 0)
+    cand = (
+        damaged.join(orig, block_d == block_o)
+        .withColumn("lev", F.levenshtein(F.col("dname"), F.col("p_name")))
+        .filter(F.col("lev") <= 1)
+    )
+    w = Window.partitionBy("rec_id").orderBy("lev", "matched_key")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("rec_id", "matched_key", "lev")
+        .orderBy("rec_id")
     )
