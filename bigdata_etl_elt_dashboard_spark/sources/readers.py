@@ -43,6 +43,32 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines scan with an explicit schema — the standard wire format
+    for document corpora (one JSON doc per line, splittable, append-only).
+
+    PERMISSIVE mode: malformed lines land in ``corrupt_col`` instead of
+    failing the 100 TB job; callers split the frame on
+    ``col(corrupt_col).isNull()`` to route rejects to a quarantine sink.
+    Spark refuses queries that reference ONLY the corrupt column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — ``cache()`` the parsed frame (or
+    write it) before counting/inspecting rejects in isolation.
+    The explicit schema matters doubly here: inference would full-scan the
+    corpus AND silently widen types on dirty data."""
+    full = T.StructType(schema.fields + [T.StructField(corrupt_col, T.StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -57,6 +57,32 @@ def save_as_table(df: DataFrame, name: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).saveAsTable(name)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    cluster_by: list[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Layout-optimized write: hive-partition by a low-cardinality column
+    and CLUSTER the rows inside each file by ``cluster_by``.
+
+    Partitioning makes coarse filters prune whole directories
+    (PartitionFilters — zero I/O for excluded partitions); the
+    within-file sort makes fine-grained filters prune row groups via
+    parquet min/max statistics (tight, non-overlapping ranges instead of
+    every row group spanning the full key domain). This is the
+    ZORDER-lite layout for a single sort dimension — the right default
+    for time-series facts queried by (day, key-range)."""
+    (
+        df.repartition(files_per_partition, *partition_by)
+        .sortWithinPartitions(*partition_by, *cluster_by)
+        .write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> None:
     """Incremental load: replace ONLY the partitions present in ``df``,
     leaving all other partitions untouched (dynamic partition overwrite).

@@ -440,7 +440,76 @@ def test_compact_parquet_small_files(spark, tmp_path):
     assert back.agg(F.sum("v")).first()[0] == sum(i * 2.0 for i in range(10000))
 
 
-def test_compact_parquet_recovers_from_crash_states(spark, tmp_path):
+def test_read_jsonl_permissive_quarantine(spark, tmp_path):
+    """JSONL corpus ingest: valid lines parse against the explicit schema;
+    malformed lines land in _corrupt_record instead of failing the job."""
+    from pyspark.sql import types as T
+
+    from bigdata_etl_elt_dashboard_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}\n'
+        "this line is not json at all\n"
+        '{"doc_id": 3, "text": "unterminated\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    # cache() before splitting: Spark disallows queries referencing only
+    # the corrupt column on raw JSON (see read_jsonl docstring)
+    df = read_jsonl(spark, str(p), schema).cache()
+    try:
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+        assert bad.count() == 2  # the non-JSON line and the truncated line
+        # rejects keep the raw line for quarantine/debugging
+        assert any("not json" in r["_corrupt_record"] for r in bad.collect())
+    finally:
+        df.unpersist()
+
+
+def test_write_clustered_prunes_and_sorts(spark, tmp_path):
+    """Layout write: a partition filter must prune directories at plan time
+    (PartitionFilters in the scan), and rows inside each file must be
+    sorted by the cluster key (tight parquet min/max ranges)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 9000).select(
+        (F.col("id") % 3 + 2020).cast("int").alias("order_year"),
+        # a key uncorrelated with insertion order: clustering must re-sort
+        F.pmod(F.col("id") * 2654435761, F.lit(100000)).alias("custkey"),
+        F.col("id").alias("payload"),
+    )
+    sinks.write_clustered(df, path, ["order_year"], ["custkey"])
+
+    filtered = spark.read.parquet(path).filter(F.col("order_year") == 2021)
+    assert filtered.count() == 3000
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "order_year" in plan.split("PartitionFilters")[1][:200]
+
+    # every data file belongs to exactly one partition dir and is sorted by
+    # the cluster key within the file
+    files = glob.glob(os.path.join(path, "order_year=*", "*.parquet"))
+    assert files
+    for f in files:
+        ck = pq.read_table(f, columns=["custkey"])["custkey"].to_pylist()
+        assert ck == sorted(ck), f"file not clustered: {f}"
     """Round-1 advice: a crash between the two directory moves strands data
     at path._compact_old. On the next run the operator must restore it (and
     discard any half-written ._compact_tmp) before compacting."""
