@@ -82,3 +82,27 @@ def one_hot_exprs(col: Column, categories: list[str], prefix: str) -> list[Colum
         F.when(col == F.lit(c), F.lit(1)).otherwise(F.lit(0)).alias(f"{prefix}_{c}")
         for c in cats
     ]
+
+
+def target_encode_loo(
+    df, category_col: str, target_cents: "Column", out_col: str = "te_loo"
+):
+    """Leave-one-out target encoding: each row gets the mean of the target
+    over the OTHER rows of its category — the leakage-safe categorical
+    encoding for ML feature prep. Singleton categories encode as null.
+
+    ``target_cents`` must be an exact integer expression (e.g. price in
+    cents): the per-category sum/count come from one unordered window
+    (a full-partition aggregate, partial-combinable, one shuffle on the
+    category), and the single final division is IEEE-exact on any engine.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(category_col)
+    s = F.sum(target_cents).over(w)
+    n = F.count(target_cents).over(w)
+    loo = F.when(
+        n > 1, (s - target_cents).cast("double") / (n - 1) / F.lit(100.0)
+    )
+    return df.withColumn(out_col, loo)

@@ -107,6 +107,35 @@ def vocab_top_terms(docs: DataFrame, text_col: str = "text", k: int = 20) -> Dat
     )
 
 
+def hash_pct(col: Column) -> Column:
+    """Deterministic per-row percentile in [0, 100): md5 of the stringified
+    key → integer → mod 100. Engine-portable (identical in DuckDB via
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT % 100``) and stable across
+    runs/partitionings — never ``rand()``."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(100))
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rate_pct_col: Column,
+    epochs_col: Column,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mixture construction: per-row sampling + replication.
+
+    Down-weighting: keep a row iff its deterministic hash percentile falls
+    under ``rate_pct_col`` (0–100) — an exact-rate Bernoulli sample that
+    every engine and every re-run reproduces. Up-weighting: surviving rows
+    replicate ``epochs_col`` times via explode(sequence(...)), adding an
+    ``epoch`` column (1-based). This is the standard mixture-weights step
+    between curation and packing; both steps are narrow (no shuffle)."""
+    kept = docs.filter(hash_pct(F.col(key_col)) < rate_pct_col)
+    return kept.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1), epochs_col.cast("int")))
+    )
+
+
 def quality_percentile_filter(
     docs: DataFrame,
     score_col: str,

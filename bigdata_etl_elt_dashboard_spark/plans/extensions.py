@@ -1841,3 +1841,146 @@ def ent_resolve_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rec_id", "matched_key", "lev")
         .orderBy("rec_id")
     )
+
+
+@register(
+    "docs_mixture_plan",
+    oracle="""
+        WITH planned AS (
+            SELECT doc_id, source,
+                   CASE (CAST(substr(source, 4) AS INT) % 3)
+                        WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 25 END AS rate_pct,
+                   CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+                        THEN 3 ELSE 1 END AS n_epochs
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+        FROM planned, UNNEST(generate_series(1, n_epochs)) AS t(epoch)
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+              < rate_pct
+        ORDER BY doc_id, epoch
+    """,
+    doc="Training-mixture construction (operators/corpus.mixture_sample): "
+    "per-source sampling rate (100/50/25%% by source id mod 3) via "
+    "deterministic md5-hash percentile — exact-rate Bernoulli, identical "
+    "on every engine/run, never rand() — and per-source epoch replication "
+    "(3x for source id %% 5 == 0) via explode(sequence). The "
+    "down-weight/up-weight step between curation and packing; both "
+    "narrow, no shuffle.",
+)
+def docs_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import mixture_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    src_n = F.substring(F.col("source"), 4, 10).cast("int")
+    rate = (
+        F.when(src_n % 3 == 0, 100).when(src_n % 3 == 1, 50).otherwise(25)
+    )
+    epochs = F.when(src_n % 5 == 0, 3).otherwise(1)
+    return (
+        mixture_sample(docs, rate, epochs)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    )
+
+
+@register(
+    "trend_gapfill_monthly_big_orders",
+    oracle="""
+        WITH big AS (
+            SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_totalprice > 495000
+        ),
+        bounds AS (
+            SELECT date_trunc('month', MIN(CAST(o_orderdate AS DATE))) AS mn,
+                   date_trunc('month', MAX(CAST(o_orderdate AS DATE))) AS mx
+            FROM orders
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS DATE)
+                       AS month
+            FROM bounds
+        ),
+        agg AS (
+            SELECT month, COUNT(*) AS n_orders, SUM(cents) AS cents
+            FROM big GROUP BY month
+        )
+        SELECT s.month, COALESCE(a.n_orders, 0) AS n_orders,
+               CAST(COALESCE(a.cents, 0) AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue
+        FROM spine s LEFT JOIN agg a ON s.month = a.month
+        ORDER BY s.month
+    """,
+    doc="Calendar gap-filling: a month spine spanning the fact's full range "
+    "(sequence/generate_series from one 1-row agg) LEFT-joined to a sparse "
+    "monthly rollup (orders > 495k), absent months coalesced to zero — "
+    "the resample-don't-skip pattern every time-series dashboard needs. "
+    "The spine is driver-tiny and broadcast; the rollup aggregates before "
+    "the join so the fact never joins row-level.",
+)
+def trend_gapfill_monthly_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    big = orders.filter(F.col("o_totalprice") > 495000).select(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+        cents.alias("cents"),
+    )
+    agg = big.groupBy("month").agg(
+        F.count("*").alias("n_orders"), F.sum("cents").alias("cents")
+    )
+    bounds = orders.agg(
+        F.trunc(F.min(F.col("o_orderdate").cast("date")), "month").alias("mn"),
+        F.trunc(F.max(F.col("o_orderdate").cast("date")), "month").alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 MONTH"))).alias("month")
+    )
+    return (
+        spine.join(agg, "month", "left")
+        .select(
+            "month",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            (
+                F.coalesce("cents", F.lit(0)).cast("double")
+                / F.lit(100).cast("double")
+            ).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "fe_target_encode_priority",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority AS priority,
+               CASE WHEN COUNT(cents) OVER w > 1 THEN
+                   (CAST(SUM(cents) OVER w - cents AS DOUBLE)
+                        / (COUNT(cents) OVER w - 1)) / 100.0
+               END AS te_loo
+        FROM (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+        WINDOW w AS (PARTITION BY o_orderpriority)
+        ORDER BY o_orderkey
+    """,
+    doc="Leave-one-out target encoding (functions/features.target_encode_"
+    "loo): each order's priority encodes as the mean totalprice of the "
+    "OTHER orders in that priority — the leakage-safe categorical "
+    "encoding for feature prep. One unordered category window (exact "
+    "integer cents, single final division), no per-row subqueries.",
+)
+def fe_target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.features import target_encode_loo
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        target_encode_loo(orders, "priority", F.col("cents"))
+        .select("o_orderkey", "priority", "te_loo")
+        .orderBy("o_orderkey")
+    )

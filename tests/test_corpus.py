@@ -105,6 +105,25 @@ def test_scd2_merge_versions_and_late_keys(spark):
     assert len(rows) == 4
 
 
+def test_mixture_sample_deterministic_and_replicated(spark):
+    docs = spark.createDataFrame([(i, "s") for i in range(200)], "doc_id long, source string")
+    rate = F.when(F.col("doc_id") < 100, 100).otherwise(50)
+    epochs = F.when(F.col("doc_id") % 2 == 0, 2).otherwise(1)
+    out = C.mixture_sample(docs, rate, epochs).collect()
+    again = C.mixture_sample(docs, rate, epochs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))  # run-stable
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # rate 100 slice: all 100 docs kept; rate 50 slice: a strict subset
+    assert all(d in by_doc for d in range(100))
+    kept_half = [d for d in range(100, 200) if d in by_doc]
+    assert 0 < len(kept_half) < 100
+    # replication: even docs appear with epochs [1, 2], odd with [1]
+    for d, eps in by_doc.items():
+        assert sorted(eps) == ([1, 2] if d % 2 == 0 else [1])
+
+
 def test_vocab_top_terms_tiebreak(spark):
     docs = spark.createDataFrame(
         [(1, "b a b c a b"), (2, "c a  ")], "doc_id long, text string"
