@@ -197,12 +197,23 @@ def near_dup_clusters(
     operators are identical.
     """
     pairs = lsh_candidate_pairs(docs, text_col, n, num_hashes, bands)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    nodes = docs.select("doc_id")
+    return connected_components_minlabel(edges, nodes, max_iter)
+
+
+def connected_components_minlabel(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation CC (see near_dup_clusters docstring): O(component
+    diameter) rounds, each one shuffle join + one groupBy. ``edges`` is
+    (src, dst) in any orientation; ``nodes`` is (doc_id)."""
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint(eager=True)
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
         eager=True
     )
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
@@ -221,6 +232,89 @@ def near_dup_clusters(
             break
         prev_sum = cur_sum
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame, nodes: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """Large-star/small-star CC (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — converges in O(log n) ROUNDS regardless of
+    component diameter, vs O(diameter) for min-label propagation. At 100 TB
+    this is the difference between ~8 rounds and hundreds on chain-shaped
+    components (transitive boilerplate edits, crawl-date chains).
+
+    Each round is two star operations, each ONE groupBy(node) for the
+    neighborhood min + one join back — the same per-round shuffle cost as
+    one label-propagation step:
+
+    - large-star: every node connects its LARGER neighbors to its
+      neighborhood min  m = min(N(u) ∪ {u});
+    - small-star: every node connects its smaller-or-equal neighbors (and
+      itself) to m.
+
+    Both emit edges (x, m) with m <= x, so the edge set monotonically
+    flattens into stars centered on component minima; at fixpoint every
+    node's min neighbor IS its component min. Labels read directly off the
+    final edge set. Returns (doc_id, cluster_id = component min id).
+    """
+
+    def _adj(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _mins(adj: DataFrame) -> DataFrame:
+        # m = min(N(u) ∪ {u}) per node
+        return adj.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("u"), F.col("mn")).alias("m")
+        )
+
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # large-star: (v, m) for neighbors v > u — canonical (m, v) since m <= u < v
+        adj = _adj(e)
+        large = (
+            adj.join(_mins(adj), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on large's output: (v, m) for v <= u, plus (u, m)
+        adj2 = _adj(large)
+        with_m = adj2.join(_mins(adj2), "u")
+        small = (
+            with_m.filter(F.col("v") < F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v").alias("v"))
+            .union(with_m.select(F.col("m").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: the edge set is exactly reproduced (order-insensitive)
+        if (
+            small.count() == e.count()
+            and small.exceptAll(e).limit(1).count() == 0
+        ):
+            e = small
+            break
+        e = small
+    # at fixpoint every edge is (component_min, member): label = min partner
+    member_min = _adj(e).groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        nodes.select("doc_id")
+        .join(member_min.select(F.col("u").alias("doc_id"), "mn"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.coalesce("mn", F.col("doc_id"))).alias(
+                "cluster_id"
+            ),
+        )
+    )
 
 
 #: SimHash width: 60 bits (15 hex chars of md5) — stays inside a signed

@@ -168,3 +168,53 @@ def test_blocked_all_pairs_enumeration_is_complete(spark, seeds):
         if a < b
     }
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=20,
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_cc_matches_union_find(spark, edges):
+    """Large-star/small-star CC must agree with a driver-side union-find
+    (and therefore with min-label propagation) on ANY graph: every node
+    labeled with its component's min id, isolated nodes labeling
+    themselves. Chain/star/self-loop/parallel-edge shapes all arise from
+    the random edge lists."""
+    from bigdata_etl_elt_dashboard_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n_nodes = 15
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {v: comp_min[find(v)] for v in range(n_nodes)}
+
+    nodes_df = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+    if edges:
+        edges_df = spark.createDataFrame(edges, "src long, dst long")
+    else:
+        edges_df = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(edges_df, nodes_df).collect()
+    }
+    assert got == expected
