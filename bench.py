@@ -38,7 +38,9 @@ HEADLINE = {
 }
 
 
-#: one representative per extension family (dedup / ANN / text / events)
+#: one representative per extension family (dedup / ANN / text / events /
+#: corpus prep / multimodal). Keys are stable round-over-round so BENCH_r{N}
+#: diffs are meaningful; only additions allowed.
 EXTENSION_SUITE = (
     "dedup_exact_groups",
     "dedup_lsh_candidates",
@@ -48,6 +50,11 @@ EXTENSION_SUITE = (
     # the two quadratic kernels — the scale stress tests of the suite
     "dedup_embedding_cosine",
     "sim_ann_lsh",
+    # round-2 additions
+    "dedup_clusters_star",
+    "docs_sequence_packing",
+    "docs_decontaminate",
+    "mm_decode_channel_stats",
 )
 
 

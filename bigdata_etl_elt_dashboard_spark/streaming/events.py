@@ -111,3 +111,44 @@ def stream_session(events_stream: DataFrame, gap: str = "10 minutes", watermark:
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("session_start"), "user_id", "n_events")
     )
+
+
+def stream_upsert_daily_gold(events_stream: DataFrame, path: str, checkpoint_dir: str):
+    """Gold-layer incremental rollup: a streaming per-(event_date,
+    event_type) aggregate whose every trigger rewrites ONLY the partitions
+    it touched, via foreachBatch + dynamic partition overwrite.
+
+    Update output emits just the groups a micro-batch changed, and the
+    gold table is partitioned by the FULL group key (event_date,
+    event_type), so each emitted row exactly covers its partition — the
+    surgical rewrite is lossless. The aggregate lives in streaming state,
+    so a day spanning many micro-batches still converges to one correct
+    rollup; re-running with the same checkpoint is a no-op, and a late
+    backfill replaces exactly the partitions of the groups it changed.
+    This is the parquet-lake stand-in for MERGE into a transactional
+    table format. State is keyed by calendar day × event type (bounded);
+    add a watermark only if days must age out of state.
+
+    Returns the un-started DataStreamWriter so callers pick the trigger
+    (tests use availableNow)."""
+    from ..sources.sinks import overwrite_partitions
+
+    daily = (
+        events_stream.groupBy(
+            F.to_date("ts").alias("event_date"), F.col("event_type")
+        ).agg(
+            F.count("*").alias("n_events"),
+            xsum(F.col("value"), MICROS).alias("total_value"),
+        )
+    )
+
+    def _upsert(batch_df, _batch_id):
+        if batch_df.isEmpty():
+            return
+        overwrite_partitions(batch_df, path, ["event_date", "event_type"])
+
+    return (
+        daily.writeStream.foreachBatch(_upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+    )

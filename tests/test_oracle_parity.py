@@ -28,6 +28,22 @@ def test_oracle_match(spark, sf_oracle, duck, name):
     assert report["ok"], f"{name}: {report['mismatches']}"
 
 
+def test_driver_gate_window_order_is_pinned():
+    """The driver verifies the FIRST 50 registry entries per round; the
+    round's rotation plan lives in plans.__init__._GATE_WINDOW. Guard
+    against registration-order drift silently pushing a planned query out
+    of the gated window."""
+    from bigdata_etl_elt_dashboard_spark import plans
+
+    names = list(REGISTRY)
+    assert names[: len(plans._GATE_WINDOW)] == plans._GATE_WINDOW
+    assert len(plans._GATE_WINDOW) == 50
+    # everything in the window except the documented rows-only entry is
+    # value-hash gated (has an oracle)
+    rows_only = [n for n in plans._GATE_WINDOW if REGISTRY[n].oracle is None]
+    assert rows_only == ["agg_approx_sketches"]
+
+
 def test_harness_is_type_strict():
     """Round-1 regression: the driver's value-hash distinguishes DECIMAL from
     DOUBLE; the local harness must too (it used to coerce Decimal->float and

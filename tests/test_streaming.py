@@ -165,6 +165,72 @@ def test_stream_watermark_drops_late_events(spark, tmp_path):
     assert _ts(10) in starts
 
 
+def test_stream_gold_upsert_incremental_backfill(spark, tmp_path):
+    """foreachBatch gold-layer upsert: first run materializes per-(day,
+    type) partitions; a backfill run with the SAME checkpoint updates only
+    the groups the new files touch — day-1 partition files stay untouched
+    on disk, day-2 totals converge to the full-history answer."""
+    import glob
+    import os
+
+    from bigdata_etl_elt_dashboard_spark.streaming.events import (
+        stream_events_from_parquet,
+        stream_upsert_daily_gold,
+    )
+
+    src = str(tmp_path / "src")
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+    d1, d2 = dt.datetime(2024, 3, 1, 10), dt.datetime(2024, 3, 2, 10)
+    _write_events(
+        spark,
+        src,
+        [(1, d1, 1, "view", 1.0), (2, d1, 2, "view", 2.0), (3, d2, 1, "click", 3.0)],
+    )
+
+    def run():
+        q = (
+            stream_upsert_daily_gold(
+                stream_events_from_parquet(spark, src, EVENT_SCHEMA), gold, ckpt
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = {
+        (str(r["event_date"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(gold).collect()
+    }
+    assert first == {
+        ("2024-03-01", "view"): (2, 3.0),
+        ("2024-03-02", "click"): (1, 3.0),
+    }
+    day1_files = sorted(
+        glob.glob(os.path.join(gold, "event_date=2024-03-01", "*", "*.parquet"))
+    )
+    day1_mtimes = [os.path.getmtime(f) for f in day1_files]
+
+    # late backfill: more day-2 clicks + a brand-new day-2 view group
+    _write_events(spark, src, [(4, d2, 3, "click", 5.0), (5, d2, 4, "view", 7.0)])
+    run()
+    second = {
+        (str(r["event_date"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(gold).collect()
+    }
+    assert second == {
+        ("2024-03-01", "view"): (2, 3.0),
+        ("2024-03-02", "click"): (2, 8.0),
+        ("2024-03-02", "view"): (1, 7.0),
+    }
+    # surgical: the untouched day-1 partition's files were not rewritten
+    assert day1_files == sorted(
+        glob.glob(os.path.join(gold, "event_date=2024-03-01", "*", "*.parquet"))
+    )
+    assert day1_mtimes == [os.path.getmtime(f) for f in day1_files]
+
+
 def test_stream_static_enrich_join(spark, event_dir):
     """Stream-static join: a micro-batch stream broadcast-enriched against
     a static dimension — the streaming form of the fact→dim joins (J2-J5).
