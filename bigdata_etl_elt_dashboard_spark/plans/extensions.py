@@ -2011,3 +2011,62 @@ REGISTRY["dedup_clusters_star"] = REGISTRY["dedup_clusters_star"].__class__(
     oracle=REGISTRY["dedup_clusters"].oracle,
     doc=REGISTRY["dedup_clusters_star"].doc,
 )
+
+
+@register(
+    "docs_chunking",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS_SQL} AS t,
+                   {_NTOK_SQL} AS n_tokens
+            FROM documents
+        ),
+        sized AS (
+            SELECT doc_id, t,
+                   GREATEST(1, (n_tokens - 10 + 39) // 40) AS n_chunks
+            FROM toks WHERE n_tokens > 0
+        )
+        SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+               CAST(idx * 40 AS INT) AS token_start,
+               CAST(len(t[idx * 40 + 1 : idx * 40 + 50]) AS INT) AS n_chunk_tokens,
+               array_to_string(t[idx * 40 + 1 : idx * 40 + 50], ' ') AS chunk_text
+        FROM sized, UNNEST(range(0, n_chunks)) AS u(idx)
+        ORDER BY doc_id, chunk_idx
+    """,
+    doc="Document chunking: 50-token windows with 10-token overlap (stride "
+    "40) — the RAG/pretraining windowing step. One tokenize + one "
+    "explode(sequence) + array slice/join per chunk, all built-in "
+    "expressions, narrow (no shuffle); short docs yield one short chunk, "
+    "blank docs none.",
+)
+def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunk, overlap = 50, 10
+    stride = chunk - overlap
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tokens = F.when(F.trim(F.col("text")) == "", 0).otherwise(F.size(toks))
+    sized = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        n_tokens.alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.expr(f"(n_tokens - {overlap} + {stride - 1}) div {stride}"),
+    )
+    exploded = sized.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+    )
+    sl = F.slice(F.col("t"), F.col("chunk_idx") * stride + 1, chunk)
+    return (
+        exploded.select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * stride).cast("int").alias("token_start"),
+            F.size(sl).cast("int").alias("n_chunk_tokens"),
+            F.array_join(sl, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
