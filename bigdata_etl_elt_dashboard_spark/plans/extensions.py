@@ -2070,3 +2070,83 @@ def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+        WITH fps AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+        hist AS (
+            SELECT fp, MIN(doc_id) AS dup_of FROM fps
+            WHERE doc_id % 5 <> 0 GROUP BY fp
+        )
+        SELECT f.doc_id, h.dup_of
+        FROM fps f LEFT JOIN hist h USING (fp)
+        WHERE f.doc_id % 5 = 0
+        ORDER BY f.doc_id
+    """,
+    doc="Incremental dedup: a new ingest batch (doc_id %% 5 == 0 slice) "
+    "checked against the historical corpus' fingerprint index — the "
+    "daily-ingest reality where dedup is batch-vs-history, not "
+    "whole-corpus-at-once. dup_of = earliest historical holder of the "
+    "fingerprint (null = genuinely new). One groupBy on the history + one "
+    "equi-join on the 32-char fingerprint; at 100 TB the index is a "
+    "materialized bucketed table and the join is co-located.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+    hist = (
+        fps.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    batch = fps.filter(F.col("doc_id") % 5 == 0)
+    return batch.join(hist, "fp", "left").select("doc_id", "dup_of").orderBy("doc_id")
+
+
+_MIXED_HITS_SQL = {
+    lang: _hits_sql(words) for lang, words in X.LANG_STOPWORDS.items()
+}
+
+
+@register(
+    "text_mixed_lang",
+    oracle=f"""
+        SELECT doc_id, n_langs_hit, top_hits, total_hits,
+               (total_hits > 0 AND top_hits * 2 <= total_hits) AS is_mixed
+        FROM (
+            SELECT doc_id,
+                   ({" + ".join(f"CASE WHEN {h} > 0 THEN 1 ELSE 0 END" for h in _MIXED_HITS_SQL.values())})
+                       AS n_langs_hit,
+                   GREATEST({", ".join(_MIXED_HITS_SQL.values())}) AS top_hits,
+                   ({" + ".join(_MIXED_HITS_SQL.values())}) AS total_hits
+            FROM documents
+        )
+        ORDER BY doc_id
+    """,
+    doc="Mixed-language / code-switching detection: per-language stopword "
+    "hits (the lang-ID lexicons) reduced to langs-hit count, dominant-"
+    "language hits, and total hits; is_mixed when the dominant language "
+    "holds <= half the evidence. Symmetric aggregates only (GREATEST + "
+    "sums) — no argmax needed, one narrow projection.",
+)
+def text_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    hits = {
+        lang: X.stopword_hits(F.col("text"), words)
+        for lang, words in X.LANG_STOPWORDS.items()
+    }
+    n_langs = sum(F.when(h > 0, 1).otherwise(0) for h in hits.values())
+    top = F.greatest(*hits.values())
+    total = sum(hits.values(), F.lit(0))
+    return (
+        docs.select(
+            "doc_id",
+            n_langs.alias("n_langs_hit"),
+            top.alias("top_hits"),
+            total.alias("total_hits"),
+            ((total > 0) & (top * 2 <= total)).alias("is_mixed"),
+        )
+        .orderBy("doc_id")
+    )
