@@ -2150,3 +2150,87 @@ def text_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "agg_weighted_avg_unit_price",
+    oracle="""
+        SELECT p_type,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                   / CAST(100 AS DOUBLE)
+                   / SUM(CAST(l_quantity AS BIGINT)) AS weighted_avg_unit_price,
+               SUM(CAST(l_quantity AS BIGINT)) AS total_units
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type ORDER BY p_type
+    """,
+    doc="Quantity-weighted average unit price per part type: "
+    "sum(extendedprice)/sum(quantity) — the weighted mean a plain "
+    "AVG(price/qty) gets wrong. Exact integer cent and unit sums "
+    "(partial-aggregatable, order-independent), two IEEE divisions at "
+    "the end — engine-identical.",
+)
+def agg_weighted_avg_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    units = F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(cents).alias("_cents"),
+            F.sum(units).alias("total_units"),
+        )
+        .select(
+            "p_type",
+            (
+                F.col("_cents").cast("double") / F.lit(100).cast("double")
+                / F.col("total_units")
+            ).alias("weighted_avg_unit_price"),
+            "total_units",
+        )
+        .orderBy("p_type")
+    )
+
+
+@register(
+    "ev_daily_volume_anomaly",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        typ AS (
+            SELECT event_type, SUM(n) AS total, COUNT(*) AS n_days FROM daily
+            GROUP BY event_type
+        )
+        SELECT d.event_type, d.day, d.n,
+               (d.n * t.n_days > 2 * t.total) AS is_spike
+        FROM daily d JOIN typ t USING (event_type)
+        ORDER BY d.event_type, d.day
+    """,
+    doc="Daily-volume anomaly flag: a (type, day) is a spike when its count "
+    "exceeds 2x the type's average daily volume. The comparison is the "
+    "integer cross-multiplication n * n_days > 2 * total — exact on any "
+    "engine, no float mean. Two partial-aggregatable groupBys + one "
+    "equi-join on the tiny per-type rollup (broadcast under AQE).",
+)
+def ev_daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    typ = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_days")
+    )
+    return (
+        daily.join(typ, "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            (F.col("n") * F.col("n_days") > 2 * F.col("total")).alias("is_spike"),
+        )
+        .orderBy("event_type", "day")
+    )

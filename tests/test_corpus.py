@@ -105,6 +105,26 @@ def test_scd2_merge_versions_and_late_keys(spark):
     assert len(rows) == 4
 
 
+def test_star_cc_converges_logarithmically_on_chains(spark):
+    """The reason connected_components_star exists: a 64-node CHAIN
+    (worst case for min-label propagation, which needs O(diameter) = 63
+    rounds) must fully converge within 10 star rounds (O(log n) ≈ 6)."""
+    from bigdata_etl_elt_dashboard_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(chain, nodes, max_iter=10).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+
+
 def test_mixture_sample_deterministic_and_replicated(spark):
     docs = spark.createDataFrame([(i, "s") for i in range(200)], "doc_id long, source string")
     rate = F.when(F.col("doc_id") < 100, 100).otherwise(50)

@@ -204,6 +204,32 @@ def test_lsh_hot_bucket_gets_aqe_skew_split(spark):
     assert "skew=true" in plan, plan
 
 
+def test_decontaminate_is_equi_join_not_cross(spark, sf_oracle):
+    """Benchmark decontamination must meet docs through the shingle
+    inverted index (equi-join + anti-join) — never a cross product."""
+    plan = explain_str(REGISTRY["docs_decontaminate"].fn(spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_plan_has_no_shuffle(spark, sf_oracle):
+    """Mixture sampling/replication is narrow: filter + explode only — the
+    plan must contain no Exchange besides the output sort."""
+    df = REGISTRY["docs_mixture_plan"].fn(spark, sf_oracle)
+    plan = explain_str(df, "simple")
+    # rangepartitioning for the presentation orderBy is the ONLY exchange
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Join" not in plan
+
+
+def test_chunking_is_narrow(spark, sf_oracle):
+    """Document chunking is tokenize + explode + slice: no join, no
+    aggregate, no hash shuffle."""
+    plan = explain_str(REGISTRY["docs_chunking"].fn(spark, sf_oracle), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
 def test_all_pairs_cosine_is_blocked_equi_join(spark, sf_oracle):
     """The all-pairs near-dup kernel must enumerate pairs through a
     block-keyed EQUI-join (codegen-able hash/merge join) — never a
