@@ -1803,7 +1803,8 @@ def ev_dedup_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
                    levenshtein(d.dname, o.p_name) AS lev
             FROM damaged d
             JOIN part o
-              ON regexp_extract(d.dname, '[^ ]+$', 0) = regexp_extract(o.p_name, '[^ ]+$', 0)
+              ON substr(d.dname, 1, 2) || '|' || regexp_extract(d.dname, '[^ ]+$', 0)
+                 = substr(o.p_name, 1, 2) || '|' || regexp_extract(o.p_name, '[^ ]+$', 0)
             WHERE levenshtein(d.dname, o.p_name) <= 1
         )
         SELECT rec_id, matched_key, lev FROM cand
@@ -1812,11 +1813,13 @@ def ev_dedup_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Entity resolution by blocked fuzzy name match: damaged part names "
     "(3rd char dropped, partkey %% 13 slice) are re-linked to the catalog "
-    "by an EQUI-join on a blocking key (last name token, unaffected by "
-    "the damage) with levenshtein <= 1 as residual, then best-match "
-    "(min distance, deterministic tie-break) per record. Blocking keeps "
-    "the candidate set near-linear — never an all-pairs edit-distance "
-    "scan.",
+    "by an EQUI-join on a composite blocking key (first 2 chars + last "
+    "token, both damage-invariant) with levenshtein <= 1 as residual — "
+    "bounded (threshold) on the Spark side after a length guard — then "
+    "best-match (min distance, deterministic tie-break) per record. "
+    "Blocking keeps the candidate set near-linear — never an all-pairs "
+    "edit-distance scan; tighter blocks trade recall only for damage "
+    "outside the preserved fields, the standard ER design call.",
 )
 def ent_resolve_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
@@ -1827,12 +1830,26 @@ def ent_resolve_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dname"),
     )
     orig = part.select(F.col("p_partkey").alias("matched_key"), "p_name")
-    block_d = F.regexp_extract(F.col("dname"), "[^ ]+$", 0)
-    block_o = F.regexp_extract(F.col("p_name"), "[^ ]+$", 0)
+    # composite blocking key: first-2-chars (invariant under the 3rd-char
+    # damage) + last token — ~2 orders of magnitude smaller buckets than
+    # last-token alone, same planted-match recall
+    block_d = F.concat_ws(
+        "|", F.substring("dname", 1, 2), F.regexp_extract(F.col("dname"), "[^ ]+$", 0)
+    )
+    block_o = F.concat_ws(
+        "|", F.substring("p_name", 1, 2), F.regexp_extract(F.col("p_name"), "[^ ]+$", 0)
+    )
     cand = (
         damaged.join(orig, block_d == block_o)
-        .withColumn("lev", F.levenshtein(F.col("dname"), F.col("p_name")))
-        .filter(F.col("lev") <= 1)
+        # semantics-preserving prunes (the oracle's plain levenshtein <= 1
+        # implies both): a length guard before any edit-distance work, then
+        # the BOUNDED levenshtein (threshold arg -> banded DP with early
+        # exit, returns -1 over the bound) instead of the full O(len^2) DP
+        .filter(
+            F.abs(F.length("dname") - F.length("p_name")) <= 1
+        )
+        .withColumn("lev", F.levenshtein(F.col("dname"), F.col("p_name"), 1))
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= 1))
     )
     w = Window.partitionBy("rec_id").orderBy("lev", "matched_key")
     return (
@@ -2234,3 +2251,97 @@ def ev_daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "tr_unpivot_kpis",
+    oracle="""
+        SELECT metric, value FROM (
+            UNPIVOT (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n_orders,
+                       CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                           / CAST(100 AS DOUBLE) AS total_revenue
+                FROM orders
+            ) ON n_orders, n_customers, total_revenue
+            INTO NAME metric VALUE value
+        ) ORDER BY metric
+    """,
+    doc="Wide-to-long reshape (the inverse of pivot_priority_by_status): "
+    "the KPI row melts into (metric, value) pairs via DataFrame.unpivot / "
+    "SQL UNPIVOT — the reshape a dashboard's metric store or a metrics "
+    "sink expects. Runs over a 1-row aggregate; the unpivot itself is a "
+    "narrow Expand.",
+)
+def tr_unpivot_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    wide = orders.agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+        (F.sum(cents).cast("double") / F.lit(100).cast("double")).alias(
+            "total_revenue"
+        ),
+    )
+    return wide.unpivot(
+        ids=[], values=["n_orders", "n_customers", "total_revenue"],
+        variableColumnName="metric", valueColumnName="value",
+    ).orderBy("metric")
+
+
+def _profile_sql(col: str, typed: str) -> str:
+    """One UNION-ALL leg of the column profiler (DuckDB dialect)."""
+    return f"""
+        SELECT '{col}' AS column_name, COUNT(*) AS n_rows,
+               COUNT({col}) AS n_nonnull,
+               COUNT(DISTINCT {col}) AS n_distinct,
+               CAST(MIN({typed}) AS VARCHAR) AS min_value,
+               CAST(MAX({typed}) AS VARCHAR) AS max_value
+        FROM orders
+    """
+
+
+@register(
+    "dq_profile_orders",
+    oracle=" UNION ALL ".join(
+        [
+            _profile_sql("o_orderstatus", "o_orderstatus"),
+            _profile_sql("o_orderpriority", "o_orderpriority"),
+            _profile_sql("o_custkey", "o_custkey"),
+            _profile_sql("o_totalprice", "CAST(o_totalprice AS DECIMAL(15,2))"),
+            _profile_sql("o_orderdate", "CAST(o_orderdate AS DATE)"),
+        ]
+    )
+    + " ORDER BY column_name",
+    doc="Per-column data profiler — the discovery step before writing DQ "
+    "rules: row/non-null/distinct counts plus min/max per column, "
+    "stringified through engine-stable renderings (DECIMAL(15,2) for "
+    "doubles, DATE for timestamps — raw double/timestamp formatting is "
+    "engine-specific). One aggregation pass per column over a single "
+    "cached scan; at scale swap COUNT(DISTINCT) for "
+    "approx_count_distinct.",
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+
+    def leg(col: str, typed):
+        return orders.agg(
+            F.lit(col).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(typed).cast("string").alias("min_value"),
+            F.max(typed).cast("string").alias("max_value"),
+        )
+
+    legs = [
+        leg("o_orderstatus", F.col("o_orderstatus")),
+        leg("o_orderpriority", F.col("o_orderpriority")),
+        leg("o_custkey", F.col("o_custkey")),
+        leg("o_totalprice", F.col("o_totalprice").cast("decimal(15,2)")),
+        leg("o_orderdate", F.col("o_orderdate").cast("date")),
+    ]
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out.orderBy("column_name")
