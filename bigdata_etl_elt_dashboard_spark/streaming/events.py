@@ -152,3 +152,38 @@ def stream_upsert_daily_gold(events_stream: DataFrame, path: str, checkpoint_dir
         .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
     )
+
+
+def stream_click_view_join(
+    clicks_stream: DataFrame,
+    views_stream: DataFrame,
+    window_minutes: int = 10,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each click pairs with the same
+    user's views from the preceding ``window_minutes``.
+
+    Both sides carry watermarks and the join condition bounds view time
+    relative to click time, so the state store can evict: a buffered view
+    is droppable once the click-side watermark passes view_ts + window
+    (the engine derives this from the time-range predicate — an UNBOUNDED
+    stream-stream join would otherwise buffer both streams forever). The
+    batch twin is operators/temporal.range_join (epoch-bucketed equi-join);
+    the streaming form trades its two-bucket probe for state-store lookups
+    keyed by user_id."""
+    c = clicks_stream.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    v = views_stream.select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    ).withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (F.col("view_ts") < F.col("click_ts")),
+    ).select("click_id", "user_id", "click_ts", "view_ts", "view_value")

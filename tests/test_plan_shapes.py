@@ -204,6 +204,45 @@ def test_lsh_hot_bucket_gets_aqe_skew_split(spark):
     assert "skew=true" in plan, plan
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_oracle):
+    """At 100 TB, a selective dim-side predicate should cut the fact scan
+    BEFORE the shuffle: Spark's runtime Bloom filter injects a
+    might_contain(...) predicate on the big side of a shuffle join. Pin
+    that the optimizer actually does it for our fact⋈filtered-orders shape
+    (thresholds scaled to test data; at production scale the defaults
+    fire)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_etl_elt_dashboard_spark.sources.catalog import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_oracle, "lineitem")
+        orders = table(spark, sf_oracle, "orders")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        j = (
+            li.join(sel.hint("shuffle_hash"), li.l_orderkey == sel.o_orderkey)
+            .groupBy()
+            .count()
+        )
+        plan = explain_str(j)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan  # bloom filter applied to the fact scan side
+
+
 def test_decontaminate_is_equi_join_not_cross(spark, sf_oracle):
     """Benchmark decontamination must meet docs through the shingle
     inverted index (equi-join + anti-join) — never a cross product."""

@@ -231,6 +231,46 @@ def test_stream_gold_upsert_incremental_backfill(spark, tmp_path):
     assert day1_mtimes == [os.path.getmtime(f) for f in day1_files]
 
 
+def test_stream_stream_range_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks pair with the same user's
+    views from the preceding 10 minutes — matches the batch range-join
+    semantics on the same data ([ts-10m, ts) window, key-scoped)."""
+    from bigdata_etl_elt_dashboard_spark.streaming.events import (
+        stream_click_view_join,
+        stream_events_from_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, _ts(10, 0), 1, "view", 1.0),    # 10:00 view
+            (2, _ts(10, 5), 1, "view", 2.0),    # 10:05 view
+            (3, _ts(10, 9), 1, "click", 0.0),   # click: pairs with BOTH views
+            (4, _ts(10, 30), 1, "click", 0.0),  # click: no view in [10:20,10:30)
+            (5, _ts(10, 4), 2, "click", 0.0),   # other user: 10:00 view is not theirs
+        ],
+    )
+    stream = lambda et: stream_events_from_parquet(spark, src, EVENT_SCHEMA).filter(
+        F.col("event_type") == et
+    )
+    q = (
+        stream_click_view_join(stream("click"), stream("view"))
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["view_ts"].minute, r["view_value"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    assert got == {(3, 0, 1.0), (3, 5, 2.0)}
+
+
 def test_stream_static_enrich_join(spark, event_dir):
     """Stream-static join: a micro-batch stream broadcast-enriched against
     a static dimension — the streaming form of the fact→dim joins (J2-J5).
