@@ -2345,3 +2345,55 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for l in legs[1:]:
         out = out.unionByName(l)
     return out.orderBy("column_name")
+
+
+@register(
+    "docs_sequence_packing_sharded",
+    oracle="""
+        SELECT doc_id, lang, shard, n_tokens, tok_offset,
+               CAST(floor(tok_offset / 2048.0) AS BIGINT) AS pack_id
+        FROM (
+            SELECT doc_id, lang, shard, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard
+                                            ORDER BY doc_id)
+                        - n_tokens AS BIGINT) AS tok_offset
+            FROM (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            % 8 AS INT) AS shard,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                            END AS n_tokens
+                FROM documents
+            )
+        )
+        ORDER BY doc_id
+    """,
+    doc="Sequence packing, SHARDED — the exact shape docs_sequence_packing's "
+    "docstring prescribes for 100 TB: the packing stratum is (lang, shard) "
+    "with shard = deterministic md5 hash of doc_id mod 8, so no window "
+    "partition ever holds a whole language and the per-stratum ordered "
+    "shuffle stays bounded. Packs are local to (lang, shard) — exactly how "
+    "sharded pretraining data is laid out.",
+)
+def docs_sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import hash_pct, sequence_packing
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(8),
+        )
+        .cast("int")
+        .alias("shard"),
+        X.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return (
+        sequence_packing(docs, "n_tokens", budget=2048, part_cols=("lang", "shard"))
+        .select("doc_id", "lang", "shard", "n_tokens", "tok_offset", "pack_id")
+        .orderBy("doc_id")
+    )
