@@ -2397,3 +2397,97 @@ def docs_sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "lang", "shard", "n_tokens", "tok_offset", "pack_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "trend_ma3_revenue",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY month
+        )
+        SELECT CAST(month AS DATE) AS month,
+               CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+               CAST(SUM(cents) OVER (ORDER BY month
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                    AS DOUBLE)
+                   / CAST(100 AS DOUBLE)
+                   / COUNT(*) OVER (ORDER BY month
+                                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS ma3_revenue
+        FROM monthly ORDER BY month
+    """,
+    doc="3-month moving average revenue — the ROWS-frame window (BETWEEN 2 "
+    "PRECEDING AND CURRENT ROW) complementing the RANGE-frame rolling-7d "
+    "and the unbounded cumulative trend. Window runs over post-agg monthly "
+    "rows only; exact integer cents with one final division chain, "
+    "partial months average over their true row count (no padding).",
+)
+def trend_ma3_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    w = Window.orderBy("month").rowsBetween(-2, 0)
+    return (
+        monthly.select(
+            "month",
+            (F.col("cents").cast("double") / F.lit(100).cast("double")).alias("revenue"),
+            (
+                F.sum("cents").over(w).cast("double")
+                / F.lit(100).cast("double")
+                / F.count("*").over(w)
+            ).alias("ma3_revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "dq_full_outer_reconcile",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 11 <> 0
+        ),
+        l AS (
+            SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey % 7 <> 0
+        )
+        SELECT CASE WHEN o.k IS NULL THEN 'lineitem_only'
+                    WHEN l.k IS NULL THEN 'orders_only'
+                    ELSE 'both' END AS presence,
+               COUNT(*) AS n_keys
+        FROM o FULL OUTER JOIN l ON o.k = l.k
+        GROUP BY presence ORDER BY presence
+    """,
+    doc="FULL OUTER reconciliation — the two-sided variant of the "
+    "anti-join reconcile: keys present in either source classified as "
+    "both / orders_only / lineitem_only with counts (planted %%7 / %%11 "
+    "drop-outs make all three classes non-empty). Both sides pre-reduced "
+    "to keys before the join (the fact never full-outer-joins row-level); "
+    "full outer requires a shuffle join — Spark plans SMJ here, the "
+    "correct choice since neither side can broadcast.",
+)
+def dq_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    o = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("ok")
+    )
+    l = (
+        li.filter(F.col("l_orderkey") % 7 != 0)
+        .select(F.col("l_orderkey").alias("lk"))
+        .distinct()
+    )
+    joined = o.join(l, o.ok == l.lk, "full_outer")
+    presence = (
+        F.when(F.col("ok").isNull(), "lineitem_only")
+        .when(F.col("lk").isNull(), "orders_only")
+        .otherwise("both")
+    )
+    return (
+        joined.select(presence.alias("presence"))
+        .groupBy("presence")
+        .agg(F.count("*").alias("n_keys"))
+        .orderBy("presence")
+    )

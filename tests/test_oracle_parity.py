@@ -44,6 +44,27 @@ def test_driver_gate_window_order_is_pinned():
     assert rows_only == ["agg_approx_sketches"]
 
 
+def test_queries_md_index_is_fresh():
+    """QUERIES.md is generated from the registry; regenerate via
+    ``python tools/gen_query_index.py`` whenever queries change."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "QUERIES.md")) as f:
+        before = f.read()
+    subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "gen_query_index.py")],
+        check=True,
+        cwd=root,
+        capture_output=True,
+    )
+    with open(os.path.join(root, "QUERIES.md")) as f:
+        after = f.read()
+    assert before == after, "QUERIES.md is stale — run tools/gen_query_index.py"
+
+
 def test_harness_is_type_strict():
     """Round-1 regression: the driver's value-hash distinguishes DECIMAL from
     DOUBLE; the local harness must too (it used to coerce Decimal->float and
