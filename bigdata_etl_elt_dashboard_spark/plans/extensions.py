@@ -2317,9 +2317,9 @@ def _profile_sql(col: str, typed: str) -> str:
     "rules: row/non-null/distinct counts plus min/max per column, "
     "stringified through engine-stable renderings (DECIMAL(15,2) for "
     "doubles, DATE for timestamps — raw double/timestamp formatting is "
-    "engine-specific). One aggregation pass per column over a single "
-    "cached scan; at scale swap COUNT(DISTINCT) for "
-    "approx_count_distinct.",
+    "engine-specific). Each UNION leg scans ONLY its own column (column "
+    "pruning makes 5 narrow scans ~ 1 wide scan on columnar storage); at "
+    "scale swap COUNT(DISTINCT) for approx_count_distinct.",
 )
 def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")

@@ -144,6 +144,39 @@ def test_mixture_sample_deterministic_and_replicated(spark):
         assert sorted(eps) == ([1, 2] if d % 2 == 0 else [1])
 
 
+def test_corpus_pipeline_end_to_end(spark, tmp_path, sf_oracle):
+    """curate -> dedup -> decontaminate -> mix -> pack -> shard write as one
+    run: shards land partitioned by (lang, shard); every surviving doc
+    passed the quality gate, is fingerprint-unique, shares no shingle with
+    the benchmark slice; packs are contiguous within each stratum."""
+    import glob
+    import os
+
+    from bigdata_etl_elt_dashboard_spark.corpus_pipeline import build_training_shards
+
+    out = str(tmp_path / "shards")
+    metrics = build_training_shards(spark, sf_oracle, out, min_chars=50)
+    stage = metrics.stages["corpus_pipeline"]
+    assert stage["rows"] > 0 and stage["n_packs"] > 0
+
+    assert glob.glob(os.path.join(out, "lang=*", "shard=*", "*.parquet"))
+    shards = spark.read.parquet(out)
+    rows = shards.collect()
+    # quality gate + benchmark exclusion held
+    assert all(r["n_tokens"] >= 0 and r["doc_id"] % 97 != 0 for r in rows)
+    # fingerprint-unique: no two rows share normalized text
+    texts = [" ".join(r["text"].split()).lower() for r in rows]
+    assert len(texts) == len(set(texts))
+    # packs contiguous: within (lang, shard), offsets are the running sum
+    by_stratum = {}
+    for r in sorted(rows, key=lambda r: (r["lang"], r["shard"], r["doc_id"])):
+        key = (r["lang"], r["shard"])
+        expect = by_stratum.get(key, 0)
+        assert r["tok_offset"] == expect
+        assert r["pack_id"] == expect // 2048
+        by_stratum[key] = expect + r["n_tokens"]
+
+
 def test_vocab_top_terms_tiebreak(spark):
     docs = spark.createDataFrame(
         [(1, "b a b c a b"), (2, "c a  ")], "doc_id long, text string"
