@@ -108,6 +108,43 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.select("doc_id", "lang", pred.alias("lang_pred"))
 
 
+def bigram_list(toks: Column) -> Column:
+    """Adjacent word bigrams of a token array as ``array<string>``; empty
+    array for docs with fewer than 2 tokens. Built with sequence+transform
+    (JVM higher-order fns) — a per-row projection, no explode/shuffle."""
+    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        )
+    )
+
+
+def max_token_count(toks: Column) -> Column:
+    """Highest per-token occurrence count within one document (the Gopher
+    'top token fraction' numerator), without an explode+groupBy shuffle:
+    sort the array, then a single O(n) aggregate() scan tracking the
+    longest run of equal adjacent tokens. Per-row, embarrassingly
+    parallel — the 100 TB plan is a narrow projection, not a per-token
+    shuffle."""
+    sorted_toks = F.array_sort(toks)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_toks, init, merge, lambda acc: acc["best"])
+
+
 def normalized_text(text: Column) -> Column:
     """Whitespace-collapsed, lowercased, trimmed text (fingerprint input)."""
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")

@@ -1,0 +1,354 @@
+"""Corpus-quality and embedding-statistics extensions (SURVEY §7.5;
+BASELINE.json north star — LLM training-data pipeline surface).
+
+Gopher-style repetition filtering (Rae et al. 2021, public) and scalar
+embedding quantization (classic IVF/PQ preprocessing) re-expressed as
+narrow Spark projections + keyed aggregations:
+
+- repetition metrics are per-row higher-order-function projections — NO
+  explode shuffle; at 100 TB the plan is scan → project → (optional)
+  small group-by, embarrassingly parallel.
+- embedding stats posexplode to (dim, value) pairs but aggregate onto 64
+  dimension keys with map-side partial aggregation, so the shuffle is 64
+  rows per task regardless of corpus size.
+
+Cross-engine determinism: every ratio is an exact integer rational
+evaluated with one IEEE division (or a fixed-point micro-unit sum), so
+the DuckDB oracle hashes bit-identically — no accumulation-order drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import text as X
+from ..sources.catalog import table
+from .extensions import _TOKS_SQL
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition metrics (documents)
+# --------------------------------------------------------------------------
+
+#: shared keep-thresholds for the repetition filter (Spark + oracle SQL)
+_MIN_TOKENS = 20
+_MAX_TOKENS = 120
+_MAX_DUP_TOKEN_RATIO = 0.55
+_MAX_TOP_TOKEN_RATIO = 0.12
+_MAX_DUP_BIGRAM_RATIO = 0.25
+
+#: DuckDB twin of the per-doc metrics (top-count via explode+group — the
+#: oracle mirrors semantics, not the shuffle-free implementation strategy)
+_METRICS_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+    top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id),
+    bg AS (
+        SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bgram
+        FROM base, UNNEST(range(1, greatest(len(toks) - 1, 0) + 1)) AS t(i)
+    ),
+    bstat AS (
+        SELECT doc_id, count(*) AS n_bg, count(DISTINCT bgram) AS n_bg_d
+        FROM bg GROUP BY doc_id
+    ),
+    metrics AS (
+        SELECT b.doc_id,
+               b.source,
+               len(b.toks) AS n_tokens,
+               len(list_distinct(b.toks)) AS n_distinct_tokens,
+               (len(b.toks) - len(list_distinct(b.toks))) / len(b.toks)
+                   AS dup_token_ratio,
+               t.top_c / len(b.toks) AS top_token_ratio,
+               CASE WHEN coalesce(s.n_bg, 0) > 0
+                    THEN (s.n_bg - s.n_bg_d) / s.n_bg
+                    ELSE 0.0 END AS dup_bigram_ratio
+        FROM base b
+        JOIN top t USING (doc_id)
+        LEFT JOIN bstat s USING (doc_id)
+    )
+"""
+
+
+def _doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token repetition metrics as a single narrow projection."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "source", X.tokens(F.col("text")).alias("toks"))
+    n_tokens = F.size("toks")
+    n_distinct = F.size(F.array_distinct("toks"))
+    big = X.bigram_list(F.col("toks"))
+    n_bg = F.size(big)
+    n_bg_d = F.size(F.array_distinct(big))
+    return d.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        ((n_tokens - n_distinct) / n_tokens).alias("dup_token_ratio"),
+        (X.max_token_count(F.col("toks")) / n_tokens).alias("top_token_ratio"),
+        F.when(n_bg > 0, (n_bg - n_bg_d) / n_bg)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+    )
+
+
+@register(
+    "docs_repetition_metrics",
+    oracle=f"""
+        {_METRICS_SQL}
+        SELECT doc_id, n_tokens, n_distinct_tokens,
+               dup_token_ratio, top_token_ratio, dup_bigram_ratio
+        FROM metrics ORDER BY doc_id
+    """,
+    doc="Gopher-style per-doc repetition metrics: duplicate-token ratio "
+    "(1 - distinct/total), top-token fraction (mode count / total, computed "
+    "shuffle-free via array_sort + a single aggregate() run-length scan), "
+    "and duplicate-bigram ratio. All ratios are exact integer rationals — "
+    "one IEEE division each, bit-identical across engines. Per-row "
+    "projection only: the 100 TB plan has no per-token shuffle.",
+)
+def docs_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_metrics(spark, sf_dir).drop("source").orderBy("doc_id")
+
+
+@register(
+    "docs_gopher_quality_filter",
+    oracle=f"""
+        {_METRICS_SQL}
+        SELECT source,
+               count(*) AS n_docs,
+               count(*) FILTER (
+                   n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+                   AND dup_token_ratio <= {_MAX_DUP_TOKEN_RATIO}
+                   AND top_token_ratio <= {_MAX_TOP_TOKEN_RATIO}
+                   AND dup_bigram_ratio <= {_MAX_DUP_BIGRAM_RATIO}
+               ) AS n_kept,
+               count(*) FILTER (
+                   n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+                   AND dup_token_ratio <= {_MAX_DUP_TOKEN_RATIO}
+                   AND top_token_ratio <= {_MAX_TOP_TOKEN_RATIO}
+                   AND dup_bigram_ratio <= {_MAX_DUP_BIGRAM_RATIO}
+               ) / count(*) AS keep_rate
+        FROM metrics
+        GROUP BY source ORDER BY source
+    """,
+    doc="Gopher-rule keep/drop filter over the repetition metrics with "
+    "per-source keep rates — the dashboard view of a corpus-cleaning pass. "
+    "Thresholds are module constants shared by both engines; keep_rate is "
+    "an exact rational (bigint/bigint, one IEEE division).",
+)
+def docs_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _doc_metrics(spark, sf_dir)
+    kept = (
+        F.col("n_tokens").between(_MIN_TOKENS, _MAX_TOKENS)
+        & (F.col("dup_token_ratio") <= _MAX_DUP_TOKEN_RATIO)
+        & (F.col("top_token_ratio") <= _MAX_TOP_TOKEN_RATIO)
+        & (F.col("dup_bigram_ratio") <= _MAX_DUP_BIGRAM_RATIO)
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            (F.sum(kept.cast("long")) / F.count("*")).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding column statistics + scalar (int8) quantization
+# --------------------------------------------------------------------------
+
+#: (dim 1-based, label, x double) — lateral-unnest twin of posexplode
+_EMB_EXPLODE_SQL = """
+    SELECT t.i AS dim, label, CAST(embedding[t.i] AS DOUBLE) AS x
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+"""
+
+
+@register(
+    "emb_dim_stats",
+    oracle=f"""
+        WITH e AS ({_EMB_EXPLODE_SQL})
+        SELECT dim, min(x) AS min_val, max(x) AS max_val,
+               sum(CAST(floor(x * 1000000) AS BIGINT))
+                   / (1000000.0 * count(*)) AS mean_q
+        FROM e GROUP BY dim ORDER BY dim
+    """,
+    doc="Per-dimension min / max / mean over the embedding column — the "
+    "stats pass that feeds normalization and scalar quantization. "
+    "posexplode to (dim, x) then aggregate onto 64 keys: map-side partial "
+    "aggregation reduces the shuffle to 64 rows per task at any corpus "
+    "size. Mean uses a micro-unit fixed-point sum (order-independent "
+    "bigint partials, one final IEEE division) so both engines agree "
+    "bit-for-bit; min/max of a double are order-safe as-is.",
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("pos", "xf"))
+    x = F.col("xf").cast("double")
+    return (
+        e.select((F.col("pos") + 1).alias("dim"), x.alias("x"))
+        .groupBy("dim")
+        .agg(
+            F.min("x").alias("min_val"),
+            F.max("x").alias("max_val"),
+            (
+                F.sum(F.floor(F.col("x") * 1000000).cast("long"))
+                / (F.lit(1000000.0) * F.count("*"))
+            ).alias("mean_q"),
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
+    "emb_quantize_error",
+    oracle=f"""
+        WITH e AS ({_EMB_EXPLODE_SQL}),
+        stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim),
+        q AS (
+            SELECT e.label, e.x, s.mn, s.mx,
+                   CASE WHEN s.mx > s.mn
+                        THEN least(greatest(floor(
+                            ((e.x - s.mn) * 255.0) / (s.mx - s.mn) + 0.5
+                        ), 0), 255)
+                        ELSE 0 END AS qv
+            FROM e JOIN stats s USING (dim)
+        ),
+        r AS (
+            SELECT label,
+                   abs(x - (mn + (qv * (mx - mn)) / 255.0)) AS err
+            FROM q
+        )
+        SELECT label, count(*) AS n_vals,
+               max(err) AS max_err,
+               sum(CAST(floor(err * 1000000000.0) AS BIGINT))
+                   / (1000000000.0 * count(*)) AS mean_err_q
+        FROM r GROUP BY label ORDER BY label
+    """,
+    doc="Scalar int8 quantization round-trip error, per label: each "
+    "dimension maps to 0..255 against its corpus min/max, dequantizes, "
+    "and the absolute reconstruction error aggregates per label. The "
+    "64-row stats table broadcast-joins back onto the exploded values — "
+    "two passes over the scan, shuffle only onto 64 dim keys and the "
+    "label keys. Identical IEEE expression shapes on both engines; the "
+    "mean error uses a nano-unit fixed-point sum.",
+)
+def emb_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "label", (F.col("pos") + 1).alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    stats = e.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    j = e.join(F.broadcast(stats), "dim")
+    qv = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.greatest(
+                F.floor(
+                    ((F.col("x") - F.col("mn")) * F.lit(255.0))
+                    / (F.col("mx") - F.col("mn"))
+                    + F.lit(0.5)
+                ),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ),
+    ).otherwise(F.lit(0))
+    err = F.abs(
+        F.col("x") - (F.col("mn") + (qv * (F.col("mx") - F.col("mn"))) / F.lit(255.0))
+    )
+    return (
+        j.select("label", err.alias("err"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vals"),
+            F.max("err").alias("max_err"),
+            (
+                F.sum(F.floor(F.col("err") * 1000000000.0).cast("long"))
+                / (F.lit(1000000000.0) * F.count("*"))
+            ).alias("mean_err_q"),
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto / cumulative-share analytics (supplier concentration)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "supplier_pareto_cumshare",
+    oracle="""
+        WITH per AS (
+            SELECT l_suppkey AS s_suppkey,
+                   SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 10000)
+                       AS BIGINT)) AS units
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        j AS (
+            SELECT p.s_suppkey, s.s_name, p.units
+            FROM per p JOIN supplier s ON p.s_suppkey = s.s_suppkey
+        ),
+        w AS (
+            SELECT *,
+                   SUM(units) OVER (
+                       ORDER BY units DESC, s_suppkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_units,
+                   SUM(units) OVER () AS total_units
+            FROM j
+        )
+        SELECT s_suppkey, s_name,
+               CAST(units AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue,
+               CAST(cum_units AS DOUBLE) / CAST(total_units AS DOUBLE)
+                   AS cum_share,
+               (cum_units * 5 <= total_units * 4) AS in_top80
+        FROM w ORDER BY cum_units, s_suppkey
+    """,
+    doc="Pareto concentration: suppliers ranked by exact fixed-point "
+    "revenue with cumulative revenue share and an 80%%-club flag. The "
+    "cumulative window runs over the post-aggregation supplier dimension "
+    "(cardinality ≈ rows/agg-factor, not fact rows), so the single-"
+    "partition ordered window is bounded; the in_top80 flag compares "
+    "integers (cum*5 <= total*4) — no float threshold drift.",
+)
+def supplier_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    units = F.sum(
+        F.round(
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            * F.lit(10000)
+        ).cast("long")
+    )
+    per = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(units.alias("units"))
+    j = per.join(sup, "s_suppkey")
+    w = Window.orderBy(F.desc("units"), "s_suppkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    cum = F.sum("units").over(w)
+    total = F.sum("units").over(wt)
+    return (
+        j.select(
+            "s_suppkey",
+            "s_name",
+            (F.col("units").cast("double") / F.lit(10000).cast("double")).alias(
+                "revenue"
+            ),
+            (cum.cast("double") / total.cast("double")).alias("cum_share"),
+            (cum * 5 <= total * 4).alias("in_top80"),
+            cum.alias("_cum"),
+        )
+        .orderBy("_cum", "s_suppkey")
+        .drop("_cum")
+    )
