@@ -10,6 +10,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     corpus_quality,
     elt,
     extensions,
+    iterative,
     star,
     transform_queries,
 )

@@ -1,0 +1,235 @@
+"""Iterative distributed algorithms (SURVEY §7.5 extension surface):
+one full Lloyd k-means iteration and fixed-iteration PageRank.
+
+Iterative algorithms are where naive cross-engine comparison breaks down
+— accumulated float error diverges per iteration. Both queries here run
+ENTIRELY in exact integer arithmetic (micro-unit quantized coordinates,
+integer-division rank units), so every iteration is bit-identical on any
+engine and any partitioning, and the DuckDB oracle is an exact hash
+match, not a tolerance check.
+
+Scale design:
+- k-means: the k×dim centroid matrix is the ONLY driver-side state
+  (k*dim = 512 values); the fact table never joins — assignments are
+  zip_with/aggregate projections against literal arrays, and the M-step
+  is one partial-aggregatable groupBy per iteration.
+- PageRank: each iteration is one keyed shuffle (contributions grouped
+  by destination); degree and rank tables are node-sized, never
+  edge-materialized beyond the distinct edge list. Fixed 3 iterations —
+  the convergence-loop variant would add localCheckpoint lineage
+  truncation per round (see operators/dedup.connected_components_star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+from .registry import register
+
+_K = 8  # initial centroids: vectors with vec_id 0..7 (deterministic seed)
+
+
+def _to_fixed(arr: Column) -> Column:
+    """Quantize a float vector to micro-unit BIGINTs (exact distances)."""
+    return F.transform(arr, lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
+
+
+def _best_assign(cents: dict[int, list[int]]) -> Column:
+    """struct(d2, lbl) of the nearest centroid (literal-array distances,
+    tie-break on centroid id via array_sort's struct ordering)."""
+    dists = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("xi_arr"),
+                    F.array(*[F.lit(m) for m in mis]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2"),
+            F.lit(lbl).alias("lbl"),
+        )
+        for lbl, mis in sorted(cents.items())
+    ]
+    return F.array_sort(F.array(*dists))[0]
+
+
+@register(
+    "sim_kmeans_lloyd1",
+    oracle=f"""
+        WITH pts AS (
+            SELECT vec_id, i - 1 AS pos,
+                   CAST(ROUND(emb[i] * 1000000) AS BIGINT) AS xi
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+                 UNNEST(range(1, len(emb) + 1)) AS t(i)
+        ),
+        init AS (SELECT vec_id AS c, pos, xi AS mi FROM pts WHERE vec_id < {_K}),
+        d0 AS (
+            SELECT p.vec_id, i.c, SUM((p.xi - i.mi) * (p.xi - i.mi)) AS d2
+            FROM pts p JOIN init i USING (pos) GROUP BY p.vec_id, i.c
+        ),
+        a0 AS (
+            SELECT vec_id, c AS c0 FROM d0
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) = 1
+        ),
+        cent1 AS (
+            SELECT a0.c0 AS c, p.pos, CAST(ROUND(AVG(p.xi)) AS BIGINT) AS mi
+            FROM pts p JOIN a0 USING (vec_id) GROUP BY a0.c0, p.pos
+        ),
+        d1 AS (
+            SELECT p.vec_id, c1.c, SUM((p.xi - c1.mi) * (p.xi - c1.mi)) AS d2
+            FROM pts p JOIN cent1 c1 USING (pos) GROUP BY p.vec_id, c1.c
+        ),
+        a1 AS (
+            SELECT vec_id, c AS c1, d2 AS best_d2 FROM d1
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) = 1
+        )
+        SELECT a1.c1 AS cluster, COUNT(*) AS n_vecs,
+               SUM(a1.best_d2) AS inertia,
+               COUNT(CASE WHEN a1.c1 <> a0.c0 THEN 1 END) AS n_moved
+        FROM a1 JOIN a0 USING (vec_id)
+        GROUP BY cluster ORDER BY cluster
+    """,
+    doc="One full Lloyd iteration of k-means (k=8, init = vectors "
+    "vec_id 0..7): assign to init centroids, recompute means (M-step), "
+    "re-assign, and report per-cluster size, exact integer inertia, and "
+    "how many vectors moved. Coordinates quantize to micro-unit BIGINTs "
+    "so distances, argmins, and inertia are exact integers — iteration "
+    "results are engine- and partitioning-independent (the classic "
+    "failure mode of float k-means testing). Spark plan: centroids live "
+    "driver-side as k*64 literal arrays (512 values), assignments are "
+    "per-row zip_with projections — the embeddings table never joins or "
+    "explodes except the one M-step groupBy (k*64-row result).",
+)
+def sim_kmeans_lloyd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    fixed = emb.select("vec_id", _to_fixed(F.col("embedding")).alias("xi_arr"))
+
+    init_rows = fixed.filter(F.col("vec_id") < _K).collect()
+    init = {int(r["vec_id"]): list(r["xi_arr"]) for r in init_rows}
+
+    a0 = fixed.select("vec_id", "xi_arr", _best_assign(init)["lbl"].alias("c0"))
+    cent_rows = (
+        a0.select("c0", F.posexplode("xi_arr"))
+        .withColumnsRenamed({"col": "xi"})
+        .groupBy("c0", "pos")
+        .agg(F.round(F.avg("xi")).cast("long").alias("mi"))
+        .collect()
+    )
+    cents: dict[int, list[int]] = {}
+    for r in cent_rows:
+        cents.setdefault(int(r["c0"]), [0] * 64)[r["pos"]] = int(r["mi"])
+
+    best1 = _best_assign(cents)
+    return (
+        a0.select(
+            "c0",
+            best1["lbl"].alias("cluster"),
+            best1["d2"].alias("best_d2"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("best_d2").alias("inertia"),
+            F.count(F.when(F.col("cluster") != F.col("c0"), 1)).alias("n_moved"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank (fixed 3 iterations, integer rank units)
+# --------------------------------------------------------------------------
+
+_PR_UNITS = 1_000_000_000  # total rank mass in integer units
+_PR_ITERS = 3
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+        {out} AS (
+            SELECT e.dst AS node,
+                   b.b + SUM((r.r * 85) // (100 * d.deg)) AS r
+            FROM edges e
+            JOIN {prev} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src
+            CROSS JOIN base b
+            GROUP BY e.dst, b.b
+        )"""
+
+
+@register(
+    "graph_pagerank_3iter",
+    oracle=f"""
+        WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        edges AS (
+            SELECT 'P' || p AS src, 'S' || s AS dst FROM e0
+            UNION ALL
+            SELECT 'S' || s AS src, 'P' || p AS dst FROM e0
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        base AS (
+            SELECT (CAST({_PR_UNITS} AS BIGINT) * 15) // (100 * COUNT(*)) AS b,
+                   COUNT(*) AS n
+            FROM deg
+        ),
+        r0 AS (
+            SELECT d.src AS node, {_PR_UNITS} // b.n AS r
+            FROM deg d CROSS JOIN base b
+        ),
+        {_pagerank_iter_sql("r0", "r1")},
+        {_pagerank_iter_sql("r1", "r2")},
+        {_pagerank_iter_sql("r2", "r3")}
+        SELECT node, r AS rank_units
+        FROM r3 ORDER BY r DESC, node LIMIT 20
+    """,
+    doc="PageRank, 3 fixed iterations, over the bipartite part↔supplier "
+    "graph induced by lineitem (distinct edges, both directions — every "
+    "node has degree ≥ 1, so no dangling-mass handling needed). Rank "
+    "mass is 1e9 integer units; each contribution is an exact integer "
+    "division (r*85 div (100*deg)) and each new rank an exact integer "
+    "sum, so all three iterations are bit-identical across engines — no "
+    "float accumulation drift. Spark plan per iteration: contributions "
+    "= edges⋈ranks⋈degree (all keyed equi-joins on src), then ONE "
+    "shuffle grouping by dst; the edge list shuffles once per iteration "
+    "and rank/degree tables stay node-sized. Top-20 via "
+    "TakeOrderedAndProject — no global sort.",
+)
+def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pn = F.concat(F.lit("P"), F.col("p").cast("string"))
+    sn = F.concat(F.lit("S"), F.col("s").cast("string"))
+    edges = e0.select(pn.alias("src"), sn.alias("dst")).unionAll(
+        e0.select(sn.alias("src"), pn.alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n_nodes = deg.count()  # driver-side scalar (graph cardinality)
+    base = (_PR_UNITS * 15) // (100 * n_nodes)
+
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(_PR_UNITS // n_nodes).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst"),
+                F.expr("(r * 85) div (100 * deg)").alias("c"),
+            )
+        )
+        ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(base) + F.sum("c")).alias("r")
+        )
+    return (
+        ranks.select("node", F.col("r").alias("rank_units"))
+        .orderBy(F.desc("rank_units"), "node")
+        .limit(20)
+    )
