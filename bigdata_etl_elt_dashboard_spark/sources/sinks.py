@@ -14,7 +14,8 @@ time-derived column (e.g. order_year) so the dashboard's date-range filter
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -79,6 +80,85 @@ def write_clustered(
         .sortWithinPartitions(*partition_by, *cluster_by)
         .write.mode("overwrite")
         .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — for interchange with Hive-era consumers; same layout
+    options (partitioning, compression) as the parquet sink."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def zorder_value(cols: list[Column], bits: int = 8) -> Column:
+    """Morton (Z-order) curve value from per-column bucket ids.
+
+    Each column must already be an integer bucket in [0, 2**bits); the
+    result interleaves their bits (column d owns bit positions i*D + d),
+    so rows close on the curve are close in EVERY dimension at once.
+    Pure shiftright/&/shiftleft integer expressions — JVM-side, codegen.
+    """
+    d_n = len(cols)
+    z = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        b = c.cast("long")
+        for i in range(bits):
+            z = z + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * d_n + d)
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    n_files: int,
+    bits: int = 8,
+) -> None:
+    """Multi-dimensional data-skipping layout: sort the table along a
+    Z-order (Morton) curve over ``zorder_by`` and write ``n_files`` files.
+
+    ``write_clustered`` gives perfect skipping on ONE sort dimension;
+    a lexicographic multi-column sort gives the trailing columns nothing.
+    Z-ordering interleaves the bit representations, so each output file's
+    min/max bounding box is tight in ALL curve dimensions — a filter on
+    ANY of them prunes most files/row-groups at scan time.
+
+    Bucketization maps each column onto [0, 2**bits) against its global
+    min/max (one tiny driver-side stats row — the same pattern a real
+    optimizer's file-skipping index build uses). repartitionByRange on
+    the curve value assigns contiguous curve segments to files; the
+    within-partition sort orders row groups inside each file.
+    """
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in zorder_by],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in zorder_by],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    buckets = []
+    for c in zorder_by:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        buckets.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * (top + 1)),
+            )
+        )
+    z = zorder_value(buckets, bits=bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
         .parquet(path)
     )
 

@@ -550,3 +550,76 @@ def test_overwrite_partitions_is_surgical(spark, tmp_path):
     assert got == {(2020, 1): 1.0, (2020, 2): 2.0, (2021, 9): 9.0}
     # conf restored
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC sink/reader round-trip preserves schema and values, including a
+    partitioned layout whose partition filter prunes at plan time."""
+    path = str(tmp_path / "orc")
+    df = spark.createDataFrame(
+        [(1, 2020, "a", 1.5), (2, 2020, "b", 2.5), (3, 2021, "c", 3.5)],
+        "id long, order_year int, tag string, v double",
+    )
+    sinks.write_orc(df, path, partition_by=["order_year"])
+    back = readers.read_orc(spark, path)
+    got = {(r["order_year"], r["id"]): (r["tag"], r["v"]) for r in back.collect()}
+    assert got == {(2020, 1): ("a", 1.5), (2020, 2): ("b", 2.5), (2021, 3): ("c", 3.5)}
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("order_year") == 2021).explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "order_year" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_zorder_value_interleaves_bits():
+    """zorder_value is the Morton curve: (x=0b11, y=0b00, 2 bits) puts x's
+    bits at even positions -> 0b0101; adjacent cells differ by curve step."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([(3, 0), (0, 3), (3, 3), (1, 1)], "x int, y int")
+    z = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", sinks.zorder_value([F.col("x"), F.col("y")], bits=2).alias("z")).collect()
+    }
+    assert z == {(3, 0): 0b0101, (0, 3): 0b1010, (3, 3): 0b1111, (1, 1): 0b0011}
+
+
+def test_zorder_write_tightens_file_bounding_boxes(spark, tmp_path):
+    """The point of Z-ordering: every output file covers a small bounding
+    box in BOTH curve dimensions, so min/max skipping works for filters on
+    either column. Against an unsorted layout with the same file count,
+    the mean per-file bbox area must shrink by >2x (it's typically ~8x)."""
+    n_files = 8
+    df = spark.range(0, 8000).select(
+        (F.col("id") % 97).alias("x"),
+        (F.col("id") * 37 % 89).alias("y"),
+    )
+    plain_path = str(tmp_path / "plain")
+    z_path = str(tmp_path / "zorder")
+    df.repartition(n_files).write.parquet(plain_path)
+    sinks.write_zorder(df, z_path, ["x", "y"], n_files=n_files)
+
+    def mean_bbox_area(path):
+        import glob
+
+        files = glob.glob(os.path.join(path, "*.parquet"))
+        assert len(files) == n_files
+        areas = []
+        for f in files:
+            part = spark.read.parquet(f).agg(
+                F.min("x"), F.max("x"), F.min("y"), F.max("y")
+            ).first()
+            areas.append((part[1] - part[0] + 1) * (part[3] - part[2] + 1))
+        return sum(areas) / len(areas)
+
+    plain_area = mean_bbox_area(plain_path)
+    z_area = mean_bbox_area(z_path)
+    assert z_area * 2 < plain_area, (z_area, plain_area)
+
+    # values survive the layout rewrite
+    assert spark.read.parquet(z_path).count() == 8000
