@@ -51,6 +51,25 @@ def stream_dedup_exact(events_stream: DataFrame, key: str = "event_id") -> DataF
     return events_stream.dropDuplicates([key])
 
 
+def stream_dedup_within_watermark(
+    events_stream: DataFrame,
+    ts_col: str = "ts",
+    key: str = "event_id",
+    horizon: str = "10 minutes",
+) -> DataFrame:
+    """Bounded-state streaming dedup: drop a key re-delivered within the
+    watermark ``horizon``; state for keys older than the watermark is
+    evicted, so memory is O(keys-per-horizon), not O(all keys ever).
+
+    This is the production form of ``stream_dedup_exact`` for unbounded
+    key spaces (at-least-once sources re-deliver within a bounded delay —
+    dedup state only needs to cover that delay). A key seen again AFTER
+    the watermark has passed it is treated as a new event — by design."""
+    return events_stream.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark(
+        [key]
+    )
+
+
 def running_user_totals(events_stream: DataFrame) -> DataFrame:
     """Per-user lifetime (n_events, total_value), carried across batches.
 

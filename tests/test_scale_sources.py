@@ -623,3 +623,58 @@ def test_zorder_write_tightens_file_bounding_boxes(spark, tmp_path):
 
     # values survive the layout rewrite
     assert spark.read.parquet(z_path).count() == 8000
+
+
+def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a key re-delivered INSIDE the horizon
+    is dropped; once the watermark passes the key's timestamp, its state is
+    evicted and the same key re-emits — proving state is bounded by the
+    horizon rather than growing forever."""
+    import datetime as dt
+
+    from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
+        stream_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (
+            stream_dedup_within_watermark(stream, "ts", "event_id", "10 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted(
+            (r["event_id"], r["ts"]) for r in spark.read.parquet(sink).collect()
+        )
+
+    # batch 1: id 1 plus an in-batch duplicate; watermark advances to
+    # max(ts) - 10m = t0 - 10m
+    write([(1, t0, 1, 1.0), (1, t0, 1, 1.0), (2, t0, 1, 2.0)])
+    assert run() == [(1, t0), (2, t0)]
+
+    # batch 2: id 1 re-delivered 5 min later (inside horizon -> dropped);
+    # a far-future event pushes the watermark well past id 1's state
+    far = t0 + dt.timedelta(hours=2)
+    write([(1, t0 + dt.timedelta(minutes=5), 1, 1.0), (3, far, 2, 3.0)])
+    assert run() == [(1, t0), (2, t0), (3, far)]
+
+    # batch 3: id 1 again, but its dedup state was evicted when the
+    # watermark passed -> emits as a new event
+    write([(1, far + dt.timedelta(minutes=1), 1, 1.0)])
+    out = run()
+    assert (1, far + dt.timedelta(minutes=1)) in out and len(out) == 4
