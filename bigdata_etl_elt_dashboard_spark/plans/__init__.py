@@ -12,6 +12,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     extensions,
     iterative,
     star,
+    statistics,
     transform_queries,
 )
 from .registry import REGISTRY, register

@@ -159,6 +159,60 @@ def docs_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOCAB_K = 100
+
+
+@register(
+    "docs_oov_rate",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+        ),
+        v AS (
+            SELECT tok FROM (
+                SELECT tok, count(*) AS c FROM tok GROUP BY tok
+            ) QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, tok) <= {_VOCAB_K}
+        )
+        SELECT t.source, count(*) AS n_tokens,
+               count(*) FILTER (v.tok IS NULL) AS n_oov,
+               count(*) FILTER (v.tok IS NULL) / count(*) AS oov_rate
+        FROM tok t LEFT JOIN v ON t.tok = v.tok
+        GROUP BY t.source ORDER BY t.source
+    """,
+    doc="Out-of-vocabulary rate per source against the corpus' own top-"
+    f"{_VOCAB_K} token vocabulary (count desc, token asc tie-break — the "
+    "boundary is deterministic). The tokenizer-coverage check run before "
+    "committing to a vocab: explode → one partial-aggregated count "
+    "shuffle for the vocab head (TakeOrdered, never a global sort), then "
+    "the tiny vocab BROADCASTS back onto the token stream — the fact "
+    "side never shuffles for the membership test. oov_rate is an exact "
+    "bigint rational, one IEEE division.",
+)
+def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(X.tokens(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    j = tok.join(F.broadcast(vocab), "tok", "left")
+    oov = F.count(F.when(F.col("in_vocab").isNull(), 1))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.alias("n_oov"),
+            (oov / F.count("*")).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding column statistics + scalar (int8) quantization
 # --------------------------------------------------------------------------

@@ -1,0 +1,156 @@
+"""Distributed statistics with exact integer moment sums (SURVEY §7.5).
+
+Pearson correlation and closed-form OLS regression from raw moments:
+``corr = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²))``.
+
+Naive ``F.corr``/``F.covar`` accumulate doubles, so results drift with
+partitioning and disagree with any other engine in the last ulps — they
+can't be hash-gated. Here both measures are quantized to their fixed
+decimal granularity (discount = 2dp, quantity/price = integral cents),
+every moment is an exact BIGINT sum (order-independent, map-side
+partial-aggregatable — ONE shuffle per group-by), and only the final
+closed-form expression runs in IEEE doubles — sqrt is correctly rounded
+per IEEE-754, so both engines emit identical bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+from .registry import register
+
+
+def _moments(x: Column, y: Column) -> list[Column]:
+    """Exact integer raw moments: n, Σx, Σy, Σx², Σy², Σxy."""
+    return [
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    ]
+
+
+_CORR_SQL = """
+    (CAST(n * sxy - sx * sy AS DOUBLE))
+    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+"""
+
+
+def _corr_col() -> Column:
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt(
+        (n * sxx - sx * sx).cast("double") * (n * syy - sy * sy).cast("double")
+    )
+    return num / den
+
+
+@register(
+    "stat_corr_discount_qty",
+    oracle=f"""
+        WITH m AS (
+            SELECT p.p_type,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS sx,
+                   SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS sy,
+                   SUM(CAST(ROUND(l.l_discount * 100) AS BIGINT)
+                       * CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS sxx,
+                   SUM(CAST(ROUND(l.l_quantity) AS BIGINT)
+                       * CAST(ROUND(l.l_quantity) AS BIGINT)) AS syy,
+                   SUM(CAST(ROUND(l.l_discount * 100) AS BIGINT)
+                       * CAST(ROUND(l.l_quantity) AS BIGINT)) AS sxy
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_type
+        )
+        SELECT p_type, n, {_CORR_SQL} AS corr_dq
+        FROM m ORDER BY p_type
+    """,
+    doc="Pearson correlation (discount vs quantity) per part type from "
+    "exact integer raw moments — partitioning-independent where F.corr "
+    "is not: the five moment sums are BIGINT (map-side combined, one "
+    "shuffle on p_type after the broadcast part join), and only the "
+    "final closed form touches IEEE doubles (sqrt is correctly rounded, "
+    "so the result is bit-identical across engines). The scale-invariance "
+    "of Pearson r makes the 100× quantization drop out exactly.",
+)
+def stat_corr_discount_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    x = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_quantity")).cast("long")
+    m = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(*_moments(x, y))
+    )
+    return m.select("p_type", "n", _corr_col().alias("corr_dq")).orderBy("p_type")
+
+
+@register(
+    "stat_ols_price_vs_qty",
+    oracle="""
+        WITH m AS (
+            SELECT o.o_orderpriority,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS sx,
+                   SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS sy,
+                   SUM(CAST(ROUND(l.l_quantity) AS BIGINT)
+                       * CAST(ROUND(l.l_quantity) AS BIGINT)) AS sxx,
+                   SUM(CAST(ROUND(l.l_quantity) AS BIGINT)
+                       * CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS sxy
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        )
+        SELECT o_orderpriority, n,
+               (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0 AS slope,
+               (CAST(sy AS DOUBLE) / 100.0
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept
+        FROM m ORDER BY o_orderpriority
+    """,
+    doc="Closed-form simple OLS per order priority: extendedprice (cents) "
+    "regressed on quantity — slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept "
+    "= (Σy − slope·Σx)/n, every moment an exact BIGINT sum. This is "
+    "distributed least squares as a pure aggregation: the fact table "
+    "shuffles ONCE (keyed on the group), moments partial-aggregate "
+    "map-side, and the per-group solve is O(1) driver-free arithmetic — "
+    "the shape that scales to 100 TB where an iterative solver would "
+    "need multiple passes. The fact⋈fact join (lineitem⋈orders) relies "
+    "on AQE to pick the join strategy — neither side broadcasts.",
+)
+def stat_ols_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    m = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope_cents = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast(
+        "double"
+    )
+    slope = slope_cents / F.lit(100.0)
+    intercept = (
+        sy.cast("double") / F.lit(100.0) - slope * sx.cast("double")
+    ) / n.cast("double")
+    return m.select(
+        "o_orderpriority", "n", slope.alias("slope"), intercept.alias("intercept")
+    ).orderBy("o_orderpriority")
