@@ -55,6 +55,12 @@ EXTENSION_SUITE = (
     "docs_sequence_packing",
     "docs_decontaminate",
     "mm_decode_channel_stats",
+    # round-2 late additions: repetition filter, iterative algorithms,
+    # exact-moment statistics
+    "docs_repetition_metrics",
+    "graph_pagerank_3iter",
+    "sim_kmeans_lloyd1",
+    "stat_ols_price_vs_qty",
 )
 
 
