@@ -278,3 +278,40 @@ def test_all_pairs_cosine_is_blocked_equi_join(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_repetition_metrics_is_narrow(spark, sf_oracle):
+    """The Gopher repetition metrics are per-row projections (sort+scan of
+    each token array happens inside the row): the only Exchange allowed is
+    the final orderBy's range partitioning — no join, no aggregation, no
+    per-token explode shuffle."""
+    plan = explain_str(REGISTRY["docs_repetition_metrics"].fn(spark, sf_oracle))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate" not in plan  # no explode fan-out
+    assert plan.count("Exchange") <= 2  # rangepartitioning for orderBy only
+
+
+def test_pagerank_iterations_are_keyed_shuffles(spark, sf_oracle):
+    """Each PageRank iteration must be equi-join + keyed aggregation —
+    never a nested-loop join; rank updates flow through hash exchanges."""
+    plan = explain_str(REGISTRY["graph_pagerank_3iter"].fn(spark, sf_oracle))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, not a global sort
+
+
+def test_emb_dim_stats_partial_aggregates(spark, sf_oracle):
+    """The per-dimension stats must partial-aggregate map-side: two
+    HashAggregates (partial + final) around one hash Exchange on the
+    64-key dim column — the shuffle is 64 rows/task at any corpus size."""
+    plan = explain_str(REGISTRY["emb_dim_stats"].fn(spark, sf_oracle))
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_corr_keeps_part_broadcast(spark, sf_oracle):
+    """stat_corr's part join is a true-dim broadcast enrich; the moment
+    sums then shuffle once on p_type."""
+    plan = explain_str(REGISTRY["stat_corr_discount_qty"].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
