@@ -83,6 +83,54 @@ def scd2_merge(
     )
 
 
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change-data-capture between two table snapshots: classify every key
+    as insert / delete / update / unchanged.
+
+    The batch MERGE primitive for warehouses without a transactional table
+    format: diff today's extract against yesterday's snapshot, then apply
+    only the insert/update/delete slices (e.g. via
+    ``sinks.overwrite_partitions`` on the partitions that contain them).
+
+    Both sides reduce to (keys, row_hash) BEFORE the join — the wide
+    payload never shuffles, only key + 32-byte digest — then one
+    FULL OUTER sort-merge join on the key (neither snapshot can
+    broadcast at scale). ``compare_cols`` should be engine-stable
+    renderings (cast exact integers/strings, not raw doubles) so the
+    hash is deterministic; NULL is encoded distinctly from the string
+    'NULL'.
+    """
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        payload = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in compare_cols
+        ]
+        return df.select(
+            *[F.col(k).alias(f"{side}_{k}") for k in keys],
+            F.md5(F.concat_ws("|", *payload)).alias(f"{side}_h"),
+        )
+
+    o = hashed(old, "o")
+    n = hashed(new, "n")
+    cond = [o[f"o_{k}"] == n[f"n_{k}"] for k in keys]
+    j = o.join(n, cond, "full_outer")
+    change = (
+        F.when(o[f"o_{keys[0]}"].isNull(), "insert")
+        .when(n[f"n_{keys[0]}"].isNull(), "delete")
+        .when(F.col("o_h") != F.col("n_h"), "update")
+        .otherwise("unchanged")
+    )
+    key_cols = [
+        F.coalesce(F.col(f"o_{k}"), F.col(f"n_{k}")).alias(k) for k in keys
+    ]
+    return j.select(*key_cols, change.alias("change_type"))
+
+
 def fk_integrity(fact: DataFrame, fk_cols: list[str]) -> DataFrame:
     """§2.9 rule 5 / §5.2 invariant: count rows whose FK failed to resolve
     (anti-join-empty check). Returns a 1-row DataFrame."""

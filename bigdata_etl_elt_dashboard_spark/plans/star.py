@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.warehouse import build_dim, fk_integrity, resolve_fk
+from ..operators.warehouse import build_dim, fk_integrity, resolve_fk, snapshot_delta
 from ..sources.catalog import table
 from ..functions.exact_agg import xsum, xsum_sql
 from .registry import register
@@ -186,4 +186,69 @@ def star_region_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("region")
         .agg(F.count("*").alias("n_sales"), xsum(F.col("o_totalprice")).alias("revenue"))
         .orderBy("region")
+    )
+
+
+@register(
+    "wh_snapshot_delta_orders",
+    oracle="""
+        WITH oldt AS (
+            SELECT o_orderkey AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderstatus AS st
+            FROM orders
+        ),
+        newt AS (
+            SELECT k,
+                   CASE WHEN k % 13 = 0 THEN cents + 1000 ELSE cents END AS cents,
+                   st
+            FROM oldt WHERE k % 17 <> 0
+            UNION ALL
+            SELECT k + 100000000 AS k, cents, st FROM oldt WHERE k % 19 = 0
+        ),
+        j AS (
+            SELECT o.k AS ok, n.k AS nk, o.cents AS oc, n.cents AS nc,
+                   o.st AS os, n.st AS ns
+            FROM oldt o FULL OUTER JOIN newt n ON o.k = n.k
+        )
+        SELECT CASE WHEN ok IS NULL THEN 'insert'
+                    WHEN nk IS NULL THEN 'delete'
+                    WHEN oc <> nc OR os <> ns THEN 'update'
+                    ELSE 'unchanged' END AS change_type,
+               COUNT(*) AS n
+        FROM j GROUP BY change_type ORDER BY change_type
+    """,
+    doc="CDC snapshot diff (operators/warehouse.snapshot_delta): "
+    "yesterday's orders snapshot vs a planted today extract (%%17 keys "
+    "deleted, %%13 prices bumped +10.00, %%19 keys cloned as inserts) "
+    "classified insert/delete/update/unchanged — the batch MERGE "
+    "primitive. Both snapshots reduce to (key, md5 row-hash) BEFORE the "
+    "FULL OUTER join, so the wide payload never shuffles and neither "
+    "side needs to broadcast; compare columns are engine-stable exact "
+    "renderings (integer cents, status string). The oracle compares the "
+    "columns directly — hash equality must equal value equality.",
+)
+def wh_snapshot_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    oldt = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    newt = oldt.filter(F.col("k") % 17 != 0).select(
+        "k",
+        F.when(F.col("k") % 13 == 0, F.col("cents") + 1000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        "st",
+    ).unionAll(
+        oldt.filter(F.col("k") % 19 == 0).select(
+            (F.col("k") + 100000000).alias("k"), "cents", "st"
+        )
+    )
+    delta = snapshot_delta(oldt, newt, ["k"], ["cents", "st"])
+    return (
+        delta.groupBy("change_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("change_type")
     )

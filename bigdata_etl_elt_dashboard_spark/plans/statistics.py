@@ -154,3 +154,70 @@ def stat_ols_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "o_orderpriority", "n", slope.alias("slope"), intercept.alias("intercept")
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "stat_mad_outlier_counts",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderstatus,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        med AS (
+            SELECT o_orderstatus,
+                   CAST(ROUND(quantile_cont(cents, 0.5)) AS BIGINT) AS med_c
+            FROM c GROUP BY o_orderstatus
+        ),
+        dev AS (
+            SELECT c.o_orderstatus, abs(c.cents - m.med_c) AS dev_c
+            FROM c JOIN med m USING (o_orderstatus)
+        ),
+        mad AS (
+            SELECT o_orderstatus, quantile_cont(dev_c, 0.5) AS mad_c
+            FROM dev GROUP BY o_orderstatus
+        )
+        SELECT d.o_orderstatus, COUNT(*) AS n,
+               MIN(m.mad_c) AS mad_c,
+               COUNT(CASE WHEN d.dev_c > 3 * m.mad_c THEN 1 END) AS n_outliers
+        FROM dev d JOIN mad m USING (o_orderstatus)
+        GROUP BY d.o_orderstatus ORDER BY d.o_orderstatus
+    """,
+    doc="Robust outlier detection via median absolute deviation (MAD), "
+    "the breakdown-resistant complement of the IQR rule (F15/F20): flag "
+    "rows whose |x − median| exceeds 3×MAD. Drift-proofing: prices "
+    "quantize to integer cents FIRST, the median is re-rounded to an "
+    "integer, so deviations are exact BIGINTs and the MAD interpolates "
+    "two integers (k or k+0.5 — both exactly representable), making the "
+    "3×MAD threshold comparison bit-deterministic on any engine. Two "
+    "keyed aggregation passes + one join of the 3-row median table back "
+    "onto the fact (broadcast) — exact per-group percentile sorts per "
+    "group; at 100 TB swap stage one for percentile_approx.",
+)
+def stat_mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    med = c.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(cents, 0.5)")).cast("long").alias("med_c")
+    )
+    dev = c.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderstatus", F.abs(F.col("cents") - F.col("med_c")).alias("dev_c")
+    )
+    mad = dev.groupBy("o_orderstatus").agg(
+        F.expr("percentile(dev_c, 0.5)").alias("mad_c")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("mad_c").alias("mad_c"),
+            F.count(F.when(F.col("dev_c") > 3 * F.col("mad_c"), 1)).alias(
+                "n_outliers"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -143,3 +143,31 @@ def test_transform_sales_composite(spark):
     assert rows[1]["order_size_category"] == "small"
     assert rows[2]["shipping_speed_category"] == "normal"
     assert rows[4]["order_size_category"] == "large"
+
+
+def test_snapshot_delta_classifies_and_encodes_nulls(spark):
+    """snapshot_delta: insert/delete/update/unchanged classification, and a
+    NULL payload value must differ from the string 'NULL' (distinct hash
+    encoding) while NULL == NULL compares as unchanged."""
+    from bigdata_etl_elt_dashboard_spark.operators.warehouse import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "NULL"), (5, "x")],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "NULL"), (4, "NULL"), (6, "y")],
+        "k long, v string",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_delta(old, new, ["k"], ["v"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "update",
+        3: "update",  # NULL -> 'NULL' is a real change, not a hash collision
+        4: "unchanged",
+        5: "delete",
+        6: "insert",
+    }
