@@ -136,6 +136,27 @@ def mixture_sample(
     )
 
 
+def train_val_test_split(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Deterministic corpus split: hash-percentile buckets assign each doc
+    to train / val / test (defaults 90/5/5). The assignment is a pure
+    per-row projection of the key's md5 — stable across runs, engines,
+    partitionings, and INCREMENTAL ingests (a new batch lands in the same
+    splits without re-shuffling history; rand() would re-deal every run).
+    Adds a ``split`` column."""
+    p = hash_pct(F.col(key_col))
+    split = (
+        F.when(p < val_pct, "val")
+        .when(p < val_pct + test_pct, "test")
+        .otherwise("train")
+    )
+    return docs.withColumn("split", split)
+
+
 def quality_percentile_filter(
     docs: DataFrame,
     score_col: str,

@@ -213,6 +213,40 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_split_counts",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             ::BIGINT % 100 < 5 THEN 'val'
+                        WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             ::BIGINT % 100 < 10 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents
+        )
+        SELECT source, split, COUNT(*) AS n_docs
+        FROM s GROUP BY source, split ORDER BY source, split
+    """,
+    doc="Deterministic 90/5/5 train/val/test split "
+    "(operators/corpus.train_val_test_split) audited per source: the "
+    "assignment is a pure md5-percentile projection of doc_id — no "
+    "rand(), no shuffle, and an incremental ingest lands new docs in "
+    "the same splits without re-dealing history. The count rollup is "
+    "the dashboard sanity check that split rates hold per source.",
+)
+def docs_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import train_val_test_split
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
 # --------------------------------------------------------------------------
 # Embedding column statistics + scalar (int8) quantization
 # --------------------------------------------------------------------------

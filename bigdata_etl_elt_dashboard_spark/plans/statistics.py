@@ -221,3 +221,59 @@ def stat_mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "stat_daily_zscore_anomaly",
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY event_type, day
+        ),
+        m AS (
+            SELECT event_type, COUNT(*) AS nd, SUM(n) AS s, SUM(n * n) AS q
+            FROM d GROUP BY event_type
+        )
+        SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n,
+               CASE WHEN m.nd * m.q > m.s * m.s
+                    THEN CAST(d.n * m.nd - m.s AS DOUBLE)
+                         / sqrt(CAST(m.nd * m.q - m.s * m.s AS DOUBLE))
+                    END AS z,
+               ((d.n * m.nd - m.s) * (d.n * m.nd - m.s)
+                   > 4 * (m.nd * m.q - m.s * m.s)) AS is_anomaly
+        FROM d JOIN m USING (event_type)
+        ORDER BY event_type, day
+    """,
+    doc="Daily-volume z-score anomaly per event type — the statistical "
+    "upgrade of the 2x-average rule (ev_daily_volume_anomaly): "
+    "z = (n·D − S)/sqrt(D·Q − S²) from exact integer moment sums over "
+    "the per-day counts, and the |z| > 2 flag evaluates as the integer "
+    "cross-multiplication (nD−S)² > 4(DQ−S²) — no float threshold at "
+    "the decision boundary. Day rollup is one keyed shuffle over "
+    "events; the per-type moment table (a handful of rows) broadcasts "
+    "back onto the daily rows.",
+)
+def stat_daily_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    m = d.groupBy("event_type").agg(
+        F.count("*").alias("nd"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("q"),
+    )
+    j = d.join(F.broadcast(m), "event_type")
+    num = F.col("n") * F.col("nd") - F.col("s")
+    den2 = F.col("nd") * F.col("q") - F.col("s") * F.col("s")
+    z = F.when(den2 > 0, num.cast("double") / F.sqrt(den2.cast("double")))
+    return (
+        j.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            z.alias("z"),
+            (num * num > 4 * den2).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
