@@ -218,3 +218,85 @@ def test_star_cc_matches_union_find(spark, edges):
         for r in connected_components_star(edges_df, nodes_df).collect()
     }
     assert got == expected
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_zorder_value_is_invertible_and_monotone_per_dim(spark, pts):
+    """The Morton value must be a bijection of the bucket pair (bits can be
+    de-interleaved back), and fixing one coordinate makes it strictly
+    monotone in the other — the locality property file-skipping relies on."""
+    from bigdata_etl_elt_dashboard_spark.sources.sinks import zorder_value
+
+    df = spark.createDataFrame(pts, "x int, y int").distinct()
+    rows = df.select(
+        "x", "y", zorder_value([F.col("x"), F.col("y")], bits=8).alias("z")
+    ).collect()
+    for r in rows:
+        x_back = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(8))
+        y_back = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x_back, y_back) == (r["x"], r["y"])
+    by_y = {}
+    for r in rows:
+        by_y.setdefault(r["y"], []).append((r["x"], r["z"]))
+    for pairs in by_y.values():
+        pairs.sort()
+        zs = [z for _, z in pairs]
+        assert zs == sorted(zs)
+
+
+@given(keys=st.lists(st.integers(0, 10_000_000), min_size=1, max_size=60, unique=True))
+@settings(**_SETTINGS)
+def test_train_val_test_split_is_subset_invariant(spark, keys):
+    """A doc's split assignment must not depend on which other docs are in
+    the batch: splitting any subset agrees with splitting the full set —
+    the property that makes incremental ingests land consistently."""
+    from bigdata_etl_elt_dashboard_spark.operators.corpus import train_val_test_split
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    full = {
+        r["doc_id"]: r["split"] for r in train_val_test_split(df).collect()
+    }
+    half_keys = keys[: max(1, len(keys) // 2)]
+    half = spark.createDataFrame([(k,) for k in half_keys], "doc_id long")
+    sub = {r["doc_id"]: r["split"] for r in train_val_test_split(half).collect()}
+    assert all(full[k] == v for k, v in sub.items())
+
+
+@given(
+    old_rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 5)), min_size=1, max_size=30
+    ),
+    new_rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 5)), min_size=1, max_size=30
+    ),
+)
+@settings(**_SETTINGS)
+def test_snapshot_delta_matches_dict_diff(spark, old_rows, new_rows):
+    """snapshot_delta must agree with the obvious dict-based diff for any
+    pair of snapshots (last-write-wins on duplicate keys in the input)."""
+    from bigdata_etl_elt_dashboard_spark.operators.warehouse import snapshot_delta
+
+    old_d = {k: v for k, v in old_rows}
+    new_d = {k: v for k, v in new_rows}
+    old = spark.createDataFrame(list(old_d.items()), "k long, v long")
+    new = spark.createDataFrame(list(new_d.items()), "k long, v long")
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_delta(old, new, ["k"], ["v"]).collect()
+    }
+    for k in set(old_d) | set(new_d):
+        if k not in old_d:
+            assert got[k] == "insert"
+        elif k not in new_d:
+            assert got[k] == "delete"
+        elif old_d[k] != new_d[k]:
+            assert got[k] == "update"
+        else:
+            assert got[k] == "unchanged"
