@@ -277,3 +277,106 @@ def stat_daily_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "stat_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS dst,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS src
+            FROM events
+        ),
+        pairs AS (
+            SELECT src, dst, COUNT(*) AS n
+            FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+        ),
+        tot AS (SELECT src, SUM(n) AS n_src FROM pairs GROUP BY src)
+        SELECT p.src, p.dst, p.n, p.n / t.n_src AS p
+        FROM pairs p JOIN tot t USING (src)
+        ORDER BY p.src, p.dst
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(dst | src) = n(src→dst) / n(src→*) — the "
+    "sequence-statistics pass behind next-event prediction and funnel "
+    "modeling. One keyed window (lag per user, ts+event_id tie-break "
+    "for determinism) then two tiny aggregations; probabilities are "
+    "exact bigint rationals — one IEEE division each, engine-identical. "
+    "The |types|² transition table broadcasts anywhere downstream.",
+)
+def stat_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return (
+        pairs.join(F.broadcast(tot), "src")
+        .select("src", "dst", "n", (F.col("n") / F.col("n_src")).alias("p"))
+        .orderBy("src", "dst")
+    )
+
+
+_EQUIDEPTH_QS = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "stat_equidepth_hist_totalprice",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        ),
+        b AS (
+            SELECT quantile_cont(cents, {_EQUIDEPTH_QS}) AS bnds FROM c
+        ),
+        assigned AS (
+            SELECT c.cents,
+                   1 + len(list_filter(b.bnds, x -> x < c.cents)) AS bucket
+            FROM c CROSS JOIN b
+        )
+        SELECT bucket, COUNT(*) AS n_orders,
+               CAST(MIN(cents) AS DOUBLE) / CAST(100 AS DOUBLE) AS lo_price,
+               CAST(MAX(cents) AS DOUBLE) / CAST(100 AS DOUBLE) AS hi_price
+        FROM assigned GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Equi-depth (decile) histogram of order totals — the "
+    "skew-resistant complement of the fixed-width 30-bin histogram "
+    "(A17): bucket boundaries are the 10%..90% exact percentiles of "
+    "integer cents, so each boundary is an integer or integer+0.5 — "
+    "exactly representable, making 'boundary < value' decisions "
+    "bit-deterministic on both engines. The 9-value boundary array "
+    "computes in one aggregation and broadcasts to the assignment "
+    "scan (the same two-pass shape an ANALYZE equi-depth stats "
+    "collector uses at scale); per-bucket rollup is one keyed shuffle.",
+)
+def stat_equidepth_hist_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    c = orders.select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    qs = ", ".join(str(q) for q in _EQUIDEPTH_QS)
+    b = c.agg(F.expr(f"percentile(cents, array({qs}))").alias("bnds"))
+    assigned = c.crossJoin(F.broadcast(b)).select(
+        "cents",
+        (
+            1
+            + F.size(F.filter(F.col("bnds"), lambda x: x < F.col("cents")))
+        ).alias("bucket"),
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.min("cents").cast("double") / F.lit(100).cast("double")).alias(
+                "lo_price"
+            ),
+            (F.max("cents").cast("double") / F.lit(100).cast("double")).alias(
+                "hi_price"
+            ),
+        )
+        .orderBy("bucket")
+    )
