@@ -2491,3 +2491,211 @@ def dq_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_keys"))
         .orderBy("presence")
     )
+
+
+@register(
+    "ev_funnel_strict_steps",
+    oracle="""
+        WITH t1 AS (
+            SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        t2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+            WHERE e.event_type = 'view' GROUP BY e.user_id
+        ),
+        t3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ),
+        t4 AS (
+            SELECT e.user_id, MIN(e.ts) AS t
+            FROM events e JOIN t3 ON e.user_id = t3.user_id AND e.ts > t3.t
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        ),
+        c AS (
+            SELECT (SELECT COUNT(*) FROM t1) AS c1,
+                   (SELECT COUNT(*) FROM t2) AS c2,
+                   (SELECT COUNT(*) FROM t3) AS c3,
+                   (SELECT COUNT(*) FROM t4) AS c4
+        )
+        SELECT 1 AS step_no, 'signup' AS step, c1 AS n_users,
+               CAST(1 AS DOUBLE) AS pct_of_prev, CAST(1 AS DOUBLE) AS pct_of_first
+        FROM c
+        UNION ALL
+        SELECT 2, 'view', c2,
+               CAST(c2 AS DOUBLE) / NULLIF(CAST(c1 AS DOUBLE), 0),
+               CAST(c2 AS DOUBLE) / NULLIF(CAST(c1 AS DOUBLE), 0)
+        FROM c
+        UNION ALL
+        SELECT 3, 'click', c3,
+               CAST(c3 AS DOUBLE) / NULLIF(CAST(c2 AS DOUBLE), 0),
+               CAST(c3 AS DOUBLE) / NULLIF(CAST(c1 AS DOUBLE), 0)
+        FROM c
+        UNION ALL
+        SELECT 4, 'purchase', c4,
+               CAST(c4 AS DOUBLE) / NULLIF(CAST(c3 AS DOUBLE), 0),
+               CAST(c4 AS DOUBLE) / NULLIF(CAST(c1 AS DOUBLE), 0)
+        FROM c
+        ORDER BY step_no
+    """,
+    doc="STRICT sequential funnel (signup → view → click → purchase): a "
+    "user advances to step k only via an event strictly AFTER their "
+    "step-k−1 time, computed as a chain of conditional-min reductions — "
+    "each step is one keyed aggregation joined back to the (small) "
+    "surviving-user set, so the fact table is scanned once per step with "
+    "the type filter pushed down and the per-user state never exceeds one "
+    "timestamp. At 100 TB each join keys on user_id against a "
+    "shrinking user set (AQE broadcasts it once it fits); no per-user "
+    "event-list collection anywhere. Output: per-step user counts plus "
+    "step-over-step and overall conversion rates as single IEEE "
+    "divisions of exact counts.",
+)
+def ev_funnel_strict_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def first_after(step_type: str, prev: DataFrame) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == step_type)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_next"))
+            .withColumnRenamed("t_next", "t")
+        )
+
+    t1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    t2 = first_after("view", t1)
+    t3 = first_after("click", t2)
+    t4 = first_after("purchase", t3)
+
+    c = (
+        t1.agg(F.count("*").alias("c1"))
+        .crossJoin(t2.agg(F.count("*").alias("c2")))
+        .crossJoin(t3.agg(F.count("*").alias("c3")))
+        .crossJoin(t4.agg(F.count("*").alias("c4")))
+    )
+
+    def pct(num: str, den: str):
+        return F.col(num).cast("double") / F.nullif(
+            F.col(den).cast("double"), F.lit(0.0)
+        )
+
+    steps = [
+        c.select(
+            F.lit(1).alias("step_no"),
+            F.lit("signup").alias("step"),
+            F.col("c1").alias("n_users"),
+            F.lit(1.0).alias("pct_of_prev"),
+            F.lit(1.0).alias("pct_of_first"),
+        ),
+        c.select(
+            F.lit(2).alias("step_no"),
+            F.lit("view").alias("step"),
+            F.col("c2").alias("n_users"),
+            pct("c2", "c1").alias("pct_of_prev"),
+            pct("c2", "c1").alias("pct_of_first"),
+        ),
+        c.select(
+            F.lit(3).alias("step_no"),
+            F.lit("click").alias("step"),
+            F.col("c3").alias("n_users"),
+            pct("c3", "c2").alias("pct_of_prev"),
+            pct("c3", "c1").alias("pct_of_first"),
+        ),
+        c.select(
+            F.lit(4).alias("step_no"),
+            F.lit("purchase").alias("step"),
+            F.col("c4").alias("n_users"),
+            pct("c4", "c3").alias("pct_of_prev"),
+            pct("c4", "c1").alias("pct_of_first"),
+        ),
+    ]
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("step_no")
+
+
+@register(
+    "trend_ema12_revenue",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY month
+        ),
+        idxd AS (
+            SELECT CAST(month AS DATE) AS month, cents,
+                   ROW_NUMBER() OVER (ORDER BY month) AS idx
+            FROM monthly
+        ),
+        weighted AS (
+            SELECT m.month, m.cents,
+                   SUM(p.cents * (CASE WHEN t.off = 11 THEN 1
+                                       ELSE (CAST(1 AS BIGINT) << (10 - t.off))
+                                  END)) AS u
+            FROM idxd m
+            CROSS JOIN UNNEST(range(12)) AS t(off)
+            JOIN idxd p ON p.idx = m.idx - t.off
+            WHERE m.idx >= 12
+            GROUP BY m.month, m.cents
+        )
+        SELECT month,
+               CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
+               CAST(u AS DOUBLE) / CAST(2048 AS DOUBLE) / CAST(100 AS DOUBLE)
+                   AS ema12_revenue
+        FROM weighted ORDER BY month
+    """,
+    doc="12-month exponentially-weighted moving average of revenue "
+    "(α = 1/2, window-truncated EMA: weights 2^10, 2^9, …, 2^0, 1 from "
+    "newest to oldest sum to exactly 2^11). Floating EMA recursions are "
+    "order-sensitive and engine-divergent; here the weighted sum is an "
+    "exact BIGINT (power-of-two weights via shiftleft — monthly cents × "
+    "2^10 stays below 2^53 through ~sf10, so even the final double cast "
+    "is exact) and ONE division chain produces the IEEE result. The "
+    "position-dependent weights can't ride a plain window cumsum, so the "
+    "window is unrolled into a 12-offset equi-join on the post-agg "
+    "monthly rows (~tens of rows after the one real shuffle) — "
+    "whole-stage-codegen-friendly, no nested-loop join, and the same "
+    "shape scales to per-key EMAs by adding the key to both join sides.",
+)
+def trend_ema12_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    idxd = monthly.select(
+        "month", "cents", F.row_number().over(Window.orderBy("month")).alias("idx")
+    )
+    probe = (
+        idxd.filter(F.col("idx") >= 12)
+        .select(
+            F.col("month").alias("m_month"),
+            F.col("cents").alias("m_cents"),
+            F.col("idx").alias("m_idx"),
+        )
+        .select("*", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("off"))
+    )
+    w = F.when(F.col("off") == 11, F.lit(1).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), 10 - off)")
+    )
+    joined = probe.join(idxd, idxd.idx == probe.m_idx - probe.off)
+    weighted = joined.groupBy("m_month", "m_cents").agg(
+        F.sum(F.col("cents") * w).alias("u")
+    )
+    return weighted.select(
+        F.col("m_month").alias("month"),
+        (F.col("m_cents").cast("double") / F.lit(100).cast("double")).alias("revenue"),
+        (
+            F.col("u").cast("double")
+            / F.lit(2048).cast("double")
+            / F.lit(100).cast("double")
+        ).alias("ema12_revenue"),
+    ).orderBy("month")

@@ -380,3 +380,174 @@ def stat_equidepth_hist_totalprice(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bucket")
     )
+
+
+_CM_ROWS = 3  # count-min depth (independent hash rows)
+_CM_WIDTH = 256  # count-min width (buckets per row)
+_CM_TOPK = 10
+
+
+@register(
+    "stat_countmin_heavy_hitters",
+    oracle=f"""
+        WITH counts AS (
+            SELECT o_custkey, COUNT(*) AS true_n FROM orders GROUP BY o_custkey
+        ),
+        hashed AS (
+            SELECT c.o_custkey, c.true_n, t.r,
+                   ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' ||
+                                       CAST(c.o_custkey AS VARCHAR)), 1, 8))::BIGINT
+                       % {_CM_WIDTH} AS bucket
+            FROM counts c CROSS JOIN UNNEST(range({_CM_ROWS})) AS t(r)
+        ),
+        counters AS (
+            SELECT r, bucket, SUM(true_n) AS cnt FROM hashed GROUP BY r, bucket
+        ),
+        top AS (
+            SELECT o_custkey, true_n FROM counts
+            QUALIFY ROW_NUMBER() OVER (ORDER BY true_n DESC, o_custkey) <= {_CM_TOPK}
+        )
+        SELECT h.o_custkey, h.true_n, MIN(c.cnt) AS cm_estimate,
+               MIN(c.cnt) - h.true_n AS overestimate
+        FROM hashed h
+        JOIN counters c ON c.r = h.r AND c.bucket = h.bucket
+        JOIN top t ON t.o_custkey = h.o_custkey
+        GROUP BY h.o_custkey, h.true_n
+        ORDER BY h.true_n DESC, h.o_custkey
+    """,
+    doc=f"Count-min sketch ({_CM_ROWS}×{_CM_WIDTH}, md5-derived bucket "
+    "hashes) over per-customer order counts, probed for the top-10 true "
+    "heavy hitters — the bounded-memory frequency sketch behind "
+    "streaming heavy-hitter detection, here with an EXACT oracle: both "
+    "engines derive identical buckets from the same md5 prefix, so the "
+    "sketch counters, the min-over-rows estimates, and the (provably "
+    "non-negative) overestimates match bit-for-bit — unlike "
+    "approx_count_distinct-style sketches this one is hash-gateable. "
+    "Plan: one keyed count, a 3-way row explode into a "
+    f"{_CM_ROWS}×{_CM_WIDTH}-cell counter table (map-side partial agg "
+    "collapses it before the shuffle), and a broadcast probe of the "
+    "top-k keys — sketch memory is constant regardless of input scale.",
+)
+def stat_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count("*").alias("true_n"))
+    hashed = counts.select(
+        "o_custkey",
+        "true_n",
+        F.explode(F.array(*[F.lit(r) for r in range(_CM_ROWS)])).alias("r"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("o_custkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CM_WIDTH,
+    )
+    counters = hashed.groupBy("r", "bucket").agg(F.sum("true_n").alias("cnt"))
+    top = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("true_n"), F.asc("o_custkey"))),
+        )
+        .filter(F.col("rk") <= _CM_TOPK)
+        .select("o_custkey")
+    )
+    return (
+        hashed.join(F.broadcast(top), "o_custkey")
+        .join(counters, ["r", "bucket"])
+        .groupBy("o_custkey", "true_n")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .select(
+            "o_custkey",
+            "true_n",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("true_n")).alias("overestimate"),
+        )
+        .orderBy(F.desc("true_n"), "o_custkey")
+    )
+
+
+@register(
+    "stat_chi2_priority_status",
+    oracle="""
+        WITH obs AS (
+            SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                   COUNT(*) AS observed
+            FROM orders GROUP BY priority, status
+        ),
+        tot AS (
+            SELECT priority, status, observed,
+                   SUM(observed) OVER (PARTITION BY priority) AS row_tot,
+                   SUM(observed) OVER (PARTITION BY status) AS col_tot,
+                   SUM(observed) OVER () AS n
+            FROM obs
+        )
+        SELECT priority, status, observed,
+               CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+               (CAST(n * observed - row_tot * col_tot AS DOUBLE)
+                * CAST(n * observed - row_tot * col_tot AS DOUBLE))
+                   / CAST(n AS DOUBLE) / CAST(row_tot AS DOUBLE)
+                   / CAST(col_tot AS DOUBLE) AS chi2_term
+        FROM tot ORDER BY priority, status
+    """,
+    doc="Chi-square test of independence between order priority and "
+    "status, emitted as per-cell contributions: "
+    "χ²_cell = (N·O − R·C)² / (N·R·C) from exact BIGINT marginal sums "
+    "(the algebraic rearrangement of (O−E)²/E that defers ALL floating "
+    "point to one fixed expression tree per cell — summing cell terms "
+    "would reorder FP additions across engines, per-cell rows are "
+    "bit-deterministic). The contingency table is one keyed count; "
+    "marginals are windows over the tiny post-agg cell set, so the "
+    "fact is scanned once and everything downstream is metadata-sized "
+    "at any scale. N·O fits BIGINT through ~sf100; the (N·O−R·C) "
+    "difference is cast to double BEFORE squaring so the square never "
+    "overflows the integer domain.",
+)
+def stat_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count("*").alias("observed"))
+    tot = obs.select(
+        "priority",
+        "status",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("priority")).alias("row_tot"),
+        F.sum("observed").over(Window.partitionBy("status")).alias("col_tot"),
+        F.sum("observed").over(Window.partitionBy()).alias("n"),
+    )
+    num = (
+        F.col("n") * F.col("observed") - F.col("row_tot") * F.col("col_tot")
+    ).cast("double")
+    return tot.select(
+        "priority",
+        "status",
+        "observed",
+        (
+            (F.col("row_tot") * F.col("col_tot")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("expected"),
+        (
+            num
+            * num
+            / F.col("n").cast("double")
+            / F.col("row_tot").cast("double")
+            / F.col("col_tot").cast("double")
+        ).alias("chi2_term"),
+    ).orderBy("priority", "status")
