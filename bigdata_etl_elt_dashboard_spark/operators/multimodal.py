@@ -293,3 +293,153 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+# --------------------------- audio (WAV / PCM16) ---------------------------
+#
+# Same design as the image path: a REAL in-container codec (RIFF/WAVE
+# chunk walker + PCM16 little-endian frames — the actual on-disk format),
+# deterministic closed-form synthesis so an independent SQL oracle can
+# verify the decode without touching the codec, and integer sample sums so
+# every derived statistic is engine-exact.
+
+_WAV_FMT_PCM = 1
+
+
+def encode_wav(
+    channels: list[list[int]], sample_rate: int = 8000
+) -> bytes:
+    """Encode per-channel int16 sample lists as a PCM16 WAV file.
+
+    Emits a spec-complete RIFF container — fmt chunk, a deliberate junk
+    chunk (decoders MUST skip unknown chunks; ours is exercised on every
+    row), then interleaved little-endian PCM16 frames."""
+    import struct
+
+    n_channels = len(channels)
+    n_samples = len(channels[0]) if channels else 0
+    block_align = n_channels * 2
+    byte_rate = sample_rate * block_align
+    frames = bytearray()
+    for i in range(n_samples):
+        for ch in channels:
+            frames += struct.pack("<h", ch[i])
+    fmt = struct.pack(
+        "<HHIIHH", _WAV_FMT_PCM, n_channels, sample_rate, byte_rate, block_align, 16
+    )
+    junk = b"synthetic-audio"  # odd length → exercises RIFF word padding
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"junk" + struct.pack("<I", len(junk)) + junk + (b"\x00" if len(junk) % 2 else b"")
+        + b"data" + struct.pack("<I", len(frames)) + bytes(frames)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(content: bytes) -> tuple[int, list[list[int]]]:
+    """Parse a PCM16 WAV file: walk RIFF chunks (skipping unknown ones and
+    their odd-length pad bytes), read the fmt chunk, de-interleave the data
+    chunk. Returns (sample_rate, per-channel sample lists)."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, end = 12, 8 + struct.unpack("<I", content[4:8])[0]
+    n_channels = sample_rate = bits = None
+    frames = None
+    while pos + 8 <= min(end, len(content)):
+        cid = content[pos : pos + 4]
+        size = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, n_channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt_tag != _WAV_FMT_PCM or bits != 16:
+                raise ValueError(f"unsupported WAV: fmt={fmt_tag} bits={bits}")
+        elif cid == b"data":
+            frames = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if n_channels is None or frames is None:
+        raise ValueError("missing fmt/data chunk")
+    n_frames = len(frames) // (2 * n_channels)
+    flat = struct.unpack(f"<{n_frames * n_channels}h", frames[: n_frames * n_channels * 2])
+    return sample_rate, [list(flat[c::n_channels]) for c in range(n_channels)]
+
+
+def synth_wav_table(
+    docs: DataFrame,
+    n_samples: int = 64,
+    sample_rate: int = 8000,
+    n_channels: int = 2,
+) -> DataFrame:
+    """Deterministic synthetic stereo PCM16 audio, one clip per document:
+    channel ``c`` sample ``i`` is ``((doc_id*31 + i*7 + c*13) % 65536) −
+    32768`` — closed-form, so the oracle recomputes expected samples in SQL
+    without touching the codec."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                chans = [
+                    [((d * 31 + i * 7 + c * 13) % 65536) - 32768 for i in range(n_samples)]
+                    for c in range(n_channels)
+                ]
+                contents.append(encode_wav(chans, sample_rate))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "content": contents}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_ch0", T.LongType()),
+        T.StructField("sumsq_ch0", T.LongType()),
+        T.StructField("sum_ch1", T.LongType()),
+        T.StructField("sumsq_ch1", T.LongType()),
+    ]
+)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """Decode every WAV clip and emit per-channel integer sample sums and
+    sums of squares (mapInPandas; binary dropped after the map). The
+    consumer derives mean/RMS with one division (+ one correctly-rounded
+    sqrt) each, so the doubles are engine-exact. Mono clips emit NULL for
+    channel 1."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in AUDIO_STATS_SCHEMA.fields}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                rate, chans = decode_wav(bytes(content))
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(chans[0]) if chans else 0)
+                for c in (0, 1):
+                    if c < len(chans):
+                        rows[f"sum_ch{c}"].append(sum(chans[c]))
+                        rows[f"sumsq_ch{c}"].append(sum(s * s for s in chans[c]))
+                    else:
+                        rows[f"sum_ch{c}"].append(None)
+                        rows[f"sumsq_ch{c}"].append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                    "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                    "sum_ch0": pd.Series(rows["sum_ch0"], dtype="Int64"),
+                    "sumsq_ch0": pd.Series(rows["sumsq_ch0"], dtype="Int64"),
+                    "sum_ch1": pd.Series(rows["sum_ch1"], dtype="Int64"),
+                    "sumsq_ch1": pd.Series(rows["sumsq_ch1"], dtype="Int64"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(stats, AUDIO_STATS_SCHEMA)

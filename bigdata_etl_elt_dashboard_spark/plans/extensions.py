@@ -2699,3 +2699,160 @@ def trend_ema12_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100).cast("double")
         ).alias("ema12_revenue"),
     ).orderBy("month")
+
+
+@register(
+    "mm_audio_channel_stats",
+    oracle="""
+        WITH s AS (
+            SELECT d.doc_id,
+                   ((d.doc_id * 31 + i.i * 7) % 65536) - 32768 AS s0,
+                   ((d.doc_id * 31 + i.i * 7 + 13) % 65536) - 32768 AS s1
+            FROM documents d, range(64) i(i)
+        )
+        SELECT doc_id AS media_id, 8000 AS sample_rate, COUNT(*) AS n_samples,
+               CAST(SUM(s0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_ch0,
+               sqrt(CAST(SUM(s0 * s0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                   AS rms_ch0,
+               CAST(SUM(s1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_ch1,
+               sqrt(CAST(SUM(s1 * s1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                   AS rms_ch1
+        FROM s GROUP BY doc_id ORDER BY media_id
+    """,
+    doc="REAL audio decode, in-container: synthesize one closed-form "
+    "stereo PCM16 WAV clip per document (channel c sample i = "
+    "(doc_id·31 + i·7 + c·13) mod 2¹⁶ − 2¹⁵), then parse the actual RIFF "
+    "container — chunk walker that must skip a planted odd-length junk "
+    "chunk with word padding, read the fmt chunk, de-interleave PCM16 "
+    "frames — and emit per-channel integer sample sums through "
+    "mapInPandas (operators/multimodal.py: encode_wav/decode_wav). The "
+    "oracle recomputes expected samples from the same modular arithmetic "
+    "WITHOUT touching the codec, so a green row proves the byte-level "
+    "WAV parse. Mean/RMS derive from exact BIGINT sums via one IEEE "
+    "division (+ correctly-rounded sqrt) each — engine-identical. At "
+    "100 TB the binary column never leaves the Arrow batch: decode and "
+    "reduce happen in one map pass, shuffling only 7 small columns.",
+)
+def mm_audio_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    media = M.synth_wav_table(docs, n_samples=64, sample_rate=8000, n_channels=2)
+    stats = M.decode_audio_stats(media)
+    n = F.col("n_samples").cast("double")
+    return (
+        stats.select(
+            "media_id",
+            "sample_rate",
+            "n_samples",
+            (F.col("sum_ch0").cast("double") / n).alias("mean_ch0"),
+            F.sqrt(F.col("sumsq_ch0").cast("double") / n).alias("rms_ch0"),
+            (F.col("sum_ch1").cast("double") / n).alias("mean_ch1"),
+            F.sqrt(F.col("sumsq_ch1").cast("double") / n).alias("rms_ch1"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
+    "agg_window_function_suite",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT o_orderkey, o_orderstatus, cents,
+               ROW_NUMBER() OVER w AS rn,
+               NTILE(4) OVER w AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
+               LAG(cents) OVER w AS prev_cents,
+               LEAD(cents) OVER w AS next_cents,
+               FIRST_VALUE(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS min_cents,
+               LAST_VALUE(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS max_cents,
+               NTH_VALUE(cents, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS third_cents
+        FROM c
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY cents, o_orderkey)
+        QUALIFY o_orderkey % 101 = 0
+        ORDER BY o_orderstatus, cents, o_orderkey
+    """,
+    doc="The full ranking/navigation window-function surface in ONE keyed "
+    "pass: row_number, ntile, percent_rank, cume_dist, lag, lead, "
+    "first/last/nth_value — all sharing a single (status, cents, "
+    "orderkey) sort within one shuffle (one WindowExec, not nine). The "
+    "ORDER BY includes the unique orderkey so peer groups are "
+    "single-row — ntile/cume_dist tie behavior can't diverge between "
+    "engines — and percent_rank/cume_dist are exact small-integer "
+    "ratios, so the doubles match bit-for-bit. full-partition frames are "
+    "EXPLICIT ROWS UNBOUNDED..UNBOUNDED (Spark and DuckDB default "
+    "last_value frames differ!). Output thinned AFTER the windows by a "
+    "deterministic key filter.",
+)
+def agg_window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("cents", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        c.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "cents",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.lag("cents").over(w).alias("prev_cents"),
+            F.lead("cents").over(w).alias("next_cents"),
+            F.first("cents").over(wf).alias("min_cents"),
+            F.last("cents").over(wf).alias("max_cents"),
+            F.nth_value("cents", 3).over(wf).alias("third_cents"),
+        )
+        .filter(F.col("o_orderkey") % 101 == 0)
+        .orderBy("o_orderstatus", "cents", "o_orderkey")
+    )
+
+
+_CAP_PER_SOURCE = 20
+
+
+@register(
+    "docs_cap_per_source",
+    oracle=f"""
+        SELECT doc_id, source, sample_rank FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                               doc_id) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= {_CAP_PER_SOURCE}
+        ORDER BY source, sample_rank
+    """,
+    doc=f"Per-source document cap (max {_CAP_PER_SOURCE} docs per source) — "
+    "the anti-domination guard every corpus mix needs: without it one "
+    "crawl dump swamps the training mix. Selection order is "
+    "md5(doc_id) — a deterministic uniform shuffle, so the kept set is "
+    "an unbiased sample that is STABLE under re-runs and incremental "
+    "appends (a new doc displaces at most one old one), unlike "
+    "rand()-based sampling which is irreproducible and "
+    "partitioning-dependent. One window over the source partition; at "
+    "100 TB sources are few and large, so skewed partitions should be "
+    "pre-thinned with a per-partition local top-k (F.min_by / limit "
+    "pushdown) before the global window.",
+)
+def docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= _CAP_PER_SOURCE)
+        .orderBy("source", "sample_rank")
+    )

@@ -83,3 +83,77 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def _protobuf_available() -> bool:
+    """transformWithState's Python worker speaks protobuf to the JVM state
+    server; without the `protobuf` package the driver-side schema worker
+    crashes before the first batch. Gate the v2 API on it."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+TYPE_COUNTS_SCHEMA = "user_id long, event_type string, n long"
+
+
+def running_type_counts(events_stream: DataFrame) -> DataFrame:
+    """Per-user lifetime count PER EVENT TYPE, carried across micro-batches —
+    the arbitrary-state-v2 (`transformWithStateInPandas`, Spark 4) twin of
+    ``running_user_totals``. MapState keyed by event_type holds one counter
+    per (user, type); each batch emits changelog rows for the types it
+    touched ("update" semantics).
+
+    Why v2 over applyInPandasWithState: typed state variables (Value/List/
+    Map) instead of one monolithic state tuple, per-entry TTL, timers, and
+    schema evolution — the API Spark is converging on for custom stateful
+    operators. State is RocksDB-backed (set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider``), so per-key state spills to
+    disk instead of capping executor heap — the 100 TB-ingest shape.
+
+    Requires the `protobuf` package at runtime (absent in minimal
+    containers — see ``_protobuf_available``); the plan construction
+    itself is dependency-free."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", "k string", "n long")
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            local: dict[str, int] = {}
+            for pdf in rows:
+                for t, c in pdf["event_type"].value_counts().items():
+                    local[str(t)] = local.get(str(t), 0) + int(c)
+            out: dict[str, list] = {"user_id": [], "event_type": [], "n": []}
+            for t in sorted(local):
+                prev = (
+                    self._counts.getValue((t,))
+                    if self._counts.containsKey((t,))
+                    else None
+                )
+                n = (prev[0] if prev else 0) + local[t]
+                self._counts.updateValue((t,), (n,))
+                out["user_id"].append(key[0])
+                out["event_type"].append(t)
+                out["n"].append(n)
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType=TYPE_COUNTS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

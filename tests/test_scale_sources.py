@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+
+import pytest
 import zipfile
 
 from pyspark.sql import functions as F
@@ -678,3 +680,64 @@ def test_stream_dedup_within_watermark_bounds_state(spark, tmp_path):
     write([(1, far + dt.timedelta(minutes=1), 1, 1.0)])
     out = run()
     assert (1, far + dt.timedelta(minutes=1)) in out and len(out) == 4
+
+
+def test_running_type_counts_v2_plan_and_exec(spark, tmp_path):
+    """transformWithStateInPandas (arbitrary state v2): the plan constructs
+    against a streaming source with the declared changelog schema; when
+    protobuf is present (the state-server wire format), a full availableNow
+    run must match the batch groupBy(user_id, event_type).count()."""
+    from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
+        TYPE_COUNTS_SCHEMA,
+        _protobuf_available,
+        running_type_counts,
+    )
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+    rows = [
+        (1, t0, "view"),
+        (1, t0, "view"),
+        (1, t0, "click"),
+        (2, t0, "view"),
+    ]
+    spark.createDataFrame(rows, ev_schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev_schema).parquet(src)
+    out = running_type_counts(stream)
+    assert out.isStreaming
+    assert out.schema == T._parse_datatype_string(TYPE_COUNTS_SCHEMA)
+
+    if not _protobuf_available():
+        pytest.skip(
+            "protobuf not installed in this container — "
+            "transformWithState's Python state client cannot start"
+        )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("type_counts_v2")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["user_id"], r["event_type"]): r["n"]
+            for r in spark.sql("select * from type_counts_v2").collect()
+        }
+        assert got == {(1, "view"): 2, (1, "click"): 1, (2, "view"): 1}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
