@@ -114,3 +114,61 @@ def asof_join(
     return both.filter(F.col("_side") == 1).drop(
         "_side", *[f"_v_{c}" for c in value_cols]
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str = "s",
+    end_col: str = "e",
+    bucket_seconds: int = 3600,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair whose closed time
+    intervals [start, end] intersect — the third temporal-join primitive
+    next to as-of (point ← latest point) and range (point ← interval).
+
+    A direct ``l.s <= r.e AND r.s <= l.e`` predicate is a nested-loop /
+    IEJoin — quadratic or engine-special-cased. Scalable shape: explode
+    each interval to the ``bucket_seconds``-wide epoch buckets it covers,
+    EQUI-join on the bucket, apply the exact overlap predicate as a
+    residual, and count each pair exactly once WITHOUT a distinct shuffle:
+    a pair is kept only in the bucket containing the LATER of the two
+    starts — overlapping intervals both cover that instant, so exactly one
+    surviving copy exists (the dedup is a filter, not an aggregation).
+    Cost: one shuffle on the bucket key; replication factor =
+    interval_length / bucket_seconds + 1, so size the bucket to the
+    typical interval (≈ p95 length keeps replication ≤ 2 while shorter
+    buckets spread hot periods across more tasks — at 100 TB tune it to
+    the busiest bucket, and salt buckets that still overflow a task).
+
+    Right columns come back renamed with ``suffix``. Self-joins: pass the
+    same frame twice and orient downstream (a < b) — both orientations
+    survive here."""
+    w = int(bucket_seconds)
+
+    def explode_buckets(df: DataFrame, s: str, e: str) -> DataFrame:
+        b0 = F.floor(F.unix_timestamp(F.col(s)) / w).cast("long")
+        b1 = F.floor(F.unix_timestamp(F.col(e)) / w).cast("long")
+        return df.withColumn("_bkt", F.explode(F.sequence(b0, b1)))
+
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, c + suffix)
+    l_b = explode_buckets(left, start_col, end_col)
+    r_b = explode_buckets(r, start_col + suffix, end_col + suffix).withColumnRenamed(
+        "_bkt", "_bkt_r"
+    )
+    ls, le = F.col(start_col), F.col(end_col)
+    rs, re_ = F.col(start_col + suffix), F.col(end_col + suffix)
+    meet = F.floor(F.unix_timestamp(F.greatest(ls, rs)) / w).cast("long")
+    return (
+        l_b.join(
+            r_b,
+            (F.col("_bkt") == F.col("_bkt_r"))
+            & (ls <= re_)
+            & (rs <= le)
+            & (F.col("_bkt") == meet),
+        )
+        .drop("_bkt", "_bkt_r")
+    )

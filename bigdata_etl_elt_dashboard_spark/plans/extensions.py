@@ -2856,3 +2856,91 @@ def docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= _CAP_PER_SOURCE)
         .orderBy("source", "sample_rank")
     )
+
+
+@register(
+    "ev_session_overlap_pairs",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                             >= INTERVAL '10 minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        ),
+        sess AS (
+            SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e
+            FROM islands GROUP BY user_id, sid
+        )
+        SELECT a.user_id AS user_a, a.sid AS sid_a,
+               b.user_id AS user_b, b.sid AS sid_b,
+               epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s))
+                   AS overlap_us
+        FROM sess a JOIN sess b
+          ON a.s <= b.e AND b.s <= a.e
+         AND (a.user_id < b.user_id
+              OR (a.user_id = b.user_id AND a.sid < b.sid))
+        ORDER BY user_a, sid_a, user_b, sid_b
+    """,
+    doc="Interval-overlap join (operators.temporal.interval_overlap_join): "
+    "which user sessions were concurrently active — co-presence mining "
+    "over gaps-and-islands sessions (10 m gap). The naive overlap "
+    "predicate is an IEJoin/nested loop; the operator explodes each "
+    "session to the hour buckets it covers, equi-joins on the bucket, "
+    "and keeps a pair only in the bucket of the later start, so the "
+    "dedup is a FILTER (no distinct shuffle) and each pair survives "
+    "exactly once. Overlap durations are exact integer microseconds. "
+    "The oracle is DuckDB's native inequality join over the same "
+    "sessions.",
+)
+def ev_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import interval_overlap_join
+
+    ev = table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_lag))
+            >= 600 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sess = (
+        marked.withColumn("sid", F.sum("brk").over(w_cum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    pairs = interval_overlap_join(sess, sess, "s", "e", bucket_seconds=3600)
+    return (
+        pairs.filter(
+            (F.col("user_id") < F.col("user_id_r"))
+            | ((F.col("user_id") == F.col("user_id_r")) & (F.col("sid") < F.col("sid_r")))
+        )
+        .select(
+            F.col("user_id").alias("user_a"),
+            F.col("sid").alias("sid_a"),
+            F.col("user_id_r").alias("user_b"),
+            F.col("sid_r").alias("sid_b"),
+            (
+                F.unix_micros(F.least(F.col("e"), F.col("e_r")))
+                - F.unix_micros(F.greatest(F.col("s"), F.col("s_r")))
+            ).alias("overlap_us"),
+        )
+        .orderBy("user_a", "sid_a", "user_b", "sid_b")
+    )

@@ -119,6 +119,16 @@ def test_range_join_is_equi_join(spark, sf_oracle):
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
 
 
+def test_interval_overlap_join_is_equi_join(spark, sf_oracle):
+    """The bucketed interval-overlap join must equi-join on the time bucket
+    (overlap + later-start-dedup as residual filters) — never the naive
+    IEJoin nested loop, and with no distinct shuffle for pair dedup."""
+    plan = explain_str(REGISTRY["ev_session_overlap_pairs"].fn(spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
 def test_funnel_is_one_keyed_shuffle(spark, sf_oracle):
     """The conversion funnel must be conditional aggregation (one user_id
     shuffle + a single-row reduce) — never the naive 3-way self-join."""

@@ -129,6 +129,40 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
 
 
 @given(
+    lefts=st.lists(st.tuples(st.integers(0, 80), st.integers(0, 90)), min_size=1, max_size=12),
+    rights=st.lists(st.tuples(st.integers(0, 80), st.integers(0, 90)), min_size=1, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_interval_overlap_join_matches_bruteforce(spark, lefts, rights):
+    """interval_overlap_join == the naive quadratic overlap predicate:
+    every (left, right) pair with [s,e] intersection appears EXACTLY once
+    (the later-start bucket filter dedups without a distinct), regardless
+    of how many buckets each interval spans."""
+    import datetime as dtm
+
+    from bigdata_etl_elt_dashboard_spark.operators.temporal import interval_overlap_join
+
+    base = dtm.datetime(2024, 1, 1)
+    t = lambda m: base + dtm.timedelta(minutes=m)
+    mk = lambda iv: [(i, t(min(a, b)), t(max(a, b))) for i, (a, b) in enumerate(iv)]
+    left = spark.createDataFrame(mk(lefts), "lid long, s timestamp, e timestamp")
+    right = spark.createDataFrame(mk(rights), "rid long, s timestamp, e timestamp")
+
+    # 7-minute buckets: intervals span 0..13+ buckets, exercising multi-bucket dedup
+    got = sorted(
+        (r["lid"], r["rid_r"])
+        for r in interval_overlap_join(left, right, "s", "e", bucket_seconds=420).collect()
+    )
+    expected = sorted(
+        (i, j)
+        for i, (a, b) in enumerate(lefts)
+        for j, (c, d) in enumerate(rights)
+        if min(a, b) <= max(c, d) and min(c, d) <= max(a, b)
+    )
+    assert got == expected
+
+
+@given(
     seeds=st.lists(
         st.tuples(
             st.lists(st.integers(-2, 2), min_size=4, max_size=4),
