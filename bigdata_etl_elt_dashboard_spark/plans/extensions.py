@@ -2944,3 +2944,156 @@ def ev_session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_a", "sid_a", "user_b", "sid_b")
     )
+
+
+_DRIFT_SRC_A, _DRIFT_SRC_B = "src0", "src1"
+_DRIFT_TOPK = 20
+
+
+@register(
+    "text_hellinger_source_drift",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, UNNEST({_TOKS_SQL}) AS tok
+            FROM documents
+            WHERE source IN ('{_DRIFT_SRC_A}', '{_DRIFT_SRC_B}')
+              AND trim(text) <> ''
+        ),
+        cnt AS (
+            SELECT tok,
+                   COUNT(*) FILTER (source = '{_DRIFT_SRC_A}') AS cnt_a,
+                   COUNT(*) FILTER (source = '{_DRIFT_SRC_B}') AS cnt_b
+            FROM toks WHERE tok <> '' GROUP BY tok
+        ),
+        tot AS (SELECT SUM(cnt_a) AS tot_a, SUM(cnt_b) AS tot_b FROM cnt),
+        top AS (
+            SELECT tok, cnt_a, cnt_b FROM cnt
+            QUALIFY ROW_NUMBER() OVER (ORDER BY cnt_a + cnt_b DESC, tok)
+                    <= {_DRIFT_TOPK}
+        )
+        SELECT tok, cnt_a, cnt_b,
+               CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS p_a,
+               CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS p_b,
+               (sqrt(CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE))
+                - sqrt(CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE)))
+               * (sqrt(CAST(cnt_a AS DOUBLE) / CAST(tot_a AS DOUBLE))
+                  - sqrt(CAST(cnt_b AS DOUBLE) / CAST(tot_b AS DOUBLE)))
+                   AS hellinger_term
+        FROM top CROSS JOIN tot ORDER BY tok
+    """,
+    doc="Token-distribution drift between two corpus sources via per-token "
+    "squared-Hellinger contributions — the mix-shift monitor run when a "
+    "new crawl lands: H² = ½ Σ (√p_a − √p_b)², emitted per token for the "
+    "top-20 shared tokens so the drift is attributable, not just a "
+    "scalar. Divergences needing log() are NOT cross-engine hash-stable "
+    "(ln is not correctly rounded); Hellinger terms use only division, "
+    "sqrt, subtract, multiply — all IEEE correctly rounded from exact "
+    "integer counts, so both engines emit identical bits. One token "
+    "explode + one groupBy; the two totals broadcast back as a 1-row "
+    "cross join.",
+)
+def text_hellinger_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(
+            F.col("source").isin(_DRIFT_SRC_A, _DRIFT_SRC_B)
+            & (F.trim(F.col("text")) != "")
+        )
+        .select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("source") == _DRIFT_SRC_A, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("source") == _DRIFT_SRC_B, 1).otherwise(0)).alias("cnt_b"),
+    )
+    tot = cnt.agg(F.sum("cnt_a").alias("tot_a"), F.sum("cnt_b").alias("tot_b"))
+    top = (
+        cnt.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc(F.col("cnt_a") + F.col("cnt_b")), F.asc("tok"))
+            ),
+        )
+        .filter(F.col("rk") <= _DRIFT_TOPK)
+        .drop("rk")
+    )
+    p_a = F.col("cnt_a").cast("double") / F.col("tot_a").cast("double")
+    p_b = F.col("cnt_b").cast("double") / F.col("tot_b").cast("double")
+    term = (F.sqrt(p_a) - F.sqrt(p_b)) * (F.sqrt(p_a) - F.sqrt(p_b))
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "cnt_a",
+            "cnt_b",
+            p_a.alias("p_a"),
+            p_b.alias("p_b"),
+            term.alias("hellinger_term"),
+        )
+        .orderBy("tok")
+    )
+
+
+_BPE_TOPK = 20
+
+
+@register(
+    "docs_bpe_pair_counts",
+    oracle=f"""
+        WITH words AS (
+            SELECT w, COUNT(*) AS wc
+            FROM (SELECT UNNEST({_TOKS_SQL}) AS w
+                  FROM documents WHERE trim(text) <> '')
+            WHERE w <> '' GROUP BY w
+        ),
+        pairs AS (
+            SELECT substr(w, CAST(t.i AS INTEGER) + 1, 1) AS left_sym,
+                   substr(w, CAST(t.i AS INTEGER) + 2, 1) AS right_sym,
+                   wc
+            FROM words, UNNEST(range(len(w) - 1)) AS t(i)
+            WHERE len(w) >= 2
+        )
+        SELECT left_sym, right_sym, SUM(wc) AS pair_count
+        FROM pairs GROUP BY left_sym, right_sym
+        ORDER BY pair_count DESC, left_sym, right_sym LIMIT {_BPE_TOPK}
+    """,
+    doc="First BPE merge step: corpus-weighted adjacent-symbol pair counts, "
+    "top-20 merge candidates — the inner statistic of byte-pair-encoding "
+    "tokenizer training. The BPE trick is reproduced structurally: pair "
+    "enumeration runs over the DISTINCT word vocabulary weighted by word "
+    "frequency, not over the raw corpus, so the quadratic-ish symbol scan "
+    "touches |vocab| strings regardless of corpus size (the corpus-scale "
+    "work is one explode + one groupBy to build the vocab — at 100 TB "
+    "the vocab table is millions of rows, not billions). The char-pair "
+    "explode is a higher-order transform (interpreted, not codegen — "
+    "acceptable exactly because it runs post-compression).",
+)
+def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(F.explode(X.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> struct(substr(w, i, 1) AS left_sym, "
+                    "substr(w, i + 1, 1) AS right_sym))"
+                )
+            ).alias("pr"),
+        )
+        .select(F.col("pr.left_sym"), F.col("pr.right_sym"), "wc")
+    )
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("wc").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(_BPE_TOPK)
+    )

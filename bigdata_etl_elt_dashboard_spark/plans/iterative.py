@@ -233,3 +233,105 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_units"), "node")
         .limit(20)
     )
+
+
+@register(
+    "graph_copurchase_triangles",
+    oracle="""
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        e AS (SELECT DISTINCT a.p AS x, b.p AS y
+              FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        deg AS (
+            SELECT node, COUNT(*) AS d
+            FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+            GROUP BY node
+        ),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM e e1 JOIN e e2 ON e1.y = e2.x
+                      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+        ),
+        s AS (
+            SELECT (SELECT COUNT(DISTINCT node) FROM deg) AS n_nodes,
+                   (SELECT COUNT(*) FROM e) AS n_edges,
+                   (SELECT SUM(d * (d - 1) // 2) FROM deg) AS n_wedges,
+                   (SELECT n_triangles FROM tri) AS n_triangles
+        )
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+                   AS global_clustering
+        FROM s
+    """,
+    doc="Triangle counting + global clustering coefficient over the "
+    "co-purchase graph (parts linked when they appear in the same order) "
+    "— the market-basket graph statistic behind community detection and "
+    "recommendation features. Scale shape: edges are distinct-projected "
+    "once, then ORIENTED from the lower-(degree, id) endpoint to the "
+    "higher so every triangle is counted exactly once at its lowest-"
+    "degree corner — the standard O(m^1.5) wedge bound that keeps hub "
+    "nodes from exploding the wedge join (a hub of degree d contributes "
+    "C(d,2) wedges unoriented but near-zero once it outranks its "
+    "neighbors). Two equi-join shuffles (wedge build, wedge close); the "
+    "oracle counts the same triangles with DuckDB's unoriented 3-way "
+    "join. Reports nodes/edges/wedges/triangles and 3T/W clustering.",
+)
+def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    lj = li.select(F.col("o"), F.col("p").alias("x"))
+    rj = li.select(F.col("o").alias("o2"), F.col("p").alias("y"))
+    e = (
+        lj.join(rj, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y")))
+        .select("x", "y")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient each edge from the lower (degree, id) endpoint to the higher,
+    # keeping the head's rank so wedges can be rank-ordered below
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    ranked = e.join(F.broadcast(dx), "x").join(F.broadcast(dy), "y")
+    fwd = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oe = ranked.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("v"),
+        F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
+    )
+    # wedges (u -> a, u -> b) with rank(a) < rank(b): the closing edge, if
+    # present, is oriented a -> b by construction — a pure EQUI-join on
+    # (a, b), no OR-of-equalities nested loop
+    w1 = oe.select(F.col("u"), F.col("v").alias("a"), F.col("dv").alias("da"))
+    w2 = oe.select(F.col("u").alias("u2"), F.col("v").alias("b"), F.col("dv").alias("db"))
+    rank_lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    wedges = w1.join(w2, (F.col("u") == F.col("u2")) & rank_lt).select("a", "b")
+    close_f = oe.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    tri = wedges.join(close_f, ["a", "b"]).agg(F.count("*").alias("n_triangles"))
+    s = (
+        deg.agg(F.count("*").alias("n_nodes"))
+        .crossJoin(e.agg(F.count("*").alias("n_edges")))
+        .crossJoin(deg.agg(F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")))
+        .crossJoin(tri)
+    )
+    return s.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        (
+            (F.lit(3) * F.col("n_triangles")).cast("double")
+            / F.col("n_wedges").cast("double")
+        ).alias("global_clustering"),
+    )

@@ -551,3 +551,230 @@ def stat_chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("col_tot").cast("double")
         ).alias("chi2_term"),
     ).orderBy("priority", "status")
+
+
+# ------------------------- distinct-count sketch --------------------------
+
+_KMV_K = 256
+
+
+@register(
+    "stat_kmv_distinct_custkeys",
+    oracle=f"""
+        WITH d AS (SELECT DISTINCT o_custkey FROM orders),
+        h AS (SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+                  AS hv
+              FROM d),
+        k AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+        kv AS (SELECT MAX(hv) AS kth_min_hash, COUNT(*) AS k_used FROM k),
+        t AS (SELECT COUNT(*) AS true_distinct FROM d)
+        SELECT k_used, kth_min_hash, true_distinct,
+               CAST(k_used - 1 AS DOUBLE) * 4294967296.0
+                   / CAST(kth_min_hash AS DOUBLE) AS est_distinct,
+               CAST(k_used - 1 AS DOUBLE) * 4294967296.0
+                   / CAST(kth_min_hash AS DOUBLE)
+                   / CAST(true_distinct AS DOUBLE) - 1.0 AS rel_err
+        FROM kv CROSS JOIN t
+    """,
+    doc=f"KMV (k-minimum-values) distinct-count sketch over order custkeys, "
+    f"k={_KMV_K}: hash every key to a uniform 32-bit value (md5 prefix — "
+    "engine-portable), keep the k smallest, estimate distinct = (k-1)·2³² / "
+    "kth_min. Unlike HyperLogLog (approx_count_distinct) the sketch is "
+    "DETERMINISTIC, so the estimate itself is hash-gateable against the "
+    "oracle, reported next to the true distinct and signed relative error. "
+    "Plan: the k-smallest selection is a TakeOrdered — per-partition "
+    "partial top-k merged on the driver, no global sort — and the sketch "
+    "is mergeable by construction (union = k smallest of the union), the "
+    "property that makes KMV a streaming/distributed sketch at 100 TB.",
+)
+def stat_kmv_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    d = orders.select("o_custkey").distinct()
+    h = d.select(
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    kv = (
+        h.orderBy("hv")
+        .limit(_KMV_K)
+        .agg(F.max("hv").alias("kth_min_hash"), F.count("*").alias("k_used"))
+    )
+    t = d.agg(F.count("*").alias("true_distinct"))
+    est = (F.col("k_used") - 1).cast("double") * F.lit(4294967296.0) / F.col(
+        "kth_min_hash"
+    ).cast("double")
+    return kv.crossJoin(t).select(
+        "k_used",
+        "kth_min_hash",
+        "true_distinct",
+        est.alias("est_distinct"),
+        (est / F.col("true_distinct").cast("double") - F.lit(1.0)).alias("rel_err"),
+    )
+
+
+# ----------------------------- Bloom filter -------------------------------
+
+_BF_BITS = 8192
+_BF_HASHES = 3
+
+
+@register(
+    "stat_bloom_customer_probe",
+    oracle=f"""
+        WITH members AS (SELECT DISTINCT o_custkey AS key FROM orders),
+        bits AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' ||
+                                       CAST(m.key AS VARCHAR)), 1, 8))::BIGINT
+                       % {_BF_BITS} AS pos
+            FROM members m CROSS JOIN UNNEST(range({_BF_HASHES})) AS t(r)
+        ),
+        probe AS (
+            SELECT c.c_custkey AS key, t.r,
+                   ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' ||
+                                       CAST(c.c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                       % {_BF_BITS} AS pos
+            FROM customer c CROSS JOIN UNNEST(range({_BF_HASHES})) AS t(r)
+        ),
+        pos_keys AS (
+            SELECT p.key FROM probe p JOIN bits b ON b.pos = p.pos
+            GROUP BY p.key HAVING COUNT(DISTINCT p.r) = {_BF_HASHES}
+        ),
+        s AS (
+            SELECT (SELECT COUNT(*) FROM members) AS n_members,
+                   (SELECT COUNT(*) FROM bits) AS bits_set,
+                   (SELECT COUNT(*) FROM customer) AS probes,
+                   (SELECT COUNT(*) FROM pos_keys) AS positives,
+                   (SELECT COUNT(*) FROM pos_keys pk
+                     WHERE pk.key NOT IN (SELECT key FROM members))
+                       AS false_positives
+        )
+        SELECT n_members, bits_set, probes, positives, false_positives,
+               CAST(false_positives AS DOUBLE)
+                   / CAST(NULLIF(probes - n_members, 0) AS DOUBLE) AS fp_rate
+        FROM s
+    """,
+    doc=f"Bloom-filter membership sketch, built and probed entirely as "
+    f"relational ops: an m={_BF_BITS}-bit filter with {_BF_HASHES} "
+    "md5-derived hash functions over the customers that placed orders, "
+    "probed with EVERY customer; reports set bits, positives, and the "
+    "measured false-positive rate among true non-members. The bit array "
+    "is a distinct-position table (≤ m rows, broadcast to the probe side "
+    "— at 100 TB this is exactly Spark's own runtime BloomFilter "
+    "injection, here made explicit and engine-portable so the FP behavior "
+    "itself is hash-gated). Build = one explode + distinct; probe = one "
+    "broadcast equi-join on bit position + a keyed count — no shuffle of "
+    "the probe side beyond its own aggregation.",
+)
+def stat_bloom_customer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    rs = F.explode(F.array(*[F.lit(r) for r in range(_BF_HASHES)])).alias("r")
+
+    def pos_col() -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("r").cast("string"),
+                            F.lit(":"),
+                            F.col("key").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BF_BITS
+        ).alias("pos")
+
+    members = orders.select(F.col("o_custkey").alias("key")).distinct()
+    bits = members.select("key", rs).select(pos_col()).distinct()
+    probe = cust.select(F.col("c_custkey").alias("key"), rs).select(
+        "key", "r", pos_col()
+    )
+    pos_keys = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("key")
+        .agg(F.countDistinct("r").alias("nr"))
+        .filter(F.col("nr") == _BF_HASHES)
+        .select("key")
+    )
+    s = (
+        members.agg(F.count("*").alias("n_members"))
+        .crossJoin(bits.agg(F.count("*").alias("bits_set")))
+        .crossJoin(cust.agg(F.count("*").alias("probes")))
+        .crossJoin(pos_keys.agg(F.count("*").alias("positives")))
+        .crossJoin(
+            pos_keys.join(members, "key", "left_anti").agg(
+                F.count("*").alias("false_positives")
+            )
+        )
+    )
+    non_members = F.col("probes") - F.col("n_members")
+    return s.select(
+        "n_members",
+        "bits_set",
+        "probes",
+        "positives",
+        "false_positives",
+        (
+            F.col("false_positives").cast("double")
+            / F.when(non_members == 0, F.lit(None))
+            .otherwise(non_members)
+            .cast("double")
+        ).alias("fp_rate"),
+    )
+
+
+# ----------------------------- k-anonymity --------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "dq_k_anonymity_customer",
+    oracle=f"""
+        WITH classes AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+                   COUNT(*) AS class_size
+            FROM customer GROUP BY 1, 2, 3
+        )
+        SELECT class_size, COUNT(*) AS n_classes,
+               SUM(class_size) AS n_rows,
+               CAST(class_size < {_KANON_K} AS INTEGER) AS at_risk
+        FROM classes GROUP BY class_size ORDER BY class_size
+    """,
+    doc=f"k-anonymity profile (k={_KANON_K}) of the customer table under "
+    "the quasi-identifier (nation, market segment, account-balance "
+    "thousand-band) — the privacy audit run before releasing or training "
+    "on user-adjacent data: every row in an equivalence class smaller "
+    "than k is re-identifiable by its quasi-identifiers alone. Emits the "
+    "class-size histogram with at-risk flags (rows in flagged classes "
+    "need suppression or generalization). Two chained aggregations, both "
+    "partial-aggregatable; the second runs on the already-collapsed "
+    "class table — the 100 TB cost is one shuffle of (QI, count) pairs.",
+)
+def dq_k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("acctbal_band"),
+    ).agg(F.count("*").alias("class_size"))
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count("*").alias("n_classes"), F.sum("class_size").alias("n_rows"))
+        .select(
+            "class_size",
+            "n_classes",
+            "n_rows",
+            (F.col("class_size") < _KANON_K).cast("int").alias("at_risk"),
+        )
+        .orderBy("class_size")
+    )

@@ -325,3 +325,30 @@ def test_corr_keeps_part_broadcast(spark, sf_oracle):
     plan = explain_str(REGISTRY["stat_corr_discount_qty"].fn(spark, sf_oracle))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_bit_table(spark, sf_oracle):
+    """The Bloom probe must join probe positions against the (≤ m-row)
+    bit table with a broadcast hash join — the probe side never shuffles
+    for the membership test itself."""
+    plan = explain_str(REGISTRY["stat_bloom_customer_probe"].fn(spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested loops allowed are the 1-row scalar-combine cross
+    # joins; a CONDITIONED nested loop (Inner/Left...) means the position
+    # join degraded
+    assert "BroadcastNestedLoopJoin Inner" not in plan
+    assert "BroadcastNestedLoopJoin LeftOuter" not in plan
+
+
+def test_triangle_count_is_equi_join_only(spark, sf_oracle):
+    """Degree-ordered triangle counting must close wedges with a pure
+    (a, b) equi-join — the OR-of-equalities form degrades to a nested
+    loop and must never reappear."""
+    plan = explain_str(REGISTRY["graph_copurchase_triangles"].fn(spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    # 1-row scalar-combine cross joins are fine; a CONDITIONED nested loop
+    # (the OR-of-equalities wedge close) must never reappear
+    assert "BroadcastNestedLoopJoin Inner" not in plan
+    # the edge build and wedge close are hash/merge equi-joins
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
