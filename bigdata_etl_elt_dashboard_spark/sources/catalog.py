@@ -4,14 +4,21 @@ Replaces the reference's MySQL databases (``dw_sales``/``elt_sales_db``) and
 CSV datalake layers (SURVEY §1.1) with a parquet lake: columnar storage,
 min/max statistics for predicate pushdown, and partition pruning come free.
 
-One quirk is isolated here: ``events.parquet`` is written with
-TIMESTAMP(NANOS), which Spark's parquet reader rejects by default. We flip
-``spark.sql.legacy.parquet.nanosAsLong`` for the read (runtime-settable,
-restored afterwards) and rebuild a microsecond TimestampType column with
-integer division — ``ts div 1000`` — because nanosecond longs (~1.7e18)
-exceed double's 2^53 exact-integer range, so float division would corrupt
-timestamps. This truncates toward negative infinity exactly like DuckDB's
-ns→us read path, keeping the oracle comparable.
+One quirk is isolated here: ``events.parquet`` timestamp encoding varies by
+testdata generation. Two cases are normalized to a session-timezone
+TimestampType ``ts`` column so every downstream operator (``unix_micros``,
+``session_window``, watermarks) sees one type:
+
+- TIMESTAMP(NANOS): Spark's parquet reader rejects it by default, so we flip
+  ``spark.sql.legacy.parquet.nanosAsLong`` for the read (runtime-settable,
+  restored afterwards) and rebuild microseconds with integer division —
+  ``ts div 1000`` — because nanosecond longs (~1.7e18) exceed double's 2^53
+  exact-integer range. Truncation toward negative infinity matches DuckDB's
+  ns→us read path.
+- TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ, which
+  ``unix_micros`` & co. reject. The session timezone is pinned UTC
+  (``session.py``), so a plain cast to TimestampType reinterprets the naive
+  value as UTC — epoch-identical to DuckDB's ``epoch_us`` on the same file.
 """
 
 from __future__ import annotations
@@ -40,8 +47,11 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     finally:
         if prev is not None:
             spark.conf.set(_NANOS_CONF, prev)
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
