@@ -8,6 +8,7 @@ repo root exposes the registry to the driver's correctness gate.
 from . import (  # noqa: F401  (import for registration side effects)
     analytics,
     corpus_quality,
+    corpus_spans,
     elt,
     extensions,
     iterative,

@@ -1,0 +1,286 @@
+"""Span-level dedup and corpus-frequency analytics (SURVEY §7.5;
+BASELINE.json north star — LLM training-data pipeline surface).
+
+Four operators a web-scale pretraining pipeline runs between crawl and
+tokenizer:
+
+- **Duplicate n-gram spans** (Lee et al. 2022, "Deduplicating Training
+  Data Makes Language Models Better", public): exact repeated k-token
+  spans across documents. The suffix-array formulation is single-node;
+  the Spark-native shape is shingle → groupBy — one partial-aggregated
+  shuffle keyed on the span, embarrassingly parallel at 100 TB.
+- **N-gram containment** (Broder's containment coefficient): detects a
+  short document embedded inside a longer one, which symmetric Jaccard
+  misses. Inverted-index equi-join on the shingle — never all-pairs —
+  with a document-frequency cap so stop-phrase shingles can't create a
+  quadratic hot bucket.
+- **Token rarity**: corpus-frequency statistics per source, the signal
+  behind rare-token upsampling / quality mixes. All-integer rationals
+  until one final IEEE division, so the oracle hashes bit-identically.
+- **SemDeDup prune** (Abbas et al. 2023, public): within-cluster
+  embedding near-dup pruning. Clusters ARE the join key, so the
+  quadratic cosine work is bounded per-cluster and the pair stream is a
+  keyed equi-join — the same blocked shape as operators.similarity.
+
+Cross-engine determinism: span strings and counts are exact; thresholds
+compare scaled integers (``n_common * 10 >= n_sh_a * 8``), never floats;
+cosine rounds to 6 dp on both engines before the threshold test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..operators import text as X
+from ..sources.catalog import table
+from .extensions import _TOKS_SQL
+from .registry import register
+
+#: span width for exact duplicate-span mining (tokens)
+_SPAN_K = 8
+#: shingle width for containment (tokens)
+_CONT_K = 5
+#: drop shingles seen in more than this many docs (stop-phrase guard —
+#: bounds the inverted-index bucket size, the scale-critical knob)
+_CONT_DF_CAP = 100
+#: containment keep-threshold as an exact rational (8/10)
+_CONT_NUM, _CONT_DEN = 8, 10
+#: a token is "rare" at or below this corpus frequency
+_RARE_C = 2
+#: SemDeDup within-cluster cosine threshold (6-dp rounded on both engines)
+_SEM_TAU = 0.4
+
+
+def _span_sql(k: int) -> str:
+    """DuckDB k-token shingle stream: (doc_id, span) one row per position."""
+    return f"""
+        SELECT doc_id, array_to_string(toks[i:i+{k - 1}], ' ') AS span
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+             UNNEST(range(1, greatest(len(toks) - {k} + 1, 0) + 1)) AS t(i)
+    """
+
+
+def _spans(toks: F.Column, k: int) -> F.Column:
+    """Spark twin of :func:`_span_sql`: array of k-token spans (JVM-side
+    higher-order functions, no explode until the caller chooses to)."""
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.expr("CAST(array() AS array<int>)")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+@register(
+    "docs_duplicate_ngram_spans",
+    oracle=f"""
+        WITH g AS ({_span_sql(_SPAN_K)})
+        SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+        FROM g GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY n_occurrences DESC, span LIMIT 50
+    """,
+    doc=f"Exact duplicate {_SPAN_K}-token spans appearing in ≥2 documents "
+    "(Lee et al. 2022 span-dedup signal), top-50 by occurrence. Shape: "
+    "per-row shingle arrays (no shuffle) → explode → ONE partial-aggregated "
+    "groupBy on the span → TakeOrdered for the head. The span key spreads "
+    "near-uniformly, and map-side combine collapses within-doc repeats "
+    "before the shuffle; at 100 TB this is a linear scan + one shuffle.",
+)
+def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(_spans(X.tokens(F.col("text")), _SPAN_K)).alias("span")
+    )
+    return (
+        g.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), "span")
+        .limit(50)
+    )
+
+
+@register(
+    "docs_ngram_containment",
+    oracle=f"""
+        WITH sh AS (SELECT DISTINCT doc_id, span FROM ({_span_sql(_CONT_K)})),
+        kept AS (SELECT span FROM sh GROUP BY span HAVING COUNT(*) <= {_CONT_DF_CAP}),
+        shk AS (SELECT s.doc_id, s.span FROM sh s JOIN kept USING (span)),
+        sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY doc_id),
+        com AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM shk a JOIN shk b ON a.span = b.span AND a.doc_id <> b.doc_id
+            GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b, n_common, sa.n_sh AS n_sh_a,
+               CAST(n_common AS DOUBLE) / sa.n_sh AS containment
+        FROM com
+        JOIN sz sa ON com.doc_a = sa.doc_id
+        JOIN sz sb ON com.doc_b = sb.doc_id
+        WHERE sa.n_sh <= sb.n_sh
+          AND n_common * {_CONT_DEN} >= sa.n_sh * {_CONT_NUM}
+        ORDER BY doc_a, doc_b
+    """,
+    doc=f"Doc-in-doc containment: pairs where ≥{_CONT_NUM}0% of the shorter "
+    f"document's distinct {_CONT_K}-token shingles appear in the longer one "
+    "(Broder containment — catches embedded near-copies symmetric Jaccard "
+    "misses). Shape: distinct shingles → DF-cap filter (drops stop-phrase "
+    f"shingles seen in >{_CONT_DF_CAP} docs, bounding every inverted-index "
+    "bucket) → shingle equi-join → count per pair → broadcast-join the tiny "
+    "per-doc size table. The threshold compares scaled INTEGERS; the one "
+    "IEEE division is display-only.",
+)
+def docs_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(_spans(X.tokens(F.col("text")), _CONT_K)).alias("span")
+    ).distinct()
+    kept = sh.groupBy("span").agg(F.count("*").alias("_df")).filter(
+        F.col("_df") <= _CONT_DF_CAP
+    )
+    shk = sh.join(kept.select("span"), "span")
+    sz = shk.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shk.select(F.col("doc_id").alias("doc_a"), "span")
+    b = shk.select(F.col("doc_id").alias("doc_b"), "span")
+    com = (
+        a.join(b, "span")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    return (
+        com.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(
+            (F.col("n_sh_a") <= F.col("n_sh_b"))
+            & (F.col("n_common") * _CONT_DEN >= F.col("n_sh_a") * _CONT_NUM)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_sh_a",
+            (F.col("n_common") / F.col("n_sh_a")).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "docs_token_rarity",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, UNNEST({_TOKS_SQL}) AS tok FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok)
+        SELECT t.source,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(f.c) AS BIGINT) AS sum_freq,
+               CAST(SUM(f.c) AS DOUBLE) / COUNT(*) AS mean_token_freq,
+               MIN(f.c) AS min_freq,
+               COUNT(*) FILTER (f.c <= {_RARE_C}) AS n_rare,
+               CAST(COUNT(*) FILTER (f.c <= {_RARE_C}) AS DOUBLE) / COUNT(*)
+                   AS rare_ratio
+        FROM tok t JOIN freq f USING (tok)
+        GROUP BY t.source ORDER BY t.source
+    """,
+    doc="Corpus-frequency profile per source: mean token frequency, rarest "
+    f"token, and share of rare (freq ≤ {_RARE_C}) token occurrences — the "
+    "signal behind rare-token upsampling and source-mix quality weighting. "
+    "Shape: one token-count shuffle builds the frequency table, which "
+    "joins back onto the token stream (broadcast at test SF; hash join on "
+    "the token key at 100 TB where the vocabulary outgrows broadcast), "
+    "then one partial-aggregated rollup onto a handful of source keys. "
+    "All-integer sums; exactly two IEEE divisions at output.",
+)
+def docs_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    j = tok.join(freq, "tok")
+    n_rare = F.count(F.when(F.col("c") <= _RARE_C, 1))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("c").alias("sum_freq"),
+            (F.sum("c") / F.count("*")).alias("mean_token_freq"),
+            F.min("c").alias("min_freq"),
+            n_rare.alias("n_rare"),
+            (n_rare / F.count("*")).alias("rare_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_semdedup_prune",
+    oracle=f"""
+        WITH v AS (
+            SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+        ),
+        rem AS (
+            SELECT DISTINCT a.label, a.vec_id
+            FROM v a JOIN v b ON a.label = b.label AND b.vec_id < a.vec_id
+            WHERE ROUND(list_dot_product(a.ve, b.ve)
+                        / NULLIF(sqrt(list_dot_product(a.ve, a.ve))
+                                 * sqrt(list_dot_product(b.ve, b.ve)), 0.0), 6)
+                  >= {_SEM_TAU}
+        ),
+        n AS (SELECT label, COUNT(*) AS n_vecs FROM v GROUP BY label),
+        r AS (SELECT label, COUNT(*) AS n_removed FROM rem GROUP BY label)
+        SELECT n.label, n_vecs,
+               COALESCE(n_removed, 0) AS n_removed,
+               n_vecs - COALESCE(n_removed, 0) AS n_kept
+        FROM n LEFT JOIN r USING (label)
+        ORDER BY n.label
+    """,
+    doc="SemDeDup (Abbas et al. 2023): within each cluster, prune every "
+    f"vector that has a lower-id neighbor at cosine ≥ {_SEM_TAU} (greedy "
+    "keep-lowest-id — deterministic, order-free). Clusters ARE the join "
+    "key: the pair stream is an equi-join on label, so the quadratic "
+    "cosine work is bounded per-cluster — the entire point of clustering "
+    "before dedup at 100 TB. Cosine is the unrolled-codegen dot "
+    "(operators.similarity.dot) rounded to 6 dp on both engines before "
+    "the threshold, eliminating last-ulp drift.",
+)
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    v = S._fan_out(emb).select(
+        "label", "vec_id", S._as_double(F.col("embedding")).alias("ve")
+    )
+    a = v.select(
+        F.col("label"), F.col("vec_id").alias("_aid"), F.col("ve").alias("_ave")
+    )
+    b = v.select(
+        F.col("label"), F.col("vec_id").alias("_bid"), F.col("ve").alias("_bve")
+    )
+    cos = F.round(
+        S.cosine(F.col("_ave"), F.col("_bve"), S.EMBEDDING_DIM), 6
+    )
+    removed = (
+        a.join(b, "label")
+        .filter((F.col("_bid") < F.col("_aid")) & (cos >= _SEM_TAU))
+        .select("label", F.col("_aid").alias("vec_id"))
+        .distinct()
+    )
+    n = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    r = removed.groupBy("label").agg(F.count("*").alias("n_removed"))
+    return (
+        n.join(r, "label", "left")
+        .select(
+            "label",
+            "n_vecs",
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_removed"), F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -352,3 +352,33 @@ def test_triangle_count_is_equi_join_only(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin Inner" not in plan
     # the edge build and wedge close are hash/merge equi-joins
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_duplicate_spans_single_shuffle_head(spark, sf_oracle):
+    """Span mining is scan → shingle project → ONE groupBy shuffle →
+    TakeOrdered head: partial aggregation must collapse within-doc span
+    repeats before the exchange, and the top-50 must never global-sort."""
+    plan = explain_str(REGISTRY["docs_duplicate_ngram_spans"].fn(spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "SortMergeJoin" not in plan  # no join anywhere in this plan
+
+
+def test_containment_is_inverted_index_equi_join(spark, sf_oracle):
+    """Containment pairs come from a shingle-keyed inverted-index
+    equi-join with the per-doc size tables broadcast back on — never a
+    nested-loop pair enumeration."""
+    plan = explain_str(REGISTRY["docs_ngram_containment"].fn(spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # tiny per-doc size tables
+
+
+def test_semdedup_pairs_keyed_on_cluster(spark, sf_oracle):
+    """SemDeDup's pair stream must be an equi-join on the cluster label —
+    the clustering is what bounds the quadratic work, so a nested-loop
+    fallback here defeats the operator."""
+    plan = explain_str(REGISTRY["dedup_semdedup_prune"].fn(spark, sf_oracle))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
