@@ -22,6 +22,7 @@ import shutil
 import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -75,6 +76,34 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-media ingestion via Spark's ``binaryFile`` source: one row per
+    file with ``(path, modificationTime, length, content binary)`` — the
+    landing step that turns an object-store prefix of images/audio into
+    the opaque-binary media table consumed by ``operators.multimodal``.
+
+    Scale notes: the source lists files on the driver but reads contents
+    in executors, splitting the file LIST (not file bodies) across tasks,
+    so millions of small media files parallelize; ``glob`` pushes the
+    pattern into the listing (``pathGlobFilter``), and ``max_bytes`` sets
+    ``spark.sql.sources.binaryFile.maxLength`` semantics via a pushed
+    length filter — both prune BEFORE content bytes are read. Keep
+    per-file size under ~2 GB (single-row limit); shard bigger media at
+    produce time."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
 
 
 def read_jdbc(

@@ -741,3 +741,40 @@ def test_running_type_counts_v2_plan_and_exec(spark, tmp_path):
         assert got == {(1, "view"): 2, (1, "click"): 1, (2, "view"): 1}
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_binary_file_ingestion_to_decode(spark, tmp_path):
+    """binaryFile landing → multimodal decode end-to-end from DISK: the
+    object-store ingestion path for media. Glob filtering prunes at the
+    file listing; the max_bytes filter prunes oversized files by the
+    LENGTH metadata column before content is materialized."""
+    from bigdata_etl_elt_dashboard_spark.operators import multimodal as M
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    for i in range(4):
+        img = M.DecodedImage(
+            width=4, height=2, pixels=bytes((i * 7 + j) % 256 for j in range(24))
+        )
+        (media_dir / f"img_{i}.ppm").write_bytes(M.encode_ppm(img))
+    (media_dir / "notes.txt").write_text("not media")
+    (media_dir / "huge.ppm").write_bytes(b"P6\n9 9\n255\n" + b"\0" * 500)
+
+    df = readers.read_binary_files(
+        spark, str(media_dir), glob="*.ppm", max_bytes=100
+    )
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+    assert df.count() == 4  # .txt excluded by glob, oversized ppm by length
+
+    media = df.select(
+        # filename → numeric media key (decode_image_stats contract: int64 id)
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.ppm$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("content"),
+    )
+    stats = M.decode_image_stats(media).orderBy("media_id").collect()
+    assert [r.media_id for r in stats] == [0, 1, 2, 3]
+    assert [r.width for r in stats] == [4, 4, 4, 4]
+    # decoded R-channel sum of img_0: sum((0*7 + j) % 256, j = 0,3,..,21)
+    assert stats[0].sum_r == sum(range(0, 24, 3))
