@@ -1234,3 +1234,114 @@ def dq_order_lineitem_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(diff > 100, 1)).alias("discrepant"),
         (F.max(diff) / 100.0).alias("max_abs_diff"),
     )
+
+
+@register(
+    "li_value_share_parts",
+    oracle="""
+        WITH pc AS (
+            SELECT l_partkey,
+                   SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 10000)
+                            AS BIGINT)) AS c
+            FROM lineitem GROUP BY l_partkey
+        ),
+        t AS (SELECT l_partkey, c, SUM(c) OVER () AS tot FROM pc)
+        SELECT l_partkey,
+               CAST(c AS DOUBLE) / 10000 AS part_value,
+               CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS value_share
+        FROM t
+        WHERE c * 1000 > tot
+        ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 skeleton: parts whose revenue share exceeds 0.1% of the "
+    "global total — a group-by filtered against a SCALAR aggregate. Shape: "
+    "one partial-aggregated groupBy builds per-part fixed-point cents; the "
+    "denominator is an unpartitioned window SUM over the POST-AGG rows "
+    "(n_parts rows, orders of magnitude below the fact count) — the "
+    "scalar-subquery alternative re-scans the fact table twice (verified: "
+    "no exchange reuse even under AQE). The threshold compares scaled "
+    "BIGINTs (c * 1000 > tot) — no float compare; bigint headroom holds "
+    "to ~sf100, then switch to decimal(38,4) (exact_agg.py overflow "
+    "note). At extreme part cardinality, replace the single-task window "
+    "with a hierarchical two-stage total.",
+)
+def li_value_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    pc = li.groupBy("l_partkey").agg(
+        F.sum(F.round(_rev() * F.lit(10000)).cast("long")).alias("c")
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        pc.withColumn("tot", F.sum("c").over(w))
+        .filter(F.col("c") * 1000 > F.col("tot"))
+        .select(
+            "l_partkey",
+            (F.col("c") / F.lit(10000.0)).alias("part_value"),
+            (F.col("c") / F.col("tot")).alias("value_share"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@register(
+    "li_last_shipper_blame",
+    oracle="""
+        WITH o AS (
+            SELECT l_orderkey, MAX(l_shipdate) AS max_ship,
+                   COUNT(DISTINCT l_suppkey) AS n_supp
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        last AS (
+            SELECT DISTINCT li.l_orderkey, li.l_suppkey
+            FROM lineitem li JOIN o USING (l_orderkey)
+            WHERE o.n_supp >= 2 AND li.l_shipdate = o.max_ship
+        ),
+        uniq AS (
+            SELECT l_orderkey FROM last GROUP BY l_orderkey HAVING COUNT(*) = 1
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM last JOIN uniq USING (l_orderkey)
+        JOIN supplier s ON last.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name LIMIT 10
+    """,
+    doc="TPC-H Q21 skeleton (no commit/receipt dates in this schema, so "
+    "'waiting' = sole last shipper): for multi-supplier orders, blame the "
+    "unique supplier whose lineitem shipped last; count blamed orders per "
+    "supplier, top 10. The reference SQL shape is a fact-fact self-join "
+    "with EXISTS + NOT EXISTS; the Spark-first plan replaces both with ONE "
+    "window pass over l_orderkey (max shipdate + collect_set of suppliers "
+    "— bounded per order, ≤7 lineitems in TPC-H, so state is O(1) per "
+    "row), then a distinct + per-order count window, a broadcast supplier "
+    "join, and a TakeOrdered head. One wide shuffle on l_orderkey instead "
+    "of three self-join shuffles.",
+)
+def li_last_shipper_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    wo = Window.partitionBy("l_orderkey")
+    last = (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            F.max("l_shipdate").over(wo).alias("max_ship"),
+            F.size(F.collect_set("l_suppkey").over(wo)).alias("n_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("l_shipdate") == F.col("max_ship")))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    n_last = F.count("*").over(Window.partitionBy("l_orderkey"))
+    blamed = last.withColumn("_n_last", n_last).filter(F.col("_n_last") == 1)
+    return (
+        blamed.join(F.broadcast(sup), blamed.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

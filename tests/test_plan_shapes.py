@@ -382,3 +382,25 @@ def test_semdedup_pairs_keyed_on_cluster(spark, sf_oracle):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_value_share_single_fact_scan(spark, sf_oracle):
+    """Q11-analog: the global denominator must come from an unpartitioned
+    window over the POST-AGG rows — not a scalar-subquery second scan of
+    the fact table (verified unreused even under AQE)."""
+    plan = explain_str(REGISTRY["li_value_share_parts"].fn(spark, sf_oracle))
+    # formatted explain mentions each node twice (tree + details section)
+    assert plan.count("Scan parquet") == 2  # ONE scan node
+    assert plan.count("HashAggregate") >= 2  # partial + final per-part cents
+    assert "Window" in plan
+
+
+def test_last_shipper_single_lineitem_scan(spark, sf_oracle):
+    """Q21-analog: the EXISTS/NOT-EXISTS self-joins collapse into window
+    passes — lineitem is scanned ONCE, supplier arrives broadcast."""
+    plan = explain_str(REGISTRY["li_last_shipper_blame"].fn(spark, sf_oracle))
+    # formatted explain mentions each node twice (tree + details section)
+    assert plan.count("Scan parquet") == 4  # TWO scan nodes: lineitem + supplier
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
