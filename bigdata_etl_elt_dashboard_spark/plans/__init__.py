@@ -12,6 +12,7 @@ from . import (  # noqa: F401  (import for registration side effects)
     elt,
     extensions,
     iterative,
+    relational,
     star,
     statistics,
     transform_queries,

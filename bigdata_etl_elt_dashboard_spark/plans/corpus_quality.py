@@ -440,3 +440,159 @@ def supplier_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_cum", "s_suppkey")
         .drop("_cum")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model quality score (documents)
+# --------------------------------------------------------------------------
+
+#: fixed-point micro-bits per token surprisal term (cross-engine: log2 ulp
+#: differences sit ~1e-16, ten orders below the 1e-6 quantization step)
+_SURPRISAL_SCALE = 1_000_000
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, UNNEST({_TOKS_SQL}) AS tok FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        q AS (
+            SELECT tok,
+                   CAST(ROUND((log2(CAST(SUM(c) OVER () AS DOUBLE))
+                               - log2(CAST(c AS DOUBLE)))
+                              * {_SURPRISAL_SCALE}) AS BIGINT) AS q_bits
+            FROM freq
+        )
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(q.q_bits) AS DOUBLE)
+                   / CAST(COUNT(*) * {_SURPRISAL_SCALE} AS DOUBLE) AS mean_bits
+        FROM tok t JOIN q USING (tok)
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+    doc="Unigram-LM document quality score (CCNet-style, Wenzek et al. "
+    "2020): per-doc mean token surprisal -log2 p(token) under the "
+    "corpus' own unigram distribution — high = rare/garbled text, low = "
+    "boilerplate. Drift-proofing: each DISTINCT token's surprisal "
+    "log2(N)-log2(c) quantizes once to integer micro-bits, so the "
+    "per-doc aggregation is an exact BIGINT sum (order-independent, "
+    "partial-aggregatable) and ONE final IEEE division yields the mean. "
+    "Shape: one token-count shuffle builds the frequency table; the "
+    "corpus total N is an unbounded window over the vocabulary (post-agg "
+    "cardinality, precedent li_value_share_parts); the frequency table "
+    "joins back onto the token stream (broadcast at test SF, hash join "
+    "on the token at 100 TB) and rolls up per doc in one keyed shuffle.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    wt = Window.partitionBy()
+    q = freq.select(
+        "tok",
+        F.round(
+            (
+                F.log2(F.sum("c").over(wt).cast("double"))
+                - F.log2(F.col("c").cast("double"))
+            )
+            * F.lit(_SURPRISAL_SCALE)
+        )
+        .cast("long")
+        .alias("q_bits"),
+    )
+    return (
+        tok.join(q, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("q_bits").alias("sum_q"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("sum_q").cast("double")
+                / (F.col("n_tokens") * F.lit(_SURPRISAL_SCALE)).cast("double")
+            ).alias("mean_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding L2-norm statistics (embeddings)
+# --------------------------------------------------------------------------
+
+#: integer units: 1e9 per squared-element, 1e6 per norm
+_SQ_UNITS = 1_000_000_000
+_NORM_UNITS = 1_000_000
+
+
+@register(
+    "emb_l2_norm_stats",
+    oracle=f"""
+        WITH nu AS (
+            SELECT label,
+                   CAST(ROUND(sqrt(
+                       CAST(list_aggregate(list_transform(embedding,
+                                x -> CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                          * CAST({_SQ_UNITS} AS DOUBLE)) AS BIGINT)),
+                            'sum') AS DOUBLE)
+                       / CAST({_SQ_UNITS} AS DOUBLE))
+                       * {_NORM_UNITS}) AS BIGINT) AS nu
+            FROM embeddings
+        )
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               CAST(MIN(nu) AS DOUBLE) / CAST({_NORM_UNITS} AS DOUBLE) AS min_norm,
+               CAST(MAX(nu) AS DOUBLE) / CAST({_NORM_UNITS} AS DOUBLE) AS max_norm,
+               CAST(SUM(nu) AS DOUBLE)
+                   / CAST(COUNT(*) * {_NORM_UNITS} AS DOUBLE) AS mean_norm
+        FROM nu GROUP BY label ORDER BY label
+    """,
+    doc="Per-label L2-norm distribution of the embedding column — the "
+    "norm-health check run before cosine retrieval or quantization "
+    "(collapsed or exploding norms break both). Per-row work is a "
+    "higher-order-function reduction (transform + aggregate) — NO "
+    "explode, no shuffle until the 1-keyed-rollup at the end. "
+    "Drift-proofing: each element's square quantizes to integer 1e-9 "
+    "units (float32→double widening is exact, the square is exact in "
+    "double, both engines round the same product), the per-vector sum "
+    "is an exact BIGINT reduction, and the norm re-quantizes to integer "
+    "micro-units after one correctly-rounded sqrt — so min/max/mean per "
+    "label are integer math with one final IEEE division each.",
+)
+def emb_l2_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    sq_units = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.round(
+                x.cast("double") * x.cast("double") * F.lit(_SQ_UNITS).cast("double")
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    nu = F.round(
+        F.sqrt(sq_units.cast("double") / F.lit(_SQ_UNITS).cast("double"))
+        * F.lit(_NORM_UNITS)
+    ).cast("long")
+    return (
+        emb.select("label", nu.alias("nu"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.min("nu").cast("double") / F.lit(_NORM_UNITS).cast("double")).alias(
+                "min_norm"
+            ),
+            (F.max("nu").cast("double") / F.lit(_NORM_UNITS).cast("double")).alias(
+                "max_norm"
+            ),
+            (
+                F.sum("nu").cast("double")
+                / (F.count("*") * F.lit(_NORM_UNITS)).cast("double")
+            ).alias("mean_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,0 +1,218 @@
+"""Advanced relational shapes rounding out the SQL surface (SURVEY §2 J/A
+families; beyond-reference, TPC-H skeletons adapted to this schema).
+
+Four classic decision-support patterns the reference's dashboards would
+need as they grow, each expressed as the one-shuffle-per-stage plan you'd
+want at 100 TB:
+
+- EXISTS semi-join (TPC-H Q4 shape): the fact⋈fact semi join shuffles on
+  the join key once; the probe side never widens the build rows.
+- HAVING over a keyed SUM with join-back (Q18 shape): the aggregate
+  filter runs BEFORE the joins, so only qualifying orders reach them.
+- Scalar-threshold + anti-join (Q22 shape): the global scalar is a 1-row
+  aggregate broadcast back onto the row stream (never a window over the
+  full table), and "no recent orders" is a hash left-anti join.
+- Distinct-count diversity with a NOT-IN exclusion (Q16 shape): the
+  exclusion list is an anti join; pair dedup is partial-aggregatable.
+
+Determinism: counts and integral-quantity sums are exact integers;
+account balances quantize to integer cents before summing, so every
+aggregate is order-independent and hashes identically on DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import table
+from .registry import register
+
+#: Q18-style basket threshold (sum of integral quantities per order).
+_BASKET_MIN_QTY = 250
+
+
+@register(
+    "orders_returned_semi",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE EXTRACT(year FROM o_orderdate) = 1995
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="EXISTS semi-join (TPC-H Q4 skeleton): 1995 orders with at least "
+    "one returned line item, counted per priority. The EXISTS decorrelates "
+    "to a LEFT SEMI hash join — the probe emits each order at most once "
+    "(no duplicate inflation, no distinct needed) and carries no payload "
+    "from the build side. Both sides are facts, so the join shuffles on "
+    "the order key; the date filter prunes the probe side at the parquet "
+    "scan before the shuffle.",
+)
+def orders_returned_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    returned = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        orders.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "cust_big_basket_orders",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING CAST(ROUND(SUM(l_quantity)) AS BIGINT) > {_BASKET_MIN_QTY}
+        )
+        SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.sum_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY b.sum_qty DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    doc="HAVING + join-back (TPC-H Q18 skeleton): orders whose total "
+    f"quantity exceeds {_BASKET_MIN_QTY}, with their customer. The keyed "
+    "SUM + HAVING runs FIRST (partial-aggregatable — map-side combine on "
+    "l_orderkey), so only the rare qualifying orders flow into the "
+    "orders/customer joins; quantities are integral doubles, so the sum "
+    "is exact in any order and casts losslessly to BIGINT. Join "
+    "strategies stay size-driven (AQE): both orders and customer scale "
+    "with the fact table. Top-100 via TakeOrderedAndProject with an "
+    "o_orderkey tie-break for cross-engine determinism.",
+)
+def cust_big_basket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > _BASKET_MIN_QTY)
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "cust_idle_rich_anti",
+    oracle="""
+        WITH pos AS (
+            SELECT COUNT(*) AS n_pos,
+                   SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s_pos
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   / CAST(100 AS DOUBLE) AS total_acctbal
+        FROM customer c, pos
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * pos.n_pos > pos.s_pos
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND EXTRACT(year FROM o.o_orderdate) = 1998)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    doc="Scalar threshold + anti-join (TPC-H Q22 skeleton): customers "
+    "whose balance beats the average positive balance but who placed no "
+    "1998 orders, rolled up per market segment. The global average is a "
+    "1-row aggregate broadcast back onto the customer stream (a window "
+    "over the full table would single-partition it at scale), and the "
+    "above-average test is the exact integer cross-multiplication "
+    "cents·n > Σcents — no float division before the filter. 'No recent "
+    "orders' is a hash LEFT ANTI join against the year-pruned orders "
+    "scan. Balance totals are exact integer cents with ONE final IEEE "
+    "division.",
+)
+def cust_idle_rich_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("n_pos"), F.sum(cents).alias("s_pos")
+    )
+    orders98 = (
+        table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1998)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    rich = cust.join(F.broadcast(pos)).filter(cents * F.col("n_pos") > F.col("s_pos"))
+    return (
+        rich.join(orders98, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(cents).cast("double") / F.lit(100).cast("double")).alias(
+                "total_acctbal"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "part_supplier_diversity",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey
+            FROM lineitem
+            WHERE l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        )
+        SELECT p.p_type,
+               COUNT(DISTINCT pr.l_suppkey) AS n_suppliers,
+               COUNT(DISTINCT pr.l_partkey) AS n_parts,
+               COUNT(*) AS n_pairs
+        FROM pairs pr JOIN part p ON pr.l_partkey = p.p_partkey
+        GROUP BY p.p_type
+        ORDER BY p.p_type
+    """,
+    doc="Supplier-diversity distinct counts with a NOT-IN exclusion "
+    "(TPC-H Q16 skeleton): how many distinct suppliers and parts trade in "
+    "each part type, excluding negative-balance suppliers. NOT IN (keys "
+    "are non-null) becomes a hash LEFT ANTI join; the (part, supplier) "
+    "pair dedup is a partial-aggregatable distinct BEFORE the part join, "
+    "so the join and the distinct-count shuffle see deduplicated pairs, "
+    "not raw line items. Join strategies are size-driven (AQE) — both "
+    "part and supplier scale with SF. All outputs are exact integer "
+    "counts.",
+)
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    pairs = li.dropDuplicates(["l_partkey", "l_suppkey"]).join(
+        bad, "l_suppkey", "left_anti"
+    )
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),
+            F.count_distinct(F.col("l_partkey")).alias("n_parts"),
+            F.count("*").alias("n_pairs"),
+        )
+        .orderBy("p_type")
+    )
