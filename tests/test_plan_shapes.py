@@ -404,3 +404,56 @@ def test_last_shipper_single_lineitem_scan(spark, sf_oracle):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# --------------------------------------------------------------------------
+# Registry-wide plan lint
+# --------------------------------------------------------------------------
+
+#: Queries whose physical plan legitimately contains a
+#: BroadcastNestedLoopJoin. Every entry is a BOUNDED broadcast side by
+#: construction — a 1-row scalar aggregate or a fixed-size literal/query
+#: table — never a scale-dependent relation:
+#: - sim_topk_cosine / sim_threshold_pairs: row × fixed query-set broadcast
+#: - sim_ann_lsh: row × 96-plane hyperplane table
+#: - ev_funnel_strict_steps: per-step 1-row conditional-min scalars
+#: - text_hellinger_source_drift: top-20 shared-token panel
+#: - graph_copurchase_triangles: final 1-row × 1-row scalar stitches
+#: - cust_idle_rich_anti: 1-row global-average scalar
+#: - stat_equidepth_hist_totalprice: 1-row decile-boundary vector
+#: - stat_kmv_distinct_custkeys: 1-row kth-minimum scalar
+#: - stat_bloom_customer_probe: 1-row bitmap aggregate
+_BNLJ_BOUNDED_OK = {
+    "sim_topk_cosine",
+    "sim_threshold_pairs",
+    "sim_ann_lsh",
+    "ev_funnel_strict_steps",
+    "text_hellinger_source_drift",
+    "graph_copurchase_triangles",
+    "cust_idle_rich_anti",
+    "stat_equidepth_hist_totalprice",
+    "stat_kmv_distinct_custkeys",
+    "stat_bloom_customer_probe",
+}
+
+
+def test_registry_plan_lint(spark):
+    """Sweep EVERY registered query's physical plan for the three
+    scale-killers: CartesianProduct (quadratic shuffle-free blowup),
+    un-whitelisted BroadcastNestedLoopJoin (nested-loop fallback — fine
+    only when the broadcast side is bounded by construction), and
+    BatchEvalPython / ArrowEvalPython row-UDF stages outside mapInPandas
+    operators (the multimodal family is mapInPandas by design and shows
+    MapInPandas, not BatchEvalPython). A query that trips this lint is
+    correctness-green but wrong at 100 TB."""
+    sf = "/root/testdata/sf0.001"
+    offenders: dict[str, list[str]] = {"cartesian": [], "bnlj": [], "pyudf": []}
+    for name, q in REGISTRY.items():
+        plan = explain_str(q.fn(spark, sf))
+        if "CartesianProduct" in plan:
+            offenders["cartesian"].append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_BOUNDED_OK:
+            offenders["bnlj"].append(name)
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders["pyudf"].append(name)
+    assert offenders == {"cartesian": [], "bnlj": [], "pyudf": []}, offenders
