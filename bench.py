@@ -61,6 +61,10 @@ EXTENSION_SUITE = (
     "graph_pagerank_3iter",
     "sim_kmeans_lloyd1",
     "stat_ols_price_vs_qty",
+    # round-2 final additions: unigram-LM scoring (token-join heavy) and
+    # the Q18-style basket filter (agg-before-join)
+    "text_unigram_logprob",
+    "cust_big_basket_orders",
 )
 
 
