@@ -596,3 +596,112 @@ def emb_l2_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style hashed importance weights (documents)
+# --------------------------------------------------------------------------
+
+#: hashed feature space size (buckets) and log-ratio quantization
+_DSIR_BUCKETS = 64
+_DSIR_SCALE = 1_000_000
+
+
+@register(
+    "docs_dsir_weights",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang = 'en' AS is_t, UNNEST({_TOKS_SQL}) AS tok
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id, is_t,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS b
+            FROM tok
+        ),
+        buckets AS (
+            SELECT b, COUNT(*) AS cr, COUNT(*) FILTER (is_t) AS ct
+            FROM feat GROUP BY b
+        ),
+        q AS (
+            SELECT b,
+                   CAST(ROUND((log2(CAST(ct + 1 AS DOUBLE))
+                               + log2(CAST(SUM(cr) OVER () + {_DSIR_BUCKETS} AS DOUBLE))
+                               - log2(CAST(SUM(ct) OVER () + {_DSIR_BUCKETS} AS DOUBLE))
+                               - log2(CAST(cr + 1 AS DOUBLE)))
+                              * {_DSIR_SCALE}) AS BIGINT) AS q_bits
+            FROM buckets
+        )
+        SELECT f.doc_id,
+               COUNT(*) AS n_feats,
+               CAST(SUM(q.q_bits) AS DOUBLE)
+                   / CAST({_DSIR_SCALE} AS DOUBLE) AS logw_bits,
+               SUM(q.q_bits) > 0 AS selected
+        FROM feat f JOIN q USING (b)
+        GROUP BY f.doc_id
+        ORDER BY f.doc_id
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023, public): per-doc "
+    "hashed-n-gram importance weight log p_target/p_raw, with the "
+    "English slice standing in for the target distribution — the "
+    "importance-resampling signal used to select pretraining data that "
+    "matches a high-quality target domain. Features are md5-hashed "
+    f"unigram buckets (B={_DSIR_BUCKETS}; identical buckets on both "
+    "engines from the same md5 prefix); bucket probabilities are "
+    "Laplace-smoothed exact integer rationals, and each bucket's "
+    "log-ratio quantizes ONCE to integer micro-bits (log2 of exact "
+    "integers — ulp drift sits ten orders below the step), so the "
+    "per-doc weight is an exact BIGINT sum and the selected flag is an "
+    "integer comparison. Shape: one token explode → bucket count "
+    f"shuffle onto {_DSIR_BUCKETS} keys (map-side combined), totals via "
+    "an unbounded window over the 64-row bucket table, then the tiny "
+    "weight table broadcast-joins back onto the feature stream for ONE "
+    "per-doc rollup.",
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_t"),
+        F.explode(X.tokens(F.col("text"))).alias("tok"),
+    )
+    feat = tok.select(
+        "doc_id",
+        "is_t",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    buckets = feat.groupBy("b").agg(
+        F.count("*").alias("cr"), F.count(F.when(F.col("is_t"), 1)).alias("ct")
+    )
+    wt = Window.partitionBy()
+    q = buckets.select(
+        "b",
+        F.round(
+            (
+                F.log2((F.col("ct") + 1).cast("double"))
+                + F.log2((F.sum("cr").over(wt) + _DSIR_BUCKETS).cast("double"))
+                - F.log2((F.sum("ct").over(wt) + _DSIR_BUCKETS).cast("double"))
+                - F.log2((F.col("cr") + 1).cast("double"))
+            )
+            * F.lit(_DSIR_SCALE)
+        )
+        .cast("long")
+        .alias("q_bits"),
+    )
+    return (
+        feat.join(q, "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_feats"), F.sum("q_bits").alias("sum_q"))
+        .select(
+            "doc_id",
+            "n_feats",
+            (F.col("sum_q").cast("double") / F.lit(_DSIR_SCALE).cast("double")).alias(
+                "logw_bits"
+            ),
+            (F.col("sum_q") > 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
