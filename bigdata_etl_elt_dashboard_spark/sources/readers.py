@@ -44,6 +44,21 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Parquet scan across schema versions (schema evolution / drift).
+
+    A long-lived lake accumulates files written under different schema
+    versions — columns added, never silently dropped. ``mergeSchema``
+    makes Spark reconcile all footers into the union schema; files
+    missing a column yield NULLs for it, so old and new data read as one
+    relation. Footer merging is a one-time planning cost proportional to
+    the file count (not data size); per-file column pruning and pushdown
+    still apply, so at 100 TB the scan itself is unchanged — keep it off
+    (the default) for single-version lakes to skip the extra footer pass.
+    """
+    return spark.read.option("mergeSchema", True).parquet(*paths)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — the columnar interchange format of Hive-era warehouses.
     Spark's native ORC reader supports the same predicate pushdown, column

@@ -778,3 +778,32 @@ def test_binary_file_ingestion_to_decode(spark, tmp_path):
     assert [r.width for r in stats] == [4, 4, 4, 4]
     # decoded R-channel sum of img_0: sum((0*7 + j) % 256, j = 0,3,..,21)
     assert stats[0].sum_r == sum(range(0, 24, 3))
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """read_parquet_evolving reconciles files written under different
+    schema versions into the union schema: old files NULL-fill the added
+    column, values survive unchanged, and column pruning still reaches
+    the per-file scan (evolution is a planning-time footer merge, not a
+    data rewrite)."""
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string").write.parquet(v1)
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, tag string, score double"
+    ).write.parquet(v2)
+
+    back = readers.read_parquet_evolving(spark, v1, v2)
+    assert set(back.columns) == {"id", "tag", "score"}
+    got = {r["id"]: (r["tag"], r["score"]) for r in back.collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.select("id").explain("formatted")
+    plan = buf.getvalue()
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas and all("tag" not in l for l in read_schemas)
