@@ -778,3 +778,179 @@ def dq_k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("class_size")
     )
+
+
+@register(
+    "stat_ks_price_by_status",
+    oracle="""
+        WITH s AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   COUNT(*) FILTER (o_orderstatus = 'O') AS c1,
+                   COUNT(*) FILTER (o_orderstatus = 'F') AS c2
+            FROM orders
+            WHERE o_orderstatus IN ('O', 'F')
+            GROUP BY cents
+        ),
+        cum AS (
+            SELECT cents,
+                   SUM(c1) OVER (ORDER BY cents) AS cum1,
+                   SUM(c2) OVER (ORDER BY cents) AS cum2,
+                   SUM(c1) OVER () AS n1,
+                   SUM(c2) OVER () AS n2
+            FROM s
+        )
+        SELECT n1 AS n_open, n2 AS n_filled,
+               ABS(cum1 * n2 - cum2 * n1) AS d_num,
+               CAST(ABS(cum1 * n2 - cum2 * n1) AS DOUBLE)
+                   / CAST(n1 * n2 AS DOUBLE) AS ks_d,
+               CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS at_price
+        FROM cum
+        QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(cum1 * n2 - cum2 * n1) DESC,
+                                   cents) = 1
+    """,
+    doc="Two-sample Kolmogorov-Smirnov distance between the order-total "
+    "distributions of open vs filled orders — the nonparametric "
+    "distribution-drift test behind data-shift monitors (no normality "
+    "assumption, unlike the z/t family). Exactness: both ECDFs live on "
+    "the integer-cents grid pre-aggregated to DISTINCT values, and the "
+    "sup statistic maximizes the integer cross-multiplication "
+    "|cum1·n2 − cum2·n1| — no per-row float division, so the argmax and "
+    "tie-break (lowest price) are exact on both engines; ONE final IEEE "
+    "division emits D. Shape: one keyed count shuffle onto distinct "
+    "cents, then an ordered cumulative window over the distinct-value "
+    "grid (bounded by price-point cardinality, not row count — the "
+    "standard KS shape; at extreme scale where n1·n2 nears 2^63, switch "
+    "the comparison to the per-row double ECDF difference, identical "
+    "IEEE ops row-wise).",
+)
+def stat_ks_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("O", "F"))
+    s = o.groupBy(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("c1"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("c2"),
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy()
+    cum = s.select(
+        "cents",
+        F.sum("c1").over(wc).alias("cum1"),
+        F.sum("c2").over(wc).alias("cum2"),
+        F.sum("c1").over(wt).alias("n1"),
+        F.sum("c2").over(wt).alias("n2"),
+    )
+    d = cum.withColumn(
+        "d_num", F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    )
+    wr = Window.orderBy(F.desc("d_num"), "cents")
+    return (
+        d.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("n1").alias("n_open"),
+            F.col("n2").alias("n_filled"),
+            "d_num",
+            (F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")).cast("double")).alias("ks_d"),
+            (F.col("cents").cast("double") / F.lit(100).cast("double")).alias("at_price"),
+        )
+    )
+
+
+@register(
+    "stat_welch_t_price_by_status",
+    oracle="""
+        WITH m AS (
+            SELECT o_orderstatus AS st,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS sx,
+                   SUM(CAST(ROUND(o_totalprice) AS BIGINT)
+                       * CAST(ROUND(o_totalprice) AS BIGINT)) AS sxx
+            FROM orders WHERE o_orderstatus IN ('O', 'F')
+            GROUP BY o_orderstatus
+        ),
+        w AS (
+            SELECT
+                MAX(CASE WHEN st = 'O' THEN n END) AS n1,
+                MAX(CASE WHEN st = 'F' THEN n END) AS n2,
+                MAX(CASE WHEN st = 'O' THEN sx END) AS sx1,
+                MAX(CASE WHEN st = 'F' THEN sx END) AS sx2,
+                MAX(CASE WHEN st = 'O' THEN sxx END) AS sxx1,
+                MAX(CASE WHEN st = 'F' THEN sxx END) AS sxx2
+            FROM m
+        )
+        SELECT n1 AS n_open, n2 AS n_filled,
+               (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   - (CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS mean_diff,
+               ((CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   - (CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+               / sqrt(
+                   ((CAST(sxx1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                     - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+                        / CAST(n1 AS DOUBLE) / CAST(n1 - 1 AS DOUBLE)
+                        / CAST(n1 AS DOUBLE)
+                    + (CAST(sxx2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                       - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                        / CAST(n2 AS DOUBLE) / CAST(n2 - 1 AS DOUBLE)
+                        / CAST(n2 AS DOUBLE))
+                 ) AS t_stat
+        FROM w
+    """,
+    doc="Welch's unequal-variance t-statistic comparing open vs filled "
+    "order totals — the parametric mean-shift companion of the KS test. "
+    "Distributed form: per-group exact BIGINT raw moments (n, Σx, Σx² "
+    "in integer cents — ONE map-side-combined shuffle onto 2 keys), "
+    "then the closed form t = (m1−m2)/√(s1²/n1 + s2²/n2) evaluated in "
+    "a FIXED sequence of IEEE ops on those exact integers, so both "
+    "engines emit identical bits (sqrt is correctly rounded; no "
+    "accumulation-order variance anywhere). Totals quantize to WHOLE "
+    "currency units (not cents) so the Σx² BIGINT sum keeps ~3e7 rows "
+    "of headroom, and the n·Σx²−(Σx)² closed form evaluates in double "
+    "(the products exceed int64; the op sequence is fixed, so the "
+    "double path stays bit-deterministic cross-engine).",
+)
+def stat_welch_t_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("O", "F"))
+    units = F.round(F.col("o_totalprice")).cast("long")
+    m = o.groupBy(F.col("o_orderstatus").alias("st")).agg(
+        F.count("*").alias("n"),
+        F.sum(units).alias("sx"),
+        F.sum(units * units).alias("sxx"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("st") == "O", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("st") == "F", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("st") == "O", F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("st") == "F", F.col("sx"))).alias("sx2"),
+        F.max(F.when(F.col("st") == "O", F.col("sxx"))).alias("sxx1"),
+        F.max(F.when(F.col("st") == "F", F.col("sxx"))).alias("sxx2"),
+    )
+    mean1 = F.col("sx1").cast("double") / F.col("n1").cast("double")
+    mean2 = F.col("sx2").cast("double") / F.col("n2").cast("double")
+    # variance closed form in DOUBLE space: n·Σx² overflows BIGINT even in
+    # whole units, and both engines run the identical IEEE op sequence on
+    # the exact integer sums, so the double path is still bit-deterministic
+    var_term = (
+        (
+            F.col("sxx1").cast("double") * F.col("n1").cast("double")
+            - F.col("sx1").cast("double") * F.col("sx1").cast("double")
+        )
+        / F.col("n1").cast("double")
+        / (F.col("n1") - 1).cast("double")
+        / F.col("n1").cast("double")
+        + (
+            F.col("sxx2").cast("double") * F.col("n2").cast("double")
+            - F.col("sx2").cast("double") * F.col("sx2").cast("double")
+        )
+        / F.col("n2").cast("double")
+        / (F.col("n2") - 1).cast("double")
+        / F.col("n2").cast("double")
+    )
+    return w.select(
+        F.col("n1").alias("n_open"),
+        F.col("n2").alias("n_filled"),
+        (mean1 - mean2).alias("mean_diff"),
+        ((mean1 - mean2) / F.sqrt(var_term)).alias("t_stat"),
+    )
