@@ -3097,3 +3097,44 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
         .limit(_BPE_TOPK)
     )
+
+
+@register(
+    "dedup_cluster_size_hist",
+    oracle=f"""
+        SELECT cluster_size,
+               COUNT(*) AS n_clusters,
+               SUM(cluster_size) AS n_docs,
+               CAST(cluster_size = 1 AS BOOLEAN) AS is_singleton
+        FROM (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM ({REGISTRY["dedup_clusters"].oracle})
+            GROUP BY cluster_id
+        )
+        GROUP BY cluster_size
+        ORDER BY cluster_size
+    """,
+    doc="Cluster-size histogram over the near-dup clustering — the "
+    "observability readout of a dedup pass (how much of the corpus is "
+    "singletons vs boilerplate families; a fat tail here is the signal "
+    "to tighten LSH thresholds before training). Two keyed counts on "
+    "top of the clustering's label table: cluster sizes, then sizes of "
+    "sizes — both partial-aggregatable, cardinality collapses at each "
+    "step, so the add-on cost at 100 TB is negligible next to the "
+    "clustering itself.",
+)
+def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    labels = D.near_dup_clusters(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"), F.sum("cluster_size").alias("n_docs"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            (F.col("cluster_size") == 1).alias("is_singleton"),
+        )
+        .orderBy("cluster_size")
+    )
