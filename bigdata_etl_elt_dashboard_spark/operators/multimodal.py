@@ -86,8 +86,74 @@ def encode_ppm(img: DecodedImage) -> bytes:
     return b"P6\n%d %d\n255\n" % (img.width, img.height) + img.pixels
 
 
+def decode_bmp(content: bytes) -> DecodedImage:
+    """Decode an uncompressed 24bpp Windows BMP (BITMAPINFOHEADER, BI_RGB)
+    — pure Python, no deps. Exercises the container quirks PPM doesn't:
+    little-endian binary headers, BGR byte order, bottom-up row storage
+    (negative height = top-down), and 4-byte row-stride padding."""
+    import struct
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off_bits = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER (OS/2) BMP not supported")
+    width, height = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24bpp (BI_RGB) BMP supported")
+    top_down = height < 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(content) < off_bits + stride * h:
+        raise ValueError("truncated BMP raster")
+    out = bytearray(width * h * 3)
+    for y in range(h):
+        src = off_bits + (y if top_down else h - 1 - y) * stride
+        row = content[src : src + width * 3]
+        for x in range(width):
+            d = (y * width + x) * 3
+            out[d] = row[3 * x + 2]  # R  (stored B,G,R)
+            out[d + 1] = row[3 * x + 1]  # G
+            out[d + 2] = row[3 * x]  # B
+    return DecodedImage(width, h, bytes(out))
+
+
+def encode_bmp(img: DecodedImage) -> bytes:
+    """Encode RGB bytes as an uncompressed 24bpp bottom-up BMP."""
+    import struct
+
+    stride = (img.width * 3 + 3) & ~3
+    raster = bytearray()
+    for y in range(img.height - 1, -1, -1):  # bottom-up row order
+        row = bytearray()
+        for x in range(img.width):
+            r, g, b = img.pixel(x, y)
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        raster += row
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, img.width, img.height, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return header + info + raster
+
+
+def decode_auto(content: bytes) -> DecodedImage:
+    """Magic-byte dispatch over the built-in codecs (PPM P6, BMP)."""
+    head = bytes(content[:2])
+    if head == b"P6":
+        return decode_ppm(content)
+    if head == b"BM":
+        return decode_bmp(content)
+    raise ValueError("unrecognized image payload (built-ins: PPM P6, BMP)")
+
+
 #: active decoder — swap via set_decoder() for PIL/opencv runtimes.
-_DECODER: Callable[[bytes], DecodedImage] = decode_ppm
+_DECODER: Callable[[bytes], DecodedImage] = decode_auto
 
 
 def set_decoder(fn: Callable[[bytes], DecodedImage]) -> None:

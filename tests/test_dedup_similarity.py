@@ -187,7 +187,7 @@ def test_decoder_is_pluggable():
         img = M.decode_image(b"anything")
         assert img.pixel(0, 0) == (0, 1, 2) and calls == [b"anything"]
     finally:
-        M.set_decoder(M.decode_ppm)
+        M.set_decoder(M.decode_auto)
 
 
 def test_decode_image_stats_spark(spark):
@@ -215,3 +215,38 @@ def test_multimodal_features_deterministic(spark):
     assert len(feats[1]["feature"]) == 8
     assert all(0.0 <= v < 1.0 for v in feats[1]["feature"])
     assert feats[2]["byte_len"] == 0  # empty payload handled
+
+
+def test_bmp_codec_roundtrip():
+    """BMP encode→decode is the identity on RGB pixels, including a width
+    (3) whose row needs stride padding, and decode handles both bottom-up
+    (positive height) and top-down (negative height) storage."""
+    from bigdata_etl_elt_dashboard_spark.operators import multimodal as M
+
+    px = bytes(range(3 * 2 * 3))  # 3x2 RGB, distinct bytes
+    img = M.DecodedImage(3, 2, px)
+    back = M.decode_bmp(M.encode_bmp(img))
+    assert (back.width, back.height, back.pixels) == (3, 2, px)
+
+    # top-down variant: flip height sign and drop the row reversal
+    import struct
+
+    bot_up = bytearray(M.encode_bmp(img))
+    struct.pack_into("<i", bot_up, 22, -2)  # height := -2 (top-down)
+    stride = (3 * 3 + 3) & ~3
+    raster = bot_up[54:]
+    flipped = raster[stride : 2 * stride] + raster[:stride]
+    td = M.decode_bmp(bytes(bot_up[:54]) + bytes(flipped))
+    assert (td.width, td.height, td.pixels) == (3, 2, px)
+
+
+def test_decode_auto_dispatches_by_magic():
+    from bigdata_etl_elt_dashboard_spark.operators import multimodal as M
+
+    img = M.DecodedImage(2, 2, bytes(range(12)))
+    assert M.decode_image(M.encode_ppm(img)).pixels == img.pixels
+    assert M.decode_image(M.encode_bmp(img)).pixels == img.pixels
+    import pytest
+
+    with pytest.raises(ValueError):
+        M.decode_auto(b"GIF89a...")
