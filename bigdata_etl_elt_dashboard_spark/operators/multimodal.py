@@ -236,6 +236,30 @@ def synth_ppm_table(docs: DataFrame, width: int = 8, height: int = 4) -> DataFra
     return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synth_mixed_media_table(docs: DataFrame, width: int = 8, height: int = 4) -> DataFrame:
+    """Deterministic synthetic images with per-row container format: even
+    doc_ids encode as PPM (P6), odd as 24bpp BMP — the SAME closed-form
+    raster either way (byte i = ((doc_id % 256) * 7 + i) % 256), so a
+    codec-blind oracle verifies that the magic-dispatch decoder recovers
+    identical pixels from both containers."""
+    n = width * height * 3
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for did in pdf["doc_id"]:
+                base = int(did) % 256
+                raster = bytes((base * 7 + i) % 256 for i in range(n))
+                img = DecodedImage(width, height, raster)
+                enc = encode_ppm if int(did) % 2 == 0 else encode_bmp
+                contents.append(enc(img))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "content": contents}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
 STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -3138,3 +3138,48 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "mm_decode_mixed_codecs",
+    oracle="""
+        SELECT CASE WHEN d.doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS codec,
+               COUNT(DISTINCT d.doc_id) AS n_media,
+               SUM(((d.doc_id % 256) * 7 + 3 * p.p + 0) % 256) AS sum_r,
+               SUM(((d.doc_id % 256) * 7 + 3 * p.p + 1) % 256) AS sum_g,
+               SUM(((d.doc_id % 256) * 7 + 3 * p.p + 2) % 256) AS sum_b
+        FROM documents d, range(32) p(p)
+        GROUP BY 1 ORDER BY codec
+    """,
+    doc="Mixed-container image decode through the magic-dispatch codec: "
+    "even doc_ids carry PPM (P6), odd carry 24bpp BMP, BOTH encoding the "
+    "same closed-form 8x4 raster (byte i = ((doc_id%256)*7+i)%256). The "
+    "per-codec channel sums must match an oracle that recomputes the "
+    "pixels arithmetically and never touches either container — so a "
+    "green row proves the BMP path (BGR order, bottom-up rows, stride "
+    "padding) decodes to the identical pixels the PPM path yields, "
+    "in-plan through mapInPandas. Integer sums only; no float anywhere.",
+)
+def mm_decode_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    media = M.synth_mixed_media_table(docs, width=8, height=4)
+    stats = M.decode_image_stats(media)
+    return (
+        stats.select(
+            F.when(F.col("media_id") % 2 == 0, F.lit("ppm"))
+            .otherwise(F.lit("bmp"))
+            .alias("codec"),
+            "media_id",
+            "sum_r",
+            "sum_g",
+            "sum_b",
+        )
+        .groupBy("codec")
+        .agg(
+            F.count_distinct(F.col("media_id")).alias("n_media"),
+            F.sum("sum_r").alias("sum_r"),
+            F.sum("sum_g").alias("sum_g"),
+            F.sum("sum_b").alias("sum_b"),
+        )
+        .orderBy("codec")
+    )
