@@ -252,3 +252,67 @@ def wh_snapshot_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("change_type")
     )
+
+
+@register(
+    "star_one_big_table",
+    oracle="""
+        WITH dim_date AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY order_date) AS INTEGER) AS date_id,
+                   order_date,
+                   CAST(year(order_date) AS INTEGER) AS order_year,
+                   CAST(month(order_date) AS INTEGER) AS order_month
+            FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders)
+        ), dim_geo AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY region, country) AS INTEGER) AS geo_id,
+                   region, country
+            FROM (
+                SELECT DISTINCT r_name AS region, n_name AS country
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+            )
+        ), geo_of_cust AS (
+            SELECT c_custkey, geo_id
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            JOIN dim_geo ON r_name = region AND n_name = country
+        ), fact AS (
+            SELECT o_orderkey AS sales_id, d.date_id, g.geo_id, o_totalprice
+            FROM orders o
+            LEFT JOIN dim_date d ON CAST(o.o_orderdate AS DATE) = d.order_date
+            LEFT JOIN geo_of_cust g ON o.o_custkey = g.c_custkey
+        )
+        SELECT f.sales_id, d.order_date, d.order_year, d.order_month,
+               g.region, g.country, f.o_totalprice
+        FROM fact f
+        LEFT JOIN dim_date d ON f.date_id = d.date_id
+        LEFT JOIN dim_geo g ON f.geo_id = g.geo_id
+        ORDER BY sales_id
+    """,
+    doc="The denormalized 'one big table' BI view (SURVEY §1.1 flat-table "
+    "row; dashboard/app.py:67-81 joins the warehouse back flat exactly "
+    "like this): the star fact re-joined through its dimensions into the "
+    "wide consumer-facing relation. Both dims are broadcast BY NATURE — "
+    "dim_date is calendar-bounded and dim_geo is region×nation-bounded, "
+    "neither scales with fact rows — so the denormalization adds zero "
+    "shuffles on top of the fact build; at 100 TB this is the "
+    "materialized-view definition you'd refresh per partition.",
+)
+def star_one_big_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = star_fact_sales(spark, sf_dir)
+    dd = _dim_date(spark, sf_dir)
+    dg = _dim_geo(spark, sf_dir)
+    return (
+        fact.join(F.broadcast(dd), "date_id", "left")
+        .join(F.broadcast(dg), "geo_id", "left")
+        .select(
+            "sales_id",
+            "order_date",
+            "order_year",
+            "order_month",
+            "region",
+            "country",
+            "o_totalprice",
+        )
+        .orderBy("sales_id")
+    )
