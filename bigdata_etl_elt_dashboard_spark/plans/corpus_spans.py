@@ -252,21 +252,37 @@ def docs_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
+    # norms are computed per SIDE before the join (narrow projections that
+    # codegen on their own); only the dot remains post-join, materialized
+    # through a projection ALIAS so Catalyst does not push the ~64-term
+    # expression into the join condition — inlined there it lands in the
+    # join's doConsume method, which cannot be split and blows Janino's
+    # 64 KB method limit (whole-stage fallback → interpreted join).
     v = S._fan_out(emb).select(
         "label", "vec_id", S._as_double(F.col("embedding")).alias("ve")
     )
+    v = v.withColumn("_nrm", S.norm(F.col("ve"), S.EMBEDDING_DIM))
     a = v.select(
-        F.col("label"), F.col("vec_id").alias("_aid"), F.col("ve").alias("_ave")
+        F.col("label"),
+        F.col("vec_id").alias("_aid"),
+        F.col("ve").alias("_ave"),
+        F.col("_nrm").alias("_an"),
     )
     b = v.select(
-        F.col("label"), F.col("vec_id").alias("_bid"), F.col("ve").alias("_bve")
+        F.col("label"),
+        F.col("vec_id").alias("_bid"),
+        F.col("ve").alias("_bve"),
+        F.col("_nrm").alias("_bn"),
     )
     cos = F.round(
-        S.cosine(F.col("_ave"), F.col("_bve"), S.EMBEDDING_DIM), 6
+        S.dot(F.col("_ave"), F.col("_bve"), S.EMBEDDING_DIM)
+        / F.nullif(F.col("_an") * F.col("_bn"), F.lit(0.0)),
+        6,
     )
     removed = (
-        a.join(b, "label")
-        .filter((F.col("_bid") < F.col("_aid")) & (cos >= _SEM_TAU))
+        a.join(b, (a.label == b.label) & (F.col("_bid") < F.col("_aid")))
+        .select(a.label, F.col("_aid"), cos.alias("_cos"))
+        .filter(F.col("_cos") >= _SEM_TAU)
         .select("label", F.col("_aid").alias("vec_id"))
         .distinct()
     )
