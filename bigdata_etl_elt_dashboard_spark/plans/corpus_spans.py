@@ -253,11 +253,12 @@ def docs_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     # norms are computed per SIDE before the join (narrow projections that
-    # codegen on their own); only the dot remains post-join, materialized
-    # through a projection ALIAS so Catalyst does not push the ~64-term
-    # expression into the join condition — inlined there it lands in the
-    # join's doConsume method, which cannot be split and blows Janino's
-    # 64 KB method limit (whole-stage fallback → interpreted join).
+    # codegen on their own). Catalyst still pushes the dot-product filter
+    # into the join condition, but the dot ALONE fits Janino's 64 KB
+    # method limit; with the two unrolled norms also inlined there, the
+    # join's doConsume method (which cannot be split) exceeded the limit
+    # and the whole stage silently fell back to interpreted execution.
+    # Pinned by test_semdedup_norms_not_in_join_condition.
     v = S._fan_out(emb).select(
         "label", "vec_id", S._as_double(F.col("embedding")).alias("ve")
     )

@@ -457,3 +457,19 @@ def test_registry_plan_lint(spark):
         if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
             offenders["pyudf"].append(name)
     assert offenders == {"cartesian": [], "bnlj": [], "pyudf": []}, offenders
+
+
+def test_semdedup_norms_not_in_join_condition(spark, sf_oracle):
+    """Regression pin: the SemDeDup norms must be computed per SIDE before
+    the pair join (Catalyst still pushes the dot-product filter into the
+    join condition — that alone fits Janino's method-size limit). With the
+    two unrolled norms ALSO inlined there, the join's doConsume method
+    exceeded 64 KB and the whole stage silently fell back to interpreted
+    execution; 'no sqrt in any join condition' is the compiled-shape
+    invariant."""
+    plan = explain_str(REGISTRY["dedup_semdedup_prune"].fn(spark, sf_oracle))
+    join_details = [l for l in plan.splitlines() if "Join condition" in l]
+    assert join_details, "expected join nodes in the plan"
+    assert all("SQRT" not in l.upper() for l in join_details), [
+        l[:120] for l in join_details
+    ]
