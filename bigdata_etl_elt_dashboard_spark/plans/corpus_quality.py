@@ -705,3 +705,98 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf power-law fit over token frequencies (documents)
+# --------------------------------------------------------------------------
+
+#: number of head tokens the log-log fit runs over (bounded by design)
+_ZIPF_TOP = 200
+
+
+@register(
+    "docs_zipf_fit",
+    oracle=f"""
+        WITH tok AS (
+            SELECT UNNEST({_TOKS_SQL}) AS tok FROM documents
+        ),
+        freq AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        head AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rnk
+            FROM freq
+            QUALIFY rnk <= {_ZIPF_TOP}
+        ),
+        pts AS (
+            SELECT CAST(ROUND(log2(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                   CAST(ROUND(log2(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+            FROM head
+        ),
+        m AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(x * y) AS sxy
+            FROM pts
+        )
+        SELECT n AS n_points,
+               (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE) AS log2_c_at_rank1
+        FROM m
+    """,
+    doc="Zipf power-law fit of the token frequency head: OLS slope of "
+    f"log2(count) against log2(rank) over the top {_ZIPF_TOP} tokens — "
+    "natural corpora sit near slope −1; a flat slope flags synthetic or "
+    "template-heavy text, a cliff flags boilerplate (the corpus-health "
+    "readout next to repetition and rarity). Bounded by design: the fit "
+    "only ever sees a constant-size head (rank window over the post-agg "
+    "frequency table), so corpus scale changes the counts, not the "
+    "plan. Each point quantizes log2 of exact integers once to "
+    "micro-units; the OLS moments are exact BIGINT sums and the "
+    "slope/intercept closed form runs in a fixed double op sequence "
+    "(n·Σxy products exceed int64 at micro-unit scale) — "
+    "bit-deterministic cross-engine. Intercept reported as "
+    "log2(count) at rank 1 in bits.",
+)
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    wr = Window.orderBy(F.desc("c"), "tok")
+    head = (
+        freq.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _ZIPF_TOP)
+    )
+    pts = head.select(
+        F.round(F.log2(F.col("rnk").cast("double")) * F.lit(1000000))
+        .cast("long")
+        .alias("x"),
+        F.round(F.log2(F.col("c").cast("double")) * F.lit(1000000))
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, sxyd = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (sxyd * nd - sxd * syd) / (sxxd * nd - sxd * sxd)
+    return m.select(
+        F.col("n").alias("n_points"),
+        slope.alias("zipf_slope"),
+        ((syd - slope * sxd) / nd / F.lit(1000000).cast("double")).alias(
+            "log2_c_at_rank1"
+        ),
+    )

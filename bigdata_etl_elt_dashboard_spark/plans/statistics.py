@@ -954,3 +954,73 @@ def stat_welch_t_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean1 - mean2).alias("mean_diff"),
         ((mean1 - mean2) / F.sqrt(var_term)).alias("t_stat"),
     )
+
+
+@register(
+    "supplier_nation_herfindahl",
+    oracle="""
+        WITH per AS (
+            SELECT n.n_name AS nation, l.l_suppkey,
+                   SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)) AS BIGINT))
+                       AS u
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name, l.l_suppkey
+        )
+        SELECT nation,
+               COUNT(*) AS n_suppliers,
+               SUM(u) AS total_units,
+               SUM(u * u) AS sum_sq_units,
+               CAST(SUM(u * u) AS DOUBLE)
+                   / (CAST(SUM(u) AS DOUBLE) * CAST(SUM(u) AS DOUBLE)) AS hhi
+        FROM per
+        GROUP BY nation
+        ORDER BY nation
+    """,
+    doc="Herfindahl-Hirschman concentration index of supplier revenue "
+    "within each nation — the market-concentration statistic (HHI = "
+    "Σ share², 1/n = perfectly even, 1 = monopoly) behind supplier-risk "
+    "and source-domination dashboards. Exactness: per-supplier revenue "
+    "quantizes to whole-currency BIGINT units (one map-side-combined "
+    "shuffle on (nation, suppkey)), Σu and Σu² stay exact integers, and "
+    "HHI's single division runs on exact-int→double conversions in a "
+    "fixed op sequence ((Σu)² exceeds int64, so the square is formed in "
+    "double — bit-deterministic cross-engine). Second rollup hits ~25 "
+    "nation keys; the algebraic identity HHI = Σu²/(Σu)² avoids "
+    "computing any per-supplier share column.",
+)
+def supplier_nation_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    units = F.sum(
+        F.round(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+            "long"
+        )
+    )
+    per = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(units.alias("u"))
+    )
+    return (
+        per.groupBy("nation")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum("u").alias("total_units"),
+            F.sum(F.col("u") * F.col("u")).alias("sum_sq_units"),
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            "total_units",
+            "sum_sq_units",
+            (
+                F.col("sum_sq_units").cast("double")
+                / (F.col("total_units").cast("double") * F.col("total_units").cast("double"))
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
