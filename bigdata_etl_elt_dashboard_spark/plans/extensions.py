@@ -3183,3 +3183,113 @@ def mm_decode_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("codec")
     )
+
+
+_EST_MATCHES_SQL = " + ".join(
+    f"CAST(a.h{i} = b.h{i} AS INTEGER)" for i in range(_NUM_HASHES)
+)
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sig AS (
+            SELECT doc_id, {_MINHASH_AGGS_SQL}
+            FROM (SELECT doc_id, {_HBASE_SQL} AS hsh FROM sh)
+            GROUP BY doc_id
+        ),
+        banded AS ({_BANDED_SQL}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a
+            JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                          AND a.doc_id < b.doc_id
+        ),
+        est AS (
+            SELECT p.doc_a, p.doc_b,
+                   ({_EST_MATCHES_SQL}) AS n_match
+            FROM pairs p
+            JOIN sig a ON p.doc_a = a.doc_id
+            JOIN sig b ON p.doc_b = b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT e.doc_a, e.doc_b,
+               ROUND(e.n_match / CAST({_NUM_HASHES} AS DOUBLE), 6) AS est_jaccard,
+               ROUND(COALESCE(c.n_common, 0)
+                     / CAST(sa.n_sh + sb.n_sh - COALESCE(c.n_common, 0) AS DOUBLE),
+                     6) AS exact_jaccard,
+               ROUND(ABS(e.n_match / CAST({_NUM_HASHES} AS DOUBLE)
+                         - COALESCE(c.n_common, 0)
+                           / CAST(sa.n_sh + sb.n_sh - COALESCE(c.n_common, 0)
+                                  AS DOUBLE)), 6) AS abs_err
+        FROM est e
+        LEFT JOIN common c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+        JOIN sizes sa ON e.doc_a = sa.doc_id
+        JOIN sizes sb ON e.doc_b = sb.doc_id
+        ORDER BY e.doc_a, e.doc_b
+    """,
+    doc="MinHash calibration: for every LSH candidate pair, the sketch's "
+    f"Jaccard estimate (matching signature components / k={_NUM_HASHES}) "
+    "next to the exact n-gram Jaccard and the absolute error — the "
+    "sketch-quality readout that decides whether k/bands need retuning "
+    "before trusting the dedup pass at scale. Candidates LEFT-join the "
+    "common-shingle counts (a banding collision without shared shingles "
+    "is exactly the false positive this query surfaces as exact=0). All "
+    "inputs are md5-derived integers; estimates and errors are exact "
+    "rationals with fixed-sequence divisions — hash-gate deterministic.",
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cands = D.lsh_candidate_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+    sigs = D.minhash_signatures(docs, num_hashes=_NUM_HASHES)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"_a{i}") for i in range(_NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"_b{i}") for i in range(_NUM_HASHES)],
+    )
+    n_match = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(_NUM_HASHES)
+    )
+    est = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+    )
+    sh = D._doc_shingles(docs, "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    k = F.lit(_NUM_HASHES).cast("double")
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    exact = nc / (F.col("_na") + F.col("_nb") - nc).cast("double")
+    est_j = F.col("n_match") / k
+    return (
+        est.join(common, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est_j, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(est_j - exact), 6).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1024,3 +1024,55 @@ def supplier_nation_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "stat_gini_user_activity",
+    oracle="""
+        WITH per AS (
+            SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM per
+        ),
+        m AS (
+            SELECT COUNT(*) AS n, SUM(x) AS s0, SUM(i * x) AS s1 FROM ranked
+        )
+        SELECT n AS n_users, s0 AS n_events,
+               CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+                   / CAST(n * s0 AS DOUBLE) AS gini
+        FROM m
+    """,
+    doc="Gini coefficient of per-user event activity — the inequality "
+    "statistic (0 = uniform, →1 = one user dominates) behind "
+    "power-user/bot dashboards, computed by the sorted-rank identity "
+    "G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx). Exactness: per-user counts are "
+    "integers, the rank window orders by (count, user_id) so ranks are "
+    "deterministic (any tie order yields the same Σi·x within a tie "
+    "run... the tie-break pins it outright), and the three moments are "
+    "exact BIGINT sums with ONE final double division. Shape: one keyed "
+    "count shuffle, then the ordered window runs over the POST-AGG "
+    "per-user rollup (users, not events); at extreme scale where n·Σx "
+    "nears 2^63, the final ratio moves to the same fixed-sequence "
+    "double path as the t-test.",
+)
+def stat_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count("*").alias("x"))
+    w = Window.orderBy("x", "user_id")
+    ranked = per.select("x", F.row_number().over(w).alias("i"))
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s0"),
+        F.sum(F.col("i") * F.col("x")).alias("s1"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("s0").alias("n_events"),
+        (
+            (2 * F.col("s1") - (F.col("n") + 1) * F.col("s0")).cast("double")
+            / (F.col("n") * F.col("s0")).cast("double")
+        ).alias("gini"),
+    )

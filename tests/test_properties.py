@@ -334,3 +334,22 @@ def test_snapshot_delta_matches_dict_diff(spark, old_rows, new_rows):
             assert got[k] == "update"
         else:
             assert got[k] == "unchanged"
+
+
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 5),
+    seed=st.integers(0, 2**32 - 1),
+)
+@settings(**_SETTINGS)
+def test_bmp_roundtrip_any_dims(w, h, seed):
+    """BMP encode→decode is the identity for ANY image dimensions —
+    row-stride padding (width % 4 ≠ 0) and single-pixel edges included.
+    Pixels derive deterministically from the seed (no RNG in the test
+    body), exercising all byte values."""
+    from bigdata_etl_elt_dashboard_spark.operators import multimodal as M
+
+    px = bytes((seed * 31 + i * 7) % 256 for i in range(w * h * 3))
+    img = M.DecodedImage(w, h, px)
+    back = M.decode_bmp(M.encode_bmp(img))
+    assert (back.width, back.height, back.pixels) == (w, h, px)
