@@ -1076,3 +1076,119 @@ def stat_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("s0")).cast("double")
         ).alias("gini"),
     )
+
+
+@register(
+    "stat_autocorr_daily_revenue",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS r
+            FROM orders GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.r AS x, b.r AS y
+            FROM daily a JOIN daily b ON b.d = a.d + INTERVAL 1 DAY
+        ),
+        m AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+            FROM pairs
+        )
+        SELECT n AS n_pairs,
+               (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(syy AS DOUBLE) * CAST(n AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS lag1_autocorr
+        FROM m
+    """,
+    doc="Lag-1 autocorrelation of the daily revenue series — the "
+    "time-series memory check behind anomaly baselines (near 0 = "
+    "day-over-day independence, high = momentum/seasonality the z-score "
+    "monitors must model). The consecutive-day pairing is an EQUI-join "
+    "of the per-day rollup with itself on d+1 (never a window over raw "
+    "orders — the series is post-agg, day-cardinality), daily revenues "
+    "quantize to whole-unit BIGINT, the five Pearson moments are exact "
+    "integer sums, and the closed form runs in the fixed-sequence "
+    "double path (moment products exceed int64). Missing days "
+    "self-handle: a gap simply contributes no pair.",
+)
+def stat_autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("r")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("r").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("r").alias("y"))
+    pairs = a.join(b, F.col("db") == F.date_add(F.col("da"), 1)).select("x", "y")
+    m = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    return m.select(
+        F.col("n").alias("n_pairs"),
+        (
+            (sxyd * nd - sxd * syd)
+            / F.sqrt((sxxd * nd - sxd * sxd) * (syyd * nd - syd * syd))
+        ).alias("lag1_autocorr"),
+    )
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle="""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INTEGER) AS d
+            FROM orders WHERE o_totalprice > 0
+        ),
+        m AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+        t AS (SELECT SUM(n) AS total FROM m)
+        SELECT m.d AS digit, m.n,
+               CAST(m.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS observed,
+               log10(1.0 + 1.0 / m.d) AS benford_expected,
+               CAST(m.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+                   - log10(1.0 + 1.0 / m.d) AS deviation
+        FROM m, t
+        ORDER BY digit
+    """,
+    doc="Benford's-law first-digit audit of order totals — the classic "
+    "fabricated-data screen (organic amounts follow P(d) = log10(1+1/d); "
+    "uniform or spiked digits flag synthetic or manipulated records). "
+    "First digit extracts from the integer-cents rendering (string of an "
+    "exact BIGINT — no float formatting ambiguity), one count shuffle "
+    "onto ≤9 keys, totals via a 1-row aggregate joined back, and the "
+    "observed/expected/deviation columns are fixed-sequence double "
+    "expressions on exact integers (log10 of the 9 constant ratios is "
+    "correctly rounded identically on both engines).",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    m = o.select(digit.alias("d")).groupBy("d").agg(F.count("*").alias("n"))
+    t = m.agg(F.sum("n").alias("total"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    observed = F.col("n").cast("double") / F.col("total").cast("double")
+    return (
+        m.join(F.broadcast(t))
+        .select(
+            F.col("d").alias("digit"),
+            "n",
+            observed.alias("observed"),
+            expected.alias("benford_expected"),
+            (observed - expected).alias("deviation"),
+        )
+        .orderBy("digit")
+    )
