@@ -3293,3 +3293,69 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "ev_pit_features_at_purchase",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type, ts,
+                   -- floor, not CAST: epoch() is fractional here and CAST
+                   -- rounds in DuckDB while Spark's timestamp->long cast
+                   -- truncates; both sides must floor identically
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                   event_id
+            FROM events
+        ),
+        feat AS (
+            SELECT user_id, event_id, event_type, ts,
+                   COUNT(*) FILTER (event_type = 'view') OVER w AS views_7d,
+                   COUNT(*) FILTER (event_type = 'click') OVER w AS clicks_7d,
+                   COUNT(*) OVER w AS events_7d
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id, views_7d, clicks_7d, events_7d
+        FROM feat WHERE event_type = 'purchase'
+        ORDER BY user_id, event_id
+    """,
+    doc="Point-in-time feature materialization (the leakage-safe "
+    "feature-store pattern): for every purchase event, the user's "
+    "trailing-7-day view/click/total counts as of STRICTLY BEFORE the "
+    "purchase instant — the RANGE frame ends at 1 second preceding, so "
+    "the label event and any same-second burst never leak into its own "
+    "features. One keyed window per user ordered by epoch seconds "
+    "(events shuffle once on user_id; the frame is streaming within the "
+    "partition, no self-join); integer counts only. The same frame "
+    "computed at training and serving time is what makes the feature "
+    "definition point-in-time correct.",
+)
+def ev_pit_features_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-604800, -1)
+    )
+    feat = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w).alias("views_7d"),
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias("clicks_7d"),
+        F.count("*").over(w).alias("events_7d"),
+    )
+    return (
+        feat.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "views_7d", "clicks_7d", "events_7d")
+        .orderBy("user_id", "event_id")
+    )
