@@ -1192,3 +1192,65 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "li_return_rate_wilson",
+    oracle="""
+        WITH m AS (
+            SELECT p.p_brand,
+                   COUNT(*) AS n,
+                   COUNT(*) FILTER (l.l_returnflag = 'R') AS r
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        )
+        SELECT p_brand, n, r,
+               CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+               ((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+                - 1.96 * sqrt(
+                    ((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE)))
+                    / CAST(n AS DOUBLE)
+                    + (1.96 * 1.96)
+                      / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+               / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_lower
+        FROM m
+        ORDER BY p_brand
+    """,
+    doc="Return rate per brand with the Wilson-score 95% lower bound — "
+    "ranking under uncertainty (sort by the lower bound, not the raw "
+    "rate, so a 2/3 brand never outranks a 180/600 one); the standard "
+    "fix for small-sample rate leaderboards. Counts are exact integers "
+    "from ONE map-side-combined shuffle onto brand keys; the Wilson "
+    "closed form runs in an identical fixed sequence of IEEE ops on "
+    "both engines (sqrt correctly rounded, z = 1.96 literal), so the "
+    "doubles hash identically without rounding.",
+)
+def li_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("r"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    phat = rd / nd
+    z2 = F.lit(1.96) * F.lit(1.96)
+    wilson = (
+        phat
+        + z2 / (F.lit(2.0) * nd)
+        - F.lit(1.96)
+        * F.sqrt(
+            (phat * (F.lit(1.0) - phat)) / nd
+            + z2 / (F.lit(4.0) * nd * nd)
+        )
+    ) / (F.lit(1.0) + z2 / nd)
+    return m.select(
+        "p_brand", "n", "r", phat.alias("rate"), wilson.alias("wilson_lower")
+    ).orderBy("p_brand")
