@@ -423,6 +423,7 @@ def test_last_shipper_single_lineitem_scan(spark, sf_oracle):
 #: - stat_equidepth_hist_totalprice: 1-row decile-boundary vector
 #: - stat_kmv_distinct_custkeys: 1-row kth-minimum scalar
 #: - stat_bloom_customer_probe: 1-row bitmap aggregate
+#: - dq_benford_first_digit: 1-row digit-total scalar
 _BNLJ_BOUNDED_OK = {
     "sim_topk_cosine",
     "sim_threshold_pairs",
@@ -434,6 +435,7 @@ _BNLJ_BOUNDED_OK = {
     "stat_equidepth_hist_totalprice",
     "stat_kmv_distinct_custkeys",
     "stat_bloom_customer_probe",
+    "dq_benford_first_digit",
 }
 
 
