@@ -3359,3 +3359,87 @@ def ev_pit_features_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "views_7d", "clicks_7d", "events_7d")
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "dedup_lsh_bucket_skew",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sig AS (
+            SELECT doc_id, {_MINHASH_AGGS_SQL}
+            FROM (SELECT doc_id, {_HBASE_SQL} AS hsh FROM sh)
+            GROUP BY doc_id
+        ),
+        banded AS ({_BANDED_SQL}),
+        buckets AS (
+            SELECT band_idx, band_sig, COUNT(*) AS sz
+            FROM banded GROUP BY band_idx, band_sig
+        )
+        SELECT band_idx,
+               COUNT(*) AS n_buckets,
+               MAX(sz) AS max_bucket,
+               SUM(sz * (sz - 1) // 2) AS n_pairs,
+               MAX(sz * (sz - 1) // 2) AS max_bucket_pairs,
+               CAST(MAX(sz * (sz - 1) // 2) AS DOUBLE)
+                   / CAST(SUM(sz * (sz - 1) // 2) AS DOUBLE) AS top_bucket_share
+        FROM buckets
+        GROUP BY band_idx
+        ORDER BY band_idx
+    """,
+    doc="LSH bucket-skew report per band: bucket count, largest bucket, "
+    "total candidate pairs Σ s(s−1)/2, and the share of pair work the "
+    "hottest bucket carries — the observability readout behind the AQE "
+    "skew-join story (a boilerplate-heavy corpus shows up here FIRST, "
+    "before the candidate join straggles; top_bucket_share near 1 means "
+    "salt or tighten bands). Two partial-aggregatable count rollups "
+    "(bucket sizes, then per-band stats on ≤ bands keys); exact "
+    "integers with one final division.",
+)
+def dedup_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=_NUM_HASHES)
+    rows_per_band = _NUM_HASHES // _BANDS
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band_sig"),
+        )
+        for b in range(_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select(
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_sig").alias("band_sig"),
+    )
+    buckets = banded.groupBy("band_idx", "band_sig").agg(F.count("*").alias("sz"))
+    pairs = F.expr("sz * (sz - 1) div 2")
+    return (
+        buckets.groupBy("band_idx")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(pairs).alias("n_pairs"),
+            F.max(pairs).alias("max_bucket_pairs"),
+        )
+        .select(
+            "band_idx",
+            "n_buckets",
+            "max_bucket",
+            "n_pairs",
+            "max_bucket_pairs",
+            (
+                F.col("max_bucket_pairs").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("top_bucket_share"),
+        )
+        .orderBy("band_idx")
+    )

@@ -1254,3 +1254,68 @@ def li_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "p_brand", "n", "r", phat.alias("rate"), wilson.alias("wilson_lower")
     ).orderBy("p_brand")
+
+
+@register(
+    "stat_cusum_daily_revenue",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS x
+            FROM orders GROUP BY 1
+        ),
+        tot AS (
+            SELECT d, x, COUNT(*) OVER () AS n, SUM(x) OVER () AS t
+            FROM daily
+        ),
+        dev AS (
+            SELECT d, x, n, t,
+                   SUM(n * x - t) OVER (ORDER BY d) AS s
+            FROM tot
+        ),
+        cus AS (
+            SELECT d, x, n, t, s,
+                   s - MIN(s) OVER (ORDER BY d) AS c
+            FROM dev
+        )
+        SELECT d, x,
+               CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_units,
+               10 * c > n * t AS alarm
+        FROM cus
+        ORDER BY d
+    """,
+    doc="CUSUM upward-drift detection over daily revenue — the "
+    "sequential change-point monitor (Page 1954) that accumulates "
+    "deviation from the series mean and alarms when the cumulative "
+    "excursion exceeds 10% of total volume. The textbook recursion "
+    "C_t = max(0, C_{t-1} + x_t − k) is non-associative, so it is "
+    "re-expressed CLOSED-FORM as S_t − min_{i≤t} S_i with "
+    "S_t = Σ(n·x_i − T): two ordered windows (running sum, running "
+    "min) over the POST-AGG day series — bounded cardinality, never "
+    "the fact table. Everything up to the output stays exact BIGINT "
+    "(deviations scaled by n to avoid fractional means), the alarm is "
+    "the integer cross-multiplication 10·C > n·T, and ONE double "
+    "division renders the excursion per day.",
+)
+def stat_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("x")
+    )
+    wt = Window.partitionBy()
+    wr = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev = daily.select(
+        "d",
+        "x",
+        F.count("*").over(wt).alias("n"),
+        F.sum("x").over(wt).alias("t"),
+    ).withColumn("s", F.sum(F.col("n") * F.col("x") - F.col("t")).over(wr))
+    cus = dev.withColumn("c", F.col("s") - F.min("s").over(wr))
+    return cus.select(
+        "d",
+        "x",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("cusum_units"),
+        (10 * F.col("c") > F.col("n") * F.col("t")).alias("alarm"),
+    ).orderBy("d")
