@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Diff two bench JSON lines and flag per-query regressions.
+
+Usage: ``python tools/bench_diff.py BENCH_r01.json [bench_now.json]``
+With one argument, the current bench runs live (same interpreter) and
+compares against the given baseline. Exit code 1 if any query regressed
+more than the threshold (default 20%, BENCH_DIFF_THRESHOLD_PCT).
+
+Keeps the round-over-round contract honest: BENCH_r{N} must report the
+same warm per-query metric as BENCH_r{N-1}, and any regression > 20%
+is flagged rather than silently absorbed into the sum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def load(path: str) -> dict:
+    """Accept either bench.py's one-line JSON or the driver's BENCH_r{N}
+    wrapper (pretty JSON whose 'tail' embeds the bench line)."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        doc = json.loads(text)
+        if "queries" in doc:
+            return doc
+        for line in doc.get("tail", "").splitlines():
+            if line.startswith('{"metric"'):
+                return json.loads(line)
+        raise SystemExit(f"no bench line inside wrapper {path}")
+    except json.JSONDecodeError:
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith('{"metric"'):
+                return json.loads(line)
+        raise SystemExit(f"no JSON bench line found in {path}")
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        raise SystemExit(__doc__)
+    base = load(sys.argv[1])
+    if len(sys.argv) > 2:
+        cur = load(sys.argv[2])
+    else:
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        cur = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+
+    thresh = float(os.environ.get("BENCH_DIFF_THRESHOLD_PCT", "20")) / 100.0
+    regressions = []
+    for section in ("queries", "extension_queries"):
+        b, c = base.get(section, {}), cur.get(section, {})
+        for k in sorted(set(b) & set(c)):
+            delta = (c[k] - b[k]) / b[k] if b[k] > 0 else 0.0
+            marker = ""
+            if delta > thresh:
+                marker = "  <-- REGRESSION"
+                regressions.append(k)
+            print(f"{k:36s} {b[k]:8.4f} -> {c[k]:8.4f}  {delta:+6.1%}{marker}")
+    only_new = sorted(
+        set(cur.get("extension_queries", {})) - set(base.get("extension_queries", {}))
+    )
+    if only_new:
+        print("new queries (no baseline):", ", ".join(only_new))
+    print(f"sum: {base.get('value')} -> {cur.get('value')}")
+    if regressions:
+        print(f"FAILED: {len(regressions)} regression(s) > {thresh:.0%}: {regressions}")
+        raise SystemExit(1)
+    print("OK: no per-query regression over threshold")
+
+
+if __name__ == "__main__":
+    main()
