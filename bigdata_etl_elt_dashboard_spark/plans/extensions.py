@@ -3443,3 +3443,92 @@ def dedup_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_idx")
     )
+
+
+@register(
+    "ev_attribution_linear_7d",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   event_id
+            FROM events
+        ),
+        feat AS (
+            SELECT user_id, event_id, event_type, cents,
+                   COUNT(*) FILTER (event_type = 'view') OVER w AS v7,
+                   COUNT(*) FILTER (event_type = 'click') OVER w AS c7
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+        ),
+        credits AS (
+            SELECT CAST(ROUND(cents * 1000000.0 * v7 / (v7 + c7)) AS BIGINT)
+                       AS view_u,
+                   CAST(ROUND(cents * 1000000.0 * c7 / (v7 + c7)) AS BIGINT)
+                       AS click_u,
+                   cents
+            FROM feat
+            WHERE event_type = 'purchase' AND v7 + c7 > 0
+        )
+        SELECT COUNT(*) AS n_attributed,
+               CAST(SUM(view_u) AS DOUBLE) / CAST(100000000 AS DOUBLE)
+                   AS view_credit,
+               CAST(SUM(click_u) AS DOUBLE) / CAST(100000000 AS DOUBLE)
+                   AS click_credit,
+               CAST(SUM(cents) AS DOUBLE) / CAST(100 AS DOUBLE)
+                   AS attributed_value
+        FROM credits
+    """,
+    doc="Linear multi-touch attribution: each purchase's value splits "
+    "proportionally across the user's trailing-7-day views and clicks "
+    "(strictly before the purchase — same leakage-safe frame as the "
+    "point-in-time features), answering 'which touch class drives "
+    "revenue' beyond last-touch as-of attribution. Exactness: purchase "
+    "values quantize to integer cents, each per-purchase credit share "
+    "cents·1e6·v/(v+c) is ONE double rounding of an exact rational "
+    "(numerator < 2^53 — identical on both engines), and the final "
+    "rollup sums exact BIGINT micro-units. One keyed window per user "
+    "plus a single global reduce — no self-join, no fact-table window.",
+)
+def ev_attribution_linear_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-604800, -1)
+    feat = e.select(
+        "event_type",
+        "cents",
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w).alias("v7"),
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias("c7"),
+    )
+    tot = F.col("v7") + F.col("c7")
+    credits = feat.filter((F.col("event_type") == "purchase") & (tot > 0)).select(
+        F.round(F.col("cents") * F.lit(1000000.0) * F.col("v7") / tot)
+        .cast("long")
+        .alias("view_u"),
+        F.round(F.col("cents") * F.lit(1000000.0) * F.col("c7") / tot)
+        .cast("long")
+        .alias("click_u"),
+        "cents",
+    )
+    return credits.agg(
+        F.count("*").alias("n_attributed"),
+        (F.sum("view_u").cast("double") / F.lit(100000000).cast("double")).alias(
+            "view_credit"
+        ),
+        (F.sum("click_u").cast("double") / F.lit(100000000).cast("double")).alias(
+            "click_credit"
+        ),
+        (F.sum("cents").cast("double") / F.lit(100).cast("double")).alias(
+            "attributed_value"
+        ),
+    )
