@@ -3532,3 +3532,56 @@ def ev_attribution_linear_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_value"
         ),
     )
+
+
+@register(
+    "dedup_quality_impact",
+    oracle=f"""
+        WITH labels AS ({REGISTRY["dedup_clusters"].oracle.replace("ORDER BY doc_id", "")}),
+        tagged AS (
+            SELECT d.source, d.n_chars, l.doc_id = l.cluster_id AS kept
+            FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(*) FILTER (kept) AS n_kept,
+               CAST(SUM(n_chars) FILTER (kept) AS DOUBLE)
+                   / COUNT(*) FILTER (kept) AS mean_chars_kept,
+               CAST(SUM(n_chars) FILTER (NOT kept) AS DOUBLE)
+                   / NULLIF(COUNT(*) FILTER (NOT kept), 0) AS mean_chars_removed
+        FROM tagged
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Dedup quality-impact report: per source, how many documents the "
+    "near-dup pass keeps (canonical = min-id cluster representative) and "
+    "the mean length of kept vs removed docs — the selection-bias check "
+    "run after any dedup pass (if removal systematically targets long or "
+    "short docs, the canonical-pick policy needs revisiting). Composes "
+    "the clustering labels with the document table via one equi-join; "
+    "sums are exact BIGINT with one division per mean; sources with "
+    "nothing removed yield NULL (same on both engines).",
+)
+def dedup_quality_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    labels = D.near_dup_clusters(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+    tagged = docs.select("doc_id", "source", "n_chars").join(labels, "doc_id").select(
+        "source", "n_chars", (F.col("doc_id") == F.col("cluster_id")).alias("kept")
+    )
+    kept_n = F.count(F.when(F.col("kept"), 1))
+    rem_n = F.count(F.when(~F.col("kept"), 1))
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            kept_n.alias("n_kept"),
+            (
+                F.sum(F.when(F.col("kept"), F.col("n_chars"))).cast("double") / kept_n
+            ).alias("mean_chars_kept"),
+            (
+                F.sum(F.when(~F.col("kept"), F.col("n_chars"))).cast("double")
+                / F.nullif(rem_n, F.lit(0))
+            ).alias("mean_chars_removed"),
+        )
+        .orderBy("source")
+    )
