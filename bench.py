@@ -61,10 +61,13 @@ EXTENSION_SUITE = (
     "graph_pagerank_3iter",
     "sim_kmeans_lloyd1",
     "stat_ols_price_vs_qty",
-    # round-2 final additions: unigram-LM scoring (token-join heavy) and
-    # the Q18-style basket filter (agg-before-join)
+    # round-2 final additions: unigram-LM scoring (token-join heavy), the
+    # Q18-style basket filter (agg-before-join), the KS drift statistic
+    # (distinct-value ECDF windows), and the LSH skew readout
     "text_unigram_logprob",
     "cust_big_basket_orders",
+    "stat_ks_price_by_status",
+    "dedup_lsh_bucket_skew",
 )
 
 

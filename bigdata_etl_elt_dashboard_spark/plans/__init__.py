@@ -34,6 +34,13 @@ from .registry import REGISTRY, register
 # deferred to the round-3 rotation: they carry no oracle, so their driver row
 # is the weaker rows-only check either way. Round-1-green queries rotate to
 # the back; their green CORRECTNESS_r01 rows stand.
+#
+# ROUND-3 ROTATION PLAN: 86 registered queries have never held a driver gate
+# row (everything registered after the round-2 window froze — the corpus-prep
+# family, the statistics family, iterative/graph, the late relational and
+# multimodal additions). Next round, replace this window with the first 50 of
+# them in registration order (tail order of this registry) and keep the rest
+# for round 4; the r01/r02 green rows stand.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
     # fixed in round 2 (were the 3 red rows)
