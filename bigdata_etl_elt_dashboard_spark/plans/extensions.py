@@ -3585,3 +3585,118 @@ def dedup_quality_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT c.n_common,
+                   sa.n_sh + sb.n_sh - c.n_common AS n_union
+            FROM common c
+            JOIN sizes sa ON c.doc_a = sa.doc_id
+            JOIN sizes sb ON c.doc_b = sb.doc_id
+        ),
+        t AS (SELECT UNNEST([30, 50, 70, 90]) AS thr_pct)
+        SELECT t.thr_pct,
+               COUNT(*) FILTER (j.n_common * 100 >= t.thr_pct * j.n_union)
+                   AS n_pairs,
+               COUNT(*) AS n_candidates
+        FROM j CROSS JOIN t
+        GROUP BY t.thr_pct
+        ORDER BY t.thr_pct
+    """,
+    doc="Dedup threshold sweep: how many shingle-sharing pairs survive "
+    "exact Jaccard at 0.3/0.5/0.7/0.9 — the tuning curve consulted "
+    "before committing to a dedup threshold (too low merges topical "
+    "docs, too high leaves boilerplate). ONE pass over the pair stream: "
+    "the 4-row threshold table fans out each pair via a bounded cross "
+    "join, and every comparison is the integer cross-multiplication "
+    "100·|A∩B| ≥ thr·|A∪B| — no float thresholds, no re-scan per "
+    "threshold. Counts only; hash-gate exact.",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = D._doc_shingles(docs, "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    j = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "n_common",
+            (F.col("_na") + F.col("_nb") - F.col("n_common")).alias("n_union"),
+        )
+    )
+    thr = F.explode(F.array(*[F.lit(t) for t in (30, 50, 70, 90)])).alias("thr_pct")
+    fanned = j.select("n_common", "n_union", thr)
+    return (
+        fanned.groupBy("thr_pct")
+        .agg(
+            F.count(
+                F.when(F.col("n_common") * 100 >= F.col("thr_pct") * F.col("n_union"), 1)
+            ).alias("n_pairs"),
+            F.count("*").alias("n_candidates"),
+        )
+        .orderBy("thr_pct")
+    )
+
+
+@register(
+    "ev_new_vs_returning_daily",
+    oracle="""
+        WITH first AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS d
+            FROM events e
+        )
+        SELECT d.d,
+               COUNT(*) AS active_users,
+               COUNT(*) FILTER (d.d = f.first_day) AS new_users,
+               COUNT(*) FILTER (d.d > f.first_day) AS returning_users
+        FROM daily d JOIN first f USING (user_id)
+        GROUP BY d.d
+        ORDER BY d.d
+    """,
+    doc="Daily active users split new vs returning — the first-touch KPI "
+    "every product dashboard leads with (cohort retention's day-zero "
+    "companion). Two keyed shuffles on user_id (first-day min-agg and "
+    "the distinct day-activity rollup reuse the same hash partitioning "
+    "— AQE coalesces them) and one on the day key; all counts exact.",
+)
+def ev_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    return (
+        daily.join(first, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.count(F.when(F.col("d") == F.col("first_day"), 1)).alias("new_users"),
+            F.count(F.when(F.col("d") > F.col("first_day"), 1)).alias(
+                "returning_users"
+            ),
+        )
+        .orderBy("d")
+    )
