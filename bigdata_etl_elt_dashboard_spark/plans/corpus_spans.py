@@ -301,3 +301,127 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (documents)
+# --------------------------------------------------------------------------
+
+#: minimum bigram count for a PMI candidate (rare-pair noise floor) and
+#: micro-bit quantization for the PMI value
+_PMI_MIN_COUNT = 30
+_PMI_SCALE = 1_000_000
+_PMI_TOPK = 20
+
+
+@register(
+    "docs_pmi_collocations",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        ),
+        tok AS (SELECT UNNEST(toks) AS tok FROM base),
+        uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        n1 AS (SELECT SUM(c) AS n FROM uni),
+        bg AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM base, UNNEST(range(1, greatest(len(toks) - 1, 0) + 1)) AS t(i)
+        ),
+        big AS (
+            SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2
+            HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+        ),
+        n2 AS (SELECT COUNT(*) AS nb FROM bg),
+        scored AS (
+            SELECT b.w1, b.w2, b.cb,
+                   CAST(ROUND((log2(CAST(b.cb AS DOUBLE))
+                               + log2(CAST(n1.n AS DOUBLE))
+                               + log2(CAST(n1.n AS DOUBLE))
+                               - log2(CAST(n2.nb AS DOUBLE))
+                               - log2(CAST(ua.c AS DOUBLE))
+                               - log2(CAST(ub.c AS DOUBLE)))
+                              * {_PMI_SCALE}) AS BIGINT) AS pmi_units
+            FROM big b
+            JOIN uni ua ON b.w1 = ua.tok
+            JOIN uni ub ON b.w2 = ub.tok
+            CROSS JOIN n1 CROSS JOIN n2
+        )
+        SELECT w1, w2, cb,
+               CAST(pmi_units AS DOUBLE) / CAST({_PMI_SCALE} AS DOUBLE)
+                   AS pmi_bits
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (ORDER BY pmi_units DESC, w1, w2)
+                <= {_PMI_TOPK}
+        ORDER BY pmi_units DESC, w1, w2
+    """,
+    doc=f"Pointwise-mutual-information collocations: the top {_PMI_TOPK} "
+    f"adjacent token pairs (count ≥ {_PMI_MIN_COUNT}) by "
+    "PMI = log2(p(w1,w2)/(p(w1)p(w2))) — the association-mining pass "
+    "behind multiword-expression detection and tokenizer merge audits "
+    "(high-PMI pairs are the phrases a BPE merge should capture; "
+    "compare docs_bpe_pair_counts, which ranks by raw frequency). "
+    "Drift-proofing: PMI decomposes into ± log2 of five exact integer "
+    "counts, quantized ONCE to micro-bits per pair, so ranking and "
+    "tie-breaks are integer comparisons. Shape: one unigram shuffle, "
+    "one bigram shuffle (both map-side combined), two broadcast-scale "
+    "joins of the count-floored bigram head against the unigram table, "
+    "TakeOrdered top-k.",
+)
+def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
+    tok = base.select(F.explode("toks").alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    wt = Window.partitionBy()
+    bg = base.select(F.explode(X.bigram_list(F.col("toks"))).alias("bgram")).select(
+        F.split(F.col("bgram"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bgram"), " ").getItem(1).alias("w2"),
+    )
+    big = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .withColumn("nb", F.sum("cb").over(wt))
+        .filter(F.col("cb") >= _PMI_MIN_COUNT)
+    )
+    n1 = uni.agg(F.sum("c").alias("n"))
+    ua = uni.select(F.col("tok").alias("w1"), F.col("c").alias("_ca"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("c").alias("_cb"))
+    scored = (
+        big.join(ua, "w1")
+        .join(ub, "w2")
+        .join(F.broadcast(n1))
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            F.round(
+                (
+                    F.log2(F.col("cb").cast("double"))
+                    + F.log2(F.col("n").cast("double"))
+                    + F.log2(F.col("n").cast("double"))
+                    - F.log2(F.col("nb").cast("double"))
+                    - F.log2(F.col("_ca").cast("double"))
+                    - F.log2(F.col("_cb").cast("double"))
+                )
+                * F.lit(_PMI_SCALE)
+            )
+            .cast("long")
+            .alias("pmi_units"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_units"), "w1", "w2")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PMI_TOPK)
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            (F.col("pmi_units").cast("double") / F.lit(_PMI_SCALE).cast("double")).alias(
+                "pmi_bits"
+            ),
+        )
+        .orderBy(F.desc("pmi_bits"), "w1", "w2")
+    )

@@ -3700,3 +3700,56 @@ def ev_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "ev_dau_wau_stickiness",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
+        fan AS (
+            SELECT ud.user_id, ud.d + CAST(o.o AS INTEGER) AS d
+            FROM ud, UNNEST(range(7)) AS o(o)
+        ),
+        wau AS (
+            SELECT d, COUNT(DISTINCT user_id) AS wau FROM fan GROUP BY d
+        )
+        SELECT dau.d, dau.dau, wau.wau,
+               CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        FROM dau JOIN wau USING (d)
+        ORDER BY dau.d
+    """,
+    doc="DAU/WAU stickiness per day — the engagement-depth growth metric "
+    "(1/7 = users appear one day a week, 1 = daily habit). The trailing-"
+    "7-day distinct-user count avoids any sliding distinct window (not "
+    "partial-aggregatable) by FANNING each (user, day) activity row onto "
+    "the 7 future days it keeps the user 'weekly-active' for — a bounded "
+    "×7 explode, then an ordinary COUNT(DISTINCT) per day (map-side "
+    "partially aggregated on (day, user)). Exact integers, one final "
+    "division; at 100 TB the fan-out is the standard dateless-window "
+    "trick that keeps the rollup one keyed shuffle.",
+)
+def ev_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    fan = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("o")).alias("d"))
+    wau = fan.groupBy("d").agg(F.count_distinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            "d",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("d")
+    )
