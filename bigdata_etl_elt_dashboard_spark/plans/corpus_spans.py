@@ -371,19 +371,25 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
+    # (Window used only for the bounded top-k cut below)
     base = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
     tok = base.select(F.explode("toks").alias("tok"))
     uni = tok.groupBy("tok").agg(F.count("*").alias("c"))
-    wt = Window.partitionBy()
     bg = base.select(F.explode(X.bigram_list(F.col("toks"))).alias("bgram")).select(
         F.split(F.col("bgram"), " ").getItem(0).alias("w1"),
         F.split(F.col("bgram"), " ").getItem(1).alias("w2"),
     )
+    # totals are 1-row aggregates broadcast back (never an unpartitioned
+    # window over the bigram-type table, which is corpus-scale); nb comes
+    # closed-form from token counts — no second scan of the bigram stream
+    nb = base.select(
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).alias("nb")
+    )
     big = (
         bg.groupBy("w1", "w2")
         .agg(F.count("*").alias("cb"))
-        .withColumn("nb", F.sum("cb").over(wt))
         .filter(F.col("cb") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(nb))
     )
     n1 = uni.agg(F.sum("c").alias("n"))
     ua = uni.select(F.col("tok").alias("w1"), F.col("c").alias("_ca"))

@@ -424,6 +424,7 @@ def test_last_shipper_single_lineitem_scan(spark, sf_oracle):
 #: - stat_kmv_distinct_custkeys: 1-row kth-minimum scalar
 #: - stat_bloom_customer_probe: 1-row bitmap aggregate
 #: - dq_benford_first_digit: 1-row digit-total scalar
+#: - docs_pmi_collocations: two 1-row corpus-total scalars
 _BNLJ_BOUNDED_OK = {
     "sim_topk_cosine",
     "sim_threshold_pairs",
@@ -436,6 +437,7 @@ _BNLJ_BOUNDED_OK = {
     "stat_kmv_distinct_custkeys",
     "stat_bloom_customer_probe",
     "dq_benford_first_digit",
+    "docs_pmi_collocations",
 }
 
 
