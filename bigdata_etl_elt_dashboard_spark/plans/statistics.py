@@ -1319,3 +1319,75 @@ def stat_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c").cast("double") / F.col("n").cast("double")).alias("cusum_units"),
         (10 * F.col("c") > F.col("n") * F.col("t")).alias("alarm"),
     ).orderBy("d")
+
+
+@register(
+    "li_basket_type_lift",
+    oracle="""
+        WITH ot AS (
+            SELECT DISTINCT l.l_orderkey, p.p_type
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ot),
+        tc AS (SELECT p_type, COUNT(*) AS c FROM ot GROUP BY p_type),
+        pairs AS (
+            SELECT a.p_type AS type_a, b.p_type AS type_b, COUNT(*) AS cab
+            FROM ot a JOIN ot b ON a.l_orderkey = b.l_orderkey
+                                AND a.p_type < b.p_type
+            GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b, p.cab,
+               CAST(p.cab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+                   / (CAST(ta.c AS DOUBLE) * CAST(tb.c AS DOUBLE)) AS lift
+        FROM pairs p
+        JOIN tc ta ON p.type_a = ta.p_type
+        JOIN tc tb ON p.type_b = tb.p_type
+        CROSS JOIN n
+        ORDER BY type_a, type_b
+    """,
+    doc="Market-basket lift between part types: lift = "
+    "P(A,B)/(P(A)·P(B)) over order baskets — >1 means the types are "
+    "bought together more than independence predicts (the association "
+    "statistic behind cross-sell rules; the retail cousin of PMI, which "
+    "measures the same quantity over adjacent tokens). Shape: one "
+    "distinct (order, type) projection — the per-order type set is "
+    "bounded by the 6-value type dimension, so the within-order "
+    "self-join fans out at most C(6,2) pairs per order — then "
+    "partial-aggregated pair counts and two broadcast-scale joins "
+    "against the 6-row type-count table. Counts exact; lift is one "
+    "fixed-sequence double expression.",
+)
+def li_basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ot = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_type")
+        .distinct()
+    )
+    n = ot.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    tc = ot.groupBy("p_type").agg(F.count("*").alias("c"))
+    a = ot.select(F.col("l_orderkey"), F.col("p_type").alias("type_a"))
+    b = ot.select(F.col("l_orderkey").alias("_ok"), F.col("p_type").alias("type_b"))
+    pairs = (
+        a.join(b, (a.l_orderkey == b._ok) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("cab"))
+    )
+    ta = tc.select(F.col("p_type").alias("type_a"), F.col("c").alias("_ca"))
+    tb = tc.select(F.col("p_type").alias("type_b"), F.col("c").alias("_cb"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .join(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "cab",
+            (
+                F.col("cab").cast("double") * F.col("n_orders").cast("double")
+                / (F.col("_ca").cast("double") * F.col("_cb").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -425,6 +425,7 @@ def test_last_shipper_single_lineitem_scan(spark, sf_oracle):
 #: - stat_bloom_customer_probe: 1-row bitmap aggregate
 #: - dq_benford_first_digit: 1-row digit-total scalar
 #: - docs_pmi_collocations: two 1-row corpus-total scalars
+#: - li_basket_type_lift: 1-row order-count scalar
 _BNLJ_BOUNDED_OK = {
     "sim_topk_cosine",
     "sim_threshold_pairs",
@@ -438,6 +439,7 @@ _BNLJ_BOUNDED_OK = {
     "stat_bloom_customer_probe",
     "dq_benford_first_digit",
     "docs_pmi_collocations",
+    "li_basket_type_lift",
 }
 
 
