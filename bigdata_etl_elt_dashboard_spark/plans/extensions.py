@@ -3753,3 +3753,56 @@ def ev_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "ev_user_behavior_entropy",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS c
+            FROM events GROUP BY user_id, event_type
+        ),
+        per AS (
+            SELECT user_id,
+                   SUM(c) AS n,
+                   COUNT(*) AS n_types,
+                   SUM(c * CAST(ROUND(log2(CAST(c AS DOUBLE)) * 1000000)
+                                AS BIGINT)) AS sum_clogc
+            FROM c GROUP BY user_id
+        )
+        SELECT user_id, n AS n_events, n_types,
+               CAST(n * CAST(ROUND(log2(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+                    - sum_clogc AS DOUBLE)
+                   / CAST(n * 1000000 AS DOUBLE) AS entropy_bits
+        FROM per
+        ORDER BY user_id
+    """,
+    doc="Per-user behavioral entropy: Shannon entropy of each user's "
+    "event-type distribution in bits — the behavioral-diversity feature "
+    "(0 = single-action bots, high = varied engagement) used in "
+    "abuse-detection and engagement models. The identity "
+    "H = log2(n) − (1/n)Σcᵢlog2(cᵢ) makes it one keyed aggregation: "
+    "each log2 of an exact integer count quantizes ONCE to micro-bits, "
+    "the Σcᵢ·q(log2 cᵢ) accumulator is an exact BIGINT sum "
+    "(order-independent, map-side combined over (user, type) then "
+    "user), and ONE final division emits bits. Two shuffles total, "
+    "both partial-aggregatable.",
+)
+def ev_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    qlog = lambda col: F.round(F.log2(col.cast("double")) * F.lit(1000000)).cast("long")
+    per = c.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * qlog(F.col("c"))).alias("sum_clogc"),
+    )
+    return per.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "n_types",
+        (
+            (F.col("n") * qlog(F.col("n")) - F.col("sum_clogc")).cast("double")
+            / (F.col("n") * F.lit(1000000)).cast("double")
+        ).alias("entropy_bits"),
+    ).orderBy("user_id")
