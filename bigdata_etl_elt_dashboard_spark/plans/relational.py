@@ -216,3 +216,59 @@ def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+@register(
+    "supplier_top_quarter_revenue",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        ),
+        mx AS (SELECT MAX(cents) AS m FROM rev)
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.cents AS DOUBLE) / CAST(100 AS DOUBLE) AS total_revenue
+        FROM rev r
+        JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        CROSS JOIN mx
+        WHERE r.cents = mx.m
+        ORDER BY s.s_suppkey
+    """,
+    doc="Argmax WITH TIES (TPC-H Q15 skeleton): the supplier(s) with "
+    "maximum revenue in 1996Q1 — every tie survives, which LIMIT 1 "
+    "ranking gets wrong. The quarter filter prunes at the parquet scan; "
+    "revenue is one partial-aggregated keyed sum in exact integer "
+    "cents; the maximum is a 1-row aggregate broadcast back, so ties "
+    "compare integers (no float-equality trap — the reason the revenue "
+    "stays in cents until output). Supplier join is size-driven (AQE).",
+)
+def supplier_top_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    cents = F.sum(
+        F.round(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100
+        ).cast("long")
+    )
+    rev = li.groupBy("l_suppkey").agg(cents.alias("cents"))
+    mx = rev.agg(F.max("cents").alias("m"))
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("cents") == F.col("m"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("cents").cast("double") / F.lit(100).cast("double")).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )

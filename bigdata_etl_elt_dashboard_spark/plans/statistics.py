@@ -1391,3 +1391,100 @@ def li_basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "stat_runs_test_daily_revenue",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS x
+            FROM orders GROUP BY 1
+        ),
+        med AS (
+            SELECT CAST(ROUND(quantile_cont(CAST(x AS DOUBLE), 0.5) * 2)
+                        AS BIGINT) AS med2
+            FROM daily
+        ),
+        signs AS (
+            SELECT d, 2 * x > med2 AS up
+            FROM daily, med
+            WHERE 2 * x <> med2
+        ),
+        runs AS (
+            SELECT up,
+                   CASE WHEN up = LAG(up) OVER (ORDER BY d) THEN 0 ELSE 1 END
+                       AS brk
+            FROM signs
+        ),
+        m AS (
+            SELECT COUNT(*) FILTER (up) AS n1,
+                   COUNT(*) FILTER (NOT up) AS n2,
+                   COALESCE(SUM(brk), 1) AS r
+            FROM runs
+        )
+        SELECT n1, n2, r AS n_runs,
+               (CAST(r AS DOUBLE)
+                - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   / CAST(n1 + n2 AS DOUBLE) + 1.0))
+               / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                      / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                         * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS z
+        FROM m
+    """,
+    doc="Wald-Wolfowitz runs test on daily revenue around its median — "
+    "the randomness check behind 'is this series trending or i.i.d.' "
+    "(too few runs = momentum/regime, too many = oscillation). "
+    "Determinism: the median comparison is the integer 2·x vs "
+    "round(2·median) (quantile_cont's midpoint interpolation is a "
+    "half-integer — doubling keeps it integral and both engines round "
+    "the same double), exact-median days drop per the classical test, "
+    "runs count from one ordered lag over the bounded day series, and "
+    "the z closed form is a fixed double sequence on exact integer "
+    "counts. The first run's NULL lag counts via the COALESCE floor.",
+)
+def stat_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("x")
+    )
+    med2 = daily.agg(
+        F.round(F.expr("percentile(CAST(x AS DOUBLE), 0.5)") * 2)
+        .cast("long")
+        .alias("med2")
+    )
+    signs = (
+        daily.join(F.broadcast(med2))
+        .filter(2 * F.col("x") != F.col("med2"))
+        .select("d", (2 * F.col("x") > F.col("med2")).alias("up"))
+    )
+    w = Window.orderBy("d")
+    runs = signs.select(
+        "up",
+        F.when(F.col("up") == F.lag("up").over(w), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk"),
+    )
+    m = runs.agg(
+        F.count(F.when(F.col("up"), 1)).alias("n1"),
+        F.count(F.when(~F.col("up"), 1)).alias("n2"),
+        F.coalesce(F.sum("brk"), F.lit(1)).alias("r"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    rd = F.col("r").cast("double")
+    mu = F.lit(2.0) * n1d * n2d / nd + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1d
+        * n2d
+        * (F.lit(2.0) * n1d * n2d - n1d - n2d)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    return m.select(
+        "n1", "n2", F.col("r").alias("n_runs"), ((rd - mu) / F.sqrt(var)).alias("z")
+    )

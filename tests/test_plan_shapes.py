@@ -426,6 +426,8 @@ def test_last_shipper_single_lineitem_scan(spark, sf_oracle):
 #: - dq_benford_first_digit: 1-row digit-total scalar
 #: - docs_pmi_collocations: two 1-row corpus-total scalars
 #: - li_basket_type_lift: 1-row order-count scalar
+#: - supplier_top_quarter_revenue: 1-row max-revenue scalar (ties survive)
+#: - stat_runs_test_daily_revenue: 1-row doubled-median scalar
 _BNLJ_BOUNDED_OK = {
     "sim_topk_cosine",
     "sim_threshold_pairs",
@@ -440,6 +442,8 @@ _BNLJ_BOUNDED_OK = {
     "dq_benford_first_digit",
     "docs_pmi_collocations",
     "li_basket_type_lift",
+    "supplier_top_quarter_revenue",
+    "stat_runs_test_daily_revenue",
 }
 
 
