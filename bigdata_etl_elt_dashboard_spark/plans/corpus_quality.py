@@ -800,3 +800,132 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log2_c_at_rank1"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding covariance structure (embeddings)
+# --------------------------------------------------------------------------
+
+#: integer units: 1e6 per element for first moments, 1e9 per pair product
+_COV_S1 = 1_000_000
+_COV_S2 = 1_000_000_000
+_COV_TOPK = 20
+_EMB_DIM = 64
+
+
+@register(
+    "emb_covariance_top_pairs",
+    oracle=f"""
+        WITH el AS (
+            SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+                   CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE) AS x
+            FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+        ),
+        s1 AS (
+            SELECT i, SUM(CAST(ROUND(x * {_COV_S1}) AS BIGINT)) AS s1,
+                   COUNT(*) AS n
+            FROM el GROUP BY i
+        ),
+        s2 AS (
+            SELECT a.i AS i, b.i AS j,
+                   SUM(CAST(ROUND(a.x * b.x * {_COV_S2}) AS BIGINT)) AS s2
+            FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i < b.i
+            GROUP BY 1, 2
+        ),
+        cov AS (
+            SELECT s2.i, s2.j,
+                   CAST(s2.s2 AS DOUBLE)
+                       / (CAST(sa.n AS DOUBLE) * CAST({_COV_S2} AS DOUBLE))
+                   - (CAST(sa.s1 AS DOUBLE)
+                      / (CAST(sa.n AS DOUBLE) * CAST({_COV_S1} AS DOUBLE)))
+                     * (CAST(sb.s1 AS DOUBLE)
+                        / (CAST(sb.n AS DOUBLE) * CAST({_COV_S1} AS DOUBLE)))
+                       AS cov
+            FROM s2 JOIN s1 sa ON s2.i = sa.i JOIN s1 sb ON s2.j = sb.i
+        )
+        SELECT i, j, cov
+        FROM cov
+        QUALIFY ROW_NUMBER() OVER (ORDER BY ABS(cov) DESC, i, j) <= {_COV_TOPK}
+        ORDER BY ABS(cov) DESC, i, j
+    """,
+    doc=f"Top-{_COV_TOPK} off-diagonal covariance pairs of the embedding "
+    "dimensions — the second-moment structure check run before PCA/"
+    "whitening or product quantization (strongly covarying dims mean "
+    "the space wastes capacity; near-diagonal covariance justifies "
+    "per-dim scalar quantization, see emb_quantize_error). Exactness: "
+    "element products are exact in double (float32 squares fit), "
+    "quantize once to integer units, and sum as BIGINT per (i, j) — "
+    "map-side combined onto the FIXED 64·63/2 pair key space, so the "
+    "shuffle is ~2k rows regardless of corpus size. Spark enumerates "
+    "pairs per row with higher-order functions (no self-join, no "
+    "explode until the narrow pair stream); the oracle mirrors "
+    "semantics with an UNNEST self-join. The covariance closed form is "
+    "a fixed double sequence; ranking ties break on (i, j). At extreme "
+    "scale the s2 sums approach int64 — the documented switch is "
+    "per-partition HUGEINT/decimal accumulation.",
+)
+def emb_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings")
+    idx = F.sequence(F.lit(0), F.lit(_EMB_DIM - 1))
+    # per-row flat (i, j, units) pair stream, i < j — pure HOFs, no join
+    empty = F.expr("CAST(array() AS array<int>)")
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                # sequence(a, b) DESCENDS when a > b (it never yields an
+                # empty array), so the last dim must map to [] explicitly
+                F.when(i < _EMB_DIM - 1, F.sequence(i + 1, F.lit(_EMB_DIM - 1)))
+                .otherwise(empty),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    F.round(
+                        F.get(F.col("embedding"), i).cast("double")
+                        * F.get(F.col("embedding"), j).cast("double")
+                        * F.lit(_COV_S2)
+                    )
+                    .cast("long")
+                    .alias("u"),
+                ),
+            ),
+        )
+    )
+    el2 = emb.select(F.explode(pairs).alias("p")).select("p.i", "p.j", "p.u")
+    s2 = el2.groupBy("i", "j").agg(F.sum("u").alias("s2"))
+    el1 = emb.select(F.posexplode("embedding").alias("i", "x"))
+    s1 = el1.groupBy("i").agg(
+        F.sum(F.round(F.col("x").cast("double") * F.lit(_COV_S1)).cast("long")).alias(
+            "s1"
+        ),
+        F.count("*").alias("n"),
+    )
+    sa = s1.select(F.col("i"), F.col("s1").alias("_s1a"), F.col("n").alias("_na"))
+    sb = s1.select(
+        F.col("i").alias("j"), F.col("s1").alias("_s1b"), F.col("n").alias("_nb")
+    )
+    mean_a = F.col("_s1a").cast("double") / (
+        F.col("_na").cast("double") * F.lit(float(_COV_S1))
+    )
+    mean_b = F.col("_s1b").cast("double") / (
+        F.col("_nb").cast("double") * F.lit(float(_COV_S1))
+    )
+    cov = (
+        F.col("s2").cast("double")
+        / (F.col("_na").cast("double") * F.lit(float(_COV_S2)))
+        - mean_a * mean_b
+    )
+    scored = (
+        s2.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .select("i", "j", cov.alias("cov"))
+    )
+    w = W.orderBy(F.abs(F.col("cov")).desc(), "i", "j")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _COV_TOPK)
+        .drop("rn")
+        .orderBy(F.abs(F.col("cov")).desc(), "i", "j")
+    )
