@@ -3806,3 +3806,97 @@ def ev_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.lit(1000000)).cast("double")
         ).alias("entropy_bits"),
     ).orderBy("user_id")
+
+
+@register(
+    "text_jsd_source_drift",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, UNNEST({_TOKS_SQL}) AS tok
+            FROM documents
+            WHERE source IN ('{_DRIFT_SRC_A}', '{_DRIFT_SRC_B}')
+              AND trim(text) <> ''
+        ),
+        cnt AS (
+            SELECT tok,
+                   COUNT(*) FILTER (source = '{_DRIFT_SRC_A}') AS ca,
+                   COUNT(*) FILTER (source = '{_DRIFT_SRC_B}') AS cb
+            FROM toks WHERE tok <> '' GROUP BY tok
+        ),
+        tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM cnt),
+        terms AS (
+            SELECT
+                CASE WHEN ca > 0 THEN ca *
+                    CAST(ROUND((log2(CAST(2 * ca * tb AS DOUBLE))
+                                - log2(CAST(ca * tb + cb * ta AS DOUBLE)))
+                               * 1000000) AS BIGINT)
+                     ELSE 0 END AS ua,
+                CASE WHEN cb > 0 THEN cb *
+                    CAST(ROUND((log2(CAST(2 * cb * ta AS DOUBLE))
+                                - log2(CAST(ca * tb + cb * ta AS DOUBLE)))
+                               * 1000000) AS BIGINT)
+                     ELSE 0 END AS ub
+            FROM cnt CROSS JOIN tot
+        )
+        SELECT t.ta AS tot_a, t.tb AS tot_b,
+               (CAST(SUM(s.ua) AS DOUBLE) / CAST(t.ta AS DOUBLE)
+                + CAST(SUM(s.ub) AS DOUBLE) / CAST(t.tb AS DOUBLE))
+               / CAST(2000000 AS DOUBLE) AS jsd_bits
+        FROM terms s CROSS JOIN tot t
+        GROUP BY t.ta, t.tb
+    """,
+    doc="Jensen-Shannon divergence between two sources' token "
+    "distributions in bits — the standard bounded symmetric drift "
+    "metric (0 = identical mixes, 1 = disjoint vocabularies) next to "
+    "the per-token Hellinger attribution. The log-instability that "
+    "rules out naive KL here is dissolved by the repo's micro-bit "
+    "idiom: each token's log-ratio log2(2·c·T'/(c·T' + c'·T)) is a log2 "
+    "of EXACT INTEGERS (the mixture denominator clears all fractions), "
+    "quantized once to integer micro-bits; the two Σc·q accumulators "
+    "are exact BIGINT sums and two final divisions emit bits. "
+    "Vocabulary-sized group-by with map-side combine, totals as a "
+    "1-row broadcast; tokens absent from one source contribute the "
+    "exact log2(2) = 1-bit term on the present side only.",
+)
+def text_jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(
+            F.col("source").isin(_DRIFT_SRC_A, _DRIFT_SRC_B)
+            & (F.trim(F.col("text")) != "")
+        )
+        .select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("source") == _DRIFT_SRC_A, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("source") == _DRIFT_SRC_B, 1).otherwise(0)).alias("cb"),
+    )
+    tot = cnt.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    j = cnt.join(F.broadcast(tot))
+    den = (F.col("ca") * F.col("tb") + F.col("cb") * F.col("ta")).cast("double")
+    qa = F.round(
+        (F.log2((2 * F.col("ca") * F.col("tb")).cast("double")) - F.log2(den))
+        * F.lit(1000000)
+    ).cast("long")
+    qb = F.round(
+        (F.log2((2 * F.col("cb") * F.col("ta")).cast("double")) - F.log2(den))
+        * F.lit(1000000)
+    ).cast("long")
+    terms = j.select(
+        F.when(F.col("ca") > 0, F.col("ca") * qa).otherwise(F.lit(0)).alias("ua"),
+        F.when(F.col("cb") > 0, F.col("cb") * qb).otherwise(F.lit(0)).alias("ub"),
+        "ta",
+        "tb",
+    )
+    return terms.groupBy("ta", "tb").agg(
+        (
+            (
+                F.sum("ua").cast("double") / F.col("ta").cast("double")
+                + F.sum("ub").cast("double") / F.col("tb").cast("double")
+            )
+            / F.lit(2000000).cast("double")
+        ).alias("jsd_bits")
+    ).select(
+        F.col("ta").alias("tot_a"), F.col("tb").alias("tot_b"), "jsd_bits"
+    )

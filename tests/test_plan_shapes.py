@@ -428,6 +428,7 @@ def test_last_shipper_single_lineitem_scan(spark, sf_oracle):
 #: - li_basket_type_lift: 1-row order-count scalar
 #: - supplier_top_quarter_revenue: 1-row max-revenue scalar (ties survive)
 #: - stat_runs_test_daily_revenue: 1-row doubled-median scalar
+#: - text_jsd_source_drift: 1-row token-total scalar
 _BNLJ_BOUNDED_OK = {
     "sim_topk_cosine",
     "sim_threshold_pairs",
@@ -444,6 +445,7 @@ _BNLJ_BOUNDED_OK = {
     "li_basket_type_lift",
     "supplier_top_quarter_revenue",
     "stat_runs_test_daily_revenue",
+    "text_jsd_source_drift",
 }
 
 
