@@ -1345,3 +1345,54 @@ def li_last_shipper_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@register(
+    "trend_price_percentile_bands",
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               COUNT(*) AS n_orders,
+               quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.25)
+                   / CAST(100 AS DOUBLE) AS p25,
+               quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.50)
+                   / CAST(100 AS DOUBLE) AS p50,
+               quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.75)
+                   / CAST(100 AS DOUBLE) AS p75,
+               quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.95)
+                   / CAST(100 AS DOUBLE) AS p95
+        FROM orders
+        GROUP BY month
+        ORDER BY month
+    """,
+    doc="Monthly order-value percentile bands (p25/p50/p75/p95) — the "
+    "spread-over-time view a median-only trend hides (widening bands = "
+    "mix shift, rising p95 = whale orders). Exact per-group percentiles "
+    "over integer cents: Spark's percentile() and DuckDB's "
+    "quantile_cont share the linear-interpolation definition, midpoints "
+    "on the cents grid are halves (exact in double), and the single "
+    "division of identical doubles is correctly rounded on both "
+    "engines — deliberately NO post-division ROUND: Spark rounds "
+    "doubles via their shortest decimal string where DuckDB rounds "
+    "the binary value, so x.xx5 halves would diverge. One keyed "
+    "shuffle; percentile state is per-month sorted cents, bounded by "
+    "month cardinality x order volume — the standard ANALYZE-style "
+    "pass, not a window.",
+)
+def trend_price_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cents = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    pct = lambda p, name: (
+        F.expr(f"percentile({cents}, {p})") / F.lit(100).cast("double")
+    ).alias(name)
+    return (
+        o.groupBy(month)
+        .agg(
+            F.count("*").alias("n_orders"),
+            pct(0.25, "p25"),
+            pct(0.50, "p50"),
+            pct(0.75, "p75"),
+            pct(0.95, "p95"),
+        )
+        .orderBy("month")
+    )
