@@ -433,23 +433,36 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_median_price_per_status",
     oracle="""
         SELECT o_orderstatus,
-               ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
-               ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+               quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)
+                   / CAST(100 AS DOUBLE) AS median_price,
+               quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.9)
+                   / CAST(100 AS DOUBLE) AS p90_price
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     doc="Exact per-group percentiles IN the aggregation (vs the "
     "driver-side scalar pattern of A13/A14): Spark's exact percentile() "
     "uses the same linear interpolation as DuckDB quantile_cont "
-    "(SURVEY §7.4.2). Exact percentile sorts per group — at 100 TB swap "
-    "to percentile_approx (t-digest, agg_approx_sketches).",
+    "(SURVEY §7.4.2), run over integer cents so interpolation midpoints "
+    "are exact half-integers, with ONE final division and deliberately "
+    "no post-division ROUND (Spark rounds doubles via their shortest "
+    "decimal string, DuckDB rounds the binary value — a quantile "
+    "midpoint whose /100 quotient prints as x.xx5 would round apart). "
+    "Exact percentile sorts per group — at 100 TB swap to "
+    "percentile_approx (t-digest, agg_approx_sketches).",
 )
 def agg_median_price_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            (
+                F.expr("percentile(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)")
+                / F.lit(100).cast("double")
+            ).alias("median_price"),
+            (
+                F.expr("percentile(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.9)")
+                / F.lit(100).cast("double")
+            ).alias("p90_price"),
         )
         .orderBy("o_orderstatus")
     )
