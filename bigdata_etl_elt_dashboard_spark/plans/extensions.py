@@ -3900,3 +3900,72 @@ def text_jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("ta").alias("tot_a"), F.col("tb").alias("tot_b"), "jsd_bits"
     )
+
+
+@register(
+    "ev_out_of_order_profile",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type, user_id, event_id,
+                   epoch_us(ts) AS us,
+                   MAX(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS hwm
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(*) FILTER (hwm IS NOT NULL AND us < hwm) AS n_out_of_order,
+               COUNT(*) FILTER (hwm IS NOT NULL
+                                AND hwm - us > 1800 * 1000000) AS n_late_30m,
+               COALESCE(MAX(CASE WHEN hwm IS NOT NULL AND us < hwm
+                                 THEN hwm - us END), 0) AS max_lateness_us
+        FROM seq
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Out-of-orderness profile per event type — the measurement that "
+    "SETS a streaming watermark (withWatermark's delay should cover the "
+    "observed lateness tail; too tight drops data, too loose bloats "
+    "state). Arrival order is the monotone event_id; each event compares "
+    "its time against the per-user high-water mark of everything that "
+    "arrived before it (running max window, 1-row-preceding frame — "
+    "exactly the bookkeeping a streaming watermark performs per key). "
+    "All arithmetic is exact integer microseconds (epoch_us / "
+    "unix_micros — no float epoch anywhere); one keyed window shuffle on "
+    "user_id plus a rollup onto the handful of type keys.",
+)
+def ev_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.max(F.unix_micros("ts")).over(w).alias("hwm"),
+    )
+    late = F.col("hwm").isNotNull() & (F.col("us") < F.col("hwm"))
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(late, 1)).alias("n_out_of_order"),
+            F.count(
+                F.when(
+                    F.col("hwm").isNotNull()
+                    & (F.col("hwm") - F.col("us") > 1800 * 1000000),
+                    1,
+                )
+            ).alias("n_late_30m"),
+            F.coalesce(
+                F.max(F.when(late, F.col("hwm") - F.col("us"))), F.lit(0)
+            ).alias("max_lateness_us"),
+        )
+        .orderBy("event_type")
+    )
