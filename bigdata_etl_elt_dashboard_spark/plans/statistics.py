@@ -1488,3 +1488,52 @@ def stat_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "n1", "n2", F.col("r").alias("n_runs"), ((rd - mu) / F.sqrt(var)).alias("z")
     )
+
+
+@register(
+    "wh_orders_checksum",
+    oracle="""
+        WITH canon AS (
+            SELECT CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) || '|' ||
+                   strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+                   o_orderpriority AS row_str
+            FROM orders
+        )
+        SELECT COUNT(*) AS n_rows,
+               SUM(('0x' || substr(md5(row_str), 1, 10))::BIGINT) AS checksum,
+               MIN(('0x' || substr(md5(row_str), 1, 10))::BIGINT) AS min_row_hash,
+               MAX(('0x' || substr(md5(row_str), 1, 10))::BIGINT) AS max_row_hash
+        FROM canon
+    """,
+    doc="Order-independent table checksum of orders — the cross-replica "
+    "integrity primitive behind CDC validation and migration sign-off "
+    "(two copies match iff n_rows and the commutative hash-sum match; "
+    "row order, partitioning, and file layout all drop out). Each row "
+    "canonicalizes through ENGINE-STABLE renderings (DECIMAL(15,2) for "
+    "the price, ISO date — the dq_profile stringification rules) before "
+    "md5; the 40-bit hash prefix sums in BIGINT with ~2^23 rows of "
+    "headroom per 2^63 (at larger scale, accumulate per-partition mod a "
+    "prime). One aggregation pass, map-side combined, no shuffle beyond "
+    "the final 1-row reduce.",
+)
+def wh_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 10), 16, 10).cast("long")
+    return o.select(h.alias("h")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("h").alias("checksum"),
+        F.min("h").alias("min_row_hash"),
+        F.max("h").alias("max_row_hash"),
+    )
