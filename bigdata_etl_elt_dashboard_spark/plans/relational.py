@@ -272,3 +272,52 @@ def supplier_top_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "set_ops_all_part_multisets",
+    oracle="""
+        WITH ex AS (
+            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+            EXCEPT ALL
+            SELECT l_partkey FROM lineitem WHERE l_tax < 0.03
+        ),
+        inter AS (
+            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+            INTERSECT ALL
+            SELECT l_partkey FROM lineitem WHERE l_tax < 0.03
+        )
+        SELECT 'except_all' AS op, COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_partkey) AS n_keys
+        FROM ex
+        UNION ALL
+        SELECT 'intersect_all' AS op, COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_partkey) AS n_keys
+        FROM inter
+        ORDER BY op
+    """,
+    doc="Multiset set operations (EXCEPT ALL / INTERSECT ALL) — the "
+    "bag-semantics complement of the distinct INTERSECT/EXCEPT pair "
+    "(set_ops_priority_years): per key the difference keeps "
+    "max(0, c1−c2) copies and the intersection min(c1, c2), which "
+    "distinct semantics collapse. Both compile to one hash aggregation "
+    "per side plus a counted merge (no join explosion, no distinct "
+    "before the op — multiplicity IS the payload); summarized as row/"
+    "key counts per operator for a deterministic single-row-per-op "
+    "gate. Part keys of returned line items vs low-tax line items.",
+)
+def set_ops_all_part_multisets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    b = li.filter(F.col("l_tax") < 0.03).select("l_partkey")
+    ex = a.exceptAll(b).agg(
+        F.lit("except_all").alias("op"),
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("l_partkey")).alias("n_keys"),
+    )
+    inter = a.intersectAll(b).agg(
+        F.lit("intersect_all").alias("op"),
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("l_partkey")).alias("n_keys"),
+    )
+    return ex.unionAll(inter).orderBy("op")
