@@ -3969,3 +3969,114 @@ def ev_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: theoretical LSH capture probability 1-(1-s^r)^b at each bucket midpoint,
+#: precomputed in Python and injected as LITERALS on both engines (pow is
+#: not correctly rounded cross-engine; constants are)
+_SCURVE_R = _NUM_HASHES // _BANDS
+_SCURVE_MIDS = [round(0.05 + 0.1 * k, 2) for k in range(10)]
+_SCURVE_THEORY = [
+    round(1.0 - (1.0 - s**_SCURVE_R) ** _BANDS, 9) for s in _SCURVE_MIDS
+]
+
+
+@register(
+    "dedup_lsh_scurve_validation",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sig AS (
+            SELECT doc_id, {_MINHASH_AGGS_SQL}
+            FROM (SELECT doc_id, {_HBASE_SQL} AS hsh FROM sh)
+            GROUP BY doc_id
+        ),
+        banded AS ({_BANDED_SQL}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a
+            JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                          AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS nc
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        bucketed AS (
+            SELECT LEAST((10 * p.nc) // (sa.n_sh + sb.n_sh - p.nc), 9) AS bucket,
+                   c.doc_a IS NOT NULL AS captured
+            FROM pairs p
+            JOIN sizes sa ON p.doc_a = sa.doc_id
+            JOIN sizes sb ON p.doc_b = sb.doc_id
+            LEFT JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+        ),
+        th AS (
+            SELECT UNNEST(range(10)) AS bucket,
+                   UNNEST({_SCURVE_THEORY}) AS p_theory
+        )
+        SELECT b.bucket,
+               COUNT(*) AS n_pairs,
+               COUNT(*) FILTER (captured) AS n_captured,
+               CAST(COUNT(*) FILTER (captured) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS p_empirical,
+               CAST(MAX(t.p_theory) AS DOUBLE) AS p_theory
+        FROM bucketed b JOIN th t ON b.bucket = t.bucket
+        GROUP BY b.bucket
+        ORDER BY b.bucket
+    """,
+    doc="LSH S-curve validation: empirical candidate-capture rate per "
+    f"exact-Jaccard decile against the theoretical 1-(1-s^{_SCURVE_R})^"
+    f"{_BANDS} banding curve — the design check that the chosen (k, "
+    "bands) actually put the probability cliff at the intended "
+    "similarity threshold (capture ≪ theory = broken hashing; capture "
+    "at low similarity = bands too loose). The theoretical values are "
+    "PYTHON-precomputed constants injected on both engines (pow is not "
+    "correctly rounded cross-engine; literals are); buckets come from "
+    "integer floor division of the exact Jaccard rational; the "
+    "empirical rate is one division of exact counts. Pairs sharing no "
+    "shingle are out of scope on both sides (capture there is the "
+    "false-positive readout of dedup_minhash_estimate_error).",
+)
+def dedup_lsh_scurve_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cand = D.lsh_candidate_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS).select(
+        "doc_a", "doc_b", F.lit(True).alias("captured")
+    )
+    sh = D._doc_shingles(docs, "text", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("nc"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    bucket = F.least(
+        F.expr("(10 * nc) div (_na + _nb - nc)").cast("int"), F.lit(9)
+    )
+    bucketed = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(cand, ["doc_a", "doc_b"], "left")
+        .select(
+            bucket.alias("bucket"),
+            F.coalesce(F.col("captured"), F.lit(False)).alias("captured"),
+        )
+    )
+    theory = F.array(*[F.lit(p) for p in _SCURVE_THEORY])
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count(F.when(F.col("captured"), 1)).alias("n_captured"),
+            (
+                F.count(F.when(F.col("captured"), 1)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("p_empirical"),
+        )
+        .withColumn("p_theory", F.element_at(theory, F.col("bucket") + 1))
+        .orderBy("bucket")
+    )
