@@ -1537,3 +1537,154 @@ def wh_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("min_row_hash"),
         F.max("h").alias("max_row_hash"),
     )
+
+
+@register(
+    "ev_error_rate_pchart",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   COUNT(*) AS n,
+                   COUNT(*) FILTER (event_type = 'error') AS errs
+            FROM events GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n) AS tn, SUM(errs) AS te FROM daily)
+        SELECT d.d, d.n, d.errs,
+               CAST(d.errs AS DOUBLE) / CAST(d.n AS DOUBLE) AS p_day,
+               CAST(t.te AS DOUBLE) / CAST(t.tn AS DOUBLE) AS p_bar,
+               (CAST(d.errs AS DOUBLE) * CAST(t.tn AS DOUBLE)
+                - CAST(d.n AS DOUBLE) * CAST(t.te AS DOUBLE))
+               * (CAST(d.errs AS DOUBLE) * CAST(t.tn AS DOUBLE)
+                  - CAST(d.n AS DOUBLE) * CAST(t.te AS DOUBLE))
+               > 9.0 * CAST(t.tn AS DOUBLE) * CAST(t.te AS DOUBLE)
+                 * (CAST(t.tn AS DOUBLE) - CAST(t.te AS DOUBLE))
+                 * CAST(d.n AS DOUBLE)
+                   AS out_of_control
+        FROM daily d CROSS JOIN tot t
+        ORDER BY d.d
+    """,
+    doc="Attribute control chart (p-chart) for the daily error rate — "
+    "the SPC monitor that flags days whose defect proportion exceeds "
+    "3σ binomial limits around the grand rate p̄. The out-of-control "
+    "test is algebraically cleared of divisions and the sqrt: "
+    "(e·N − n·E)² > 9·N·E·(N−E)·n (squaring the 3σ inequality and "
+    "multiplying through by n·N²·p̄(1−p̄) denominators), so it runs as "
+    "a fixed product-comparison on exact-int-derived doubles — no "
+    "rounding, no per-row sqrt, identical bits cross-engine. One keyed "
+    "day rollup plus a 1-row grand-total broadcast.",
+)
+def ev_error_rate_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errs"),
+    )
+    tot = daily.agg(F.sum("n").alias("tn"), F.sum("errs").alias("te"))
+    ed, nd = F.col("errs").cast("double"), F.col("n").cast("double")
+    tnd, ted = F.col("tn").cast("double"), F.col("te").cast("double")
+    dev = ed * tnd - nd * ted
+    return (
+        daily.join(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            "errs",
+            (ed / nd).alias("p_day"),
+            (ted / tnd).alias("p_bar"),
+            (dev * dev > F.lit(9.0) * tnd * ted * (tnd - ted) * nd).alias(
+                "out_of_control"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "stat_mannwhitney_price_by_status",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   COUNT(*) FILTER (o_orderstatus = 'O') AS c1,
+                   COUNT(*) FILTER (o_orderstatus = 'F') AS c2
+            FROM orders WHERE o_orderstatus IN ('O', 'F')
+            GROUP BY cents
+        ),
+        r AS (
+            SELECT c1, c2, c1 + c2 AS m,
+                   COALESCE(SUM(c1 + c2) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_prev
+            FROM v
+        ),
+        m AS (
+            SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+                   SUM(c1 * (2 * cum_prev + m + 1)) AS r1d,
+                   SUM(m * m * m - m) AS ties
+            FROM r
+        )
+        SELECT n1, n2,
+               CAST(r1d - n1 * (n1 + 1) AS DOUBLE) / CAST(2 AS DOUBLE) AS u1,
+               (CAST(r1d - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+               / (CAST(2 AS DOUBLE) * sqrt(
+                   CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(12 AS DOUBLE)
+                   * (CAST(n1 + n2 + 1 AS DOUBLE)
+                      - CAST(ties AS DOUBLE)
+                        / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))))
+                   AS z
+        FROM m
+    """,
+    doc="Mann-Whitney U rank-sum test (open vs filled order totals) — "
+    "the nonparametric location test completing the family (KS = shape, "
+    "Welch = means, runs = randomness, this = stochastic dominance). "
+    "Exactness: pooled ranking runs over DISTINCT integer cents with "
+    "per-value group counts; tied ranks average to halves, so DOUBLED "
+    "rank sums stay integral — R1·2 = Σc1·(2·cum_prev + m + 1) is an "
+    "exact BIGINT (one ordered cumulative window over the distinct-value "
+    "grid, the KS shape), as is the tie-correction Σ(m³−m). The z "
+    "closed form (normal approximation with tie-corrected variance) is "
+    "a fixed double sequence on those integers. U reported at half "
+    "units via one exact division.",
+)
+def stat_mannwhitney_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("O", "F"))
+    v = o.groupBy(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    ).agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("c1"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("c2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("m"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0)).alias(
+            "cum_prev"
+        ),
+    )
+    m = r.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cum_prev") + F.col("m") + 1)).alias("r1d"),
+        F.sum(F.col("m") * F.col("m") * F.col("m") - F.col("m")).alias("ties"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1d = (F.col("r1d") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+    var = (
+        n1d
+        * n2d
+        / F.lit(12).cast("double")
+        * (
+            (F.col("n1") + F.col("n2") + 1).cast("double")
+            - F.col("ties").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    return m.select(
+        "n1",
+        "n2",
+        (u1d / F.lit(2).cast("double")).alias("u1"),
+        ((u1d - n1d * n2d) / (F.lit(2).cast("double") * F.sqrt(var))).alias("z"),
+    )

@@ -429,6 +429,7 @@ def test_last_shipper_single_lineitem_scan(spark, sf_oracle):
 #: - supplier_top_quarter_revenue: 1-row max-revenue scalar (ties survive)
 #: - stat_runs_test_daily_revenue: 1-row doubled-median scalar
 #: - text_jsd_source_drift: 1-row token-total scalar
+#: - ev_error_rate_pchart: 1-row grand-total scalar
 _BNLJ_BOUNDED_OK = {
     "sim_topk_cosine",
     "sim_threshold_pairs",
@@ -446,6 +447,7 @@ _BNLJ_BOUNDED_OK = {
     "supplier_top_quarter_revenue",
     "stat_runs_test_daily_revenue",
     "text_jsd_source_drift",
+    "ev_error_rate_pchart",
 }
 
 
