@@ -929,3 +929,80 @@ def emb_covariance_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy(F.abs(F.col("cov")).desc(), "i", "j")
     )
+
+
+@register(
+    "docs_heaps_law_fit",
+    oracle=f"""
+        WITH per AS (
+            SELECT len({_TOKS_SQL}) AS n_tok,
+                   len(list_distinct({_TOKS_SQL})) AS n_typ
+            FROM documents
+            WHERE trim(text) <> ''
+        ),
+        pts AS (
+            SELECT CAST(ROUND(log2(CAST(n_tok AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                   CAST(ROUND(log2(CAST(n_typ AS DOUBLE)) * 1000000) AS BIGINT) AS y
+            FROM per WHERE n_tok > 0 AND n_typ > 0
+        ),
+        m AS (
+            SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(x * y) AS sxy
+            FROM pts
+        )
+        SELECT n AS n_docs,
+               (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS heaps_beta,
+               (CAST(sy AS DOUBLE)
+                - (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / CAST(1000000 AS DOUBLE) AS log2_k
+        FROM m
+    """,
+    doc="Heaps'-law fit of vocabulary growth: per-document distinct-type "
+    "count regressed against token count in log-log space (V ≈ K·nᵝ; "
+    "natural language sits near β ≈ 0.5 — β near 1 means every doc "
+    "brings fresh vocabulary [noisy/ID-heavy text], β near 0 means a "
+    "closed template vocabulary). The companion corpus law to the Zipf "
+    "fit, sharing its idiom: each point's log2 of exact integer counts "
+    "quantizes once to micro-bits, OLS moments are exact BIGINT sums, "
+    "closed form in a fixed double sequence. Per-row work is two "
+    "higher-order expressions (size, size∘array_distinct) — no explode, "
+    "no shuffle until the 1-row moment reduce.",
+)
+def docs_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = X.tokens(F.col("text"))
+    per = docs.select(
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_typ"),
+    ).filter((F.col("n_tok") > 0) & (F.col("n_typ") > 0))
+    pts = per.select(
+        F.round(F.log2(F.col("n_tok").cast("double")) * F.lit(1000000))
+        .cast("long")
+        .alias("x"),
+        F.round(F.log2(F.col("n_typ").cast("double")) * F.lit(1000000))
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, sxyd = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    beta = (sxyd * nd - sxd * syd) / (sxxd * nd - sxd * sxd)
+    return m.select(
+        F.col("n").alias("n_docs"),
+        beta.alias("heaps_beta"),
+        ((syd - beta * sxd) / nd / F.lit(1000000).cast("double")).alias("log2_k"),
+    )
