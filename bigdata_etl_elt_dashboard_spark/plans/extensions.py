@@ -1222,8 +1222,8 @@ def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY day
         )
         SELECT strftime(day, '%Y-%m-%d') AS day, n_events, dau,
-               SUM(n_events) OVER (ORDER BY day RANGE BETWEEN
-                   INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS roll7_events,
+               CAST(SUM(n_events) OVER (ORDER BY day RANGE BETWEEN
+                   INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_events,
                COUNT(*) OVER (ORDER BY day RANGE BETWEEN
                    INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS roll7_days
         FROM d ORDER BY day
@@ -2176,7 +2176,7 @@ def text_mixed_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
                    / CAST(100 AS DOUBLE)
                    / SUM(CAST(l_quantity AS BIGINT)) AS weighted_avg_unit_price,
-               SUM(CAST(l_quantity AS BIGINT)) AS total_units
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_units
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_type ORDER BY p_type
     """,
@@ -2879,8 +2879,8 @@ def docs_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e
             FROM islands GROUP BY user_id, sid
         )
-        SELECT a.user_id AS user_a, a.sid AS sid_a,
-               b.user_id AS user_b, b.sid AS sid_b,
+        SELECT a.user_id AS user_a, CAST(a.sid AS BIGINT) AS sid_a,
+               b.user_id AS user_b, CAST(b.sid AS BIGINT) AS sid_b,
                epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s))
                    AS overlap_us
         FROM sess a JOIN sess b
@@ -3053,7 +3053,7 @@ _BPE_TOPK = 20
             FROM words, UNNEST(range(len(w) - 1)) AS t(i)
             WHERE len(w) >= 2
         )
-        SELECT left_sym, right_sym, SUM(wc) AS pair_count
+        SELECT left_sym, right_sym, CAST(SUM(wc) AS BIGINT) AS pair_count
         FROM pairs GROUP BY left_sym, right_sym
         ORDER BY pair_count DESC, left_sym, right_sym LIMIT {_BPE_TOPK}
     """,
@@ -3104,7 +3104,7 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT cluster_size,
                COUNT(*) AS n_clusters,
-               SUM(cluster_size) AS n_docs,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
                CAST(cluster_size = 1 AS BOOLEAN) AS is_singleton
         FROM (
             SELECT cluster_id, COUNT(*) AS cluster_size
@@ -3145,9 +3145,9 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CASE WHEN d.doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS codec,
                COUNT(DISTINCT d.doc_id) AS n_media,
-               SUM(((d.doc_id % 256) * 7 + 3 * p.p + 0) % 256) AS sum_r,
-               SUM(((d.doc_id % 256) * 7 + 3 * p.p + 1) % 256) AS sum_g,
-               SUM(((d.doc_id % 256) * 7 + 3 * p.p + 2) % 256) AS sum_b
+               CAST(SUM(((d.doc_id % 256) * 7 + 3 * p.p + 0) % 256) AS BIGINT) AS sum_r,
+               CAST(SUM(((d.doc_id % 256) * 7 + 3 * p.p + 1) % 256) AS BIGINT) AS sum_g,
+               CAST(SUM(((d.doc_id % 256) * 7 + 3 * p.p + 2) % 256) AS BIGINT) AS sum_b
         FROM documents d, range(32) p(p)
         GROUP BY 1 ORDER BY codec
     """,
@@ -3378,10 +3378,11 @@ def ev_pit_features_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT band_idx,
                COUNT(*) AS n_buckets,
                MAX(sz) AS max_bucket,
-               SUM(sz * (sz - 1) // 2) AS n_pairs,
+               CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_pairs,
                MAX(sz * (sz - 1) // 2) AS max_bucket_pairs,
                CAST(MAX(sz * (sz - 1) // 2) AS DOUBLE)
-                   / CAST(SUM(sz * (sz - 1) // 2) AS DOUBLE) AS top_bucket_share
+                   / CAST(NULLIF(SUM(sz * (sz - 1) // 2), 0) AS DOUBLE)
+                   AS top_bucket_share
         FROM buckets
         GROUP BY band_idx
         ORDER BY band_idx
@@ -3438,7 +3439,7 @@ def dedup_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_bucket_pairs",
             (
                 F.col("max_bucket_pairs").cast("double")
-                / F.col("n_pairs").cast("double")
+                / F.nullif(F.col("n_pairs"), F.lit(0)).cast("double")
             ).alias("top_bucket_share"),
         )
         .orderBy("band_idx")
@@ -3770,7 +3771,7 @@ def ev_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 AS BIGINT)) AS sum_clogc
             FROM c GROUP BY user_id
         )
-        SELECT user_id, n AS n_events, n_types,
+        SELECT user_id, CAST(n AS BIGINT) AS n_events, n_types,
                CAST(n * CAST(ROUND(log2(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
                     - sum_clogc AS DOUBLE)
                    / CAST(n * 1000000 AS DOUBLE) AS entropy_bits
@@ -3838,7 +3839,7 @@ def ev_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE 0 END AS ub
             FROM cnt CROSS JOIN tot
         )
-        SELECT t.ta AS tot_a, t.tb AS tot_b,
+        SELECT CAST(t.ta AS BIGINT) AS tot_a, CAST(t.tb AS BIGINT) AS tot_b,
                (CAST(SUM(s.ua) AS DOUBLE) / CAST(t.ta AS DOUBLE)
                 + CAST(SUM(s.ub) AS DOUBLE) / CAST(t.tb AS DOUBLE))
                / CAST(2000000 AS DOUBLE) AS jsd_bits

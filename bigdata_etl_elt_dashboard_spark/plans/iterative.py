@@ -89,7 +89,7 @@ def _best_assign(cents: dict[int, list[int]]) -> Column:
             QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) = 1
         )
         SELECT a1.c1 AS cluster, COUNT(*) AS n_vecs,
-               SUM(a1.best_d2) AS inertia,
+               CAST(SUM(a1.best_d2) AS BIGINT) AS inertia,
                COUNT(CASE WHEN a1.c1 <> a0.c0 THEN 1 END) AS n_moved
         FROM a1 JOIN a0 USING (vec_id)
         GROUP BY cluster ORDER BY cluster
@@ -184,7 +184,7 @@ def _pagerank_iter_sql(prev: str, out: str) -> str:
         {_pagerank_iter_sql("r0", "r1")},
         {_pagerank_iter_sql("r1", "r2")},
         {_pagerank_iter_sql("r2", "r3")}
-        SELECT node, r AS rank_units
+        SELECT node, CAST(r AS BIGINT) AS rank_units
         FROM r3 ORDER BY r DESC, node LIMIT 20
     """,
     doc="PageRank, 3 fixed iterations, over the bipartite part↔supplier "
@@ -255,7 +255,8 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         s AS (
             SELECT (SELECT COUNT(DISTINCT node) FROM deg) AS n_nodes,
                    (SELECT COUNT(*) FROM e) AS n_edges,
-                   (SELECT SUM(d * (d - 1) // 2) FROM deg) AS n_wedges,
+                   (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT)
+                    FROM deg) AS n_wedges,
                    (SELECT n_triangles FROM tri) AS n_triangles
         )
         SELECT n_nodes, n_edges, n_wedges, n_triangles,

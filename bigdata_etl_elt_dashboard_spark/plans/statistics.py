@@ -407,8 +407,9 @@ _CM_TOPK = 10
             SELECT o_custkey, true_n FROM counts
             QUALIFY ROW_NUMBER() OVER (ORDER BY true_n DESC, o_custkey) <= {_CM_TOPK}
         )
-        SELECT h.o_custkey, h.true_n, MIN(c.cnt) AS cm_estimate,
-               MIN(c.cnt) - h.true_n AS overestimate
+        SELECT h.o_custkey, h.true_n,
+               CAST(MIN(c.cnt) AS BIGINT) AS cm_estimate,
+               CAST(MIN(c.cnt) - h.true_n AS BIGINT) AS overestimate
         FROM hashed h
         JOIN counters c ON c.r = h.r AND c.bucket = h.bucket
         JOIN top t ON t.o_custkey = h.o_custkey
@@ -746,7 +747,7 @@ _KANON_K = 5
             FROM customer GROUP BY 1, 2, 3
         )
         SELECT class_size, COUNT(*) AS n_classes,
-               SUM(class_size) AS n_rows,
+               CAST(SUM(class_size) AS BIGINT) AS n_rows,
                CAST(class_size < {_KANON_K} AS INTEGER) AS at_risk
         FROM classes GROUP BY class_size ORDER BY class_size
     """,
@@ -799,8 +800,8 @@ def dq_k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(c2) OVER () AS n2
             FROM s
         )
-        SELECT n1 AS n_open, n2 AS n_filled,
-               ABS(cum1 * n2 - cum2 * n1) AS d_num,
+        SELECT CAST(n1 AS BIGINT) AS n_open, CAST(n2 AS BIGINT) AS n_filled,
+               CAST(ABS(cum1 * n2 - cum2 * n1) AS BIGINT) AS d_num,
                CAST(ABS(cum1 * n2 - cum2 * n1) AS DOUBLE)
                    / CAST(n1 * n2 AS DOUBLE) AS ks_d,
                CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS at_price
@@ -970,8 +971,8 @@ def stat_welch_t_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT nation,
                COUNT(*) AS n_suppliers,
-               SUM(u) AS total_units,
-               SUM(u * u) AS sum_sq_units,
+               CAST(SUM(u) AS BIGINT) AS total_units,
+               CAST(SUM(u * u) AS BIGINT) AS sum_sq_units,
                CAST(SUM(u * u) AS DOUBLE)
                    / (CAST(SUM(u) AS DOUBLE) * CAST(SUM(u) AS DOUBLE)) AS hhi
         FROM per
@@ -1032,11 +1033,18 @@ def supplier_nation_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH per AS (
             SELECT user_id, COUNT(*) AS x FROM events GROUP BY user_id
         ),
-        ranked AS (
-            SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM per
+        grid AS (
+            SELECT x, COUNT(*) AS nv FROM per GROUP BY x
+        ),
+        cum AS (
+            SELECT x, nv, SUM(nv) OVER (ORDER BY x) AS c FROM grid
         ),
         m AS (
-            SELECT COUNT(*) AS n, SUM(x) AS s0, SUM(i * x) AS s1 FROM ranked
+            SELECT CAST(SUM(nv) AS BIGINT) AS n,
+                   CAST(SUM(x * nv) AS BIGINT) AS s0,
+                   CAST(SUM(x * (nv * (c - nv) + (nv * (nv + 1)) // 2))
+                        AS BIGINT) AS s1
+            FROM cum
         )
         SELECT n AS n_users, s0 AS n_events,
                CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
@@ -1045,28 +1053,33 @@ def supplier_nation_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Gini coefficient of per-user event activity — the inequality "
     "statistic (0 = uniform, →1 = one user dominates) behind "
-    "power-user/bot dashboards, computed by the sorted-rank identity "
-    "G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx). Exactness: per-user counts are "
-    "integers, the rank window orders by (count, user_id) so ranks are "
-    "deterministic (any tie order yields the same Σi·x within a tie "
-    "run... the tie-break pins it outright), and the three moments are "
-    "exact BIGINT sums with ONE final double division. Shape: one keyed "
-    "count shuffle, then the ordered window runs over the POST-AGG "
-    "per-user rollup (users, not events); at extreme scale where n·Σx "
-    "nears 2^63, the final ratio moves to the same fixed-sequence "
-    "double path as the t-test.",
+    "power-user/bot dashboards, via the sorted-rank identity "
+    "G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) evaluated on the DISTINCT-COUNT "
+    "VALUE GRID, not per-user rows: users sharing activity count v "
+    "occupy a contiguous rank run, and Σi·x over that run collapses to "
+    "v·(n_v·cum_prev + n_v(n_v+1)/2) — exact integers (n_v(n_v+1) is "
+    "even, so the // 2 is exact). The global ordered window therefore "
+    "runs over distinct activity VALUES (log-scale bounded — a corpus "
+    "with 10^10 users has ~10^5 distinct counts under any power law), "
+    "never over billions of per-user rows; same shape as the "
+    "Mann-Whitney rank-sum grid. One keyed count shuffle, one grid "
+    "rollup, three exact BIGINT moments, ONE final double division.",
 )
 def stat_gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
     per = ev.groupBy("user_id").agg(F.count("*").alias("x"))
-    w = Window.orderBy("x", "user_id")
-    ranked = per.select("x", F.row_number().over(w).alias("i"))
-    m = ranked.agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("s0"),
-        F.sum(F.col("i") * F.col("x")).alias("s1"),
+    grid = per.groupBy("x").agg(F.count("*").alias("nv"))
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grid.select("x", "nv", F.sum("nv").over(wc).alias("c"))
+    run_rank_sum = F.col("nv") * (F.col("c") - F.col("nv")) + F.expr(
+        "(nv * (nv + 1)) div 2"
+    )
+    m = cum.agg(
+        F.sum("nv").alias("n"),
+        F.sum(F.col("x") * F.col("nv")).alias("s0"),
+        F.sum(F.col("x") * run_rank_sum).alias("s1"),
     )
     return m.select(
         F.col("n").alias("n_users"),
@@ -1261,21 +1274,22 @@ def li_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS d,
-                   SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS x
+                   CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS x
             FROM orders GROUP BY 1
         ),
         tot AS (
-            SELECT d, x, COUNT(*) OVER () AS n, SUM(x) OVER () AS t
+            SELECT d, x, COUNT(*) OVER () AS n,
+                   CAST(SUM(x) OVER () AS BIGINT) AS t
             FROM daily
         ),
         dev AS (
             SELECT d, x, n, t,
-                   SUM(n * x - t) OVER (ORDER BY d) AS s
+                   CAST(SUM(n * x - t) OVER (ORDER BY d) AS BIGINT) AS s
             FROM tot
         ),
         cus AS (
             SELECT d, x, n, t, s,
-                   s - MIN(s) OVER (ORDER BY d) AS c
+                   s - LEAST(MIN(s) OVER (ORDER BY d), 0) AS c
             FROM dev
         )
         SELECT d, x,
@@ -1289,8 +1303,10 @@ def li_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deviation from the series mean and alarms when the cumulative "
     "excursion exceeds 10% of total volume. The textbook recursion "
     "C_t = max(0, C_{t-1} + x_t − k) is non-associative, so it is "
-    "re-expressed CLOSED-FORM as S_t − min_{i≤t} S_i with "
-    "S_t = Σ(n·x_i − T): two ordered windows (running sum, running "
+    "re-expressed CLOSED-FORM as S_t − min_{0≤i≤t} S_i with "
+    "S_t = Σ(n·x_i − T), S_0 = 0 (the zero start floors the running "
+    "min — a series opening above its mean still reports the full "
+    "excursion): two ordered windows (running sum, running "
     "min) over the POST-AGG day series — bounded cardinality, never "
     "the fact table. Everything up to the output stays exact BIGINT "
     "(deviations scaled by n to avoid fractional means), the alarm is "
@@ -1312,7 +1328,12 @@ def stat_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wt).alias("n"),
         F.sum("x").over(wt).alias("t"),
     ).withColumn("s", F.sum(F.col("n") * F.col("x") - F.col("t")).over(wr))
-    cus = dev.withColumn("c", F.col("s") - F.min("s").over(wr))
+    # S_0 = 0 belongs in the running minimum (C_t = S_t - min_{0<=i<=t} S_i):
+    # floor the min at zero so a series starting above its mean still reports
+    # the full excursion.
+    cus = dev.withColumn(
+        "c", F.col("s") - F.least(F.min("s").over(wr), F.lit(0))
+    )
     return cus.select(
         "d",
         "x",
@@ -1423,7 +1444,7 @@ def li_basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COALESCE(SUM(brk), 1) AS r
             FROM runs
         )
-        SELECT n1, n2, r AS n_runs,
+        SELECT n1, n2, CAST(r AS BIGINT) AS n_runs,
                (CAST(r AS DOUBLE)
                 - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
                    / CAST(n1 + n2 AS DOUBLE) + 1.0))
@@ -1503,7 +1524,8 @@ def stat_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders
         )
         SELECT COUNT(*) AS n_rows,
-               SUM(('0x' || substr(md5(row_str), 1, 10))::BIGINT) AS checksum,
+               CAST(SUM(('0x' || substr(md5(row_str), 1, 10))::BIGINT)
+                    AS BIGINT) AS checksum,
                MIN(('0x' || substr(md5(row_str), 1, 10))::BIGINT) AS min_row_hash,
                MAX(('0x' || substr(md5(row_str), 1, 10))::BIGINT) AS max_row_hash
         FROM canon
@@ -1556,7 +1578,7 @@ def wh_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - CAST(d.n AS DOUBLE) * CAST(t.te AS DOUBLE))
                * (CAST(d.errs AS DOUBLE) * CAST(t.tn AS DOUBLE)
                   - CAST(d.n AS DOUBLE) * CAST(t.te AS DOUBLE))
-               > 9.0 * CAST(t.tn AS DOUBLE) * CAST(t.te AS DOUBLE)
+               > 9.0 * CAST(t.te AS DOUBLE)
                  * (CAST(t.tn AS DOUBLE) - CAST(t.te AS DOUBLE))
                  * CAST(d.n AS DOUBLE)
                    AS out_of_control
@@ -1567,8 +1589,9 @@ def wh_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the SPC monitor that flags days whose defect proportion exceeds "
     "3σ binomial limits around the grand rate p̄. The out-of-control "
     "test is algebraically cleared of divisions and the sqrt: "
-    "(e·N − n·E)² > 9·N·E·(N−E)·n (squaring the 3σ inequality and "
-    "multiplying through by n·N²·p̄(1−p̄) denominators), so it runs as "
+    "(e·N − n·E)² > 9·E·(N−E)·n (square |e/n − E/N| > 3·√(p̄(1−p̄)/n), "
+    "then multiply through by n²·N²; the N² cancels against "
+    "p̄(1−p̄) = E(N−E)/N²), so it runs as "
     "a fixed product-comparison on exact-int-derived doubles — no "
     "rounding, no per-row sqrt, identical bits cross-engine. One keyed "
     "day rollup plus a 1-row grand-total broadcast.",
@@ -1591,7 +1614,7 @@ def ev_error_rate_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
             "errs",
             (ed / nd).alias("p_day"),
             (ted / tnd).alias("p_bar"),
-            (dev * dev > F.lit(9.0) * tnd * ted * (tnd - ted) * nd).alias(
+            (dev * dev > F.lit(9.0) * ted * (tnd - ted) * nd).alias(
                 "out_of_control"
             ),
         )
@@ -1622,7 +1645,7 @@ def ev_error_rate_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(m * m * m - m) AS ties
             FROM r
         )
-        SELECT n1, n2,
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
                CAST(r1d - n1 * (n1 + 1) AS DOUBLE) / CAST(2 AS DOUBLE) AS u1,
                (CAST(r1d - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
                / (CAST(2 AS DOUBLE) * sqrt(

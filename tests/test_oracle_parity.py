@@ -20,6 +20,13 @@ def duck(sf_oracle):
     con.close()
 
 
+@pytest.fixture(scope="module")
+def duck_smoke(sf_smoke):
+    con = duck_connection(sf_smoke)
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("name", _WITH_ORACLE)
 def test_oracle_match(spark, sf_oracle, duck, name):
     q = REGISTRY[name]
@@ -86,3 +93,101 @@ def test_rows_only_runs(spark, sf_oracle, name):
     n = df.count()
     assert n >= 0
     assert df.columns  # stable schema exists
+
+
+# ---------------------------------------------------------------------------
+# Oracle output-TYPE lint (round-3 regression, VERDICT r02 what's-wrong #3).
+#
+# The driver's value-hash is type-tagged at the engine-schema level, so a
+# value-identical result can still hash-mismatch when the ORACLE's output
+# type diverges from Spark's:
+#   - round 1: DuckDB DECIMAL vs Spark DOUBLE (3 red rows),
+#   - round 2: DuckDB window-SUM -> HUGEINT vs Spark BIGINT (1 red row,
+#     20 more latent) — invisible to value comparison because Python
+#     fetchall() renders HUGEINT as a plain int.
+# This lint binds every oracle in DuckDB (no execution) and compares its
+# output types against the Spark plan's schema at the hash-relevant
+# granularity: int-width collapses (all ints render as Python int), but
+# HUGEINT/UHUGEINT (Arrow decimal128 on export), DECIMAL scale, and the
+# float/decimal/string/date/timestamp/bool classes must agree.
+# ---------------------------------------------------------------------------
+
+_DUCK_INTS = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_SPARK_INTS = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _duck_type_tag(t: str):
+    s = str(t).upper()
+    if s in ("HUGEINT", "UHUGEINT"):
+        return ("ILLEGAL_HUGEINT",)
+    if s in _DUCK_INTS:
+        return ("int",)
+    if s in ("DOUBLE", "FLOAT", "REAL"):
+        return ("float",)
+    if s.startswith("DECIMAL"):
+        scale = s.rsplit(",", 1)[-1].rstrip(")").strip() if "," in s else "0"
+        return ("decimal", scale)
+    if s in ("VARCHAR", "TEXT", "STRING"):
+        return ("str",)
+    if s == "DATE":
+        return ("date",)
+    if s.startswith("TIMESTAMP"):
+        return ("timestamp",)
+    if s == "BOOLEAN":
+        return ("bool",)
+    if s == "BLOB":
+        return ("binary",)
+    if s.endswith("[]") or s.startswith("STRUCT") or s.startswith("MAP"):
+        return ("nested", s)
+    return ("other", s)
+
+
+def _spark_type_tag(dt) -> tuple:
+    s = dt.simpleString().lower()
+    if s in _SPARK_INTS:
+        return ("int",)
+    if s in ("double", "float"):
+        return ("float",)
+    if s.startswith("decimal"):
+        scale = s.rsplit(",", 1)[-1].rstrip(")").strip() if "," in s else "0"
+        return ("decimal", scale)
+    if s == "string":
+        return ("str",)
+    if s == "date":
+        return ("date",)
+    if s.startswith("timestamp"):
+        return ("timestamp",)
+    if s == "boolean":
+        return ("bool",)
+    if s == "binary":
+        return ("binary",)
+    if s.startswith(("array", "struct", "map")):
+        return ("nested", s)
+    return ("other", s)
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_output_types_match_spark(spark, sf_smoke, duck_smoke, name):
+    q = REGISTRY[name]
+    duck_rel = duck_smoke.sql(q.oracle)
+    duck_types = dict(zip(duck_rel.columns, duck_rel.types))
+    spark_types = {f.name: f.dataType for f in q.fn(spark, sf_smoke).schema.fields}
+    assert sorted(duck_types) == sorted(spark_types), (
+        f"{name}: column sets differ: duck={sorted(duck_types)} "
+        f"spark={sorted(spark_types)}"
+    )
+    bad = []
+    for col in sorted(duck_types):
+        dtag = _duck_type_tag(duck_types[col])
+        stag = _spark_type_tag(spark_types[col])
+        if dtag == ("ILLEGAL_HUGEINT",):
+            bad.append(
+                f"{col}: oracle emits HUGEINT (uncast SUM?) — wrap in "
+                f"CAST(... AS BIGINT)"
+            )
+        elif dtag != stag:
+            bad.append(f"{col}: duck={duck_types[col]}/{dtag} vs spark={stag}")
+    assert not bad, f"{name}: oracle/Spark output type drift: {bad}"

@@ -451,7 +451,7 @@ _BNLJ_BOUNDED_OK = {
 }
 
 
-def test_registry_plan_lint(spark):
+def test_registry_plan_lint(spark, sf_smoke):
     """Sweep EVERY registered query's physical plan for the three
     scale-killers: CartesianProduct (quadratic shuffle-free blowup),
     un-whitelisted BroadcastNestedLoopJoin (nested-loop fallback — fine
@@ -460,7 +460,7 @@ def test_registry_plan_lint(spark):
     operators (the multimodal family is mapInPandas by design and shows
     MapInPandas, not BatchEvalPython). A query that trips this lint is
     correctness-green but wrong at 100 TB."""
-    sf = "/root/testdata/sf0.001"
+    sf = sf_smoke
     offenders: dict[str, list[str]] = {"cartesian": [], "bnlj": [], "pyudf": []}
     for name, q in REGISTRY.items():
         plan = explain_str(q.fn(spark, sf))
