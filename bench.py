@@ -68,6 +68,21 @@ EXTENSION_SUITE = (
     "cust_big_basket_orders",
     "stat_ks_price_by_status",
     "dedup_lsh_bucket_skew",
+    # round-3 additions: the 10 most exchange-heavy never-benched queries
+    # from PLANS.md (plan-audit exch counts) — wedge-closing triangle count,
+    # per-step funnel re-aggregation, sketch-probe, containment join, the
+    # denormalized one-big-table build, basket lift, minhash error sweep,
+    # the S-curve validation, SemDeDup prune, and the sharded packing form
+    "graph_copurchase_triangles",
+    "ev_funnel_strict_steps",
+    "stat_bloom_customer_probe",
+    "docs_ngram_containment",
+    "star_one_big_table",
+    "li_basket_type_lift",
+    "dedup_minhash_estimate_error",
+    "dedup_lsh_scurve_validation",
+    "dedup_semdedup_prune",
+    "docs_sequence_packing_sharded",
 )
 
 

@@ -1074,6 +1074,55 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_frame_sample_digest",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS len,
+                   GREATEST((octet_length(encode(text)) + 63) // 64, 1)
+                       AS n_total
+            FROM documents
+        ),
+        frames AS (
+            SELECT media_id, len, CAST(t.i AS INTEGER) AS i
+            FROM b, UNNEST(range(0, n_total, 4)) AS t(i)
+        )
+        SELECT media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(i) AS BIGINT) AS sum_frame_idx,
+               CAST(SUM(LEAST(64, len - i * 64)) AS BIGINT) AS sum_frame_len
+        FROM frames
+        GROUP BY media_id
+        ORDER BY media_id
+    """,
+    doc="Hash-gateable digest of the frame-sampling fan-out: per media, "
+    "the count of kept frames, the sum of their indices, and the sum of "
+    "their byte lengths — everything the sampler determines EXCEPT the "
+    "frame bytes themselves. Runs through the REAL mapInPandas path "
+    "(operators/multimodal.py sample_frames: frame_size=64, stride=4) "
+    "then aggregates; the oracle recomputes kept-frame geometry from "
+    "octet_length arithmetic alone (no blob slicing — this DuckDB build "
+    "has none, which is also why frame_sha stays pytest-verified in the "
+    "rows-only mm_frame_sample twin). A green row proves the one-row→"
+    "many-rows Arrow fan-out emits exactly the right frames with the "
+    "right lengths at every stride/tail/empty-content edge.",
+)
+def mm_frame_sample_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    media = M.as_media_table(docs)
+    return (
+        M.sample_frames(media)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum("frame_idx").alias("sum_frame_idx"),
+            F.sum("frame_len").alias("sum_frame_len"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
     "mm_decode_channel_stats",
     oracle="""
         SELECT d.doc_id AS media_id, 4 AS width, 2 AS height,

@@ -45,10 +45,10 @@ def test_driver_gate_window_order_is_pinned():
     names = list(REGISTRY)
     assert names[: len(plans._GATE_WINDOW)] == plans._GATE_WINDOW
     assert len(plans._GATE_WINDOW) == 50
-    # everything in the window except the documented rows-only entry is
-    # value-hash gated (has an oracle)
+    # round-3 window: every entry is value-hash gated (has an oracle); the
+    # rows-only trio is deferred per the rotation note
     rows_only = [n for n in plans._GATE_WINDOW if REGISTRY[n].oracle is None]
-    assert rows_only == ["agg_approx_sketches"]
+    assert rows_only == []
 
 
 def test_queries_md_index_is_fresh():

@@ -512,6 +512,9 @@ def test_write_clustered_prunes_and_sorts(spark, tmp_path):
     for f in files:
         ck = pq.read_table(f, columns=["custkey"])["custkey"].to_pylist()
         assert ck == sorted(ck), f"file not clustered: {f}"
+
+
+def test_compact_parquet_recovers_stranded_swap(spark, tmp_path):
     """Round-1 advice: a crash between the two directory moves strands data
     at path._compact_old. On the next run the operator must restore it (and
     discard any half-written ._compact_tmp) before compacting."""
@@ -533,6 +536,48 @@ def test_write_clustered_prunes_and_sorts(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 1000
     assert back.agg(F.sum("v")).first()[0] == sum(i + 1.0 for i in range(1000))
+
+
+def test_compact_parquet_chaos_crash_mid_swap(spark, tmp_path, monkeypatch):
+    """Chaos test (round-2 advice): CRASH the compacter mid-swap for real —
+    monkeypatched shutil.move raises on the second move (after ``path`` has
+    been moved to ._compact_old, before ._compact_tmp takes its place) —
+    then assert the documented recovery path restores the data bit-for-bit
+    on the next run. Stronger than hand-built crash state: the stranded
+    layout is produced by the operator's own failure, not simulated."""
+    import shutil
+
+    path = str(tmp_path / "lake")
+    spark.range(0, 1000).select(F.col("id"), (F.col("id") + 1.0).alias("v")) \
+        .repartition(8).write.parquet(path)
+    expected_sum = sum(i + 1.0 for i in range(1000))
+
+    real_move = shutil.move
+    calls = {"n": 0}
+
+    def dying_move(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the tmp -> path move: die in the swap window
+            raise OSError("chaos: process killed mid-swap")
+        return real_move(src, dst)
+
+    monkeypatch.setattr(shutil, "move", dying_move)
+    with pytest.raises(OSError, match="chaos"):
+        sinks.compact_parquet(spark, path, target_file_mb=128)
+    monkeypatch.setattr(shutil, "move", real_move)
+
+    # crash window state: path is gone, data stranded at ._compact_old
+    assert not os.path.exists(path)
+    assert os.path.exists(path + "._compact_old")
+
+    # next run must restore, discard the tmp, and complete the compaction
+    n_files = sinks.compact_parquet(spark, path, target_file_mb=128)
+    assert n_files == 1
+    assert not os.path.exists(path + "._compact_old")
+    assert not os.path.exists(path + "._compact_tmp")
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).first()[0] == expected_sum
 
 
 def test_overwrite_partitions_is_surgical(spark, tmp_path):
