@@ -102,14 +102,10 @@ _FACT_ORACLE = """
 """
 
 
-@register(
-    "star_fact_sales",
-    oracle=_FACT_ORACLE + " ORDER BY sales_id",
-    doc="J2–J5+J12: fact build — FK resolution via in-plan broadcast joins "
-    "on natural keys (replaces the reference's dim read-back round-trip, "
-    "load.py:178-199 + pandas merges 206-253).",
-)
-def star_fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted fact build — the composable form: downstream consumers
+    (integrity check, region report, one-big-table) join or aggregate it,
+    where a global sort is a pure range-shuffle tax at fact scale."""
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
@@ -140,7 +136,18 @@ def star_fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact.o_custkey == geo_of_cust.c_custkey,
         "left",
     )
-    return fact.select("sales_id", "date_id", "geo_id", "o_totalprice").orderBy("sales_id")
+    return fact.select("sales_id", "date_id", "geo_id", "o_totalprice")
+
+
+@register(
+    "star_fact_sales",
+    oracle=_FACT_ORACLE + " ORDER BY sales_id",
+    doc="J2–J5+J12: fact build — FK resolution via in-plan broadcast joins "
+    "on natural keys (replaces the reference's dim read-back round-trip, "
+    "load.py:178-199 + pandas merges 206-253).",
+)
+def star_fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fact_sales(spark, sf_dir).orderBy("sales_id")
 
 
 @register(
@@ -155,7 +162,7 @@ def star_fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(anti-join-empty check, transform.py:118-121).",
 )
 def star_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fact = star_fact_sales(spark, sf_dir)
+    fact = _fact_sales(spark, sf_dir)
     return fk_integrity(fact, ["date_id", "geo_id"])
 
 
@@ -179,7 +186,7 @@ def star_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(hold.ipynb:cell14 region report: COUNT + SUM per region).",
 )
 def star_region_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fact = star_fact_sales(spark, sf_dir)
+    fact = _fact_sales(spark, sf_dir)
     dim_geo = _dim_geo(spark, sf_dir)
     return (
         fact.join(F.broadcast(dim_geo), "geo_id")
@@ -299,7 +306,7 @@ def wh_snapshot_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "materialized-view definition you'd refresh per partition.",
 )
 def star_one_big_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fact = star_fact_sales(spark, sf_dir)
+    fact = _fact_sales(spark, sf_dir)
     dd = _dim_date(spark, sf_dir)
     dg = _dim_geo(spark, sf_dir)
     return (
