@@ -63,6 +63,59 @@ def salted_agg(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe global row numbering — the distributed two-pass form of
+    ``ROW_NUMBER() OVER (ORDER BY ...)``.
+
+    A bare unpartitioned window funnels EVERY row through one task (the
+    round-2 scale-killer in the original gini rank); this operator keeps the
+    row-bearing work fully parallel:
+
+    1. ``repartitionByRange`` on the order keys — partition i holds only
+       keys ≤ partition i+1's (the sort-order-preserving shuffle).
+    2. ``row_number`` windowed BY PARTITION ID — n independent sorts of
+       ~|rows|/n each, never a global single-partition sort.
+    3. Per-partition counts roll up to ≤ n rows; a cumulative window over
+       that TINY frame (bounded by the partition count, not the data)
+       yields each partition's global offset; a broadcast join adds it.
+
+    The counts branch re-reads the same range exchange — Spark's exchange
+    reuse (asserted by ``test_global_rank_reuses_range_exchange``) makes
+    both branches see the one materialized shuffle, so partition ids agree
+    by construction. Range-boundary sampling may split a run of EQUAL keys
+    across partitions, so pass a unique (key, tiebreaker) combination when
+    exact rank reproducibility matters — same contract as any deterministic
+    ORDER BY.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) for c in order_cols]
+    rp = df.repartitionByRange(n, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    ranked = rp.withColumn("_rn", F.row_number().over(w))
+    counts = rp.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # cumulative offsets: a window over ≤ n rows — bounded by the partition
+    # count, the one place a single-partition sort is safe by construction
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).alias("_off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def salted_broadcast_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -482,6 +482,105 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.threshold_cosine_pairs(emb, queries, min_sim=0.2).orderBy("query_id", "neighbor_id")
 
 
+_HN_NQ = 16  # query vectors: vec_id 0..15
+_HN_K = 5  # hard negatives kept per query
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+        WITH pts AS (
+            SELECT vec_id, label, i - 1 AS pos,
+                   CAST(ROUND(emb[i] * 1000000) AS BIGINT) AS xi
+            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+                 UNNEST(range(1, len(emb) + 1)) AS t(i)
+        ),
+        lab AS (SELECT DISTINCT vec_id, label FROM pts),
+        d AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(SUM((q.xi - c.xi) * (q.xi - c.xi)) AS BIGINT) AS d2
+            FROM pts q JOIN pts c USING (pos)
+            WHERE q.vec_id < {_HN_NQ} AND q.label <> c.label
+            GROUP BY 1, 2
+        )
+        SELECT d.query_id, ql.label AS query_label,
+               d.neighbor_id, nl.label AS neg_label, d.d2,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.query_id
+                                       ORDER BY d.d2, d.neighbor_id)
+                    AS INTEGER) AS "rank"
+        FROM d
+        JOIN lab ql ON ql.vec_id = d.query_id
+        JOIN lab nl ON nl.vec_id = d.neighbor_id
+        QUALIFY "rank" <= {_HN_K}
+        ORDER BY query_id, "rank"
+    """,
+    doc=f"Hard-negative mining for contrastive training: for each of "
+    f"{_HN_NQ} query vectors, the {_HN_K} NEAREST corpus vectors carrying "
+    "a DIFFERENT label — the negatives that sit just across the decision "
+    "boundary, which contrastive/triplet losses need (random negatives "
+    "are trivially easy and contribute ~zero gradient). Exactness: "
+    "coordinates quantize to micro-unit BIGINTs so distances, ranks, and "
+    "tie-breaks are exact integers (the k-means idiom) — no float-order "
+    "hazard at the rank cut. Scale shape: the query side is a bounded "
+    "broadcast (rows with their label, pre-quantized); the corpus is "
+    "scanned ONCE and fanned out via a bounded BNLJ; top-k runs "
+    "TWO-STAGE — a per-(query, input-partition) partial rank prunes to "
+    f"{_HN_K} survivors per partition BEFORE the per-query merge window, "
+    "so no single task ever sorts more than |corpus|/|partitions| rows "
+    "(the unpartitioned-window scale-killer stays out of the plan).",
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    fixed = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+        ).alias("xi_arr"),
+    )
+    q = fixed.filter(F.col("vec_id") < _HN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("xi_arr").alias("q_arr"),
+    )
+    pairs = fixed.join(
+        F.broadcast(q), F.col("label") != F.col("query_label")
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.aggregate(
+            F.zip_with(
+                F.col("xi_arr"), F.col("q_arr"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    # two-stage top-k: partial rank inside each input partition first, so
+    # the final per-query window sees <= K * |partitions| rows, not |corpus|
+    wp = Window.partitionBy("query_id", F.spark_partition_id()).orderBy(
+        "d2", "neighbor_id"
+    )
+    survivors = (
+        pairs.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= _HN_K)
+        .drop("_pr")
+    )
+    wf = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        survivors.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _HN_K)
+        .select("query_id", "query_label", "neighbor_id", "neg_label", "d2", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "sim_ann_lsh",
     oracle=None,  # plane literals make the SQL unwieldy; recall is unit-tested vs brute force
@@ -1002,6 +1101,39 @@ def agg_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("total_value_fp") / MICROS).alias("total_value"),
         (F.col("max_value_fp") / MICROS).alias("max_value"),
     ).orderBy("user_id")
+
+
+@register(
+    "scale_global_rank_orders",
+    oracle="""
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                    AS BIGINT) AS global_rank,
+               o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY global_rank
+    """,
+    doc="Scale-safe global row numbering (operators.scale.global_rank): "
+    "the distributed two-pass ROW_NUMBER — range-partition on the order "
+    "key, rank within each partition in parallel, then add per-partition "
+    "offsets from a cumulative window over the ≤|partitions|-row count "
+    "table (the classic zipWithIndex shape, DataFrame-native). The naive "
+    "form — one unpartitioned window — sorts every row in ONE task and "
+    "is the round-2-flagged scale-killer this operator replaces; here "
+    "the only single-partition work is the offset rollup, bounded by "
+    "partition count. Both branches read the SAME range exchange "
+    "(exchange reuse, asserted by plan test), so partition ids agree by "
+    "construction. Order key (o_totalprice, o_orderkey) is unique, so "
+    "ranks are engine-exact.",
+)
+def scale_global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import scale as SC
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return (
+        SC.global_rank(orders, ["o_totalprice", "o_orderkey"])
+        .select("global_rank", "o_orderkey", "o_totalprice")
+        .orderBy("global_rank")
+    )
 
 
 @register(

@@ -433,6 +433,7 @@ def test_last_shipper_single_lineitem_scan(spark, sf_oracle):
 _BNLJ_BOUNDED_OK = {
     "sim_topk_cosine",
     "sim_threshold_pairs",
+    "sim_hard_negatives",  # query side: _HN_NQ pre-quantized rows, broadcast
     "sim_ann_lsh",
     "ev_funnel_strict_steps",
     "text_hellinger_source_drift",
@@ -487,3 +488,20 @@ def test_semdedup_norms_not_in_join_condition(spark, sf_oracle):
     assert all("SQRT" not in l.upper() for l in join_details), [
         l[:120] for l in join_details
     ]
+
+
+def test_global_rank_reuses_range_exchange(spark, sf_oracle):
+    """The distributed global ranking (operators.scale.global_rank) must:
+    (a) reuse the ONE range exchange for both the rank branch and the
+    per-partition count branch (partition ids agree by construction only
+    because both read the same materialized shuffle), and (b) keep the
+    row-bearing Window partitioned by _pid — never an unpartitioned
+    window over the full input (the round-2 scale-killer shape)."""
+    df = REGISTRY["scale_global_rank_orders"].fn(spark, sf_oracle)
+    df.collect()  # AQE surfaces exchange reuse only in the finalized plan
+    plan = explain_str(df)
+    assert "ReusedExchange" in plan
+    assert "rangepartitioning" in plan.replace(" ", "").lower()
+    # every full-width Exchange is range-or-pid keyed; the only allowed
+    # SinglePartition work would be the <=|partitions|-row offset rollup
+    assert plan.count("Exchange SinglePartition") == 0
