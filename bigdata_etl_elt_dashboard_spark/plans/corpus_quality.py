@@ -1006,3 +1006,192 @@ def docs_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         beta.alias("heaps_beta"),
         ((syd - beta * sxd) / nd / F.lit(1000000).cast("double")).alias("log2_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-exact distributed PCA: top-component projection by power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_VS = 1_000_000  # coordinate / eigenvector quantization (micro-units)
+_PCA_CCAP = 10_000  # rescaled-matrix magnitude cap (keeps w*VS inside int64)
+_PCA_ITERS = 48  # near-isotropic clouds converge slowly; bounded work anyway
+
+
+def _pca_iter_sql(prev: str, w: str, out: str) -> str:
+    # MATERIALIZED: each w/v is referenced twice; default CTE inlining would
+    # expand the 48-step chain exponentially
+    return f"""
+        {w} AS MATERIALIZED (
+            SELECT cs.p AS q, CAST(SUM(cs.c * {prev}.v) AS BIGINT) AS w
+            FROM cs JOIN {prev} ON cs.q = {prev}.q GROUP BY 1
+        ),
+        {out} AS MATERIALIZED (
+            SELECT q, CAST(SIGN(w) AS BIGINT)
+                      * ((ABS(w) * {_PCA_VS}) // m.m) AS v
+            FROM {w} CROSS JOIN (SELECT MAX(ABS(w)) AS m FROM {w}) m
+        )"""
+
+
+_PCA_CHAIN_SQL = ",".join(
+    _pca_iter_sql(f"v{i}", f"w{i + 1}", f"v{i + 1}") for i in range(_PCA_ITERS)
+)
+
+
+@register(
+    "emb_pca_project",
+    oracle=f"""
+        WITH el AS MATERIALIZED (
+            SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+                   CAST(ROUND(CAST(embedding[CAST(t.i AS INTEGER) + 1] AS DOUBLE)
+                              * {_PCA_VS}) AS BIGINT) AS xi
+            FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+        ),
+        nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM el),
+        s1 AS MATERIALIZED (
+            SELECT i, CAST(SUM(xi) AS BIGINT) AS s1 FROM el GROUP BY i
+        ),
+        s2 AS (
+            SELECT a.i AS p, b.i AS q, CAST(SUM(a.xi * b.xi) AS BIGINT) AS s2
+            FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
+        ),
+        cup AS MATERIALIZED (
+            SELECT s2.p, s2.q,
+                   CAST(nn.n * s2.s2 - sa.s1 * sb.s1 AS BIGINT) AS c
+            FROM s2
+            JOIN s1 sa ON s2.p = sa.i
+            JOIN s1 sb ON s2.q = sb.i
+            CROSS JOIN nn
+        ),
+        cfull AS (
+            SELECT p, q, c FROM cup
+            UNION ALL
+            SELECT q AS p, p AS q, c FROM cup WHERE p <> q
+        ),
+        dd AS (
+            SELECT GREATEST(1, MAX(ABS(c)) // {_PCA_CCAP}) AS d FROM cfull
+        ),
+        cs AS MATERIALIZED (
+            SELECT p, q, CAST(SIGN(c) AS BIGINT) * (ABS(c) // dd.d) AS c
+            FROM cfull CROSS JOIN dd
+        ),
+        v0 AS (SELECT i AS q, CAST({_PCA_VS} AS BIGINT) AS v FROM s1),
+        {_PCA_CHAIN_SQL},
+        sgn AS (
+            SELECT CASE WHEN v < 0 THEN CAST(-1 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) END AS s
+            FROM v{_PCA_ITERS} ORDER BY ABS(v) DESC, q LIMIT 1
+        )
+        SELECT el.vec_id,
+               CAST(SUM(el.xi * vv.v * sgn.s) AS BIGINT) AS score_u,
+               CAST(SUM(el.xi * vv.v * sgn.s) AS DOUBLE)
+                   / ({_PCA_VS}.0 * {_PCA_VS}.0) AS score
+        FROM el JOIN v{_PCA_ITERS} vv ON el.i = vv.q CROSS JOIN sgn
+        GROUP BY el.vec_id
+        ORDER BY el.vec_id
+    """,
+    doc=f"Distributed PCA, engine-exact: every vector's projection onto the "
+    f"top principal component, found by {_PCA_ITERS} power iterations of "
+    "the centered second-moment matrix run ENTIRELY in integer "
+    "arithmetic — the quantized-PCA trick that makes an iterative "
+    "linear-algebra op differentially testable (float power iteration "
+    "diverges bitwise per iteration; here every engine lands the "
+    "identical component and identical scores). This is the actual "
+    "dimension-reduction / whitening primitive: the score column is the "
+    "1-D reduced representation, and its variance share decides whether "
+    "scalar quantization (emb_quantize_error) is safe. Scale shape — "
+    "the kmeans pattern: the only DATA-SCALE passes are (1) the Gram "
+    "accumulation, per-row i≤j products enumerated by higher-order "
+    "functions onto the FIXED 64·65/2 key space (map-side combined, "
+    "~2k-row shuffle regardless of corpus size), and (2) the final "
+    "in-plan projection against the 64 literal loadings; the 64×64 "
+    "matrix is the ONLY driver-side state (the centroid-collect "
+    "precedent, bounded by dim² not data), and the iteration loop runs "
+    "on it in exact Python ints. Centering uses n·S2 − S1·S1ᵀ "
+    "(exact; n²-scaled — past ~10^4·|xi| vectors the documented switch "
+    "is decimal(38) accumulation). Rescales are truncating with the "
+    "sign factored out (DuckDB's // floors on negatives); normalization "
+    "is L∞ (no sqrt — stays integral); the sign convention makes the "
+    "largest-|loading| dimension (lowest index on ties) positive. The "
+    "oracle replays the identical iteration as a MATERIALIZED-CTE chain "
+    "(plain CTEs would inline the doubly-referenced steps "
+    "exponentially).",
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    xi_arr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * _PCA_VS).cast("long"),
+    )
+    fixed = emb.select("vec_id", xi_arr.alias("xi"))
+
+    # Gram upper triangle: per-row HOF pair stream (no self-join), i <= j
+    idx = F.sequence(F.lit(0), F.lit(_EMB_DIM - 1))
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.lit(_EMB_DIM - 1)),
+                lambda j: F.struct(
+                    i.cast("int").alias("p"),
+                    j.cast("int").alias("q"),
+                    (F.get(F.col("xi"), i) * F.get(F.col("xi"), j)).alias("u"),
+                ),
+            ),
+        )
+    )
+    s2_rows = (
+        fixed.select(F.explode(pairs).alias("pr"))
+        .select("pr.p", "pr.q", "pr.u")
+        .groupBy("p", "q")
+        .agg(F.sum("u").alias("s2"))
+        .collect()
+    )
+    s1_rows = (
+        fixed.select(F.posexplode("xi").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s1"))
+        .collect()
+    )
+    n = fixed.count()
+
+    # bounded driver-side state: the dim x dim integer matrix (<= 64*64
+    # values — the centroid-collect precedent), iterated in exact Python ints
+    s1 = {int(r["i"]): int(r["s1"]) for r in s1_rows}
+    dim = _EMB_DIM
+    c = [[0] * dim for _ in range(dim)]
+    for r in s2_rows:
+        p, q = int(r["p"]), int(r["q"])
+        val = n * int(r["s2"]) - s1[p] * s1[q]
+        c[p][q] = val
+        c[q][p] = val
+    max_abs = max(abs(v) for row in c for v in row)
+    d = max(1, max_abs // _PCA_CCAP)
+    cs = [[(1 if v >= 0 else -1) * (abs(v) // d) for v in row] for row in c]
+
+    v = [_PCA_VS] * dim
+    for _ in range(_PCA_ITERS):
+        w = [sum(cs[p][q] * v[q] for q in range(dim)) for p in range(dim)]
+        m = max(abs(x) for x in w)
+        v = [(1 if x >= 0 else -1) * (abs(x) * _PCA_VS // m) for x in w]
+    # sign convention: largest-|loading| dim (lowest index on ties) positive
+    star = max(range(dim), key=lambda q: (abs(v[q]), -q))
+    if v[star] < 0:
+        v = [-x for x in v]
+
+    loadings = F.array(*[F.lit(x).cast("long") for x in v])
+    score_u = F.aggregate(
+        F.zip_with(F.col("xi"), loadings, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        fixed.select(
+            "vec_id",
+            score_u.alias("score_u"),
+            (
+                score_u.cast("double") / F.lit(float(_PCA_VS) * float(_PCA_VS))
+            ).alias("score"),
+        )
+        .orderBy("vec_id")
+    )

@@ -250,3 +250,32 @@ def test_decode_auto_dispatches_by_magic():
 
     with pytest.raises(ValueError):
         M.decode_auto(b"GIF89a...")
+
+
+def test_pca_projection_matches_numpy_direction(spark, sf_smoke):
+    """Semantic check beyond the hash gate: the integer power iteration must
+    land (up to sign and near-degenerate-spectrum tolerance) on numpy's top
+    eigenvector of the centered scatter matrix — i.e. the per-vector scores
+    are real PCA scores, not just engine-consistent numbers. The synthetic
+    cloud is near-isotropic (eigengap ~1.07), which is exactly why the
+    operator runs 48 iterations."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+
+    rows = REGISTRY["emb_pca_project"].fn(spark, sf_smoke).collect()
+    scores = {int(r["vec_id"]): float(r["score"]) for r in rows}
+
+    X = np.array(
+        pq.read_table(sf_smoke + "/embeddings.parquet")["embedding"].to_pylist(),
+        dtype=np.float64,
+    )
+    ids = pq.read_table(sf_smoke + "/embeddings.parquet")["vec_id"].to_pylist()
+    Xc = X - X.mean(0)
+    evals, evecs = np.linalg.eigh(Xc.T @ Xc)
+    ref = X @ evecs[:, -1]  # uncentered projection, like the operator's
+
+    ours = np.array([scores[int(i)] for i in ids])
+    cos = abs(ours @ ref) / (np.linalg.norm(ours) * np.linalg.norm(ref))
+    assert cos > 0.98, cos
