@@ -66,7 +66,9 @@ from .registry import REGISTRY, register
 #   stat_autocorr_daily_revenue, dq_benford_first_digit,
 #   li_return_rate_wilson, stat_cusum_daily_revenue, li_basket_type_lift,
 #   stat_runs_test_daily_revenue, wh_orders_checksum, ev_error_rate_pchart,
-#   stat_mannwhitney_price_by_status
+#   stat_mannwhitney_price_by_status,
+#   plus the queries ADDED in round 3 after this window froze:
+#   sim_hard_negatives, scale_global_rank_orders, emb_pca_project
 #   (the 15 stat_*/dq_*/wh_* entries here carried the HUGEINT oracle bug —
 #   already cast + lint-guarded this round, so their r04 rows start green).
 # ---------------------------------------------------------------------------
