@@ -142,14 +142,163 @@ def encode_bmp(img: DecodedImage) -> bytes:
     return header + info + raster
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec 9.4): nearest of left/up/up-left to a+b-c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(content: bytes) -> DecodedImage:
+    """Decode an 8-bit truecolor (RGB / RGBA, non-interlaced) PNG — pure
+    Python over stdlib zlib: chunk walk with CRC verification, IDAT
+    reassembly, INFLATE, and full scanline unfiltering (all five filter
+    types incl. the Paeth predictor). This is a REAL third codec next to
+    PPM/BMP — the compressed path the other two don't exercise."""
+    import struct
+    import zlib
+
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise ValueError(
+            "only 8-bit truecolor (RGB/RGBA) non-interlaced PNG supported"
+        )
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG raster size mismatch")
+    out = bytearray(width * height * 3)
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        for x in range(width):
+            d = (y * width + x) * 3
+            out[d : d + 3] = line[x * ch : x * ch + 3]  # alpha (if any) drops
+        prev = line
+    return DecodedImage(width, height, bytes(out))
+
+
+def encode_png(img: DecodedImage, filter_type: int = 0, level: int = 6) -> bytes:
+    """Encode RGB bytes as an 8-bit truecolor PNG. ``filter_type`` applies
+    the given PNG filter to every scanline (0-4) — the decoder must invert
+    it, so the roundtrip tests sweep all five."""
+    import struct
+    import zlib
+
+    stride = img.width * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(img.height):
+        line = img.pixels[y * stride : (y + 1) * stride]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += line
+        elif filter_type == 1:
+            raw += bytes(
+                (line[i] - (line[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 2:
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif filter_type == 3:
+            raw += bytes(
+                (line[i] - (((line[i - 3] if i >= 3 else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 4:
+            raw += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - 3] if i >= 3 else 0,
+                        prev[i],
+                        prev[i - 3] if i >= 3 else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raise ValueError(f"unknown PNG filter type {filter_type}")
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", img.width, img.height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(raw), level)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_auto(content: bytes) -> DecodedImage:
-    """Magic-byte dispatch over the built-in codecs (PPM P6, BMP)."""
+    """Magic-byte dispatch over the built-in codecs (PPM P6, BMP, PNG)."""
+    if bytes(content[:8]) == _PNG_SIG:
+        return decode_png(content)
     head = bytes(content[:2])
     if head == b"P6":
         return decode_ppm(content)
     if head == b"BM":
         return decode_bmp(content)
-    raise ValueError("unrecognized image payload (built-ins: PPM P6, BMP)")
+    raise ValueError("unrecognized image payload (built-ins: PPM P6, BMP, PNG)")
 
 
 #: active decoder — swap via set_decoder() for PIL/opencv runtimes.
@@ -237,11 +386,13 @@ def synth_ppm_table(docs: DataFrame, width: int = 8, height: int = 4) -> DataFra
 
 
 def synth_mixed_media_table(docs: DataFrame, width: int = 8, height: int = 4) -> DataFrame:
-    """Deterministic synthetic images with per-row container format: even
-    doc_ids encode as PPM (P6), odd as 24bpp BMP — the SAME closed-form
-    raster either way (byte i = ((doc_id % 256) * 7 + i) % 256), so a
+    """Deterministic synthetic images with per-row container format cycling
+    doc_id % 3 → PPM (P6) / 24bpp BMP / PNG — the SAME closed-form raster
+    in every container (byte i = ((doc_id % 256) * 7 + i) % 256), so a
     codec-blind oracle verifies that the magic-dispatch decoder recovers
-    identical pixels from both containers."""
+    identical pixels from all three. The PNG leg additionally cycles the
+    scanline filter (doc_id % 5: None/Sub/Up/Average/Paeth), so every
+    filter type's unfilter path sits inside the driver-gated query."""
     n = width * height * 3
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -251,8 +402,13 @@ def synth_mixed_media_table(docs: DataFrame, width: int = 8, height: int = 4) ->
                 base = int(did) % 256
                 raster = bytes((base * 7 + i) % 256 for i in range(n))
                 img = DecodedImage(width, height, raster)
-                enc = encode_ppm if int(did) % 2 == 0 else encode_bmp
-                contents.append(enc(img))
+                m = int(did) % 3
+                if m == 0:
+                    contents.append(encode_ppm(img))
+                elif m == 1:
+                    contents.append(encode_bmp(img))
+                else:
+                    contents.append(encode_png(img, filter_type=int(did) % 5))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"].astype("int64"), "content": contents}
             )

@@ -3324,7 +3324,8 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mm_decode_mixed_codecs",
     oracle="""
-        SELECT CASE WHEN d.doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS codec,
+        SELECT CASE d.doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                                 ELSE 'png' END AS codec,
                COUNT(DISTINCT d.doc_id) AS n_media,
                CAST(SUM(((d.doc_id % 256) * 7 + 3 * p.p + 0) % 256) AS BIGINT) AS sum_r,
                CAST(SUM(((d.doc_id % 256) * 7 + 3 * p.p + 1) % 256) AS BIGINT) AS sum_g,
@@ -3333,13 +3334,16 @@ def dedup_cluster_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1 ORDER BY codec
     """,
     doc="Mixed-container image decode through the magic-dispatch codec: "
-    "even doc_ids carry PPM (P6), odd carry 24bpp BMP, BOTH encoding the "
-    "same closed-form 8x4 raster (byte i = ((doc_id%256)*7+i)%256). The "
-    "per-codec channel sums must match an oracle that recomputes the "
-    "pixels arithmetically and never touches either container — so a "
-    "green row proves the BMP path (BGR order, bottom-up rows, stride "
-    "padding) decodes to the identical pixels the PPM path yields, "
-    "in-plan through mapInPandas. Integer sums only; no float anywhere.",
+    "doc_id % 3 cycles PPM (P6) / 24bpp BMP / PNG, ALL encoding the "
+    "same closed-form 8x4 raster (byte i = ((doc_id%256)*7+i)%256); the "
+    "PNG leg also cycles the scanline filter (None/Sub/Up/Average/"
+    "Paeth by doc_id % 5). The per-codec channel sums must match an "
+    "oracle that recomputes the pixels arithmetically and never touches "
+    "any container — so a green row proves the BMP path (BGR order, "
+    "bottom-up rows, stride padding) AND the PNG path (chunk CRCs, "
+    "INFLATE, all five unfilter types incl. the Paeth predictor) decode "
+    "to the identical pixels the PPM path yields, in-plan through "
+    "mapInPandas. Integer sums only; no float anywhere.",
 )
 def mm_decode_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -3347,8 +3351,9 @@ def mm_decode_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = M.decode_image_stats(media)
     return (
         stats.select(
-            F.when(F.col("media_id") % 2 == 0, F.lit("ppm"))
-            .otherwise(F.lit("bmp"))
+            F.when(F.col("media_id") % 3 == 0, F.lit("ppm"))
+            .when(F.col("media_id") % 3 == 1, F.lit("bmp"))
+            .otherwise(F.lit("png"))
             .alias("codec"),
             "media_id",
             "sum_r",

@@ -279,3 +279,32 @@ def test_pca_projection_matches_numpy_direction(spark, sf_smoke):
     ours = np.array([scores[int(i)] for i in ids])
     cos = abs(ours @ ref) / (np.linalg.norm(ours) * np.linalg.norm(ref))
     assert cos > 0.98, cos
+
+
+def test_png_codec_roundtrip_all_filters():
+    """PNG encode→decode must be lossless under every scanline filter type
+    (None/Sub/Up/Average/Paeth) — the decoder's unfilter paths are all
+    load-bearing because synth_mixed_media_table cycles them by doc_id."""
+    from bigdata_etl_elt_dashboard_spark.operators import multimodal as M
+
+    for w, h in ((8, 4), (33, 7), (1, 1)):
+        img = M.DecodedImage(w, h, bytes((i * 11 + 5) % 256 for i in range(w * h * 3)))
+        for ft in range(5):
+            dec = M.decode_png(M.encode_png(img, filter_type=ft))
+            assert (dec.width, dec.height, dec.pixels) == (w, h, img.pixels), (w, h, ft)
+
+
+def test_png_crc_and_magic_guards():
+    import pytest
+
+    from bigdata_etl_elt_dashboard_spark.operators import multimodal as M
+
+    img = M.DecodedImage(4, 2, bytes(range(24)))
+    enc = bytearray(M.encode_png(img))
+    enc[30] ^= 0xFF  # corrupt a byte inside IHDR payload -> CRC fails
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(enc))
+    with pytest.raises(ValueError, match="not a PNG"):
+        M.decode_png(b"BM" + bytes(enc[2:]))
+    # magic dispatch routes PNG payloads to the PNG decoder
+    assert M.decode_auto(M.encode_png(img, filter_type=4)).pixels == img.pixels
