@@ -353,3 +353,34 @@ def test_bmp_roundtrip_any_dims(w, h, seed):
     img = M.DecodedImage(w, h, px)
     back = M.decode_bmp(M.encode_bmp(img))
     assert (back.width, back.height, back.pixels) == (w, h, px)
+
+
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=80),
+    parts=st.integers(1, 6),
+)
+@settings(**_SETTINGS)
+def test_global_rank_matches_single_window(spark, vals, parts):
+    """operators.scale.global_rank (range-partition + per-partition rank +
+    offset merge) must equal the single-window ROW_NUMBER for ANY data and
+    ANY partition count — including empty range partitions, all-equal keys
+    (tiebreaker id makes order unique), and partitions=1."""
+    from pyspark.sql import Window
+
+    from bigdata_etl_elt_dashboard_spark.operators.scale import global_rank
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        (r["id"], r["global_rank"])
+        for r in global_rank(df, ["v", "id"], num_partitions=parts).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        (r["id"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
