@@ -4267,3 +4267,90 @@ def dedup_lsh_scurve_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p_theory", F.element_at(theory, F.col("bucket") + 1))
         .orderBy("bucket")
     )
+
+
+@register(
+    "docs_data_card",
+    oracle=f"""
+        WITH base AS (
+            SELECT lang, source,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({_TOKS_SQL}) END AS n_tok,
+                   n_chars,
+                   md5({_NORM_SQL}) AS fp,
+                   doc_id
+            FROM documents
+        ),
+        canon AS (SELECT fp, MIN(doc_id) AS keep_id FROM base GROUP BY fp),
+        flagged AS (
+            SELECT b.lang, b.source, b.n_tok, b.n_chars,
+                   CASE WHEN b.doc_id <> c.keep_id THEN 1 ELSE 0 END AS is_dup
+            FROM base b JOIN canon c ON b.fp = c.fp
+        ),
+        tot AS (SELECT SUM(n_tok) AS t FROM flagged)
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(SUM(is_dup) AS BIGINT) AS dup_docs,
+               CAST(SUM(is_dup) AS DOUBLE) / COUNT(*) AS dup_rate,
+               CAST(SUM(n_tok) AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                   AS token_share
+        FROM flagged CROSS JOIN tot
+        GROUP BY lang, source, tot.t
+        ORDER BY lang, source
+    """,
+    doc="The corpus DATA CARD: per (lang, source) stratum — document and "
+    "token counts, exact-duplicate volume (normalized-text md5 "
+    "fingerprints, keep-lowest-id canonical: the dedup_exact_groups "
+    "rule), duplication rate, and each stratum's share of total tokens "
+    "— the one-page composition readout published alongside a training "
+    "corpus, and the input that docs_mixture_plan's reweighting starts "
+    "from. Shape: one fingerprint groupBy (map-side combined) + one "
+    "stratum rollup + a 1-row token-total broadcast; every count is an "
+    "exact integer, the two ratios are single fixed-sequence divisions. "
+    "At 100 TB each stage is partial-aggregatable; the fingerprint "
+    "shuffle is the dedup pass the pipeline already pays.",
+)
+def docs_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        "n_chars",
+        X.token_count(F.col("text")).alias("n_tok"),
+        F.md5(X.normalized_text(F.col("text"))).alias("fp"),
+    )
+    canon = base.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    flagged = base.join(canon, "fp").select(
+        "lang",
+        "source",
+        "n_tok",
+        "n_chars",
+        (F.col("doc_id") != F.col("keep_id")).cast("long").alias("is_dup"),
+    )
+    tot = flagged.agg(F.sum("n_tok").alias("t"))
+    return (
+        flagged.join(F.broadcast(tot))
+        .groupBy("lang", "source", "t")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("is_dup").alias("dup_docs"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "dup_docs",
+            (F.col("dup_docs").cast("double") / F.col("n_docs")).alias("dup_rate"),
+            (F.col("n_tokens").cast("double") / F.col("t").cast("double")).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("lang", "source")
+    )

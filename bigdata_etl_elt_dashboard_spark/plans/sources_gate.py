@@ -161,3 +161,53 @@ def src_table_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _md5_prefix_sum("c_name").alias("name_hash_sum"),
         F.count_distinct(F.col("c_mktsegment")).alias("n_segments"),
     )
+
+
+_DOCS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@register(
+    "src_jsonl_roundtrip_digest",
+    oracle="""
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+               CAST(SUM(('0x' || substr(md5(text), 1, 10))::BIGINT) AS BIGINT)
+                   AS text_hash_sum,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents
+    """,
+    doc="JSONL roundtrip driver gate — the corpus wire format (one JSON "
+    "doc per line, splittable, append-only): documents parquet → "
+    "spark.write.json → explicit-schema PERMISSIVE JSONL scan "
+    "(sources/readers.read_jsonl, corrupt-record column dropped after "
+    "the malformed-row check) → one-pass digest vs the same digest on "
+    "the original parquet. A green row proves JSON string escaping, "
+    "long fidelity, and the reject-routing scan reproduce the corpus "
+    "byte-for-byte (text checksummed via the 40-bit md5-prefix sum). "
+    "The digest is a single partial-aggregatable reduce — the shape "
+    "that validates a 100 TB corpus export without colocating copies.",
+)
+def src_jsonl_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _gate_dir(sf_dir, "documents_jsonl")
+    docs = table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").json(path)
+    back = readers.read_jsonl(spark, path, schema=_DOCS_JSONL_SCHEMA)
+    clean = back.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return clean.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        _md5_prefix_sum("text").alias("text_hash_sum"),
+        F.sum("n_chars").alias("n_chars_sum"),
+        F.count_distinct(F.col("lang")).alias("n_langs"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+    )

@@ -449,6 +449,7 @@ _BNLJ_BOUNDED_OK = {
     "stat_runs_test_daily_revenue",
     "text_jsd_source_drift",
     "ev_error_rate_pchart",
+    "docs_data_card",  # 1-row token-total scalar broadcast
 }
 
 
