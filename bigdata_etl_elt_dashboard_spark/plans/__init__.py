@@ -68,7 +68,8 @@ from .registry import REGISTRY, register
 #   stat_runs_test_daily_revenue, wh_orders_checksum, ev_error_rate_pchart,
 #   stat_mannwhitney_price_by_status,
 #   plus the queries ADDED in round 3 after this window froze:
-#   sim_hard_negatives, scale_global_rank_orders, emb_pca_project
+#   sim_hard_negatives, scale_global_rank_orders, emb_pca_project,
+#   src_jsonl_roundtrip_digest, docs_data_card
 #   (the 15 stat_*/dq_*/wh_* entries here carried the HUGEINT oracle bug —
 #   already cast + lint-guarded this round, so their r04 rows start green).
 # ---------------------------------------------------------------------------
