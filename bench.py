@@ -139,7 +139,10 @@ def main() -> None:
     for label, name in HEADLINE.items():
         df, build = build_df(spark, sf_dir, name)
         plan_s[label] = build
-        timings[label] = round(min(_timed_collect(df) for _ in range(3)), 4)
+        # min-of-5: the headline queries are 30-100 ms each, and host noise
+        # (noisy-neighbor load spikes) dominates single samples — the min is
+        # the stable estimator of the engine's actual cost
+        timings[label] = round(min(_timed_collect(df) for _ in range(5)), 4)
 
     # Beyond-baseline extension suite (no reference number exists; recorded
     # so round-over-round regressions in the training-data ops are visible).
@@ -150,7 +153,7 @@ def main() -> None:
     for name in EXTENSION_SUITE:
         df, build = build_df(spark, sf_dir, name)
         ext_plan_s[name] = build
-        ext[name] = round(min(_timed_collect(df) for _ in range(2)), 4)
+        ext[name] = round(min(_timed_collect(df) for _ in range(3)), 4)
 
     result = {
         "metric": "warm per-query execution wall-clock, reference q1-q8 suite (sum)",
