@@ -131,6 +131,46 @@ def snapshot_delta(
     return j.select(*key_cols, change.alias("change_type"))
 
 
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Batch MERGE (upsert-apply): the result of applying an update batch
+    to a target snapshot — per key, the update row wins; keys only in the
+    target pass through; keys only in the batch insert. With
+    ``delete_col`` (a boolean on the batch), flagged keys are removed —
+    full MERGE WHEN MATCHED UPDATE/DELETE + WHEN NOT MATCHED INSERT
+    semantics as a DERIVED, re-runnable plan: no mutable store, so the
+    merge is idempotent and replayable (pair with snapshot_delta to
+    compute the batch, and sinks.overwrite_partitions to land only the
+    partitions the batch touches).
+
+    Shape: union + one keyed window (keep the batch row per key) — a
+    single shuffle on the merge key, partial-width: ``delete_col`` is
+    dropped from the output so target and batch schemas must otherwise
+    match (unionByName).
+
+    Contract: ``updates`` carries AT MOST ONE row per key (standard MERGE
+    precondition — SQL MERGE errors on multi-match; here the window would
+    pick one nondeterministically). Pre-aggregate the batch if needed.
+    """
+    dcol = delete_col or "_no_delete"
+    t = target.withColumn("_src", F.lit(0)).withColumn(dcol, F.lit(False))
+    u = updates.withColumn("_src", F.lit(1))
+    if delete_col is None:
+        u = u.withColumn(dcol, F.lit(False))
+    all_rows = t.unionByName(u.select(*t.columns))
+    w = Window.partitionBy(*keys).orderBy(F.desc("_src"))
+    return (
+        all_rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(~F.coalesce(F.col(dcol), F.lit(False)))
+        .drop("_rn", "_src", dcol)
+    )
+
+
 def fk_integrity(fact: DataFrame, fk_cols: list[str]) -> DataFrame:
     """§2.9 rule 5 / §5.2 invariant: count rows whose FK failed to resolve
     (anti-join-empty check). Returns a 1-row DataFrame."""

@@ -262,6 +262,82 @@ def wh_snapshot_delta_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wh_merge_upsert_orders",
+    oracle="""
+        WITH t AS (
+            SELECT o_orderkey AS k,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderpriority AS prio
+            FROM orders
+        ),
+        u AS (
+            -- the update batch: %13 keys re-priced +10.00 and re-prioritized,
+            -- %19 keys cloned as NEW keys, %17 keys flagged for delete
+            SELECT k, cents + 1000 AS cents, 'MERGED' AS prio, false AS is_del
+            FROM t WHERE k % 13 = 0 AND k % 17 <> 0
+            UNION ALL
+            SELECT k + 100000000 AS k, cents, 'INSERTED' AS prio, false
+            FROM t WHERE k % 19 = 0
+            UNION ALL
+            SELECT k, cents, prio, true FROM t WHERE k % 17 = 0
+        ),
+        merged AS (
+            SELECT COALESCE(u.k, t.k) AS k,
+                   COALESCE(u.cents, t.cents) AS cents,
+                   COALESCE(u.prio, t.prio) AS prio,
+                   COALESCE(u.is_del, false) AS is_del
+            FROM t FULL OUTER JOIN u ON t.k = u.k
+        )
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS key_sum,
+               CAST(SUM(cents) AS BIGINT) AS cents_sum,
+               CAST(COUNT(*) FILTER (prio = 'MERGED') AS BIGINT) AS n_updated,
+               CAST(COUNT(*) FILTER (prio = 'INSERTED') AS BIGINT) AS n_inserted
+        FROM merged WHERE NOT is_del
+    """,
+    doc="Batch MERGE apply (operators/warehouse.merge_upsert): the "
+    "WHEN MATCHED UPDATE / WHEN MATCHED DELETE / WHEN NOT MATCHED "
+    "INSERT primitive as a derived plan — update batch planted from "
+    "orders (%13 re-priced, %19 cloned as inserts, %17 flagged "
+    "delete), applied by union + ONE keyed window (batch row wins per "
+    "key), digested to exact integer sums. The oracle applies the same "
+    "batch with a FULL OUTER join — the two formulations must agree "
+    "exactly, proving update-wins, insert, delete, and pass-through "
+    "paths all at once. Idempotent and replayable: no mutable store, "
+    "same single merge-key shuffle a transactional MERGE would pay.",
+)
+def wh_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.warehouse import merge_upsert
+
+    orders = table(spark, sf_dir, "orders")
+    t = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    u = (
+        t.filter((F.col("k") % 13 == 0) & (F.col("k") % 17 != 0))
+        .select("k", (F.col("cents") + 1000).alias("cents"), F.lit("MERGED").alias("prio"), F.lit(False).alias("is_del"))
+        .unionAll(
+            t.filter(F.col("k") % 19 == 0).select(
+                (F.col("k") + 100000000).alias("k"), "cents", F.lit("INSERTED").alias("prio"), F.lit(False).alias("is_del")
+            )
+        )
+        .unionAll(
+            t.filter(F.col("k") % 17 == 0).select("k", "cents", "prio", F.lit(True).alias("is_del"))
+        )
+    )
+    merged = merge_upsert(t, u, keys=["k"], delete_col="is_del")
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").alias("key_sum"),
+        F.sum("cents").alias("cents_sum"),
+        F.count(F.when(F.col("prio") == "MERGED", 1)).alias("n_updated"),
+        F.count(F.when(F.col("prio") == "INSERTED", 1)).alias("n_inserted"),
+    )
+
+
+@register(
     "star_one_big_table",
     oracle="""
         WITH dim_date AS (

@@ -852,3 +852,31 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     plan = buf.getvalue()
     read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schemas and all("tag" not in l for l in read_schemas)
+
+
+def test_merge_upsert_semantics(spark):
+    """Batch MERGE apply: per key the batch wins, flagged keys delete, new
+    keys insert, untouched keys pass through — on a hand-checkable frame."""
+    from bigdata_etl_elt_dashboard_spark.operators.warehouse import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, x long"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99, False), (3, "c", 30, True), (4, "d", 40, False)],
+        "k long, v string, x long, is_del boolean",
+    )
+    out = {
+        r["k"]: (r["v"], r["x"])
+        for r in merge_upsert(target, updates, ["k"], delete_col="is_del").collect()
+    }
+    assert out == {1: ("a", 10), 2: ("B", 99), 4: ("d", 40)}  # 3 deleted
+
+    # without a delete column: pure upsert
+    out2 = {
+        r["k"]: r["v"]
+        for r in merge_upsert(
+            target, updates.drop("is_del"), ["k"]
+        ).collect()
+    }
+    assert out2 == {1: "a", 2: "B", 3: "c", 4: "d"}
