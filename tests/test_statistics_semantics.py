@@ -1,0 +1,188 @@
+"""Semantic audit of the statistics family: recompute each statistic from
+the raw parquet with INDEPENDENT textbook numpy formulations and compare.
+
+The DuckDB differential gate proves Spark and the oracle agree; it cannot
+catch a bug BOTH sides share (round-2 advice found two: the p-chart's extra
+total-count factor and CUSUM's missing S_0). These tests close that class:
+a third, structurally different implementation must agree too."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+
+
+def _r(x: float) -> int:
+    """SQL ROUND (half away from zero) — Python's round() is banker's and
+    diverges on exact .5 values, which accumulates across day sums."""
+    return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+
+def _rows(spark, sf, name):
+    return REGISTRY[name].fn(spark, sf).collect()
+
+
+def _col(sf, tbl, col):
+    return pq.read_table(f"{sf}/{tbl}.parquet", columns=[col])[col].to_pylist()
+
+
+def _cols(sf, tbl, cols):
+    t = pq.read_table(f"{sf}/{tbl}.parquet", columns=cols)
+    return list(zip(*[t[c].to_pylist() for c in cols]))
+
+
+def test_welch_t_matches_textbook(spark, sf_smoke):
+    xs = {"O": [], "F": []}
+    for st, x in _cols(sf_smoke, "orders", ["o_orderstatus", "o_totalprice"]):
+        if st in xs:
+            xs[st].append(_r(x))
+    a, b = np.array(xs["O"], float), np.array(xs["F"], float)
+    ref = (a.mean() - b.mean()) / math.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    got = _rows(spark, sf_smoke, "stat_welch_t_price_by_status")[0]["t_stat"]
+    assert abs(got - ref) < 1e-9
+
+
+def test_mannwhitney_matches_textbook(spark, sf_smoke):
+    data = [
+        (st, _r(x * 100))
+        for st, x in _cols(sf_smoke, "orders", ["o_orderstatus", "o_totalprice"])
+        if st in ("O", "F")
+    ]
+    vals = np.array([v for _, v in data], float)
+    grp = np.array([s for s, _ in data])
+    order = np.argsort(vals, kind="mergesort")
+    sv = vals[order]
+    r = np.empty(len(sv))
+    i = 0
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        r[i : j + 1] = (i + j) / 2 + 1
+        i = j + 1
+    ranks = np.empty(len(vals))
+    ranks[order] = r
+    n1, n2 = (grp == "O").sum(), (grp == "F").sum()
+    u1 = ranks[grp == "O"].sum() - n1 * (n1 + 1) / 2
+    _, counts = np.unique(vals, return_counts=True)
+    ties = (counts.astype(float) ** 3 - counts).sum()
+    N = n1 + n2
+    var = n1 * n2 / 12 * ((N + 1) - ties / (N * (N - 1)))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(var)
+    got = _rows(spark, sf_smoke, "stat_mannwhitney_price_by_status")[0]
+    assert got["u1"] == pytest.approx(u1, abs=1e-6)
+    assert got["z"] == pytest.approx(z, abs=1e-9)
+
+
+def test_ks_matches_textbook(spark, sf_smoke):
+    data = [
+        (st, _r(x * 100))
+        for st, x in _cols(sf_smoke, "orders", ["o_orderstatus", "o_totalprice"])
+        if st in ("O", "F")
+    ]
+    a = np.sort([v for s, v in data if s == "O"])
+    b = np.sort([v for s, v in data if s == "F"])
+    grid = np.unique(np.concatenate([a, b]))
+    ref = np.abs(
+        np.searchsorted(a, grid, side="right") / len(a)
+        - np.searchsorted(b, grid, side="right") / len(b)
+    ).max()
+    got = _rows(spark, sf_smoke, "stat_ks_price_by_status")[0]["ks_d"]
+    assert got == pytest.approx(ref, abs=1e-12)
+
+
+def test_gini_matches_textbook(spark, sf_smoke):
+    per = collections.Counter(_col(sf_smoke, "events", "user_id"))
+    x = np.sort(np.array(list(per.values()), float))
+    n, i = len(x), np.arange(1, len(x) + 1)
+    ref = (2 * (i * x).sum() - (n + 1) * x.sum()) / (n * x.sum())
+    got = _rows(spark, sf_smoke, "stat_gini_user_activity")[0]["gini"]
+    assert got == pytest.approx(ref, abs=1e-12)
+
+
+def test_cusum_matches_recursion(spark, sf_smoke):
+    """The closed form S_t − min_{0≤i≤t} S_i must equal the textbook
+    recursion C_t = max(0, C_{t−1} + (x_t − mean)) — the round-2 advice
+    bug (S_0 missing from the running min) breaks exactly this."""
+    daily = collections.defaultdict(int)
+    for d, x in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        daily[str(d)[:10]] += _r(x)
+    xs = np.array([v for _, v in sorted(daily.items())], float)
+    mu = xs.mean()
+    c, ref = 0.0, []
+    for x in xs:
+        c = max(0.0, c + (x - mu))
+        ref.append(c)
+    got = [r["cusum_units"] for r in _rows(spark, sf_smoke, "stat_cusum_daily_revenue")]
+    assert len(got) == len(ref)
+    assert max(abs(a - b) for a, b in zip(ref, got)) < 1e-6
+
+
+def test_pchart_flags_match_3sigma(spark, sf_smoke):
+    """Every day's out_of_control flag must equal the plain (un-cleared)
+    3σ binomial test — the round-2 advice bug (extra factor N) made the
+    limits ~√N too wide, flags always false."""
+    per = collections.defaultdict(lambda: [0, 0])
+    for ts, et in _cols(sf_smoke, "events", ["ts", "event_type"]):
+        d = str(ts)[:10]
+        per[d][0] += 1
+        per[d][1] += et == "error"
+    N = sum(n for n, _ in per.values())
+    E = sum(e for _, e in per.values())
+    pbar = E / N
+    got = {
+        str(r["d"]): r["out_of_control"]
+        for r in _rows(spark, sf_smoke, "ev_error_rate_pchart")
+    }
+    assert len(got) == len(per)
+    for d, (n, e) in per.items():
+        ref = abs(e / n - pbar) > 3 * math.sqrt(pbar * (1 - pbar) / n)
+        assert got[d] == ref, (d, e, n)
+    # the audit is only meaningful if 3-sigma excursions can exist at all:
+    # at least assert the flag column is boolean and present for every day
+    assert all(isinstance(v, bool) for v in got.values())
+
+
+def test_autocorr_matches_numpy(spark, sf_smoke):
+    import datetime as dt
+
+    daily = collections.defaultdict(int)
+    for d, x in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        daily[d.date() if isinstance(d, dt.datetime) else d] += _r(x)
+    pairs = [
+        (float(daily[d]), float(daily[d + dt.timedelta(days=1)]))
+        for d in daily
+        if d + dt.timedelta(days=1) in daily
+    ]
+    xa = np.array([a for a, _ in pairs])
+    ya = np.array([b for _, b in pairs])
+    ref = np.corrcoef(xa, ya)[0, 1]
+    got = _rows(spark, sf_smoke, "stat_autocorr_daily_revenue")[0]["lag1_autocorr"]
+    assert got == pytest.approx(ref, abs=1e-9)
+
+
+def test_entropy_within_quantization(spark, sf_smoke):
+    per = collections.Counter(
+        _cols(sf_smoke, "events", ["user_id", "event_type"])
+    )
+    by_user = collections.defaultdict(list)
+    for (u, _t), n in per.items():
+        by_user[u].append(n)
+    got = {
+        r["user_id"]: r["entropy_bits"]
+        for r in _rows(spark, sf_smoke, "ev_user_behavior_entropy")
+    }
+    for u, cs in by_user.items():
+        p = np.array(cs, float)
+        p /= p.sum()
+        ref = -(p * np.log2(p)).sum()
+        # micro-bit quantization bound: |err| <= n_types/1e6-ish
+        assert abs(got[u] - ref) < 1e-4, u
