@@ -4354,3 +4354,74 @@ def docs_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "ev_top_session_paths",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                             >= INTERVAL '10 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM seq
+        ),
+        paths AS (
+            SELECT array_to_string(
+                       (list(event_type ORDER BY ts, event_id))[1:3], '>'
+                   ) AS path
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT path, COUNT(*) AS n_sessions,
+               CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path)
+                    AS INTEGER) AS "rank"
+        FROM paths GROUP BY path
+        QUALIFY "rank" <= 10
+        ORDER BY "rank"
+    """,
+    doc="Top-10 session OPENING PATHS: each session's first three event "
+    "types joined into a path string, counted across all sessions — the "
+    "funnel-DISCOVERY readout (ev_funnel_conversion measures a KNOWN "
+    "path; this surfaces which paths actually happen, feeding "
+    "stat_markov_transitions' chain model). Sessionization is the "
+    "native session_window (one user_id shuffle); the per-session "
+    "ordered prefix comes from array_sort over collect_list of "
+    "(ts, event_id, type) structs — deterministic total order via the "
+    "unique event_id tiebreak, and BOUNDED state per session (struct "
+    "list capped by session length; the slice-3 happens before the "
+    "path groupBy, so the path key space stays |event_types|^3). "
+    "Second rollup is path-keyed with map-side combine; top-10 via "
+    "rank window over <=216 path keys. Oracle rebuilds sessions via "
+    "the lag-gap form and DuckDB's ordered list aggregation.",
+)
+def ev_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window("ts", "10 minutes").alias("w"), F.col("user_id")
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    paths = sess.select(
+        F.concat_ws(
+            ">",
+            F.transform(F.slice(F.col("evs"), 1, 3), lambda s: s["event_type"]),
+        ).alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    w = Window.orderBy(F.desc("n_sessions"), "path")
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )

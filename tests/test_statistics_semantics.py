@@ -186,3 +186,66 @@ def test_entropy_within_quantization(spark, sf_smoke):
         ref = -(p * np.log2(p)).sum()
         # micro-bit quantization bound: |err| <= n_types/1e6-ish
         assert abs(got[u] - ref) < 1e-4, u
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_smoke):
+    """graph_copurchase_triangles' oriented wedge-close count must equal a
+    brute-force set-intersection triangle count over the same edge list."""
+    li = {
+        (o, p)
+        for o, p in _cols(sf_smoke, "lineitem", ["l_orderkey", "l_partkey"])
+    }
+    baskets = collections.defaultdict(set)
+    for o, p in li:
+        baskets[o].add(p)
+    edges = set()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = sum(
+        len(adj[a] & adj[b]) for a, b in edges
+    ) // 3  # each triangle counted once per edge
+    deg = {n: len(v) for n, v in adj.items()}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    got = _rows(spark, sf_smoke, "graph_copurchase_triangles")[0]
+    assert got["n_edges"] == len(edges)
+    assert got["n_nodes"] == len(adj)
+    assert got["n_wedges"] == wedges
+    assert got["n_triangles"] == tri
+
+
+def test_jsd_matches_numpy(spark, sf_smoke):
+    """text_jsd_source_drift's micro-bit integer algebra must land on the
+    float Jensen-Shannon divergence within quantization error."""
+    from bigdata_etl_elt_dashboard_spark.plans.extensions import (
+        _DRIFT_SRC_A,
+        _DRIFT_SRC_B,
+    )
+
+    cnt_a: collections.Counter = collections.Counter()
+    cnt_b: collections.Counter = collections.Counter()
+    for src, text in _cols(sf_smoke, "documents", ["source", "text"]):
+        if src not in (_DRIFT_SRC_A, _DRIFT_SRC_B) or not text.strip():
+            continue
+        toks = [t for t in text.strip().lower().split() if t]
+        (cnt_a if src == _DRIFT_SRC_A else cnt_b).update(toks)
+    ta, tb = sum(cnt_a.values()), sum(cnt_b.values())
+    vocab = set(cnt_a) | set(cnt_b)
+    jsd = 0.0
+    for w in vocab:
+        p = cnt_a.get(w, 0) / ta
+        q = cnt_b.get(w, 0) / tb
+        m = (p + q) / 2
+        if p:
+            jsd += p * math.log2(p / m) / 2
+        if q:
+            jsd += q * math.log2(q / m) / 2
+    got = _rows(spark, sf_smoke, "text_jsd_source_drift")[0]
+    assert got["tot_a"] == ta and got["tot_b"] == tb
+    assert abs(got["jsd_bits"] - jsd) < 1e-4
