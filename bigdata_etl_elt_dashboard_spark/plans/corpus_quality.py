@@ -1195,3 +1195,140 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: subspace-coded embedding compression
+# ---------------------------------------------------------------------------
+
+_PQ_SUBS = 8  # subspaces (64 dims -> 8 sub-vectors of 8)
+_PQ_SUBDIM = _EMB_DIM // _PQ_SUBS
+_PQ_K = 16  # codes per subspace (4-bit codes)
+
+
+@register(
+    "emb_pq_encode_stats",
+    oracle=f"""
+        WITH pts AS (
+            SELECT vec_id,
+                   (CAST(t.i AS INTEGER) - 1) // {_PQ_SUBDIM} AS sub,
+                   (CAST(t.i AS INTEGER) - 1) % {_PQ_SUBDIM} AS pos,
+                   CAST(ROUND(CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)
+                              * 1000000) AS BIGINT) AS xi
+            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        ),
+        cent AS (
+            SELECT vec_id AS code, sub, pos, xi AS mi
+            FROM pts WHERE vec_id < {_PQ_K}
+        ),
+        d AS (
+            SELECT p.vec_id, p.sub, c.code,
+                   SUM((p.xi - c.mi) * (p.xi - c.mi)) AS d2
+            FROM pts p JOIN cent c ON p.sub = c.sub AND p.pos = c.pos
+            GROUP BY 1, 2, 3
+        ),
+        assign AS (
+            SELECT vec_id, sub, code, d2
+            FROM d
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d2, code) = 1
+        )
+        SELECT sub, code,
+               COUNT(*) AS n_vecs,
+               CAST(SUM(d2) AS BIGINT) AS inertia,
+               CAST(SUM(d2) AS DOUBLE)
+                   / (COUNT(*) * {_PQ_SUBDIM} * 1000000.0 * 1000000.0)
+                   AS mse_per_dim
+        FROM assign
+        GROUP BY sub, code
+        ORDER BY sub, code
+    """,
+    doc=f"Product quantization encode: each embedding splits into "
+    f"{_PQ_SUBS} sub-vectors of {_PQ_SUBDIM} dims, each assigned to the "
+    f"nearest of {_PQ_K} codebook entries (4-bit codes — a 64-float "
+    "vector compresses to 8 nibbles, the memory layout behind "
+    "FAISS-style IVF-PQ search; see sim_ivf_topk for the coarse stage). "
+    "Codebooks are the first 16 vectors' sub-vectors (deterministic "
+    "sampled init — the sim_kmeans_lloyd1 idiom; a Lloyd refinement "
+    "reuses that query's M-step machinery). Emits the per-(subspace, "
+    "code) histogram + exact integer inertia + per-dim reconstruction "
+    "MSE — the codebook-balance/recall-loss readout that decides "
+    "whether PQ is safe for the corpus. Exactness: micro-unit integer "
+    "coordinates make every distance, argmin, and tie-break "
+    "(lowest code id) an exact integer, so the encode hash-matches "
+    "across engines. Scale shape: the codebook is a bounded broadcast "
+    f"({_PQ_K}×{_EMB_DIM} values as literal arrays); assignment is a "
+    "per-row HOF argmin — the corpus never joins or explodes; ONE "
+    "shuffle onto the fixed 8×16 key space, map-side combined.",
+)
+def emb_pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    xi_arr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+    )
+    fixed = emb.select("vec_id", xi_arr.alias("xi"))
+
+    init_rows = fixed.filter(F.col("vec_id") < _PQ_K).collect()
+    # codebook[sub][code] = list of _PQ_SUBDIM ints (bounded driver state)
+    books: list[list[list[int]]] = [
+        [None] * _PQ_K for _ in range(_PQ_SUBS)  # type: ignore[list-item]
+    ]
+    for r in init_rows:
+        code = int(r["vec_id"])
+        xs = list(r["xi"])
+        for s in range(_PQ_SUBS):
+            books[s][code] = xs[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
+
+    def best(sub: int):
+        """struct(d2, code) of the nearest codebook entry for subspace sub."""
+        subvec = F.slice(F.col("xi"), sub * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        cands = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        subvec,
+                        F.array(*[F.lit(int(m)) for m in books[sub][code]]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("d2"),
+                F.lit(code).alias("code"),
+            )
+            for code in range(_PQ_K)
+        ]
+        return F.array_sort(F.array(*cands))[0]
+
+    encoded = fixed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        best(s)["code"].alias("code"),
+                        best(s)["d2"].alias("d2"),
+                    )
+                    for s in range(_PQ_SUBS)
+                ]
+            )
+        ).alias("e")
+    ).select("e.sub", "e.code", "e.d2")
+    return (
+        encoded.groupBy("sub", "code")
+        .agg(F.count("*").alias("n_vecs"), F.sum("d2").alias("inertia"))
+        .select(
+            "sub",
+            "code",
+            "n_vecs",
+            "inertia",
+            (
+                F.col("inertia").cast("double")
+                / (
+                    F.col("n_vecs")
+                    * F.lit(float(_PQ_SUBDIM) * 1_000_000.0 * 1_000_000.0)
+                )
+            ).alias("mse_per_dim"),
+        )
+        .orderBy("sub", "code")
+    )
