@@ -211,3 +211,59 @@ def src_jsonl_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("lang")).alias("n_langs"),
         F.count_distinct(F.col("source")).alias("n_sources"),
     )
+
+
+@register(
+    "src_orc_roundtrip_digest",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS price_cents_sum,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+               CAST(SUM(('0x' || substr(md5(l_returnflag || '|' || l_linestatus),
+                                        1, 10))::BIGINT) AS BIGINT)
+                   AS flag_hash_sum,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers
+        FROM lineitem
+    """,
+    doc="ORC roundtrip driver gate — the Hive-era columnar interchange "
+    "format: lineitem parquet → ORC sink → ORC scan "
+    "(sources/readers.read_orc: same pushdown/pruning/vectorized decode "
+    "surface as parquet, so a legacy ORC lake migrates with no query "
+    "changes) → one-pass digest vs the same digest on the original "
+    "parquet. Uses the widest fact table so the roundtrip stresses "
+    "doubles, longs, and strings at volume. DuckDB cannot read ORC — "
+    "irrelevant by construction: the oracle digests the ORIGINAL "
+    "parquet, so a green row still proves the ORC write+read is "
+    "lossless.",
+)
+def src_orc_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _gate_dir(sf_dir, "lineitem_orc")
+    li = table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").orc(path)
+    back = readers.read_orc(spark, path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_orderkey").alias("key_sum"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents_sum"
+        ),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"),
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("l_returnflag"), F.col("l_linestatus")
+                        )
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias("flag_hash_sum"),
+        F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),
+    )
