@@ -4425,3 +4425,95 @@ def ev_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .orderBy("rank")
     )
+
+
+@register(
+    "dedup_lsh_precision_recall",
+    oracle=f"""
+        WITH sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT doc_a, doc_b
+            FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+        ),
+        sig AS (
+            SELECT doc_id, {{MINHASH}}
+            FROM (SELECT doc_id, {_HBASE_SQL} AS hsh FROM sh)
+            GROUP BY doc_id
+        ),
+        banded AS ({{BANDED}}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a
+            JOIN banded b ON a.band_idx = b.band_idx
+                         AND a.band_sig = b.band_sig
+                         AND a.doc_id < b.doc_id
+        ),
+        j AS (
+            SELECT COALESCE(c.doc_a, t.doc_a) AS doc_a,
+                   CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_cand,
+                   CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth
+            FROM cand c
+            FULL OUTER JOIN truth t
+              ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+        )
+        SELECT CAST(SUM(in_truth) AS BIGINT) AS n_truth,
+               CAST(SUM(in_cand) AS BIGINT) AS n_candidates,
+               CAST(SUM(in_cand * in_truth) AS BIGINT) AS tp,
+               CAST(SUM(in_cand * (1 - in_truth)) AS BIGINT) AS fp,
+               CAST(SUM((1 - in_cand) * in_truth) AS BIGINT) AS fn,
+               CAST(SUM(in_cand * in_truth) AS DOUBLE)
+                   / CAST(NULLIF(SUM(in_cand), 0) AS DOUBLE) AS precision,
+               CAST(SUM(in_cand * in_truth) AS DOUBLE)
+                   / CAST(NULLIF(SUM(in_truth), 0) AS DOUBLE) AS recall
+        FROM j
+    """.replace("{MINHASH}", _MINHASH_AGGS_SQL).replace("{BANDED}", _BANDED_SQL),
+    doc="LSH candidate-quality report: precision and recall of the "
+    "MinHash-band candidate pairs against the EXACT Jaccard>=0.5 ground "
+    "truth — the tuning readout that closes the dedup observability "
+    "loop (dedup_lsh_scurve_validation predicts the collision curve "
+    "THEORETICALLY; this measures the realized candidate quality on "
+    "the corpus, the number that decides bands-vs-rows retuning). "
+    "Ground truth comes from the shingle inverted-index join (pairs "
+    "sharing zero shingles have J=0 and can only appear as candidate "
+    "FALSE POSITIVES via band-hash collisions — the full-outer join "
+    "scores them correctly). Both pair sets are blocked joins (shingle "
+    "keys / band keys) — never all-pairs — and the comparison is one "
+    "more keyed join + a 1-row reduce; every count is exact, the two "
+    "ratios are NULLIF-guarded single divisions.",
+)
+def dedup_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    truth = D.jaccard_pairs(docs, min_jaccard=0.5).select("doc_a", "doc_b")
+    cand = D.lsh_candidate_pairs(docs, num_hashes=_NUM_HASHES, bands=_BANDS).select(
+        "doc_a", "doc_b"
+    )
+    c = cand.withColumn("in_cand", F.lit(1))
+    t = truth.withColumn("in_truth", F.lit(1))
+    j = c.join(t, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("in_cand"), F.lit(0)).alias("in_cand"),
+        F.coalesce(F.col("in_truth"), F.lit(0)).alias("in_truth"),
+    )
+    return j.agg(
+        F.sum("in_truth").alias("n_truth"),
+        F.sum("in_cand").alias("n_candidates"),
+        F.sum(F.col("in_cand") * F.col("in_truth")).alias("tp"),
+        F.sum(F.col("in_cand") * (1 - F.col("in_truth"))).alias("fp"),
+        F.sum((1 - F.col("in_cand")) * F.col("in_truth")).alias("fn"),
+        (
+            F.sum(F.col("in_cand") * F.col("in_truth")).cast("double")
+            / F.nullif(F.sum("in_cand"), F.lit(0)).cast("double")
+        ).alias("precision"),
+        (
+            F.sum(F.col("in_cand") * F.col("in_truth")).cast("double")
+            / F.nullif(F.sum("in_truth"), F.lit(0)).cast("double")
+        ).alias("recall"),
+    )
