@@ -4517,3 +4517,94 @@ def dedup_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.sum("in_truth"), F.lit(0)).cast("double")
         ).alias("recall"),
     )
+
+
+@register(
+    "ev_cohort_ltv",
+    oracle="""
+        WITH first AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        rev AS (
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week,
+                                  date_trunc('week', e.ts)) / 7 AS INTEGER)
+                       AS weeks_since,
+                   SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS cents
+            FROM events e JOIN first f USING (user_id)
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        sized AS (
+            SELECT cohort_week, COUNT(*) AS cohort_users
+            FROM first GROUP BY cohort_week
+        )
+        SELECT strftime(r.cohort_week, '%Y-%m-%d') AS cohort_week,
+               r.weeks_since,
+               s.cohort_users,
+               CAST(SUM(r.cents) OVER (PARTITION BY r.cohort_week
+                                       ORDER BY r.weeks_since) AS BIGINT)
+                   AS cum_cents,
+               CAST(SUM(r.cents) OVER (PARTITION BY r.cohort_week
+                                       ORDER BY r.weeks_since) AS DOUBLE)
+                   / (100.0 * s.cohort_users) AS ltv_per_user
+        FROM rev r JOIN sized s ON r.cohort_week = s.cohort_week
+        ORDER BY cohort_week, weeks_since
+    """,
+    doc="Cohort LTV curves: cumulative purchase revenue per signup-week "
+    "cohort by weeks-since-signup, normalized per cohort member — the "
+    "lifetime-value readout that pairs with ev_cohort_retention's "
+    "activity matrix (retention says WHO comes back; this says what "
+    "the cohort is WORTH as it ages — the payback-period input). "
+    "Revenue quantizes to exact integer cents at the (cohort, week) "
+    "rollup, the cumulative window runs over the post-agg cohort×age "
+    "GRID (weeks² cells, never event rows — partitioned by cohort, so "
+    "no global window), and cohort sizes broadcast from the "
+    "|cohorts|-row rollup. One double division renders LTV per user.",
+)
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    sized = first.groupBy("cohort_week").agg(F.count("*").alias("cohort_users"))
+    w = Window.partitionBy("cohort_week").orderBy("weeks_since").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rev.join(F.broadcast(sized), "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "weeks_since",
+            "cohort_users",
+            F.sum("cents").over(w).alias("cum_cents"),
+        )
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "cohort_users",
+            "cum_cents",
+            (
+                F.col("cum_cents").cast("double")
+                / (F.lit(100.0) * F.col("cohort_users"))
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
