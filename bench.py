@@ -83,6 +83,15 @@ EXTENSION_SUITE = (
     "dedup_lsh_scurve_validation",
     "dedup_semdedup_prune",
     "docs_sequence_packing_sharded",
+    # round-3 operator additions: distributed ranking, hard negatives,
+    # integer PCA/PQ, the data card, MERGE apply, LSH quality report
+    "scale_global_rank_orders",
+    "sim_hard_negatives",
+    "emb_pca_project",
+    "emb_pq_encode_stats",
+    "docs_data_card",
+    "wh_merge_upsert_orders",
+    "dedup_lsh_precision_recall",
 )
 
 

@@ -1280,40 +1280,32 @@ def emb_pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(_PQ_SUBS):
             books[s][code] = xs[s * _PQ_SUBDIM : (s + 1) * _PQ_SUBDIM]
 
-    def best(sub: int):
-        """struct(d2, code) of the nearest codebook entry for subspace sub."""
-        subvec = F.slice(F.col("xi"), sub * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-        cands = [
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        subvec,
-                        F.array(*[F.lit(int(m)) for m in books[sub][code]]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                ).alias("d2"),
-                F.lit(code).alias("code"),
-            )
+    # The whole per-row encode is ONE SQL expression (a single py4j call +
+    # parse): building it from ~2000 Column objects cost ~8 s of driver-side
+    # py4j round-trips per plan (the sim_ann_lsh plan-time lesson, Python
+    # flavor). Per subspace: array_min over the 16 (d2, code) structs —
+    # struct ordering breaks distance ties on the LOWEST code, matching the
+    # oracle's (d2, code) ROW_NUMBER order.
+    def best_sql(sub: int) -> str:
+        book = ", ".join(
+            "array(" + ", ".join(f"{int(m)}L" for m in books[sub][code]) + ")"
             for code in range(_PQ_K)
-        ]
-        return F.array_sort(F.array(*cands))[0]
+        )
+        return (
+            f"array_min(transform(sequence(0, {_PQ_K - 1}), c -> named_struct("
+            f"'d2', aggregate(zip_with(slice(xi, {sub * _PQ_SUBDIM + 1}, "
+            f"{_PQ_SUBDIM}), element_at(array({book}), c + 1), "
+            f"(a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v), "
+            f"'code', CAST(c AS INT))))"
+        )
 
-    encoded = fixed.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("sub"),
-                        best(s)["code"].alias("code"),
-                        best(s)["d2"].alias("d2"),
-                    )
-                    for s in range(_PQ_SUBS)
-                ]
-            )
-        ).alias("e")
-    ).select("e.sub", "e.code", "e.d2")
+    encode_sql = "explode(array(" + ", ".join(
+        f"named_struct('sub', {s}, 'best', {best_sql(s)})"
+        for s in range(_PQ_SUBS)
+    ) + "))"
+    encoded = fixed.select(F.expr(encode_sql).alias("e")).select(
+        "e.sub", F.col("e.best.code").alias("code"), F.col("e.best.d2").alias("d2")
+    )
     return (
         encoded.groupBy("sub", "code")
         .agg(F.count("*").alias("n_vecs"), F.sum("d2").alias("inertia"))
