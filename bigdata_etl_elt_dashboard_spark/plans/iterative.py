@@ -38,23 +38,19 @@ def _to_fixed(arr: Column) -> Column:
 
 def _best_assign(cents: dict[int, list[int]]) -> Column:
     """struct(d2, lbl) of the nearest centroid (literal-array distances,
-    tie-break on centroid id via array_sort's struct ordering)."""
-    dists = [
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col("xi_arr"),
-                    F.array(*[F.lit(m) for m in mis]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("d2"),
-            F.lit(lbl).alias("lbl"),
-        )
+    tie-break on centroid id via array_min's struct ordering).
+
+    Built as ONE SQL expression string: composing it from k*dim Column
+    objects costs seconds of driver-side py4j round-trips per plan (the
+    emb_pq_encode_stats plan-time lesson)."""
+    structs = ", ".join(
+        "named_struct('d2', aggregate(zip_with(xi_arr, array("
+        + ", ".join(f"{int(m)}L" for m in mis)
+        + "), (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v), "
+        f"'lbl', {int(lbl)})"
         for lbl, mis in sorted(cents.items())
-    ]
-    return F.array_sort(F.array(*dists))[0]
+    )
+    return F.expr(f"array_min(array({structs}))")
 
 
 @register(
