@@ -157,15 +157,23 @@ def near_dup_pairs(
     Each vector lands in one of ``n_blocks`` hash blocks; the left replica
     carries keys (own_block, j ≥ own_block), the right replica (i ≤
     own_block, own_block), so every unordered block pair meets on exactly
-    one (i, j) key. That keeps the join a ShuffledHashJoin whose pair
-    stream runs INSIDE whole-stage codegen — the BroadcastNestedLoopJoin
-    alternative compiles the whole pair-projection into one oversized
-    method that Janino rejects, so it runs interpreted, ~50× slower.
-    Block-pair keys are near-uniform by construction (hash
+    one (i, j) key. Block-pair keys are near-uniform by construction (hash
     blocks), so the n² work spreads evenly across B(B+1)/2 tasks; at
     100 TB grow ``n_blocks`` with the cluster. Cosine is exactly
     symmetric (commutative products, same summation order), so emitting
-    least/greatest ids preserves the oracle's a < b orientation."""
+    least/greatest ids preserves the oracle's a < b orientation.
+
+    Kernel form (round-3 measurement, Spark 4.1): the dot/norm here use
+    the HIGHER-ORDER ``aggregate`` form, NOT the unrolled 64-term chain —
+    the giant unrolled expression trips codegen fallback (the projection
+    drops out of WholeStageCodegen and evaluates the ~600-node tree
+    interpreted PER PAIR), measured 10× slower on the 2M-pair stream
+    (19.7 s vs 2.0 s warm at sf0.1) plus ~20 s of failed-compile stall on
+    first run. ArrayAggregate's tight loop wins on wide vectors in the
+    quadratic kernel; both forms sum in identical sequential order, so
+    the oracle hash is unchanged. The unrolled form remains right for the
+    BOUNDED kernels (query-broadcast top-k), where the pair stream is
+    small and the expression stays inside one codegen span."""
     n_blocks = 16
     keys = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
 
@@ -177,7 +185,7 @@ def near_dup_pairs(
                 _as_double(F.col(vec_col)).alias(vec_alias),
                 F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
             )
-            .withColumn(norm_alias, norm(F.col(vec_alias), EMBEDDING_DIM))
+            .withColumn(norm_alias, norm(F.col(vec_alias)))  # HOF: see kernel-form note
             .withColumn("_k", F.explode(key_exprs))
             .select(
                 id_alias, vec_alias, norm_alias, "_blk",
@@ -206,7 +214,7 @@ def near_dup_pairs(
             F.least("doc_a", "doc_b").alias("doc_a"),
             F.greatest("doc_a", "doc_b").alias("doc_b"),
             F.round(
-                dot(F.col("_va"), F.col("_vb"), EMBEDDING_DIM)
+                dot(F.col("_va"), F.col("_vb"))  # HOF: see kernel-form note
                 / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
                 6,
             ).alias("cosine_sim"),
