@@ -249,3 +249,58 @@ def test_jsd_matches_numpy(spark, sf_smoke):
     got = _rows(spark, sf_smoke, "text_jsd_source_drift")[0]
     assert got["tot_a"] == ta and got["tot_b"] == tb
     assert abs(got["jsd_bits"] - jsd) < 1e-4
+
+
+def _toks(text: str) -> list[str]:
+    return [w for w in text.strip().lower().split() if w] if text.strip() else []
+
+
+def test_unigram_surprisal_matches_textbook(spark, sf_smoke):
+    """CCNet-style mean token surprisal under the corpus' own unigram LM:
+    the micro-bit integer algebra must land on the float -log2 p mean."""
+    rows_ = _cols(sf_smoke, "documents", ["doc_id", "text"])
+    cnt: collections.Counter = collections.Counter()
+    for _, text in rows_:
+        cnt.update(_toks(text))
+    N = sum(cnt.values())
+    got = {r["doc_id"]: r["mean_bits"] for r in _rows(spark, sf_smoke, "text_unigram_logprob")}
+    worst = 0.0
+    for did, text in rows_:
+        ts = _toks(text)
+        if not ts or did not in got:
+            continue
+        ref = sum(math.log2(N) - math.log2(cnt[w]) for w in ts) / len(ts)
+        worst = max(worst, abs(ref - got[did]))
+    assert worst < 1e-4, worst
+
+
+def test_gopher_filter_matches_reimplementation(spark, sf_smoke):
+    """The Gopher keep/drop rules recomputed in plain Python per doc must
+    yield the identical per-source keep counts."""
+    from bigdata_etl_elt_dashboard_spark.plans.corpus_quality import (
+        _MAX_DUP_BIGRAM_RATIO,
+        _MAX_DUP_TOKEN_RATIO,
+        _MAX_TOKENS,
+        _MAX_TOP_TOKEN_RATIO,
+        _MIN_TOKENS,
+    )
+
+    per = collections.defaultdict(lambda: [0, 0])
+    for src, text in _cols(sf_smoke, "documents", ["source", "text"]):
+        ts = _toks(text)
+        n, nd = len(ts), len(set(ts))
+        bg = list(zip(ts, ts[1:]))
+        keep = bool(ts) and (
+            _MIN_TOKENS <= n <= _MAX_TOKENS
+            and (n - nd) / n <= _MAX_DUP_TOKEN_RATIO
+            and max(collections.Counter(ts).values()) / n <= _MAX_TOP_TOKEN_RATIO
+            and ((len(bg) - len(set(bg))) / len(bg) if bg else 0.0)
+            <= _MAX_DUP_BIGRAM_RATIO
+        )
+        per[src][0] += 1
+        per[src][1] += keep
+    got = {
+        r["source"]: (r["n_docs"], r["n_kept"])
+        for r in _rows(spark, sf_smoke, "docs_gopher_quality_filter")
+    }
+    assert {s: tuple(v) for s, v in per.items()} == got
