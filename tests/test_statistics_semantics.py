@@ -304,3 +304,34 @@ def test_gopher_filter_matches_reimplementation(spark, sf_smoke):
         for r in _rows(spark, sf_smoke, "docs_gopher_quality_filter")
     }
     assert {s: tuple(v) for s, v in per.items()} == got
+
+
+def test_jaccard_pairs_match_bruteforce(spark, sf_smoke):
+    """dedup_jaccard_pairs' inverted-index join vs brute-force all-pairs
+    Jaccard over 3-word shingle sets recomputed in plain Python."""
+    docs = _cols(sf_smoke, "documents", ["doc_id", "text"])
+
+    def shingle_set(text: str) -> set:
+        ts = _toks(text)
+        if not ts:
+            return set()
+        if len(ts) < 3:
+            return {" ".join(ts)}
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    sets = {did: shingle_set(text) for did, text in docs}
+    ids = sorted(sets)
+    ref = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / len(sa | sb) >= 0.5:
+                ref[(a, b)] = round(inter / len(sa | sb), 6)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in _rows(spark, sf_smoke, "dedup_jaccard_pairs")
+    }
+    assert got == pytest.approx(ref)
