@@ -34,14 +34,20 @@ EMBEDDING_DIM = 64
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Σ aᵢ·bᵢ, sequential array-order summation — deterministic and
-    oracle-reproducible.
+    oracle-reproducible; both forms sum in identical left-associative
+    order (0.0 + t is exact), so they hash-match each other.
 
-    With ``dim`` known, the sum is UNROLLED into a flat left-associative
-    expression chain (a[0]·b[0] + a[1]·b[1] + …): bit-identical to the
-    higher-order ``aggregate`` form (0.0 + t is exact), but whole-stage
-    codegen compiles it — Spark interprets lambda-bearing higher-order
-    functions per element, which is ~30× slower in quadratic kernels.
-    Requires every array to actually have ``dim`` elements."""
+    With ``dim`` given, the sum is UNROLLED into a flat expression chain
+    (a[0]·b[0] + a[1]·b[1] + …). WHICH FORM IS FASTER DEPENDS ON THE
+    CONSUMER (round-3 measurement): in small/bounded projections the
+    unrolled chain compiles into one whole-stage-codegen span and wins;
+    in a WIDE pair-join projection the oversized generated method trips
+    codegen FALLBACK and the ~600-node tree evaluates interpreted per
+    pair — 10× slower than the higher-order ``aggregate`` form, whose
+    ArrayAggregate loop is compact and JIT-friendly. Use dim=None (HOF)
+    for quadratic/pair-stream kernels (see near_dup_pairs), dim=N for
+    bounded query-broadcast kernels. Requires every array to actually
+    have ``dim`` elements when unrolled."""
     if dim is not None:
         expr = a[0] * b[0]
         for i in range(1, dim):
