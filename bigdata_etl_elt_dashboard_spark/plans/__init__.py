@@ -71,7 +71,7 @@ from .registry import REGISTRY, register
 #   sim_hard_negatives, scale_global_rank_orders, emb_pca_project,
 #   src_jsonl_roundtrip_digest, docs_data_card, wh_merge_upsert_orders,
 #   ev_top_session_paths, emb_pq_encode_stats, src_orc_roundtrip_digest,
-#   dedup_lsh_precision_recall, ev_cohort_ltv
+#   dedup_lsh_precision_recall, ev_cohort_ltv, docs_bpe_train_merges
 #   (the 15 stat_*/dq_*/wh_* entries here carried the HUGEINT oracle bug —
 #   already cast + lint-guarded this round, so their r04 rows start green).
 # ---------------------------------------------------------------------------

@@ -431,3 +431,129 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pmi_bits"), "w1", "w2")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: the first K merges, end to end
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 3
+
+
+def _bpe_round_sql(win: str, pout: str, mout: str, wout: str) -> str:
+    """One BPE round: weighted adjacent-pair counts over the spaced-symbol
+    vocabulary, argmax merge (count desc, pair asc), merge application via
+    boundary-framed literal replace (left-to-right non-overlapping — the
+    greedy BPE application order, identical in Spark and DuckDB).
+    MATERIALIZED: each CTE is referenced more than once."""
+    return f"""
+        {pout} AS MATERIALIZED (
+            SELECT syms[i] AS l, syms[i + 1] AS r,
+                   CAST(SUM(wc) AS BIGINT) AS cnt
+            FROM (SELECT list_filter(string_split(sw, ' '), x -> x <> '')
+                      AS syms, wc FROM {win}),
+                 UNNEST(range(1, len(syms))) AS t(i)
+            GROUP BY 1, 2
+        ),
+        {mout} AS MATERIALIZED (
+            SELECT l, r, cnt FROM {pout} ORDER BY cnt DESC, l, r LIMIT 1
+        ),
+        {wout} AS MATERIALIZED (
+            SELECT replace({win}.sw, ' ' || {mout}.l || ' ' || {mout}.r || ' ',
+                           ' ' || {mout}.l || {mout}.r || ' ') AS sw, wc
+            FROM {win} CROSS JOIN {mout}
+        )"""
+
+
+@register(
+    "docs_bpe_train_merges",
+    oracle=r"""
+        WITH words AS MATERIALIZED (
+            SELECT w, COUNT(*) AS wc FROM (
+                SELECT UNNEST(regexp_split_to_array(lower(trim(text)), '\s+'))
+                    AS w
+                FROM documents WHERE trim(text) <> ''
+            ) WHERE w <> '' GROUP BY w
+        ),
+        w0 AS MATERIALIZED (
+            SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sw, wc
+            FROM words
+        ),
+        """
+    + ",".join(
+        _bpe_round_sql(f"w{i}", f"p{i + 1}", f"m{i + 1}", f"w{i + 1}")
+        for i in range(_BPE_MERGES)
+    )
+    + """
+        SELECT * FROM (
+            SELECT 1 AS merge_rank, l AS left_sym, r AS right_sym, cnt
+            FROM m1
+            UNION ALL SELECT 2, l, r, cnt FROM m2
+            UNION ALL SELECT 3, l, r, cnt FROM m3
+        ) ORDER BY merge_rank
+    """,
+    doc=f"BPE tokenizer TRAINING, first {_BPE_MERGES} merges end-to-end — "
+    "the full iterative loop behind subword vocabularies, not just the "
+    "first pair count (docs_bpe_pair_counts): each round counts "
+    "corpus-weighted adjacent symbol pairs over the DISTINCT-word "
+    "vocabulary, picks the argmax merge (count desc, pair asc — "
+    "deterministic), and APPLIES it by rewriting every word's "
+    "spaced-symbol form via boundary-framed literal replace — "
+    "left-to-right non-overlapping replacement is exactly greedy BPE "
+    "application and has identical semantics in Spark and DuckDB, so "
+    "all three merge decisions and counts hash-match. Scale shape "
+    "(the BPE trick): corpus-scale work is ONE token groupBy to build "
+    "the weighted vocab; every round then runs over |vocab| rows "
+    "(millions, not billions, at 100 TB) — a pair explode with "
+    "map-side combine onto the symbol-pair key space and a 1-row "
+    "argmax broadcast back. The chosen merge is the only driver-side "
+    "state (1 row/round — the centroid-collect idiom); the oracle "
+    "keeps even that in-SQL via MATERIALIZED CTE rounds.",
+)
+def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select(F.explode(X.tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    spaced = words.select(
+        F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("sw"),
+        "wc",
+    )
+
+    out_rows = []
+    cur = spaced
+    for rank in range(1, _BPE_MERGES + 1):
+        pairs = (
+            cur.select(
+                F.expr("filter(split(sw, ' '), x -> x != '')").alias("syms"), "wc"
+            )
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), "
+                        "i -> struct(syms[i] AS l, syms[i + 1] AS r))"
+                    )
+                ).alias("p"),
+                "wc",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()[0]
+        l, r, cnt = best["l"], best["r"], int(best["cnt"])
+        out_rows.append((rank, l, r, cnt))
+        cur = cur.select(
+            F.replace(
+                F.col("sw"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+            ).alias("sw"),
+            "wc",
+        )
+
+    return spark.createDataFrame(
+        out_rows, "merge_rank int, left_sym string, right_sym string, cnt long"
+    ).orderBy("merge_rank")
