@@ -72,7 +72,12 @@ def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 16
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    *,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """k min-hashes per doc: min over shingles of (a_i·h + b_i) mod P where
     h = the shingle's md5 prefix as an integer.
@@ -80,8 +85,13 @@ def minhash_signatures(
     ONE md5 per shingle + k integer multiply-adds (vs k md5s): the string
     hashing is the hot cost at corpus scale. One explode + one
     groupBy(doc_id) with k partial-aggregatable min()s — a single shuffle
-    regardless of k."""
-    sh = _doc_shingles(docs, text_col, n)
+    regardless of k.
+
+    ``shingles_df`` lets callers that ALSO need the shingle stream (the
+    dedup-calibration queries) pass a shared — typically localCheckpoint'ed
+    — (doc_id, sh) frame, so the corpus is scanned and shingled once
+    instead of once per derived frame."""
+    sh = shingles_df if shingles_df is not None else _doc_shingles(docs, text_col, n)
     h = F.pmod(
         F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long"), F.lit(MINHASH_P)
     )
@@ -99,15 +109,25 @@ def lsh_candidate_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    *,
+    signatures_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate pairs.
 
     Returns distinct (doc_a < doc_b) pairs. The join is keyed on
     (band_idx, band_sig) — bucket sizes are small for non-dup content, so
     the self-join stays near-linear; a hot bucket (boilerplate text) is
-    exactly the skew AQE's skew-join handling splits."""
+    exactly the skew AQE's skew-join handling splits.
+
+    ``signatures_df`` (doc_id, h0..h{k-1}) short-circuits the signature
+    build for callers that share it across frames (see
+    minhash_signatures.shingles_df)."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, n, num_hashes)
+    sigs = (
+        signatures_df
+        if signatures_df is not None
+        else minhash_signatures(docs, text_col, n, num_hashes)
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -141,13 +161,17 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.5,
+    *,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted-index join.
 
     explode(shingles) → self-join on shingle → count common shingles per
     (doc_a, doc_b) → |A∩B| / (|A| + |B| − |A∩B|). The join key is the
-    shingle, so only docs sharing content ever meet — no cross join."""
-    sh = _doc_shingles(docs, text_col, n)
+    shingle, so only docs sharing content ever meet — no cross join.
+    ``shingles_df``: share a precomputed (doc_id, sh) frame (see
+    minhash_signatures.shingles_df)."""
+    sh = shingles_df if shingles_df is not None else _doc_shingles(docs, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

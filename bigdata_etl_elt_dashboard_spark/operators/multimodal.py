@@ -172,6 +172,8 @@ def decode_png(content: bytes) -> DecodedImage:
     idat = bytearray()
     while pos + 8 <= len(content):
         (length,) = struct.unpack_from(">I", content, pos)
+        if pos + 12 + length > len(content):  # body+CRC must fit in bounds
+            raise ValueError("truncated PNG chunk")
         ctype = content[pos + 4 : pos + 8]
         data = content[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", content, pos + 8 + length)

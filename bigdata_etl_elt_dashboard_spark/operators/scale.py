@@ -84,21 +84,27 @@ def global_rank(
        that TINY frame (bounded by the partition count, not the data)
        yields each partition's global offset; a broadcast join adds it.
 
-    The counts branch re-reads the same range exchange — Spark's exchange
-    reuse (asserted by ``test_global_rank_reuses_range_exchange``) makes
-    both branches see the one materialized shuffle, so partition ids agree
-    by construction. Range-boundary sampling may split a run of EQUAL keys
-    across partitions, so pass a unique (key, tiebreaker) combination when
-    exact rank reproducibility matters — same contract as any deterministic
-    ORDER BY.
+    The repartitioned frame is ``localCheckpoint``'ed (eager) before either
+    branch reads it: partition ids are FROZEN in materialized data, so the
+    rank branch and the counts branch agree by construction — not by the
+    optimizer happening to reuse one exchange (exchange reuse is an
+    optimization, not a contract: ``spark.sql.exchange.reuse=false`` or a
+    planner change would otherwise re-sample range boundaries per branch
+    and silently corrupt ranks). The checkpoint's storage cost ≈ the
+    shuffle the operator already pays. Range-boundary sampling may split a
+    run of EQUAL keys across partitions, so pass a unique (key, tiebreaker)
+    combination when exact rank reproducibility matters — same contract as
+    any deterministic ORDER BY.
     """
     from pyspark.sql import Window
 
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     cols = [F.col(c) for c in order_cols]
-    rp = df.repartitionByRange(n, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    rp = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
     ranked = rp.withColumn("_rn", F.row_number().over(w))

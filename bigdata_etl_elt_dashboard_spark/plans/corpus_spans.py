@@ -136,13 +136,20 @@ def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(_spans(X.tokens(F.col("text")), _CONT_K)).alias("span")
-    ).distinct()
+    # sh feeds the DF-cap filter AND the capped rejoin; shk feeds sizes and
+    # both inverted-index sides — checkpoint both so the corpus is shingled
+    # once (the un-truncated plan had 8 scans / 23 exchanges at r03).
+    sh = (
+        docs.select(
+            "doc_id", F.explode(_spans(X.tokens(F.col("text")), _CONT_K)).alias("span")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     kept = sh.groupBy("span").agg(F.count("*").alias("_df")).filter(
         F.col("_df") <= _CONT_DF_CAP
     )
-    shk = sh.join(kept.select("span"), "span")
+    shk = sh.join(kept.select("span"), "span").localCheckpoint(eager=True)
     sz = shk.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shk.select(F.col("doc_id").alias("doc_a"), "span")
     b = shk.select(F.col("doc_id").alias("doc_b"), "span")
@@ -374,7 +381,9 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (Window used only for the bounded top-k cut below)
     base = docs.select("doc_id", X.tokens(F.col("text")).alias("toks"))
     tok = base.select(F.explode("toks").alias("tok"))
-    uni = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    # uni feeds n1 + both per-word joins: checkpoint the vocab-sized count
+    # table so the unigram pass runs once (was 3 of this query's 5 scans)
+    uni = tok.groupBy("tok").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
     bg = base.select(F.explode(X.bigram_list(F.col("toks"))).alias("bgram")).select(
         F.split(F.col("bgram"), " ").getItem(0).alias("w1"),
         F.split(F.col("bgram"), " ").getItem(1).alias("w2"),
@@ -437,14 +446,15 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BPE tokenizer training: the first K merges, end to end
 # ---------------------------------------------------------------------------
 
-_BPE_MERGES = 3
+_BPE_MERGES = 8
 
 
 def _bpe_round_sql(win: str, pout: str, mout: str, wout: str) -> str:
     """One BPE round: weighted adjacent-pair counts over the spaced-symbol
     vocabulary, argmax merge (count desc, pair asc), merge application via
-    boundary-framed literal replace (left-to-right non-overlapping — the
-    greedy BPE application order, identical in Spark and DuckDB).
+    boundary-framed literal replace (left-to-right non-overlapping —
+    boundary-sharing occurrences defer to later rounds; identical in Spark
+    and DuckDB, see the register() doc).
     MATERIALIZED: each CTE is referenced more than once."""
     return f"""
         {pout} AS MATERIALIZED (
@@ -484,31 +494,40 @@ def _bpe_round_sql(win: str, pout: str, mout: str, wout: str) -> str:
         _bpe_round_sql(f"w{i}", f"p{i + 1}", f"m{i + 1}", f"w{i + 1}")
         for i in range(_BPE_MERGES)
     )
-    + """
-        SELECT * FROM (
-            SELECT 1 AS merge_rank, l AS left_sym, r AS right_sym, cnt
-            FROM m1
-            UNION ALL SELECT 2, l, r, cnt FROM m2
-            UNION ALL SELECT 3, l, r, cnt FROM m3
-        ) ORDER BY merge_rank
-    """,
+    + "\n        SELECT * FROM (\n            "
+    + "\n            UNION ALL ".join(
+        (
+            "SELECT 1 AS merge_rank, l AS left_sym, r AS right_sym, cnt FROM m1"
+            if i == 1
+            else f"SELECT {i}, l, r, cnt FROM m{i}"
+        )
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    + "\n        ) ORDER BY merge_rank\n    ",
     doc=f"BPE tokenizer TRAINING, first {_BPE_MERGES} merges end-to-end — "
     "the full iterative loop behind subword vocabularies, not just the "
     "first pair count (docs_bpe_pair_counts): each round counts "
     "corpus-weighted adjacent symbol pairs over the DISTINCT-word "
     "vocabulary, picks the argmax merge (count desc, pair asc — "
     "deterministic), and APPLIES it by rewriting every word's "
-    "spaced-symbol form via boundary-framed literal replace — "
-    "left-to-right non-overlapping replacement is exactly greedy BPE "
-    "application and has identical semantics in Spark and DuckDB, so "
-    "all three merge decisions and counts hash-match. Scale shape "
-    "(the BPE trick): corpus-scale work is ONE token groupBy to build "
-    "the weighted vocab; every round then runs over |vocab| rows "
-    "(millions, not billions, at 100 TB) — a pair explode with "
-    "map-side combine onto the symbol-pair key space and a 1-row "
-    "argmax broadcast back. The chosen merge is the only driver-side "
-    "state (1 row/round — the centroid-collect idiom); the oracle "
-    "keeps even that in-SQL via MATERIALIZED CTE rounds.",
+    "spaced-symbol form via boundary-framed literal replace. NOTE the "
+    "application is left-to-right NON-OVERLAPPING replacement: two "
+    "occurrences of ' l r ' that share a boundary space (word 'abab' "
+    "→ ' a b a b ') merge only at the first site that round — a "
+    "deterministic, engine-identical variant of greedy BPE that can "
+    "defer boundary-sharing merges to later rounds (exact greedy "
+    "would need a symbol-array fold; both engines here replace "
+    "identically, so every merge decision and count still "
+    "hash-matches). Scale shape (the BPE trick): corpus-scale work is "
+    "ONE token groupBy to build the weighted vocab, localCheckpoint'ed "
+    "so later rounds never re-derive it; every round then runs over "
+    "|vocab| rows (millions, not billions, at 100 TB) — a pair "
+    "explode with map-side combine onto the symbol-pair key space and "
+    "a 1-row argmax collect, with the rewritten vocab re-checkpointed "
+    "per round (constant per-round cost, no lineage growth). The "
+    "chosen merge is the only driver-side state (1 row/round — the "
+    "centroid-collect idiom); the oracle keeps even that in-SQL via "
+    "MATERIALIZED CTE rounds.",
 )
 def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -519,10 +538,13 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
     )
+    # ONE corpus scan total: the weighted spaced-symbol vocab checkpoints
+    # here; each round below re-checkpoints the (vocab-sized) rewrite so
+    # round k never re-executes rounds 1..k-1 through lineage.
     spaced = words.select(
         F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("sw"),
         "wc",
-    )
+    ).localCheckpoint(eager=True)
 
     out_rows = []
     cur = spaced
@@ -552,7 +574,7 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sw"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
             ).alias("sw"),
             "wc",
-        )
+        ).localCheckpoint(eager=True)
 
     return spark.createDataFrame(
         out_rows, "merge_rank int, left_sym string, right_sym string, cnt long"

@@ -183,33 +183,49 @@ _DOCS_JSONL_SCHEMA = T.StructType(
                    AS text_hash_sum,
                CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
                COUNT(DISTINCT lang) AS n_langs,
-               COUNT(DISTINCT source) AS n_sources
+               COUNT(DISTINCT source) AS n_sources,
+               CAST(0 AS BIGINT) AS n_corrupt
         FROM documents
     """,
     doc="JSONL roundtrip driver gate — the corpus wire format (one JSON "
     "doc per line, splittable, append-only): documents parquet → "
     "spark.write.json → explicit-schema PERMISSIVE JSONL scan "
-    "(sources/readers.read_jsonl, corrupt-record column dropped after "
-    "the malformed-row check) → one-pass digest vs the same digest on "
-    "the original parquet. A green row proves JSON string escaping, "
-    "long fidelity, and the reject-routing scan reproduce the corpus "
-    "byte-for-byte (text checksummed via the 40-bit md5-prefix sum). "
-    "The digest is a single partial-aggregatable reduce — the shape "
-    "that validates a 100 TB corpus export without colocating copies.",
+    "(sources/readers.read_jsonl) → one-pass digest vs the same digest "
+    "on the original parquet, with every measure guarded to VALID rows "
+    "and the reject count emitted as n_corrupt (must be 0 — a roundtrip "
+    "of a valid corpus rejects nothing). The reject check rides INSIDE "
+    "the aggregate rather than as a filter: a `_corrupt_record IS NULL` "
+    "filter makes the corrupt column the only scan reference once an "
+    "outer count() prunes the digest columns, and Spark refuses "
+    "corrupt-column-only JSON scans (QUERY_ONLY_CORRUPT_RECORD_COLUMN — "
+    "found by the harness-default full-registry sweep). A green row "
+    "proves JSON string escaping, long fidelity, and reject routing "
+    "reproduce the corpus byte-for-byte (text checksummed via the "
+    "40-bit md5-prefix sum). The digest is a single partial-"
+    "aggregatable reduce — the shape that validates a 100 TB corpus "
+    "export without colocating copies.",
 )
 def src_jsonl_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _gate_dir(sf_dir, "documents_jsonl")
     docs = table(spark, sf_dir, "documents")
     docs.write.mode("overwrite").json(path)
     back = readers.read_jsonl(spark, path, schema=_DOCS_JSONL_SCHEMA)
-    clean = back.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    return clean.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("doc_id").alias("id_sum"),
-        _md5_prefix_sum("text").alias("text_hash_sum"),
-        F.sum("n_chars").alias("n_chars_sum"),
-        F.count_distinct(F.col("lang")).alias("n_langs"),
-        F.count_distinct(F.col("source")).alias("n_sources"),
+    ok = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.count(F.when(ok, 1)).alias("n_docs"),
+        F.sum(F.when(ok, F.col("doc_id"))).alias("id_sum"),
+        F.sum(
+            F.when(
+                ok,
+                F.conv(F.substring(F.md5(F.col("text")), 1, 10), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("text_hash_sum"),
+        F.sum(F.when(ok, F.col("n_chars"))).alias("n_chars_sum"),
+        F.count_distinct(F.when(ok, F.col("lang"))).alias("n_langs"),
+        F.count_distinct(F.when(ok, F.col("source"))).alias("n_sources"),
+        F.count("_corrupt_record").alias("n_corrupt"),
     )
 
 

@@ -102,17 +102,27 @@ _FACT_ORACLE = """
 """
 
 
-def _fact_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fact_sales(
+    spark: SparkSession,
+    sf_dir: str,
+    dim_date: DataFrame | None = None,
+    dim_geo: DataFrame | None = None,
+) -> DataFrame:
     """Unsorted fact build — the composable form: downstream consumers
     (integrity check, region report, one-big-table) join or aggregate it,
-    where a global sort is a pure range-shuffle tax at fact scale."""
+    where a global sort is a pure range-shuffle tax at fact scale.
+    Consumers that ALSO join the dims afterwards pass their (typically
+    localCheckpoint'ed) dim frames in so each dim is built once."""
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
 
-    dim_date = _dim_date(spark, sf_dir).select("date_id", "order_date")
-    dim_geo = _dim_geo(spark, sf_dir)
+    if dim_date is None:
+        dim_date = _dim_date(spark, sf_dir)
+    dim_date = dim_date.select("date_id", "order_date")
+    if dim_geo is None:
+        dim_geo = _dim_geo(spark, sf_dir)
 
     geo_of_cust = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
@@ -310,11 +320,13 @@ def wh_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.warehouse import merge_upsert
 
     orders = table(spark, sf_dir, "orders")
+    # t is both the merge target and the base the planted batch derives
+    # from (3 filtered projections): checkpoint so orders scans once
     t = orders.select(
         F.col("o_orderkey").alias("k"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.col("o_orderpriority").alias("prio"),
-    )
+    ).localCheckpoint(eager=True)
     u = (
         t.filter((F.col("k") % 13 == 0) & (F.col("k") % 17 != 0))
         .select("k", (F.col("cents") + 1000).alias("cents"), F.lit("MERGED").alias("prio"), F.lit(False).alias("is_del"))
@@ -382,9 +394,12 @@ def wh_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "materialized-view definition you'd refresh per partition.",
 )
 def star_one_big_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fact = _fact_sales(spark, sf_dir)
-    dd = _dim_date(spark, sf_dir)
-    dg = _dim_geo(spark, sf_dir)
+    # Materialize each broadcast-by-nature dim ONCE (they are needed twice:
+    # FK resolution inside the fact build + the wide rejoin here) — the
+    # un-truncated plan rebuilt them per reference (10 scans at r03).
+    dd = _dim_date(spark, sf_dir).localCheckpoint(eager=True)
+    dg = _dim_geo(spark, sf_dir).localCheckpoint(eager=True)
+    fact = _fact_sales(spark, sf_dir, dim_date=dd, dim_geo=dg)
     return (
         fact.join(F.broadcast(dd), "date_id", "left")
         .join(F.broadcast(dg), "geo_id", "left")

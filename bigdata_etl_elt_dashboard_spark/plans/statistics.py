@@ -196,10 +196,12 @@ def stat_ols_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stat_mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
+    # c feeds the median pass AND the deviation join (which itself feeds
+    # two consumers): checkpoint the 2-column quantized frame → one scan
     c = orders.select(
         "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    )
+    ).localCheckpoint(eager=True)
     med = c.groupBy("o_orderstatus").agg(
         F.round(F.expr("percentile(cents, 0.5)")).cast("long").alias("med_c")
     )
@@ -693,8 +695,17 @@ def stat_bloom_customer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _BF_BITS
         ).alias("pos")
 
-    members = orders.select(F.col("o_custkey").alias("key")).distinct()
-    bits = members.select("key", rs).select(pos_col()).distinct()
+    # members / bits / pos_keys each feed 2-3 frames (build, stats, the
+    # anti-join): checkpoint them so orders is scanned once and the ≤m-row
+    # bit table is built once — not re-derived per scalar-combine reference.
+    members = (
+        orders.select(F.col("o_custkey").alias("key"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bits = members.select("key", rs).select(pos_col()).distinct().localCheckpoint(
+        eager=True
+    )
     probe = cust.select(F.col("c_custkey").alias("key"), rs).select(
         "key", "r", pos_col()
     )
@@ -704,6 +715,7 @@ def stat_bloom_customer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("r").alias("nr"))
         .filter(F.col("nr") == _BF_HASHES)
         .select("key")
+        .localCheckpoint(eager=True)
     )
     s = (
         members.agg(F.count("*").alias("n_members"))
@@ -1381,10 +1393,13 @@ def stat_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def li_basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    # ot feeds four frames (n, tc, and both self-join sides): checkpoint the
+    # distinct (order, type) projection so lineitem⋈part runs once, not 4×.
     ot = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_type")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = ot.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     tc = ot.groupBy("p_type").agg(F.count("*").alias("c"))

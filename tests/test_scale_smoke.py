@@ -64,9 +64,19 @@ def test_global_rank_5m_rows_no_global_sort(spark):
         F.col("id"), F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("k")
     )
     ranked = global_rank(df, ["k", "id"], num_partitions=8)
-    plan = _plan(ranked)
-    # the row-bearing window is keyed; no unpartitioned full-data window
-    assert "Exchange SinglePartition" not in plan
+    # simple mode: formatted output can never contain the substring
+    # "Exchange SinglePartition" (round-3 ADVICE — the old formatted-mode
+    # count==0 assert was vacuous)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ranked.explain("simple")
+    plan = buf.getvalue()
+    # the row-bearing window is keyed by _pid; the only SinglePartition
+    # exchange feeds the <=|partitions|-row counts rollup
+    from tests.test_plan_shapes import assert_single_partition_exchanges_are_bounded
+
+    assert "windowspecdefinition(_pid" in plan
+    assert_single_partition_exchanges_are_bounded(plan)
     stats = ranked.agg(
         F.count("*").alias("n"),
         F.min("global_rank").alias("lo"),

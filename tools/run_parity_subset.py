@@ -1,0 +1,55 @@
+"""Run oracle parity for a named subset of registry queries (dev loop).
+
+Usage: python tools/run_parity_subset.py q1 q2 ...  [--sf /root/testdata/sf0.01]
+Prints one line per query: OK/FAIL (+ mismatch details) and wall time.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+from bigdata_etl_elt_dashboard_spark.plans import REGISTRY  # noqa: E402
+from bigdata_etl_elt_dashboard_spark.session import get_spark  # noqa: E402
+from oracle_harness import compare, duck_connection  # noqa: E402
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf = "/root/testdata/sf0.01"
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    names = args or list(REGISTRY)
+    spark = get_spark(app_name="parity-subset", master="local[8]", shuffle_partitions=8)
+    con = duck_connection(sf)
+    failed = []
+    for name in names:
+        q = REGISTRY[name]
+        t0 = time.time()
+        try:
+            if q.oracle is None:
+                df = q.fn(spark, sf)
+                n = df.count()
+                print(f"{name}: rows-only ({n} rows) [{time.time() - t0:.1f}s]")
+                continue
+            rep = compare(q.fn(spark, sf), con, q.oracle)
+            dt = time.time() - t0
+            if rep["ok"]:
+                print(f"{name}: OK [{dt:.1f}s]")
+            else:
+                failed.append(name)
+                print(f"{name}: FAIL [{dt:.1f}s] {rep['mismatches'][:3]}")
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"{name}: ERROR {type(e).__name__}: {e}")
+    print(f"\n{len(names) - len(failed)}/{len(names)} ok")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
