@@ -2,9 +2,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints the COMPACT headline record as the FINAL stdout line:
   {"metric": "...", "value": <total warm sec q1-q8>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": 0.1}
+   "queries": {"q1": sec, ...}, "sf": 0.1, "plan_s": {...}}
+
+The driver tails stdout with a bounded buffer and parses the last line —
+round 3's full record (36 extension entries inline) pushed the JSON out of
+that window and BENCH_r03.parsed came back null. The full record
+(extension timings + plan-build costs) now goes to STDERR, where humans
+and tools/bench_diff.py read it without competing with the parse window.
 
 Methodology mirrors BASELINE.md: per-query warm wall-clock (the reference
 logs per-query exec_time_sec on a warm MySQL); Spark session startup and
@@ -92,6 +98,13 @@ EXTENSION_SUITE = (
     "docs_data_card",
     "wh_merge_upsert_orders",
     "dedup_lsh_precision_recall",
+    # round-4 additions: the digest twins of the rows-only trio (bucket
+    # geometry / cell inventory / sketch contract) and the now-8-merge BPE
+    # training loop (per-round checkpoint — plan-build time IS its cost)
+    "sim_ann_candidate_digest",
+    "sim_ivf_cell_digest",
+    "agg_sketch_param_digest",
+    "docs_bpe_train_merges",
 )
 
 
@@ -164,17 +177,19 @@ def main() -> None:
         ext_plan_s[name] = build
         ext[name] = round(min(_timed_collect(df) for _ in range(3)), 4)
 
-    result = {
+    headline = {
         "metric": "warm per-query execution wall-clock, reference q1-q8 suite (sum)",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "plan_s": plan_s,  # one-time plan build+first-run cost per query
-        "extension_queries": ext,
-        "extension_plan_s": ext_plan_s,
     }
-    print(json.dumps(result))
+    full = dict(headline, extension_queries=ext, extension_plan_s=ext_plan_s)
+    # full record → stderr (for humans + tools/bench_diff.py); compact
+    # headline → the FINAL stdout line, inside the driver's parse window
+    print(json.dumps(full), file=sys.stderr)
+    print(json.dumps(headline))
     spark.stop()
 
 

@@ -530,6 +530,15 @@ def _bpe_round_sql(win: str, pout: str, mout: str, wout: str) -> str:
     "MATERIALIZED CTE rounds.",
 )
 def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_rows, _ = _train_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        out_rows, "merge_rank int, left_sym string, right_sym string, cnt long"
+    ).orderBy("merge_rank")
+
+
+def _train_bpe(spark: SparkSession, sf_dir: str):
+    """Run the _BPE_MERGES training rounds; return (merge rows, final
+    checkpointed spaced-symbol vocab). See docs_bpe_train_merges doc."""
     docs = table(spark, sf_dir, "documents")
     words = (
         docs.filter(F.trim(F.col("text")) != "")
@@ -575,7 +584,66 @@ def docs_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sw"),
             "wc",
         ).localCheckpoint(eager=True)
+    return out_rows, cur
 
-    return spark.createDataFrame(
-        out_rows, "merge_rank int, left_sym string, right_sym string, cnt long"
-    ).orderBy("merge_rank")
+
+@register(
+    "docs_bpe_apply_stats",
+    oracle=r"""
+        WITH words AS MATERIALIZED (
+            SELECT w, COUNT(*) AS wc FROM (
+                SELECT UNNEST(regexp_split_to_array(lower(trim(text)), '\s+'))
+                    AS w
+                FROM documents WHERE trim(text) <> ''
+            ) WHERE w <> '' GROUP BY w
+        ),
+        w0 AS MATERIALIZED (
+            SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sw, wc
+            FROM words
+        ),
+        """
+    + ",".join(
+        _bpe_round_sql(f"w{i}", f"p{i + 1}", f"m{i + 1}", f"w{i + 1}")
+        for i in range(_BPE_MERGES)
+    )
+    + f""",
+        syms AS (
+            SELECT UNNEST(list_filter(string_split(sw, ' '), x -> x <> ''))
+                       AS s,
+                   wc
+            FROM w{_BPE_MERGES}
+        )
+        SELECT (SELECT COUNT(*) FROM w{_BPE_MERGES}) AS n_words,
+               COUNT(DISTINCT s) AS vocab_size,
+               CAST(SUM(wc) AS BIGINT) AS total_tokens,
+               CAST(SUM(len(s) * wc) AS BIGINT) AS total_chars
+        FROM syms
+    """,
+    doc=f"BPE ENCODE digest — the apply half that completes "
+    "docs_bpe_train_merges' training loop: the corpus re-tokenized under "
+    f"the {_BPE_MERGES} learned merges, digested as distinct-word count, "
+    "post-merge vocabulary size (distinct symbols), corpus-weighted "
+    "total token count (the number a tokenizer bill is paid in), and "
+    "total characters (invariant under merging — the built-in "
+    "conservation check: merges must never create or destroy "
+    "characters). The oracle re-trains the identical merges in-SQL "
+    "(MATERIALIZED CTE rounds) and digests ITS final vocab, so a green "
+    "row proves train AND apply agree end-to-end. Spark shape: the "
+    "training rounds' checkpointed vocab is reused; the digest is one "
+    "explode + a partial-aggregatable reduce over |vocab| rows — "
+    "corpus-scale cost stays the one token groupBy training already "
+    "paid.",
+)
+def docs_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, final_vocab = _train_bpe(spark, sf_dir)
+    syms = final_vocab.select(
+        F.explode(F.expr("filter(split(sw, ' '), x -> x != '')")).alias("s"),
+        "wc",
+    )
+    n_words = final_vocab.count()
+    return syms.agg(
+        F.lit(n_words).cast("long").alias("n_words"),
+        F.count_distinct("s").alias("vocab_size"),
+        F.sum("wc").alias("total_tokens"),
+        F.sum(F.length("s") * F.col("wc")).alias("total_chars"),
+    )

@@ -1,0 +1,322 @@
+"""Hash-gated digest twins for the three rows-only queries (round-3 verdict
+item #6: partial oracles for `sim_ann_lsh`, `sim_ivf_topk`,
+`agg_approx_sketches`).
+
+The rows-only trio can't hold full driver oracles — the ANN operators score
+with IEEE floats whose SQL re-derivation would depend on engine summation
+order, and the sketch values (HyperLogLog++, t-digest) are engine-specific
+by definition. These twins gate what CAN be exact, with the
+`mm_frame_sample_digest` / `plans/sources_gate.py` roundtrip-digest idiom:
+
+- **sim_ann_candidate_digest**: the random-hyperplane LSH GEOMETRY —
+  signature assignment, bucket occupancy, candidate-pair mass, and the
+  query-side candidate capture — recomputed with micro-unit INTEGER
+  quantized planes and embeddings so every dot product, sign bit, packed
+  signature, and bucket count is an exact integer on both engines. A green
+  row proves the banding/bucket-join candidate generation (the part of
+  `sim_ann_lsh` that decides recall at 100 TB) is bit-correct; the float
+  scoring stage keeps its recall pytest vs brute force.
+- **sim_ivf_cell_digest**: the IVF coarse-quantizer geometry — cell
+  assignment of the whole corpus to the deterministic lowest-id centroids
+  and the nprobe-cell probe selection for the query set — in exact integer
+  L2 (the `sim_kmeans_lloyd1` idiom, reusing its assignment machinery).
+  Gates the inverted-list build and probe routing of `sim_ivf_topk`.
+- **agg_sketch_param_digest**: the sketches next to their exact twins with
+  the documented error bounds evaluated IN-PLAN as booleans (HLL++ rsd
+  0.02 → within 10% = 5σ; t-digest median within the exact p40–p60 band).
+  The oracle computes the exact values and asserts the bounds literally
+  TRUE — a green row proves the sketch configuration delivers its
+  contract on this data, which is the cross-engine-checkable core of
+  `agg_approx_sketches`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import _hyperplanes
+from ..sources.catalog import table
+from .iterative import _best_assign, _to_fixed
+from .registry import register
+
+#: quantization scale for planes and embeddings (micro-units — exact BIGINT
+#: dots: |x|,|p| <= 1e6 → per-term 1e12, 64 terms → 6.4e13 << 2^63)
+_Q = 1_000_000
+_ANN_TABLES = 16
+_ANN_BITS = 6  # planes per table (sim_ann_lsh uses 6-bit signatures)
+_DIM = 64
+_IVF_CELLS = 8
+_NQ = 5  # query set: vec_id < 5 (same as the rows-only trio)
+_IVF_NPROBE = 3
+
+#: the SAME seeded hyperplanes sim_ann_lsh uses, micro-quantized
+_PLANES_INT = [
+    [int(round(v * _Q)) for v in row]
+    for row in _hyperplanes(_DIM, _ANN_TABLES * _ANN_BITS)
+]
+
+_PTS_SQL = f"""
+        SELECT vec_id, i - 1 AS pos,
+               CAST(ROUND(emb[i] * {_Q}) AS BIGINT) AS xi
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+             UNNEST(range(1, len(emb) + 1)) AS t(i)
+"""
+
+_PLANES_VALUES_SQL = ",\n            ".join(
+    f"({t}, {b}, [{', '.join(str(v) for v in _PLANES_INT[t * _ANN_BITS + b])}])"
+    for t in range(_ANN_TABLES)
+    for b in range(_ANN_BITS)
+)
+
+
+@register(
+    "sim_ann_candidate_digest",
+    oracle=f"""
+        WITH pts AS ({_PTS_SQL}),
+        planes AS (
+            SELECT * FROM (VALUES
+            {_PLANES_VALUES_SQL}
+            ) AS p(table_id, bit, plane)
+        ),
+        pp AS (
+            SELECT table_id, bit, i - 1 AS pos, plane[i] AS pi
+            FROM planes, UNNEST(range(1, {_DIM} + 1)) AS t(i)
+        ),
+        dots AS (
+            SELECT p.vec_id, q.table_id, q.bit, SUM(p.xi * q.pi) AS d
+            FROM pts p JOIN pp q USING (pos)
+            GROUP BY 1, 2, 3
+        ),
+        sigs AS (
+            SELECT vec_id, table_id,
+                   CAST(SUM(CASE WHEN d >= 0
+                                 THEN (CAST(1 AS BIGINT) << bit)
+                                 ELSE 0 END) AS BIGINT) AS sig
+            FROM dots GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT table_id, sig, COUNT(*) AS n,
+                   COUNT(CASE WHEN vec_id < {_NQ} THEN 1 END) AS nq
+            FROM sigs GROUP BY 1, 2
+        )
+        SELECT table_id,
+               COUNT(*) AS n_buckets,
+               MAX(n) AS max_bucket,
+               CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS collision_pairs,
+               CAST(SUM(nq * (n - 1)) AS BIGINT) AS query_cand_pairs
+        FROM buckets GROUP BY table_id ORDER BY table_id
+    """,
+    doc=f"LSH candidate-geometry digest twin of sim_ann_lsh (rows-only): "
+    f"the {_ANN_TABLES}×{_ANN_BITS}-bit random-hyperplane signatures "
+    "recomputed in micro-unit INTEGER arithmetic (same seeded planes, "
+    "quantized) so signature bits, bucket sizes, per-table collision "
+    "mass, and the query-side candidate counts are exact integers — a "
+    "green row proves the banding geometry that decides ANN recall at "
+    "100 TB. Spark shape: one posexplode + a broadcast plane join + two "
+    "partial-aggregated groupBys (dot terms → sign bits → buckets) — no "
+    "giant literal expression tree (the documented sim_ann_lsh "
+    "plan-time lesson: plane constants ride as DATA, not as plan "
+    "nodes). Sketch scoring itself stays float and is recall-tested in "
+    "pytest vs brute force.",
+)
+def sim_ann_candidate_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.posexplode(_to_fixed(F.col("embedding")))
+    ).withColumnsRenamed({"col": "xi"})
+    planes = spark.createDataFrame(
+        [
+            (t, b, _PLANES_INT[t * _ANN_BITS + b])
+            for t in range(_ANN_TABLES)
+            for b in range(_ANN_BITS)
+        ],
+        "table_id int, bit int, plane array<long>",
+    )
+    pp = planes.select(
+        "table_id", "bit", F.posexplode("plane")
+    ).withColumnsRenamed({"col": "pi"})
+    dots = (
+        pts.join(F.broadcast(pp), "pos")
+        .groupBy("vec_id", "table_id", "bit")
+        .agg(F.sum(F.col("xi") * F.col("pi")).alias("d"))
+    )
+    sigs = dots.groupBy("vec_id", "table_id").agg(
+        F.sum(
+            F.when(F.col("d") >= 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("sig")
+    )
+    buckets = sigs.groupBy("table_id", "sig").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("vec_id") < _NQ, 1)).alias("nq"),
+    )
+    return (
+        buckets.groupBy("table_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum(F.expr("n * (n - 1) div 2")).alias("collision_pairs"),
+            F.sum(F.col("nq") * (F.col("n") - 1)).alias("query_cand_pairs"),
+        )
+        .orderBy("table_id")
+    )
+
+
+@register(
+    "sim_ivf_cell_digest",
+    oracle=f"""
+        WITH pts AS ({_PTS_SQL}),
+        init AS (SELECT vec_id AS c, pos, xi AS mi FROM pts
+                 WHERE vec_id < {_IVF_CELLS}),
+        d0 AS (
+            SELECT p.vec_id, i.c, SUM((p.xi - i.mi) * (p.xi - i.mi)) AS d2
+            FROM pts p JOIN init i USING (pos) GROUP BY p.vec_id, i.c
+        ),
+        a0 AS (
+            SELECT vec_id, c FROM d0
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, c) = 1
+        ),
+        probes AS (
+            SELECT c FROM (
+                SELECT vec_id, c,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, c) AS rnk
+                FROM d0 WHERE vec_id < {_NQ}
+            ) WHERE rnk <= {_IVF_NPROBE}
+        ),
+        pc AS (SELECT c, COUNT(*) AS np FROM probes GROUP BY c)
+        SELECT a0.c AS cell, COUNT(*) AS n_vecs,
+               CAST(SUM(a0.vec_id) AS BIGINT) AS id_sum,
+               MIN(a0.vec_id) AS min_id, MAX(a0.vec_id) AS max_id,
+               CAST(COALESCE(MIN(pc.np), 0) AS BIGINT) AS n_query_probes
+        FROM a0 LEFT JOIN pc ON a0.c = pc.c
+        GROUP BY cell ORDER BY cell
+    """,
+    doc=f"IVF coarse-quantizer digest twin of sim_ivf_topk (rows-only): "
+    f"every corpus vector assigned to its nearest of the {_IVF_CELLS} "
+    "deterministic lowest-id centroids by EXACT integer L2 (micro-unit "
+    "quantization — the sim_kmeans_lloyd1 idiom, same assignment "
+    "machinery), plus how many of the query set's nprobe="
+    f"{_IVF_NPROBE} probe slots land on each cell. A green row proves "
+    "the inverted-list build and probe routing — the parts of IVF that "
+    "bound candidate work at 100 TB. Spark shape: centroids are k×64 "
+    "literal arrays (the only driver-side state), assignment is a "
+    "per-row single-expression argmin, one groupBy(cell) rollup; the "
+    "float scoring stage keeps its recall pytest.",
+)
+def sim_ivf_cell_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    fixed = emb.select("vec_id", _to_fixed(F.col("embedding")).alias("xi_arr"))
+    init_rows = fixed.filter(F.col("vec_id") < _IVF_CELLS).collect()
+    cents = {int(r["vec_id"]): list(r["xi_arr"]) for r in init_rows}
+    best = _best_assign(cents)
+    cells = fixed.select("vec_id", best["lbl"].alias("cell")).localCheckpoint(
+        eager=True  # feeds the inventory rollup AND the probe rollup
+    )
+    # probe selection needs full (query, cell) distance ranking — rebuild
+    # the per-cell distances only for the _NQ query vectors (bounded rows)
+    dists = fixed.filter(F.col("vec_id") < _NQ).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.expr(
+                            "aggregate(zip_with(xi_arr, array("
+                            + ", ".join(f"{int(m)}L" for m in mis)
+                            + "), (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v)"
+                        ).alias("d2"),
+                    )
+                    for c, mis in sorted(cents.items())
+                ]
+            )
+        ).alias("dc"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("dc.d2"), F.col("dc.c"))
+    probes = (
+        dists.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _IVF_NPROBE)
+        .groupBy(F.col("dc.c").alias("cell"))
+        .agg(F.count("*").alias("np"))
+    )
+    return (
+        cells.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("vec_id").alias("id_sum"),
+            F.min("vec_id").alias("min_id"),
+            F.max("vec_id").alias("max_id"),
+        )
+        .join(F.broadcast(probes), "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            "id_sum",
+            "min_id",
+            "max_id",
+            F.coalesce(F.col("np"), F.lit(0)).cast("long").alias("n_query_probes"),
+        )
+        .orderBy("cell")
+    )
+
+
+@register(
+    "agg_sketch_param_digest",
+    oracle="""
+        WITH ex AS (
+            SELECT event_type, COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   quantile_cont(value, 0.4) AS p40,
+                   quantile_cont(value, 0.6) AS p60
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n_events, CAST(exact_users AS BIGINT) AS exact_users,
+               TRUE AS users_within_5rsd,
+               TRUE AS median_within_p40_p60
+        FROM ex ORDER BY event_type
+    """,
+    doc="Sketch-contract digest twin of agg_approx_sketches (rows-only): "
+    "runs the HLL++ distinct sketch (rsd=0.02) and the t-digest median "
+    "next to their EXACT twins and evaluates the documented error "
+    "bounds in-plan — |approx−exact| ≤ 10%·exact (5×rsd) for HLL, and "
+    "the approximate median inside the exact p40–p60 band. The oracle "
+    "computes the exact counts and asserts both bounds literally TRUE, "
+    "so a green row hash-gates (a) the exact twins and (b) that the "
+    "sketch configuration delivers its accuracy contract on this data — "
+    "the engine-portable core of a sketch whose raw estimate is "
+    "engine-specific by definition. One partial-aggregatable rollup; "
+    "the exact percentile is the only per-group sort (the sketch "
+    "replaces it at 100 TB — which is the point).",
+)
+def agg_sketch_param_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("_approx_median"),
+        F.expr("percentile(value, 0.4)").alias("_p40"),
+        F.expr("percentile(value, 0.6)").alias("_p60"),
+    )
+    within_rsd = (
+        F.abs(F.col("_approx_users") - F.col("exact_users"))
+        * 10  # |err| <= 10% * exact  (5 sigma at rsd=0.02)
+        <= F.col("exact_users")
+    )
+    med_ok = (F.col("_approx_median") >= F.col("_p40")) & (
+        F.col("_approx_median") <= F.col("_p60")
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        within_rsd.alias("users_within_5rsd"),
+        med_ok.alias("median_within_p40_p60"),
+    ).orderBy("event_type")

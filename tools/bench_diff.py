@@ -47,13 +47,18 @@ def main() -> None:
     if len(sys.argv) > 2:
         cur = load(sys.argv[2])
     else:
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__), "..", "bench.py")],
             capture_output=True,
             text=True,
             check=True,
-        ).stdout
-        cur = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+        )
+        # bench.py prints the FULL record (with extension timings) to
+        # stderr and only the compact headline to stdout — prefer the full
+        lines = [
+            l for l in proc.stderr.splitlines() if l.startswith('{"metric"')
+        ] or [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        cur = json.loads(lines[-1])
 
     thresh = float(os.environ.get("BENCH_DIFF_THRESHOLD_PCT", "20")) / 100.0
     regressions = []
