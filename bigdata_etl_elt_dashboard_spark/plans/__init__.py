@@ -58,8 +58,9 @@ from .registry import REGISTRY, register
 #   stat_runs_test_daily_revenue, wh_orders_checksum,
 #   ev_error_rate_pchart, stat_mannwhitney_price_by_status,
 #   plus the round-4 additions (append as they land):
-#   sim_ann_candidate_digest, sim_ivf_cell_digest,
-#   agg_sketch_param_digest, docs_bpe_apply_stats,
+#   sim_ann_candidate_digest, sim_ann_recall_digest, sim_ivf_cell_digest,
+#   agg_sketch_param_digest, docs_bpe_apply_stats, docs_span_contamination,
+#   src_bucketed_join_digest,
 #   plus (rows-only, weak rows whenever slots remain):
 #   sim_ann_lsh, sim_ivf_topk, mm_frame_sample.
 # ---------------------------------------------------------------------------

@@ -105,6 +105,62 @@ def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docs_span_contamination",
+    oracle=f"""
+        WITH g AS ({_span_sql(_SPAN_K)}),
+        dup AS (
+            SELECT span FROM g GROUP BY span
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT g.doc_id,
+               COUNT(*) AS n_spans,
+               COUNT(d.span) AS n_dup_spans,
+               CAST(COUNT(d.span) AS DOUBLE) / COUNT(*) AS dup_fraction
+        FROM g LEFT JOIN dup d USING (span)
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
+    """,
+    doc=f"Span-dedup APPLICATION — the per-document readout that completes "
+    "docs_duplicate_ngram_spans' mining pass (Lee et al. 2022: after "
+    "finding repeated spans, you need to know WHICH documents they "
+    f"contaminate and how much): per doc, its {_SPAN_K}-token span "
+    "positions, how many of them carry a span that also appears in "
+    "another document, and the contamination fraction — the per-doc "
+    "signal a span-removal or doc-drop policy keys on. Shape: one "
+    "checkpointed span stream feeds the cross-doc duplicate set "
+    "(groupBy span, partial-aggregated) and the per-doc rollup; the "
+    "span-keyed membership join is the same inverted-index shape as "
+    "decontamination — never all-pairs. Counts exact; the fraction is "
+    "one division of exact integers.",
+)
+def docs_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # g feeds the duplicate-span set AND the membership join: checkpoint so
+    # the corpus is tokenized/shingled once
+    g = docs.select(
+        "doc_id", F.explode(_spans(X.tokens(F.col("text")), _SPAN_K)).alias("span")
+    ).localCheckpoint(eager=True)
+    dup = (
+        g.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("span", F.lit(1).alias("_dup"))
+    )
+    return (
+        g.join(dup, "span", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("_dup").alias("n_dup_spans"),
+            (F.count("_dup").cast("double") / F.count("*")).alias(
+                "dup_fraction"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "docs_ngram_containment",
     oracle=f"""
         WITH sh AS (SELECT DISTINCT doc_id, span FROM ({_span_sql(_CONT_K)})),

@@ -71,13 +71,11 @@ _PLANES_VALUES_SQL = ",\n            ".join(
 )
 
 
-@register(
-    "sim_ann_candidate_digest",
-    oracle=f"""
-        WITH pts AS ({_PTS_SQL}),
+#: shared oracle CTE chain: quantized points → plane table → signatures
+_SIGS_SQL = f"""pts AS ({_PTS_SQL}),
         planes AS (
             SELECT * FROM (VALUES
-            {_PLANES_VALUES_SQL}
+            {{PLANES}}
             ) AS p(table_id, bit, plane)
         ),
         pp AS (
@@ -95,7 +93,49 @@ _PLANES_VALUES_SQL = ",\n            ".join(
                                  THEN (CAST(1 AS BIGINT) << bit)
                                  ELSE 0 END) AS BIGINT) AS sig
             FROM dots GROUP BY 1, 2
-        ),
+        )"""
+
+
+def _int_signatures(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, table_id, sig) integer-quantized hyperplane signatures —
+    the Spark twin of _SIGS_SQL; shared by the candidate and recall
+    digests. localCheckpoint'ed: both consumers fork it."""
+    pts = emb.select(
+        "vec_id", F.posexplode(_to_fixed(F.col("embedding")))
+    ).withColumnsRenamed({"col": "xi"})
+    planes = spark.createDataFrame(
+        [
+            (t, b, _PLANES_INT[t * _ANN_BITS + b])
+            for t in range(_ANN_TABLES)
+            for b in range(_ANN_BITS)
+        ],
+        "table_id int, bit int, plane array<long>",
+    )
+    pp = planes.select(
+        "table_id", "bit", F.posexplode("plane")
+    ).withColumnsRenamed({"col": "pi"})
+    dots = (
+        pts.join(F.broadcast(pp), "pos")
+        .groupBy("vec_id", "table_id", "bit")
+        .agg(F.sum(F.col("xi") * F.col("pi")).alias("d"))
+    )
+    return (
+        dots.groupBy("vec_id", "table_id")
+        .agg(
+            F.sum(
+                F.when(F.col("d") >= 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("sig")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+@register(
+    "sim_ann_candidate_digest",
+    oracle=f"""
+        WITH {_SIGS_SQL.replace("{PLANES}", _PLANES_VALUES_SQL)},
         buckets AS (
             SELECT table_id, sig, COUNT(*) AS n,
                    COUNT(CASE WHEN vec_id < {_NQ} THEN 1 END) AS nq
@@ -123,32 +163,7 @@ _PLANES_VALUES_SQL = ",\n            ".join(
 )
 def sim_ann_candidate_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    pts = emb.select(
-        "vec_id", F.posexplode(_to_fixed(F.col("embedding")))
-    ).withColumnsRenamed({"col": "xi"})
-    planes = spark.createDataFrame(
-        [
-            (t, b, _PLANES_INT[t * _ANN_BITS + b])
-            for t in range(_ANN_TABLES)
-            for b in range(_ANN_BITS)
-        ],
-        "table_id int, bit int, plane array<long>",
-    )
-    pp = planes.select(
-        "table_id", "bit", F.posexplode("plane")
-    ).withColumnsRenamed({"col": "pi"})
-    dots = (
-        pts.join(F.broadcast(pp), "pos")
-        .groupBy("vec_id", "table_id", "bit")
-        .agg(F.sum(F.col("xi") * F.col("pi")).alias("d"))
-    )
-    sigs = dots.groupBy("vec_id", "table_id").agg(
-        F.sum(
-            F.when(F.col("d") >= 0, F.expr("shiftleft(1L, bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("sig")
-    )
+    sigs = _int_signatures(spark, emb)
     buckets = sigs.groupBy("table_id", "sig").agg(
         F.count("*").alias("n"),
         F.count(F.when(F.col("vec_id") < _NQ, 1)).alias("nq"),
@@ -162,6 +177,127 @@ def sim_ann_candidate_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("nq") * (F.col("n") - 1)).alias("query_cand_pairs"),
         )
         .orderBy("table_id")
+    )
+
+
+_ANN_K = 5  # ground-truth top-k per query (matches sim_ann_lsh's k)
+
+
+@register(
+    "sim_ann_recall_digest",
+    oracle=f"""
+        WITH {_SIGS_SQL.replace("{PLANES}", _PLANES_VALUES_SQL)},
+        qp AS (SELECT vec_id AS qid, pos, xi AS qi FROM pts
+               WHERE vec_id < {_NQ}),
+        d2 AS (
+            SELECT p.vec_id, q.qid, SUM((p.xi - q.qi) * (p.xi - q.qi)) AS d2
+            FROM pts p JOIN qp q USING (pos)
+            WHERE p.vec_id <> q.qid
+            GROUP BY 1, 2
+        ),
+        topk AS (
+            SELECT qid, vec_id FROM d2
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY d2, vec_id) <= {_ANN_K}
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS qid, c.vec_id
+            FROM sigs q
+            JOIN sigs c ON q.table_id = c.table_id AND q.sig = c.sig
+                        AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < {_NQ}
+        ),
+        cap AS (
+            SELECT t.qid,
+                   COUNT(c.vec_id) AS captured
+            FROM topk t LEFT JOIN cand c
+              ON t.qid = c.qid AND t.vec_id = c.vec_id
+            GROUP BY t.qid
+        ),
+        nc AS (SELECT qid, COUNT(*) AS n_candidates FROM cand GROUP BY qid)
+        SELECT cap.qid AS query_id,
+               COALESCE(nc.n_candidates, 0) AS n_candidates,
+               cap.captured AS topk_captured,
+               CAST(cap.captured AS DOUBLE) / {_ANN_K} AS recall_at_k
+        FROM cap LEFT JOIN nc USING (qid)
+        ORDER BY query_id
+    """,
+    doc=f"ANN RECALL, hash-gated end to end — the number the rows-only "
+    "sim_ann_lsh could never put in a driver row: per query, the exact "
+    f"integer-L2 top-{_ANN_K} ground truth intersected with the multi-"
+    "table LSH candidate set (both derived in exact integer arithmetic "
+    "from the same quantized vectors and seeded planes), emitting "
+    "candidate count, captured neighbors, and recall@k. A green row "
+    "pins the COMPLETE quality chain: signature geometry → bucket "
+    "collision → candidate union → recall against exact truth. Spark "
+    "shape: ground truth is the bounded query-broadcast kernel (corpus "
+    f"× {_NQ} queries, one TakeOrdered-style window over per-query "
+    "frames); candidates reuse the checkpointed signature table with a "
+    "signature-keyed self-join — never all-pairs.",
+)
+def sim_ann_recall_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    fixed = emb.select("vec_id", _to_fixed(F.col("embedding")).alias("xi_arr"))
+    q_rows = fixed.filter(F.col("vec_id") < _NQ).collect()
+    qvecs = {int(r["vec_id"]): list(r["xi_arr"]) for r in q_rows}
+
+    # exact integer-L2 distances to the _NQ query literals (bounded fan-out)
+    d2 = fixed.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).alias("qid"),
+                        F.expr(
+                            "aggregate(zip_with(xi_arr, array("
+                            + ", ".join(f"{int(m)}L" for m in qv)
+                            + "), (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v)"
+                        ).alias("d2"),
+                    )
+                    for qid, qv in sorted(qvecs.items())
+                ]
+            )
+        ).alias("q"),
+    ).filter(F.col("vec_id") != F.col("q.qid"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q.qid").orderBy(F.col("q.d2"), F.col("vec_id"))
+    topk = (
+        d2.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ANN_K)
+        .select(F.col("q.qid").alias("qid"), "vec_id")
+        .localCheckpoint(eager=True)  # feeds the capture join AND its count
+    )
+
+    sigs = _int_signatures(spark, emb)
+    qs = sigs.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"), "table_id", "sig"
+    )
+    cand = (
+        sigs.withColumnRenamed("vec_id", "cvid")
+        .join(F.broadcast(qs), ["table_id", "sig"])
+        .filter(F.col("cvid") != F.col("qid"))
+        .select("qid", F.col("cvid").alias("vec_id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds capture join AND per-query count
+    )
+    cap = (
+        topk.join(cand.withColumn("_hit", F.lit(1)), ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.count("_hit").alias("topk_captured"))
+    )
+    nc = cand.groupBy("qid").agg(F.count("*").alias("n_candidates"))
+    return (
+        cap.join(F.broadcast(nc), "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+            "topk_captured",
+            (F.col("topk_captured").cast("double") / _ANN_K).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
     )
 
 

@@ -143,13 +143,7 @@ def src_table_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-memory catalog, and saveAsTable refuses a managed location it does
     # not own (LOCATION_ALREADY_EXISTS). Drop the catalog entry, then clear
     # any orphaned location left by a previous session.
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(wh.removeprefix("file:"), tbl)
-    if os.path.isdir(loc):
-        import shutil
-
-        shutil.rmtree(loc, ignore_errors=True)
+    _drop_managed(spark, tbl)
     sinks.save_as_table(cust, tbl, mode="overwrite")
     back = spark.table(tbl)
     return back.agg(
@@ -226,6 +220,78 @@ def src_jsonl_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.when(ok, F.col("lang"))).alias("n_langs"),
         F.count_distinct(F.when(ok, F.col("source"))).alias("n_sources"),
         F.count("_corrupt_record").alias("n_corrupt"),
+    )
+
+
+def _drop_managed(spark: SparkSession, tbl: str) -> None:
+    """DROP + clear any orphaned warehouse dir (see src_table_roundtrip)."""
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), tbl)
+    if os.path.isdir(loc):
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+@register(
+    "src_bucketed_join_digest",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(o.o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents_sum,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents_sum,
+               COUNT(DISTINCT l.l_suppkey) AS n_suppliers
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    """,
+    doc="Bucketed CO-LOCATED join driver gate — the shuffle-elimination "
+    "layout a 100 TB lake uses for its hottest join key: orders and "
+    "lineitem written as managed tables bucketBy(8, orderkey) + "
+    "sortBy, re-read via the catalog, and joined on the bucket key — "
+    "Spark plans a sort-merge join with ZERO Exchange on either side "
+    "(both sides' bucketing satisfies the join's distribution; "
+    "asserted by tests/test_scale_sources.py::"
+    "test_bucketed_gate_join_plans_no_exchange), digested vs the same "
+    "join over the original parquet. A green row proves the bucketed "
+    "write+read+join path is lossless AND join-complete; the plan "
+    "test proves it saves the shuffle that motivates bucketing.",
+)
+def src_bucketed_join_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ot, lt = "src_gate_orders_bkt", "src_gate_lineitem_bkt"
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_suppkey"
+    )
+    _drop_managed(spark, ot)
+    _drop_managed(spark, lt)
+    (
+        orders.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable(ot)
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable(lt)
+    )
+    o, l = spark.table(ot), spark.table(lt)
+    j = o.join(l, o.o_orderkey == l.l_orderkey)
+    return j.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents_sum"
+        ),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents_sum"
+        ),
+        F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),
     )
 
 

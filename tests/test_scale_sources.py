@@ -97,6 +97,28 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_bkt_dim")
 
 
+def test_bucketed_gate_join_plans_no_exchange(spark, sf_smoke):
+    """The driver-gated src_bucketed_join_digest must actually get the
+    shuffle elimination that motivates it: after the query writes its
+    bucketed managed tables, the orders⋈lineitem join over them must be
+    a sort-merge join with ZERO Exchange on the probe/build sides."""
+    from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+
+    # run once (writes the bucketed tables + returns the 1-row digest)
+    assert REGISTRY["src_bucketed_join_digest"].fn(spark, sf_smoke).count() == 1
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table("src_gate_orders_bkt")
+        l = spark.table("src_gate_lineitem_bkt")
+        joined = o.join(l, o.o_orderkey == l.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
