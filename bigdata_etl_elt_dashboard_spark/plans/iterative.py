@@ -348,3 +348,117 @@ def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_wedges").cast("double")
         ).alias("global_clustering"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-core peel (fixed unroll) over the co-purchase graph
+# --------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 5
+
+
+def _kcore_round_sql(ein: str, dout: str, kout: str, eout: str, k: int) -> str:
+    return f"""
+        {dout} AS MATERIALIZED (
+            SELECT node, COUNT(*) AS deg
+            FROM (SELECT x AS node FROM {ein} UNION ALL SELECT y FROM {ein})
+            GROUP BY node
+        ),
+        {kout} AS MATERIALIZED (SELECT node FROM {dout} WHERE deg >= {k}),
+        {eout} AS MATERIALIZED (
+            SELECT e.x, e.y FROM {ein} e
+            JOIN {kout} a ON e.x = a.node
+            JOIN {kout} b ON e.y = b.node
+        )"""
+
+
+@register(
+    "graph_kcore_peel",
+    oracle="""
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT a.p AS x, b.p AS y
+            FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem) a
+            JOIN (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem) b ON a.o = b.o AND a.p < b.p
+        ),
+        """
+    + ",".join(
+        _kcore_round_sql(f"e{i}", f"d{i + 1}", f"k{i + 1}", f"e{i + 1}", _KCORE_K)
+        for i in range(_KCORE_ROUNDS)
+    )
+    + """
+        SELECT * FROM (
+            """
+    + "\n            UNION ALL ".join(
+        (
+            f"SELECT {i} AS round, "
+            f"(SELECT COUNT(DISTINCT node) FROM "
+            f"(SELECT x AS node FROM e{i} UNION ALL SELECT y FROM e{i})) "
+            f"AS n_nodes, (SELECT COUNT(*) FROM e{i}) AS n_edges"
+        )
+        for i in range(_KCORE_ROUNDS + 1)
+    )
+    + """
+        ) ORDER BY round
+    """,
+    doc=f"k-core peel (k={_KCORE_K}, {_KCORE_ROUNDS} fixed rounds) over "
+    "the co-purchase part graph — the density-core extraction behind "
+    "community seeding and graph sparsification (a node is in the "
+    "k-core iff it keeps >= k neighbors after everything weaker is "
+    "iteratively removed). Each round = one degree groupBy + two "
+    "semi-join filters of the edge list; the edge frame "
+    "localCheckpoints per round so round r never re-executes rounds "
+    "1..r-1 (the connected-components lineage pattern) — at 100 TB "
+    "each round is one edge-keyed shuffle over a shrinking edge set. "
+    "FIXED unroll keeps the oracle expressible as chained CTEs; the "
+    "emitted per-round (nodes, edges) trajectory makes convergence "
+    "visible (stable tail rows == fixpoint reached). Counts exact.",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    lj = li.select("o", F.col("p").alias("x"))
+    rj = li.select(F.col("o").alias("o2"), F.col("p").alias("y"))
+    e = (
+        lj.join(rj, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y")))
+        .select("x", "y")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def counts(edges) -> tuple[int, int]:
+        row = (
+            edges.select(F.col("x").alias("node"))
+            .unionAll(edges.select(F.col("y").alias("node")))
+            .agg(
+                F.count_distinct("node").alias("n"),
+                (F.count("*") / 2).cast("long").alias("m"),
+            )
+            .first()
+        )
+        return int(row["n"] or 0), int(row["m"] or 0)
+
+    out = [(0, *counts(e))]
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("x").alias("node"))
+            .unionAll(e.select(F.col("y").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "x"), "x", "semi")
+            .join(keep.withColumnRenamed("node", "y"), "y", "semi")
+            .select("x", "y")
+            .localCheckpoint(eager=True)
+        )
+        out.append((rnd, *counts(e)))
+    return spark.createDataFrame(
+        out, "round int, n_nodes long, n_edges long"
+    ).orderBy("round")

@@ -207,6 +207,63 @@ def star_region_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wh_incremental_rollup",
+    oracle="""
+        SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)),
+                        '%Y-%m-%d') AS month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_sum,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS max_cents
+        FROM orders
+        GROUP BY month ORDER BY month
+    """,
+    doc="Incremental rollup MAINTENANCE — the partial-aggregate merge "
+    "idiom every 100 TB warehouse lives on: the monthly rollup is "
+    "computed as merge(old partials, delta partials) — the historical "
+    "partition (orderdate < 1997-01-01) and the new-batch partition "
+    "each produce per-month partials (count / cents sum / max, all "
+    "decomposable aggregates), and the merge re-aggregates the "
+    "PARTIALS (counts sum, sums sum, maxes max) without touching a "
+    "single historical fact row again. The oracle computes the rollup "
+    "from scratch over all of orders — a green row IS the proof that "
+    "merge(old, delta) == full recompute, i.e. the refresh never needs "
+    "to re-scan history. Both partition scans carry pushed date "
+    "predicates; every aggregate is map-side combinable.",
+)
+def wh_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cutoff = "1997-01-01"
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(
+                F.date_trunc("month", F.col("o_orderdate").cast("date")),
+                "yyyy-MM-dd",
+            ).alias("month")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("cents_sum"),
+            F.max(cents).alias("max_cents"),
+        )
+
+    old = partials(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partials(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        old.unionAll(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),  # counts merge by summing
+            F.sum("cents_sum").alias("cents_sum"),
+            F.max("max_cents").alias("max_cents"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
     "wh_snapshot_delta_orders",
     oracle="""
         WITH oldt AS (

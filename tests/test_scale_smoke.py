@@ -117,3 +117,52 @@ def test_lsh_band_join_stays_equi_at_width(spark):
     # E[pairs] = 50k * C(4,2)-ish; the certificate is the magnitude, not
     # the exact value: quadratic blowup would be ~2*10^10
     assert n_pairs < 10 * n
+
+
+def test_strict_funnel_chain_at_5m(spark):
+    """The ev_funnel_strict_steps shape (chained conditional-min steps,
+    each localCheckpoint'ed) at 5M synthetic events: counts must be
+    monotone non-increasing, and each step's plan must read the PREVIOUS
+    step from its checkpoint (Scan ExistingRDD) instead of re-deriving
+    the whole chain — the round-3 47-scan regression shape."""
+    ev = spark.range(N).select(
+        F.pmod(F.col("id"), F.lit(200_000)).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in ("signup", "view", "click", "purchase")]),
+            (F.pmod(F.xxhash64("id"), F.lit(4)) + 1).cast("int"),
+        ).alias("event_type"),
+        F.col("id").alias("ts"),  # ordering is all the funnel needs
+    )
+
+    def first_after(step, prev):
+        return (
+            ev.filter(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+            .localCheckpoint(eager=True)
+        )
+
+    t1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    t2 = first_after("view", t1)
+    t3 = first_after("click", t2)
+    t4 = first_after("purchase", t3)
+    counts = [t.count() for t in (t1, t2, t3, t4)]
+    assert counts[0] >= counts[1] >= counts[2] >= counts[3] > 0
+    # step 4's own lineage reads the checkpointed step-3 frame — the raw
+    # chain (t1..t3 subtrees) must NOT reappear in its plan
+    plan = _plan(
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t3, "user_id")
+        .filter(F.col("ts") > F.col("t"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Exchange") <= 4
