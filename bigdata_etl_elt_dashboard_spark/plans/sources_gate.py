@@ -296,6 +296,53 @@ def src_bucketed_join_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_partitioned_prune_digest",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS price_cents_sum,
+               COUNT(DISTINCT o_orderpriority) AS n_priorities
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) BETWEEN 1996 AND 1998
+    """,
+    doc="Hive-layout partitioned-write driver gate: orders re-written "
+    "partitionBy(order_year) and read back with a year-range filter — "
+    "the layout that turns the dashboard's date filter (SURVEY P7) into "
+    "partition PRUNING instead of a 100 TB scan (directories outside "
+    "1996–1998 contribute zero I/O; the pruning itself is plan-asserted "
+    "by tests/test_scale_sources.py's PartitionFilters checks). The "
+    "digest over the pruned read must hash-match the same digest the "
+    "oracle computes with a plain WHERE over the original parquet — "
+    "proving the partitioned write sheds no rows, mangles no values, "
+    "and the partition column round-trips (it is encoded in directory "
+    "names, not data pages, on the partitioned side).",
+)
+def src_partitioned_prune_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _gate_dir(sf_dir, "orders_by_year")
+    orders = table(spark, sf_dir, "orders")
+    (
+        orders.withColumn(
+            "order_year", F.year(F.col("o_orderdate").cast("date"))
+        )
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("order_year").between(1996, 1998)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "price_cents_sum"
+        ),
+        F.count_distinct(F.col("o_orderpriority")).alias("n_priorities"),
+    )
+
+
+@register(
     "src_orc_roundtrip_digest",
     oracle="""
         SELECT COUNT(*) AS n_rows,

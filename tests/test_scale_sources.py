@@ -902,3 +902,21 @@ def test_merge_upsert_semantics(spark):
         ).collect()
     }
     assert out2 == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_partitioned_prune_gate_scan_prunes(spark, sf_smoke):
+    """src_partitioned_prune_digest's read side must push the year-range
+    filter into PartitionFilters (directory-level pruning, zero I/O for
+    excluded years) — not re-filter rows after a full scan."""
+    import contextlib
+    import io
+
+    from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+
+    df = REGISTRY["src_partitioned_prune_digest"].fn(spark, sf_smoke)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan.split("PartitionFilters")[1][:250]
