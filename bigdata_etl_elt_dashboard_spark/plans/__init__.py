@@ -61,7 +61,7 @@ from .registry import REGISTRY, register
 #   sim_ann_candidate_digest, sim_ann_recall_digest, sim_ivf_cell_digest,
 #   agg_sketch_param_digest, docs_bpe_apply_stats, docs_span_contamination,
 #   src_bucketed_join_digest, wh_incremental_rollup, graph_kcore_peel,
-#   src_partitioned_prune_digest,
+#   src_partitioned_prune_digest, part_small_qty_revenue,
 #   plus (rows-only, weak rows whenever slots remain):
 #   sim_ann_lsh, sim_ivf_topk, mm_frame_sample.
 # ---------------------------------------------------------------------------

@@ -321,3 +321,64 @@ def set_ops_all_part_multisets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("l_partkey")).alias("n_keys"),
     )
     return ex.unionAll(inter).orderBy("op")
+
+
+@register(
+    "part_small_qty_revenue",
+    oracle="""
+        WITH lp AS (
+            SELECT l.l_partkey AS pk,
+                   CAST(ROUND(l.l_quantity) AS BIGINT) AS qty,
+                   CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_type = 'PROMO'
+        ),
+        w AS (
+            SELECT qty, cents,
+                   SUM(qty) OVER (PARTITION BY pk) AS s,
+                   COUNT(*) OVER (PARTITION BY pk) AS n
+            FROM lp
+        )
+        SELECT COUNT(*) AS n_small_orders,
+               CAST(SUM(cents) AS BIGINT) AS cents_sum,
+               CAST(SUM(cents) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+        FROM w WHERE 5 * qty * n < s
+    """,
+    doc="TPC-H Q17 skeleton — the CORRELATED SCALAR SUBQUERY shape "
+    "('quantity below 20% of this part's average') decorrelated the way "
+    "a 100 TB plan must run it: instead of re-executing a per-part "
+    "average subquery per row (the naive correlated form) or a "
+    "groupBy+self-join (two shuffles), the per-part sum/count ride a "
+    "single partkey-keyed WINDOW over the filtered fact — one shuffle, "
+    "no second scan. The 20%-of-average threshold evaluates as the "
+    "exact integer cross-multiplication 5·qty·n < Σqty (quantities are "
+    "integral), so the filter is bit-deterministic; revenue sums exact "
+    "cents with the /100/7 renders as a fixed double sequence. The "
+    "PROMO part filter arrives broadcast and prunes before the window.",
+)
+def part_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    promo = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    lp = li.join(F.broadcast(promo), "l_partkey")
+    w = Window.partitionBy("l_partkey")
+    flagged = lp.select(
+        "qty",
+        "cents",
+        F.sum("qty").over(w).alias("s"),
+        F.count("*").over(w).alias("n"),
+    ).filter(5 * F.col("qty") * F.col("n") < F.col("s"))
+    return flagged.agg(
+        F.count("*").alias("n_small_orders"),
+        F.sum("cents").alias("cents_sum"),
+        (
+            F.sum("cents").cast("double") / F.lit(100.0) / F.lit(7.0)
+        ).alias("avg_yearly"),
+    )
