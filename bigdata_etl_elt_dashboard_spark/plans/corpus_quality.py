@@ -1324,3 +1324,109 @@ def emb_pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sub", "code")
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end preprocessing pipeline (quality filter → exact dedup → cap)
+# --------------------------------------------------------------------------
+
+_E2E_CAP = 100  # per-source survivor cap after filtering + dedup
+
+_E2E_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "docs_pipeline_e2e_digest",
+    oracle=f"""
+        {_METRICS_SQL},
+        kept AS (
+            SELECT doc_id FROM metrics
+            WHERE n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+              AND dup_token_ratio <= {_MAX_DUP_TOKEN_RATIO}
+              AND top_token_ratio <= {_MAX_TOP_TOKEN_RATIO}
+              AND dup_bigram_ratio <= {_MAX_DUP_BIGRAM_RATIO}
+        ),
+        surv AS (
+            SELECT d.doc_id, d.lang, d.source, d.n_chars,
+                   md5({_E2E_NORM_SQL}) AS fp,
+                   CASE WHEN trim(d.text) = '' THEN 0
+                        ELSE len({_TOKS_SQL}) END AS n_tok
+            FROM documents d JOIN kept USING (doc_id)
+        ),
+        canon AS (SELECT fp, MIN(doc_id) AS keep_id FROM surv GROUP BY fp),
+        dd AS (
+            SELECT s.* FROM surv s JOIN canon c ON s.doc_id = c.keep_id
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT dd.*,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rn
+                FROM dd
+            ) WHERE rn <= {_E2E_CAP}
+        )
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM capped
+        GROUP BY lang, source ORDER BY lang, source
+    """,
+    doc="The preprocessing pipeline END TO END as one composed plan — "
+    "Gopher repetition filter → exact dedup (normalized-md5 fingerprint, "
+    "keep-lowest-id) → per-source cap "
+    f"({_E2E_CAP}) → per-(lang, source) composition digest with an "
+    "id-sum membership checksum. This is the 'a user could run their "
+    "whole cleaning pass as one query' proof: each stage is the already-"
+    "gated operator (docs_gopher_quality_filter's rules, "
+    "dedup_exact_groups' canon rule, docs_cap_per_source's rank cap) "
+    "COMPOSED, and the digest pins the exact surviving doc set, not "
+    "just counts. Plan shape: the metrics are per-row projections (no "
+    "token shuffle), dedup is one fingerprint groupBy + a semi-join, "
+    "the cap is a source-keyed window over the deduped survivors, and "
+    "the rollup is partial-aggregatable — at 100 TB the pipeline costs "
+    "two keyed shuffles (fingerprint, cap) plus the final reduce.",
+)
+def docs_pipeline_e2e_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    m = _doc_metrics(spark, sf_dir)
+    kept_rules = (
+        F.col("n_tokens").between(_MIN_TOKENS, _MAX_TOKENS)
+        & (F.col("dup_token_ratio") <= _MAX_DUP_TOKEN_RATIO)
+        & (F.col("top_token_ratio") <= _MAX_TOP_TOKEN_RATIO)
+        & (F.col("dup_bigram_ratio") <= _MAX_DUP_BIGRAM_RATIO)
+    )
+    kept = m.filter(kept_rules).select("doc_id")
+    # survivors feed the canon groupBy AND the keeper semi-join: checkpoint
+    # so the text is scanned / fingerprinted once
+    surv = (
+        docs.join(kept, "doc_id", "semi")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.md5(X.normalized_text(F.col("text"))).alias("fp"),
+            X.token_count(F.col("text")).alias("n_tok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    canon = surv.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    dd = surv.join(
+        canon.select(F.col("keep_id").alias("doc_id")), "doc_id", "semi"
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    capped = dd.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _E2E_CAP
+    )
+    return (
+        capped.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang", "source")
+    )
