@@ -417,6 +417,8 @@ def _kcore_round_sql(ein: str, dout: str, kout: str, eout: str, k: int) -> str:
     "visible (stable tail rows == fixpoint reached). Counts exact.",
 )
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore_peel
+
     li = (
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -428,37 +430,8 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         lj.join(rj, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y")))
         .select("x", "y")
         .distinct()
-        .localCheckpoint(eager=True)
     )
-
-    def counts(edges) -> tuple[int, int]:
-        row = (
-            edges.select(F.col("x").alias("node"))
-            .unionAll(edges.select(F.col("y").alias("node")))
-            .agg(
-                F.count_distinct("node").alias("n"),
-                (F.count("*") / 2).cast("long").alias("m"),
-            )
-            .first()
-        )
-        return int(row["n"] or 0), int(row["m"] or 0)
-
-    out = [(0, *counts(e))]
-    for rnd in range(1, _KCORE_ROUNDS + 1):
-        deg = (
-            e.select(F.col("x").alias("node"))
-            .unionAll(e.select(F.col("y").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("deg"))
-        )
-        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
-        e = (
-            e.join(keep.withColumnRenamed("node", "x"), "x", "semi")
-            .join(keep.withColumnRenamed("node", "y"), "y", "semi")
-            .select("x", "y")
-            .localCheckpoint(eager=True)
-        )
-        out.append((rnd, *counts(e)))
+    out = kcore_peel(e, k=_KCORE_K, rounds=_KCORE_ROUNDS)
     return spark.createDataFrame(
         out, "round int, n_nodes long, n_edges long"
     ).orderBy("round")

@@ -384,3 +384,90 @@ def test_global_rank_matches_single_window(spark, vals, parts):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    k=st.integers(2, 4),
+)
+@settings(max_examples=12, deadline=None)
+def test_kcore_peel_matches_python_reference(spark, edges, k):
+    """operators.graph.kcore_peel vs a plain-Python peel run to fixpoint:
+    with enough rounds the distributed trajectory's tail must equal the
+    true k-core (node and edge counts), and counts must be monotone
+    non-increasing round over round."""
+    import collections as C
+
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    # python reference: peel to fixpoint
+    es = set(canon)
+    while True:
+        deg = C.Counter()
+        for x, y in es:
+            deg[x] += 1
+            deg[y] += 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(x, y) for x, y in es if x in keep and y in keep}
+        if nxt == es:
+            break
+        es = nxt
+    ref_nodes = len({n for e in es for n in e})
+    ref_edges = len(es)
+
+    from bigdata_etl_elt_dashboard_spark.operators.graph import kcore_peel
+
+    rounds = 15  # >= graph diameter for 15 nodes -> fixpoint guaranteed
+    df = spark.createDataFrame(
+        sorted(canon) or [(0, 1)][:0], "x long, y long"
+    )
+    if not canon:
+        return  # empty edge frame: nothing to peel
+    traj = kcore_peel(df, k=k, rounds=rounds)
+    ns = [n for _, n, _ in traj]
+    ms = [m for _, _, m in traj]
+    assert ns == sorted(ns, reverse=True) and ms == sorted(ms, reverse=True)
+    assert (ns[-1], ms[-1]) == (ref_nodes, ref_edges)
+
+
+@given(
+    target=st.dictionaries(st.integers(0, 9), st.integers(0, 100), max_size=10),
+    updates=st.dictionaries(
+        st.integers(0, 12),
+        st.tuples(st.integers(0, 100), st.booleans()),  # (value, is_delete)
+        max_size=10,
+    ),
+)
+@settings(**_SETTINGS)
+def test_merge_upsert_matches_dict_and_is_idempotent(spark, target, updates):
+    """merge_upsert == plain dict semantics (update wins, insert on miss,
+    delete removes), and re-applying the same batch is a no-op — the
+    replayability contract the operator's docstring promises."""
+    from bigdata_etl_elt_dashboard_spark.operators.warehouse import merge_upsert
+
+    tdf = spark.createDataFrame(
+        [(k, v) for k, v in target.items()] or [(0, 0)][:0], "k long, v long"
+    )
+    udf_ = spark.createDataFrame(
+        [(k, v, d) for k, (v, d) in updates.items()] or [(0, 0, False)][:0],
+        "k long, v long, is_del boolean",
+    )
+    if not target and not updates:
+        return
+    expected = dict(target)
+    for k, (v, d) in updates.items():
+        if d:
+            expected.pop(k, None)
+        else:
+            expected[k] = v
+    once = merge_upsert(tdf, udf_, keys=["k"], delete_col="is_del")
+    got = {r["k"]: r["v"] for r in once.collect()}
+    assert got == expected
+    # replay: applying the same batch onto the merged result changes nothing
+    twice = merge_upsert(once, udf_, keys=["k"], delete_col="is_del")
+    assert {r["k"]: r["v"] for r in twice.collect()} == expected
