@@ -62,7 +62,7 @@ from .registry import REGISTRY, register
 #   agg_sketch_param_digest, docs_bpe_apply_stats, docs_span_contamination,
 #   src_bucketed_join_digest, wh_incremental_rollup, graph_kcore_peel,
 #   src_partitioned_prune_digest, part_small_qty_revenue,
-#   docs_pipeline_e2e_digest,
+#   docs_pipeline_e2e_digest, docs_winnowing_pairs,
 #   plus (rows-only, weak rows whenever slots remain):
 #   sim_ann_lsh, sim_ivf_topk, mm_frame_sample.
 # ---------------------------------------------------------------------------

@@ -703,3 +703,102 @@ def docs_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wc").alias("total_tokens"),
         F.sum(F.length("s") * F.col("wc")).alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer et al. 2003, MOSS)
+# --------------------------------------------------------------------------
+
+_WIN_K = 5  # k-gram width (tokens) for the hash stream
+_WIN_W = 4  # winnowing window (hashes per window)
+_WIN_MIN_SHARED = 3  # report pairs sharing at least this many fingerprints
+
+
+@register(
+    "docs_winnowing_pairs",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   list(('0x' || substr(md5(array_to_string(
+                            toks[i:i + {_WIN_K - 1}], ' ')), 1, 15))::BIGINT
+                        ORDER BY i) AS hl
+            FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+                 UNNEST(range(1, greatest(len(toks) - {_WIN_K} + 1, 0) + 1))
+                     AS t(i)
+            GROUP BY doc_id
+        ),
+        fp AS (
+            SELECT DISTINCT doc_id,
+                   list_min(hl[j:j + {_WIN_W - 1}]) AS f
+            FROM h, UNNEST(range(1, greatest(len(hl) - {_WIN_W} + 1, 0) + 1))
+                        AS t(j)
+        ),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+            FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_shared
+        FROM shared WHERE n_shared >= {_WIN_MIN_SHARED}
+        ORDER BY doc_a, doc_b
+    """,
+    doc=f"Winnowing document fingerprints (Schleimer et al. 2003 — the "
+    "MOSS plagiarism-detector scheme, the 'rolling hash fingerprint' of "
+    f"classic copy detection): each doc's {_WIN_K}-token k-gram hash "
+    f"stream is windowed ({_WIN_W} hashes per window) and the MINIMUM "
+    "hash per window is selected — winnowing's guarantee is that any "
+    "shared substring of length ≥ w+k−1 tokens yields at least one "
+    "shared fingerprint, at ~2/(w+1) the density of full shingling. "
+    f"Pairs sharing ≥ {_WIN_MIN_SHARED} fingerprints are reported — "
+    "the sparse, position-robust complement of dedup_jaccard_pairs "
+    "(which needs the full shingle set). The hash is an md5 prefix "
+    "rather than a Rabin-Karp rolling hash — the rolling form is a "
+    "single-node micro-optimization; the SELECTION scheme is what "
+    "defines winnowing, and it is bit-identical across engines on "
+    "md5 integers. Shape: explode the k-gram hash stream once, take the "
+    "window minima with a doc-keyed sliding ROWS frame (one doc_id "
+    "shuffle; the per-doc sort is span-count-bounded), distinct the "
+    "selections, then one fingerprint-keyed inverted-index join — at "
+    "100 TB the join touches ~2/(w+1) of the shingle volume ordinary "
+    "Jaccard would shuffle. (NOT the nested-HOF form min(slice(hashes, "
+    "j, w)) per window: lambda subtrees don't CSE, so that shape "
+    "re-hashes the whole doc per window — measured O(n²), 47 s at "
+    "sf0.01 vs 4 s for this plan.)",
+)
+def docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.posexplode(_spans(X.tokens(F.col("text")), _WIN_K))
+    ).withColumnsRenamed({"col": "span"})
+    h = g.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.col("span")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    wcnt = Window.partitionBy("doc_id")
+    fp = (
+        h.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(wmin).alias("f"),
+            F.count("*").over(wcnt).alias("_n"),
+        )
+        .filter(F.col("pos") <= F.col("_n") - _WIN_W)  # full windows only
+        .select("doc_id", "f")
+        .distinct()
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "f")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "f")
+    return (
+        a.join(b, "f")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
