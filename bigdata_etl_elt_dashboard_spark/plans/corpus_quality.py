@@ -1430,3 +1430,103 @@ def docs_pipeline_e2e_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-cluster centroid similarity (embedding-space separation matrix)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "emb_label_centroid_sim",
+    oracle="""
+        WITH pts AS (
+            SELECT label, i - 1 AS pos,
+                   CAST(ROUND(emb[i] * 1000000) AS BIGINT) AS xi
+            FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+                 UNNEST(range(1, len(emb) + 1)) AS t(i)
+        ),
+        cent AS (
+            SELECT label, pos, CAST(ROUND(AVG(xi)) AS BIGINT) AS mi
+            FROM pts GROUP BY label, pos
+        ),
+        d AS (
+            SELECT a.label AS la, b.label AS lb, SUM(a.mi * b.mi) AS dab
+            FROM cent a JOIN cent b USING (pos)
+            WHERE a.label <= b.label
+            GROUP BY la, lb
+        )
+        SELECT p.la AS label_a, p.lb AS label_b,
+               ROUND(CAST(p.dab AS DOUBLE)
+                     / NULLIF(sqrt(CAST(aa.dab AS DOUBLE))
+                              * sqrt(CAST(bb.dab AS DOUBLE)), 0.0), 6)
+                   AS centroid_cosine
+        FROM d p
+        JOIN d aa ON aa.la = p.la AND aa.lb = p.la
+        JOIN d bb ON bb.la = p.lb AND bb.lb = p.lb
+        WHERE p.la < p.lb
+        ORDER BY label_a, label_b
+    """,
+    doc="Inter-cluster SEPARATION matrix: pairwise cosine between the "
+    "per-label centroid vectors — the diagnostic read after any "
+    "clustering pass (SemDeDup buckets, IVF cells, k-means labels): "
+    "high off-diagonal cosine means two clusters overlap and their "
+    "within-cluster dedup/quota decisions bleed into each other. "
+    "Exactness: centroids quantize to micro-unit BIGINTs via the "
+    "sim_kmeans_lloyd1 idiom (ROUND(AVG) per dimension — engine-exact), "
+    "every dot product is an exact integer, and the cosine is one "
+    "fixed-sequence double expression rounded to 6 dp. Spark shape: "
+    "one posexplode + a (label, pos) groupBy collapses the corpus to "
+    "|labels|×64 centroid rows (map-side combined — the only "
+    "corpus-scale work), checkpointed once; the pairwise matrix is a "
+    "broadcast self-join of that tiny frame on the dimension key.",
+)
+def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+            )
+        ),
+    ).withColumnsRenamed({"col": "xi"})
+    # |labels| x 64 rows; feeds both self-join sides and the norm lookups
+    cent = (
+        pts.groupBy("label", "pos")
+        .agg(F.round(F.avg("xi")).cast("long").alias("mi"))
+        .localCheckpoint(eager=True)
+    )
+    a = cent.select(F.col("label").alias("la"), "pos", F.col("mi").alias("ma"))
+    b = cent.select(F.col("label").alias("lb"), "pos", F.col("mi").alias("mb"))
+    d = (
+        a.join(b, "pos")
+        .filter(F.col("la") <= F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("dab"))
+        .localCheckpoint(eager=True)  # pairs + both norm lookups
+    )
+    aa = d.filter(F.col("la") == F.col("lb")).select(
+        F.col("la").alias("_l"), F.col("dab").alias("_naa")
+    )
+    return (
+        d.filter(F.col("la") < F.col("lb"))
+        .join(F.broadcast(aa.withColumnRenamed("_l", "la").withColumnRenamed("_naa", "_a2")), "la")
+        .join(F.broadcast(aa.withColumnRenamed("_l", "lb").withColumnRenamed("_naa", "_b2")), "lb")
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            F.round(
+                F.col("dab").cast("double")
+                / F.nullif(
+                    F.sqrt(F.col("_a2").cast("double"))
+                    * F.sqrt(F.col("_b2").cast("double")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

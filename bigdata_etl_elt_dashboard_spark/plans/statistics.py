@@ -1726,3 +1726,89 @@ def stat_mannwhitney_price_by_status(spark: SparkSession, sf_dir: str) -> DataFr
         (u1d / F.lit(2).cast("double")).alias("u1"),
         ((u1d - n1d * n2d) / (F.lit(2).cast("double") * F.sqrt(var))).alias("z"),
     )
+
+
+# ----------------------- churn hazard (survival input) ---------------------
+
+_CHURN_CENSOR_S = 7 * 86400  # active within the last 7 days == censored
+
+
+@register(
+    "ev_churn_hazard_table",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(floor(epoch(MIN(ts))) AS BIGINT) AS f,
+                   CAST(floor(epoch(MAX(ts))) AS BIGINT) AS l
+            FROM events GROUP BY user_id
+        ),
+        mx AS (SELECT MAX(l) AS m FROM u),
+        lif AS (
+            SELECT (l - f) // 86400 AS t_days,
+                   CAST(m - l >= {_CHURN_CENSOR_S} AS INTEGER) AS churned
+            FROM u CROSS JOIN mx
+        ),
+        g AS (
+            SELECT t_days, COUNT(*) AS n_ending,
+                   CAST(SUM(churned) AS BIGINT) AS n_churned
+            FROM lif GROUP BY t_days
+        )
+        SELECT t_days,
+               CAST(SUM(n_ending) OVER (ORDER BY t_days DESC) AS BIGINT)
+                   AS n_at_risk,
+               n_churned,
+               CAST(n_churned AS DOUBLE)
+                   / CAST(SUM(n_ending) OVER (ORDER BY t_days DESC) AS DOUBLE)
+                   AS hazard
+        FROM g ORDER BY t_days
+    """,
+    doc="Discrete churn HAZARD table — the exact Kaplan-Meier input for "
+    "user-lifetime survival analysis: per observed lifetime t (days "
+    "between a user's first and last event), how many users were still "
+    "at risk at t (reverse-cumulative count over the lifetime grid) and "
+    "how many churned exactly at t — users active within the final "
+    f"{_CHURN_CENSOR_S // 86400} days of the corpus are CENSORED "
+    "(their lifetime ends the observation, not the user). The KM "
+    "survival curve is a cumulative product of (1 - hazard): emitted "
+    "here as the exact ingredient table because exp/ln cross-engine "
+    "drift would poison a hash gate, while at_risk/churned counts and "
+    "the single per-row division are bit-deterministic. Shape: one "
+    "user_id rollup (map-side combined), a 1-row max broadcast, then "
+    "windows over the bounded lifetime-day grid — never event rows.",
+)
+def ev_churn_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("long")).alias("f"),
+        F.max(F.col("ts").cast("long")).alias("l"),
+    )
+    mx = u.agg(F.max("l").alias("m"))
+    lif = u.join(F.broadcast(mx)).select(
+        ((F.col("l") - F.col("f")) / 86400).cast("long").alias("t_days"),
+        (F.col("m") - F.col("l") >= _CHURN_CENSOR_S).cast("int").alias("churned"),
+    )
+    g = lif.groupBy("t_days").agg(
+        F.count("*").alias("n_ending"), F.sum("churned").alias("n_churned")
+    )
+    w = Window.orderBy(F.desc("t_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.select(
+            "t_days",
+            F.sum("n_ending").over(w).alias("n_at_risk"),
+            "n_churned",
+        )
+        .select(
+            "t_days",
+            "n_at_risk",
+            "n_churned",
+            (
+                F.col("n_churned").cast("double")
+                / F.col("n_at_risk").cast("double")
+            ).alias("hazard"),
+        )
+        .orderBy("t_days")
+    )
