@@ -450,6 +450,7 @@ _BNLJ_BOUNDED_OK = {
     "text_jsd_source_drift",
     "ev_error_rate_pchart",
     "docs_data_card",  # 1-row token-total scalar broadcast
+    "ev_churn_hazard_table",  # 1-row corpus-max-timestamp scalar broadcast
 }
 
 
