@@ -112,17 +112,20 @@ def _fact_sales(
     (integrity check, region report, one-big-table) join or aggregate it,
     where a global sort is a pure range-shuffle tax at fact scale.
     Consumers that ALSO join the dims afterwards pass their (typically
-    localCheckpoint'ed) dim frames in so each dim is built once."""
+    localCheckpoint'ed) dim frames in so each dim is built once; when the
+    dims are built here they checkpoint too — the fact build references
+    each more than once (FK resolve + the geo_of_cust bridge), and the
+    dims are broadcast-sized by nature."""
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
 
     if dim_date is None:
-        dim_date = _dim_date(spark, sf_dir)
+        dim_date = _dim_date(spark, sf_dir).localCheckpoint(eager=True)
     dim_date = dim_date.select("date_id", "order_date")
     if dim_geo is None:
-        dim_geo = _dim_geo(spark, sf_dir)
+        dim_geo = _dim_geo(spark, sf_dir).localCheckpoint(eager=True)
 
     geo_of_cust = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
@@ -196,8 +199,9 @@ def star_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(hold.ipynb:cell14 region report: COUNT + SUM per region).",
 )
 def star_region_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fact = _fact_sales(spark, sf_dir)
-    dim_geo = _dim_geo(spark, sf_dir)
+    # one geo build: the fact's FK resolution and the report join share it
+    dim_geo = _dim_geo(spark, sf_dir).localCheckpoint(eager=True)
+    fact = _fact_sales(spark, sf_dir, dim_geo=dim_geo)
     return (
         fact.join(F.broadcast(dim_geo), "geo_id")
         .groupBy("region")
