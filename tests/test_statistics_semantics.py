@@ -599,3 +599,122 @@ def test_cohort_ltv_is_cumulative_and_normalized(spark, sf_smoke):
             assert cum >= prev, cw  # cumulative revenue never decreases
             prev = cum
             assert ltv == pytest.approx(cum / (100.0 * users), abs=1e-9), cw
+
+
+def test_winnowing_matches_python_replicate(spark, sf_smoke):
+    """docs_winnowing_pairs vs a literal Python winnowing pass (k-gram md5
+    hashes, window-min selection, distinct, pair counts) — and the MOSS
+    guarantee spot-check: documents sharing >= w+k-1 consecutive tokens
+    must share at least one fingerprint."""
+    import hashlib
+
+    from bigdata_etl_elt_dashboard_spark.plans.corpus_spans import (
+        _WIN_K,
+        _WIN_MIN_SHARED,
+        _WIN_W,
+    )
+
+    def fingerprints(text: str) -> set:
+        ts = _toks(text)
+        spans = [" ".join(ts[i : i + _WIN_K]) for i in range(len(ts) - _WIN_K + 1)]
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in spans
+        ]
+        return {
+            min(hs[j : j + _WIN_W]) for j in range(len(hs) - _WIN_W + 1)
+        }
+
+    docs = _cols(sf_smoke, "documents", ["doc_id", "text"])
+    fps = {did: fingerprints(t) for did, t in docs}
+    ids = sorted(fps)
+    ref = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            n = len(fps[a] & fps[b])
+            if n >= _WIN_MIN_SHARED:
+                ref[(a, b)] = n
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in _rows(spark, sf_smoke, "docs_winnowing_pairs")
+    }
+    assert got == ref
+    # guarantee spot-check: any pair sharing a >= w+k-1 token run shares a fp
+    toks = {did: _toks(t) for did, t in docs}
+    run = _WIN_W + _WIN_K - 1
+    for i, a in enumerate(ids[:40]):
+        grams_a = {
+            " ".join(toks[a][i2 : i2 + run])
+            for i2 in range(len(toks[a]) - run + 1)
+        }
+        for b in ids[i + 1 : 40]:
+            grams_b = {
+                " ".join(toks[b][i2 : i2 + run])
+                for i2 in range(len(toks[b]) - run + 1)
+            }
+            if grams_a & grams_b:
+                assert fps[a] & fps[b], (a, b)
+
+
+def test_pipeline_e2e_matches_python_composition(spark, sf_smoke):
+    """docs_pipeline_e2e_digest vs the same three stages composed in plain
+    Python (gopher rules -> md5-normalized exact dedup keep-lowest-id ->
+    per-source cap by doc_id) — the composition audit: each stage is
+    individually gated, this pins that the COMPOSED plan applies them in
+    the right order to the right survivor sets."""
+    import hashlib
+    import re as _re
+
+    from bigdata_etl_elt_dashboard_spark.plans.corpus_quality import (
+        _E2E_CAP,
+        _MAX_DUP_BIGRAM_RATIO,
+        _MAX_DUP_TOKEN_RATIO,
+        _MAX_TOP_TOKEN_RATIO,
+        _MAX_TOKENS,
+        _MIN_TOKENS,
+    )
+
+    rows_ = _cols(
+        sf_smoke, "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    survivors = []
+    for did, text, lang, source, n_chars in rows_:
+        ts = _toks(text)
+        n = len(ts)
+        if not (_MIN_TOKENS <= n <= _MAX_TOKENS):
+            continue
+        if (n - len(set(ts))) / n > _MAX_DUP_TOKEN_RATIO:
+            continue
+        if max(collections.Counter(ts).values()) / n > _MAX_TOP_TOKEN_RATIO:
+            continue
+        bgs = [" ".join(ts[i : i + 2]) for i in range(n - 1)]
+        if bgs and (len(bgs) - len(set(bgs))) / len(bgs) > _MAX_DUP_BIGRAM_RATIO:
+            continue
+        norm = _re.sub(r"\s+", " ", text.strip().lower())
+        survivors.append(
+            (did, lang, source, n_chars, hashlib.md5(norm.encode()).hexdigest(), n)
+        )
+    canon = {}
+    for did, _l, _s, _c, fp, _n in survivors:
+        canon[fp] = min(canon.get(fp, did), did)
+    dd = [r for r in survivors if canon[r[4]] == r[0]]
+    by_source = collections.defaultdict(list)
+    for r in sorted(dd):
+        by_source[r[2]].append(r)
+    ref = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for src, rs in by_source.items():
+        for did, lang, _s, n_chars, _fp, n_tok in rs[:_E2E_CAP]:
+            agg = ref[(lang, src)]
+            agg[0] += 1
+            agg[1] += n_tok
+            agg[2] += n_chars
+            agg[3] += did
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_docs"],
+            r["n_tokens"],
+            r["n_chars"],
+            r["id_sum"],
+        )
+        for r in _rows(spark, sf_smoke, "docs_pipeline_e2e_digest")
+    }
+    assert got == {k: tuple(v) for k, v in ref.items()}
