@@ -4634,3 +4634,50 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+        WITH pred AS ({_langid_case_sql().replace("ORDER BY doc_id", "")})
+        SELECT lang AS true_lang, lang_pred AS pred_lang,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(*) AS DOUBLE)
+                   / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE)
+                   AS row_share
+        FROM pred
+        GROUP BY true_lang, pred_lang
+        ORDER BY true_lang, pred_lang
+    """,
+    doc="Language-ID EVALUATION: the confusion matrix of the stopword-"
+    "argmax predictor (text_langid) against the corpus' ground-truth "
+    "lang column — per (true, predicted) cell counts plus each cell's "
+    "share of its true-language row (the recall readout; the diagonal "
+    "is per-language recall). The classifier-eval pattern every "
+    "heuristic filter in a curation pipeline should ship with: the "
+    "heuristic is cheap to run at 100 TB, and this matrix is what "
+    "says whether its errors are random or systematically eating one "
+    "language. One narrow per-doc projection, one two-key rollup, and "
+    "a partition-bounded window over the handful of matrix cells.",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pred = X.lang_id(docs).select("lang", "lang_pred")
+    w = Window.partitionBy("lang")
+    return (
+        pred.groupBy(
+            F.col("lang").alias("true_lang"),
+            F.col("lang_pred").alias("pred_lang"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "row_share",
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy("true_lang")).cast(
+                "double"
+            ),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
