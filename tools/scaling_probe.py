@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Scaling probe: replicate sf0.1 K× with shifted keys and measure how the
+headline + heaviest extension plans scale.
+
+Usage: ``python tools/scaling_probe.py [K]`` (default 8). Writes the scaled
+tables to a temp dir, runs each probed query warm (min-of-3) at 1× and K×,
+and prints a markdown table (captured into SCALING.md by the caller).
+
+Key shifting keeps semantics honest: each replica gets disjoint
+orderkeys/custkeys/userids/docids, so FKs resolve within a replica and
+per-entity state (funnel steps, baskets, LSH buckets) grows by replica
+count, not by cross-replica contamination — except where contamination IS
+the semantics (replicated documents are exact duplicates, so dedup
+candidate counts grow quadratically per bucket; that is the correct
+behavior of the operator, called out in the output).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bigdata_etl_elt_dashboard_spark.plans import REGISTRY  # noqa: E402
+from bigdata_etl_elt_dashboard_spark.session import get_spark  # noqa: E402
+from bigdata_etl_elt_dashboard_spark.sources.catalog import table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: key columns to shift per replica (disjoint entity spaces per copy)
+SHIFTS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+}
+#: tables copied unscaled (dims / unprobed)
+COPY = ["region", "nation", "supplier", "part", "embeddings"]
+
+PROBES = [
+    "q1_total_revenue",
+    "q8_avg_ship_days_per_nation",
+    "ev_funnel_strict_steps",
+    "ev_session_10m",
+    "graph_copurchase_triangles",
+    "dedup_exact_groups",
+    "dedup_lsh_candidates",
+    "docs_pipeline_e2e_digest",
+    "scale_global_rank_orders",
+    "wh_incremental_rollup",
+]
+
+
+def build_scaled(spark, out_dir: str, k: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name in COPY:
+        df = table(spark, SF_DIR, name)
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+    for name, keys in SHIFTS.items():
+        df = table(spark, SF_DIR, name)
+        shift = 1_000_000_000
+        copies = [
+            df.select(
+                *[
+                    (F.col(c) + i * shift).alias(c) if c in keys else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            for i in range(k)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionAll(c)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+
+def timed(spark, sf_dir: str, name: str) -> tuple[float, float]:
+    """(plan+first-run seconds, warm min-of-3 seconds)."""
+    t0 = time.perf_counter()
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()
+    build = time.perf_counter() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.collect()
+        times.append(time.perf_counter() - t0)
+    return build, min(times)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_spark(app_name="scaling_probe", shuffle_partitions=32)
+    out_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_scaled_{k}x")
+    build_scaled(spark, out_dir, k)
+
+    print(f"| query | 1x warm s | {k}x warm s | ratio | 1x build s | {k}x build s |")
+    print("|---|---|---|---|---|---|")
+    for name in PROBES:
+        b1, w1 = timed(spark, SF_DIR, name)
+        bk, wk = timed(spark, out_dir, name)
+        ratio = wk / w1 if w1 > 0 else float("nan")
+        print(
+            f"| `{name}` | {w1:.3f} | {wk:.3f} | {ratio:.1f}x "
+            f"| {b1:.2f} | {bk:.2f} |"
+        )
+    spark.stop()
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
