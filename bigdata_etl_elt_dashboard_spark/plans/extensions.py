@@ -4681,3 +4681,94 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@register(
+    "dedup_method_agreement",
+    oracle=f"""
+        WITH sh AS ({{SH}}),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        tx AS (
+            SELECT doc_a, doc_b FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE n_common * 2 >= sa.n_sh + sb.n_sh - n_common
+        ),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+              FROM embeddings),
+        em AS (
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.ve, b.ve)
+                        / NULLIF(sqrt(list_dot_product(a.ve, a.ve))
+                                 * sqrt(list_dot_product(b.ve, b.ve)), 0.0), 6)
+                  >= 0.4
+        ),
+        j AS (
+            SELECT CASE WHEN t.doc_a IS NOT NULL AND e.doc_a IS NOT NULL
+                        THEN 'both'
+                        WHEN t.doc_a IS NOT NULL THEN 'text_only'
+                        ELSE 'embedding_only' END AS method
+            FROM tx t FULL OUTER JOIN em e
+              ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+        )
+        SELECT method, COUNT(*) AS n_pairs
+        FROM j GROUP BY method ORDER BY method
+    """.replace("{SH}", _SHINGLES_SQL),
+    doc="Dedup-method AGREEMENT matrix — the cross-modal evaluation that "
+    "decides which near-dup detector a pipeline should trust: pairs "
+    "flagged by exact text Jaccard (>= 0.5, inverted-index join) vs "
+    "pairs flagged by embedding cosine (>= 0.4, the blocked all-pairs "
+    "kernel), classified both / text_only / embedding_only via a FULL "
+    "OUTER join of the two pair sets (documents and embeddings share "
+    "the id space 1:1). text_only = paraphrase-blind embeddings or "
+    "threshold gap; embedding_only = semantic near-dups exact n-grams "
+    "miss — the SemDeDup-vs-MinHash trade made measurable. The Jaccard "
+    "threshold compares scaled integers (2·|A∩B| >= |A∪B|); cosine "
+    "rounds to 6 dp on both engines before its threshold; the shingle "
+    "frame checkpoints once.",
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    sh = D._doc_shingles(docs, "text", 3).localCheckpoint(eager=True)
+    # integer threshold 2·|A∩B| >= |A∪B| (not jaccard_pairs' 6-dp-rounded
+    # filter: round(j,6) >= 0.5 and j >= 0.5 disagree on the boundary)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb"))
+    tx = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_common") * 2
+            >= F.col("_na") + F.col("_nb") - F.col("n_common")
+        )
+        .select("doc_a", "doc_b", F.lit(1).alias("_t"))
+    )
+    em = S.near_dup_pairs(emb, min_sim=0.4).select(
+        "doc_a", "doc_b", F.lit(1).alias("_e")
+    )
+    j = tx.join(em, ["doc_a", "doc_b"], "full_outer").select(
+        F.when(
+            F.col("_t").isNotNull() & F.col("_e").isNotNull(), "both"
+        )
+        .when(F.col("_t").isNotNull(), "text_only")
+        .otherwise("embedding_only")
+        .alias("method")
+    )
+    return (
+        j.groupBy("method").agg(F.count("*").alias("n_pairs")).orderBy("method")
+    )
