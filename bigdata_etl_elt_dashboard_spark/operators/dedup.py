@@ -183,19 +183,20 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # FILTER on the unrounded ratio (matching the oracles' WHERE clause);
+    # the 6-dp rounding is display-only — round(j, 6) >= t and j >= t
+    # disagree for j in [t - 5e-7, t), which would flip boundary pairs.
+    raw = F.col("n_common") / F.nullif(
+        (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        F.lit(0.0),
+    )
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / F.nullif((F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"), F.lit(0.0)),
-                6,
-            ),
+        .filter(raw >= F.lit(min_jaccard))
+        .select(
+            "doc_a", "doc_b", "n_common", F.round(raw, 6).alias("jaccard")
         )
-        .filter(F.col("jaccard") >= F.lit(min_jaccard))
-        .select("doc_a", "doc_b", "n_common", "jaccard")
     )
 
 
