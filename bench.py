@@ -105,6 +105,15 @@ EXTENSION_SUITE = (
     "sim_ivf_cell_digest",
     "agg_sketch_param_digest",
     "docs_bpe_train_merges",
+    # round-4 wave 2: the composed cleaning pass, winnowing fingerprints,
+    # k-core peel, incremental-rollup refresh, ANN recall, and the
+    # cross-modal dedup agreement matrix
+    "docs_pipeline_e2e_digest",
+    "docs_winnowing_pairs",
+    "graph_kcore_peel",
+    "wh_incremental_rollup",
+    "sim_ann_recall_digest",
+    "dedup_method_agreement",
 )
 
 

@@ -4772,3 +4772,75 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("method").agg(F.count("*").alias("n_pairs")).orderBy("method")
     )
+
+
+@register(
+    "dedup_quality_keeper",
+    oracle=f"""
+        WITH labels AS ({{CLUSTERS}}),
+        tagged AS (
+            SELECT l.cluster_id, d.doc_id, d.n_chars
+            FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+        ),
+        keepers AS (
+            SELECT cluster_id, doc_id AS keeper_id, n_chars AS keeper_chars
+            FROM tagged
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                       ORDER BY n_chars DESC, doc_id) = 1
+        )
+        SELECT k.cluster_id, k.keeper_id, k.keeper_chars,
+               COUNT(*) AS n_members,
+               CAST(SUM(t.n_chars) AS BIGINT) AS member_chars
+        FROM keepers k JOIN tagged t USING (cluster_id)
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= 2
+        ORDER BY cluster_id
+    """.replace(
+        "{CLUSTERS}",
+        REGISTRY["dedup_clusters"].oracle.replace("ORDER BY doc_id", ""),
+    ),
+    doc="QUALITY-AWARE canonical selection over the near-dup clusters: "
+    "instead of keep-lowest-id (dedup_clusters' rule — cheap but "
+    "quality-blind), each multi-member cluster keeps its LONGEST member "
+    "(n_chars desc, id tie-break) — the policy real pipelines prefer "
+    "because boilerplate-trimmed or truncated copies should lose to the "
+    "fullest copy. Emits keeper id/length plus member count and total "
+    "character mass per non-trivial cluster. Shape: the CC labels "
+    "(iterative min-label with per-round localCheckpoint) join the "
+    "documents once; keeper selection is one cluster-keyed window over "
+    "cluster-sized partitions; the rollup is partial-aggregatable. The "
+    "oracle re-derives the same clusters via its recursive-CTE "
+    "transitive closure and picks keepers with the same window.",
+)
+def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    labels = D.near_dup_clusters(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+    tagged = (
+        docs.select("doc_id", "n_chars").join(labels, "doc_id")
+        .select("cluster_id", "doc_id", "n_chars")
+        .localCheckpoint(eager=True)  # feeds keeper window AND the rollup
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    keepers = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_chars").alias("keeper_chars"),
+        )
+    )
+    return (
+        keepers.join(tagged, "cluster_id")
+        .groupBy("cluster_id", "keeper_id", "keeper_chars")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("n_chars").alias("member_chars"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy("cluster_id")
+    )
