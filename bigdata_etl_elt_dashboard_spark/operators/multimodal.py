@@ -691,3 +691,51 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(stats, AUDIO_STATS_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("win", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sum_w", T.LongType()),
+        T.StructField("sumsq_w", T.LongType()),
+    ]
+)
+
+
+def decode_audio_windows(media: DataFrame, window_samples: int = 16) -> DataFrame:
+    """Frame-level audio features: decode every WAV clip and emit one row
+    per (channel, fixed-size sample window) with exact integer sample sums
+    and sums of squares — the windowed-energy (RMS) feature grid a speech
+    pipeline computes before VAD/segmentation. mapInPandas: the binary
+    column never leaves the Arrow batch; the fan-out is
+    n_channels×ceil(n_samples/window) small integer rows per clip."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in AUDIO_WINDOW_SCHEMA.fields}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _rate, chans = decode_wav(bytes(content))
+                for c, samples in enumerate(chans):
+                    for w0 in range(0, len(samples), window_samples):
+                        wnd = samples[w0 : w0 + window_samples]
+                        rows["media_id"].append(int(mid))
+                        rows["channel"].append(c)
+                        rows["win"].append(w0 // window_samples)
+                        rows["n"].append(len(wnd))
+                        rows["sum_w"].append(sum(wnd))
+                        rows["sumsq_w"].append(sum(s * s for s in wnd))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "channel": pd.Series(rows["channel"], dtype="int32"),
+                    "win": pd.Series(rows["win"], dtype="int32"),
+                    "n": pd.Series(rows["n"], dtype="int64"),
+                    "sum_w": pd.Series(rows["sum_w"], dtype="int64"),
+                    "sumsq_w": pd.Series(rows["sumsq_w"], dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(stats, AUDIO_WINDOW_SCHEMA)

@@ -64,7 +64,7 @@ from .registry import REGISTRY, register
 #   src_partitioned_prune_digest, part_small_qty_revenue,
 #   docs_pipeline_e2e_digest, docs_winnowing_pairs,
 #   emb_label_centroid_sim, ev_churn_hazard_table, text_langid_confusion,
-#   dedup_method_agreement, dedup_quality_keeper,
+#   dedup_method_agreement, dedup_quality_keeper, mm_audio_rms_windows,
 #   plus (rows-only, weak rows whenever slots remain):
 #   sim_ann_lsh, sim_ivf_topk, mm_frame_sample.
 # ---------------------------------------------------------------------------

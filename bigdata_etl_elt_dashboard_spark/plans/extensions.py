@@ -4844,3 +4844,49 @@ def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "mm_audio_rms_windows",
+    oracle="""
+        WITH s AS (
+            SELECT d.doc_id, c.c AS channel, CAST(i.i // 16 AS INTEGER) AS win,
+                   ((d.doc_id * 31 + i.i * 7 + c.c * 13) % 65536) - 32768 AS v
+            FROM documents d, range(64) i(i), range(2) c(c)
+        )
+        SELECT doc_id AS media_id, channel, win,
+               COUNT(*) AS n,
+               CAST(SUM(v) AS BIGINT) AS sum_w,
+               CAST(SUM(v * v) AS BIGINT) AS sumsq_w,
+               sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                   AS rms
+        FROM s GROUP BY 1, 2, 3
+        ORDER BY media_id, channel, win
+    """,
+    doc="Frame-level audio ENERGY grid — the windowed-RMS features a "
+    "speech pipeline computes before voice-activity detection and "
+    "segmentation: each synthesized stereo WAV clip decodes through the "
+    "real RIFF parser (operators/multimodal.decode_wav) and emits one "
+    "row per (channel, 16-sample window) with exact integer sample "
+    "sums; RMS derives from the exact sums via one division + one "
+    "correctly-rounded sqrt. The oracle recomputes every window from "
+    "the closed-form synthesis arithmetic without touching the codec, "
+    "so a green row proves the byte-level WAV parse AND the window "
+    "segmentation. mapInPandas: binary stays inside the Arrow batch; "
+    "only the small integer feature grid shuffles.",
+)
+def mm_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    media = M.synth_wav_table(docs, n_samples=64, sample_rate=8000, n_channels=2)
+    w = M.decode_audio_windows(media, window_samples=16)
+    return w.select(
+        "media_id",
+        "channel",
+        "win",
+        "n",
+        "sum_w",
+        "sumsq_w",
+        F.sqrt(F.col("sumsq_w").cast("double") / F.col("n").cast("double")).alias(
+            "rms"
+        ),
+    ).orderBy("media_id", "channel", "win")
