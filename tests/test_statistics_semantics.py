@@ -718,3 +718,102 @@ def test_pipeline_e2e_matches_python_composition(spark, sf_smoke):
         for r in _rows(spark, sf_smoke, "docs_pipeline_e2e_digest")
     }
     assert got == {k: tuple(v) for k, v in ref.items()}
+
+
+def test_centroid_sim_matches_numpy(spark, sf_smoke):
+    """emb_label_centroid_sim vs numpy: quantize embeddings to micro-unit
+    ints, average per label with SQL-round, and compare every pairwise
+    centroid cosine at 6 dp."""
+    t = pq.read_table(f"{sf_smoke}/embeddings.parquet", columns=["label", "embedding"])
+    labels = t["label"].to_pylist()
+    vecs = [[_r(x * 1_000_000) for x in v] for v in t["embedding"].to_pylist()]
+    by_label = collections.defaultdict(list)
+    for l, v in zip(labels, vecs):
+        by_label[l].append(v)
+    cents = {
+        l: [_r(np.mean(col)) for col in zip(*vs)] for l, vs in by_label.items()
+    }
+    ref = {}
+    ls = sorted(cents)
+    for i, a in enumerate(ls):
+        for b in ls[i + 1 :]:
+            ca, cb = np.array(cents[a], float), np.array(cents[b], float)
+            denom = math.sqrt(ca @ ca) * math.sqrt(cb @ cb)
+            ref[(a, b)] = round(float(ca @ cb) / denom, 6) if denom else None
+    got = {
+        (r["label_a"], r["label_b"]): r["centroid_cosine"]
+        for r in _rows(spark, sf_smoke, "emb_label_centroid_sim")
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=2e-6), k
+
+
+def test_churn_hazard_matches_python(spark, sf_smoke):
+    """ev_churn_hazard_table vs a plain-Python lifetime/censoring pass,
+    plus structural invariants: at-risk counts strictly decrease down the
+    lifetime grid and sum of churned <= total users."""
+    per_user = {}
+    for uid, _eid, _et, sec, _c, _ns in _events(sf_smoke):
+        f, l = per_user.get(uid, (sec, sec))
+        per_user[uid] = (min(f, sec), max(l, sec))
+    mx = max(l for _f, l in per_user.values())
+    lifetimes = collections.defaultdict(lambda: [0, 0])
+    for f, l in per_user.values():
+        t_days = (l - f) // 86400
+        lifetimes[t_days][0] += 1
+        lifetimes[t_days][1] += int(mx - l >= 7 * 86400)
+    grid = sorted(lifetimes)
+    ref = {}
+    at_risk = sum(n for n, _ in lifetimes.values())
+    for t in grid:
+        n_end, n_ch = lifetimes[t]
+        ref[t] = (at_risk, n_ch)
+        at_risk -= n_end
+    rows_ = _rows(spark, sf_smoke, "ev_churn_hazard_table")
+    got = {r["t_days"]: (r["n_at_risk"], r["n_churned"]) for r in rows_}
+    assert got == ref
+    risks = [r["n_at_risk"] for r in rows_]
+    assert risks == sorted(risks, reverse=True)
+    assert sum(r["n_churned"] for r in rows_) <= len(per_user)
+
+
+def test_kcore_corpus_trajectory_matches_python(spark, sf_smoke):
+    """graph_kcore_peel on the real co-purchase graph vs a plain-Python
+    peel of the same edge list, round by round."""
+    from bigdata_etl_elt_dashboard_spark.plans.iterative import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+    )
+
+    li = {
+        (o, p)
+        for o, p in _cols(sf_smoke, "lineitem", ["l_orderkey", "l_partkey"])
+    }
+    baskets = collections.defaultdict(set)
+    for o, p in li:
+        baskets[o].add(p)
+    edges = set()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    ref = []
+    es = set(edges)
+    nodes = {n for e in es for n in e}
+    ref.append((0, len(nodes), len(es)))
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = collections.Counter()
+        for x, y in es:
+            deg[x] += 1
+            deg[y] += 1
+        keep = {n for n, d in deg.items() if d >= _KCORE_K}
+        es = {(x, y) for x, y in es if x in keep and y in keep}
+        nodes = {n for e in es for n in e}
+        ref.append((rnd, len(nodes), len(es)))
+    got = [
+        (r["round"], r["n_nodes"], r["n_edges"])
+        for r in _rows(spark, sf_smoke, "graph_kcore_peel")
+    ]
+    assert got == ref
