@@ -172,3 +172,33 @@ def interval_overlap_join(
         )
         .drop("_bkt", "_bkt_r")
     )
+
+
+def strict_funnel_times(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> list[DataFrame]:
+    """Per-user first-reach times for a STRICT sequential funnel: step k
+    counts only an event strictly AFTER the user's step-k−1 time. Returns
+    one (user, t) frame per step, each ``localCheckpoint``'ed — every step
+    frame feeds the next step's join AND its own count, and the chain
+    nests, so without lineage truncation the final plan re-scans the fact
+    once per REFERENCE (the round-3 47-scan regression); with it, exactly
+    once per step. Shared by the gated ev_funnel_strict_steps query and
+    the 5M-row scale smoke so both exercise the same code."""
+    out: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for step in steps:
+        cur = events.filter(F.col(type_col) == step)
+        if prev is not None:
+            cur = cur.join(prev, user_col).filter(F.col(ts_col) > F.col("t"))
+        prev = (
+            cur.groupBy(user_col)
+            .agg(F.min(ts_col).alias("t"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(prev)
+    return out

@@ -1483,15 +1483,11 @@ def docs_pipeline_e2e_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast self-join of that tiny frame on the dimension key.",
 )
 def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .iterative import _to_fixed  # the one micro-unit quantizer
+
     emb = table(spark, sf_dir, "embeddings")
     pts = emb.select(
-        "label",
-        F.posexplode(
-            F.transform(
-                F.col("embedding"),
-                lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
-            )
-        ),
+        "label", F.posexplode(_to_fixed(F.col("embedding")))
     ).withColumnsRenamed({"col": "xi"})
     # |labels| x 64 rows; feeds both self-join sides and the norm lookups
     cent = (

@@ -306,8 +306,9 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle stream feeds sizes + both inverted-index sides: checkpoint
     # it so the corpus is scanned/shingled once (was 4 scans)
     sh = D._doc_shingles(docs, "text", 3).localCheckpoint(eager=True)
+    # jaccard_pairs filters on the UNROUNDED ratio (matching the oracle's
+    # WHERE); the rounded column it returns is display-only
     out = D.jaccard_pairs(docs, min_jaccard=0.5, shingles_df=sh)
-    # re-derive filter on unrounded value to match oracle's WHERE exactly
     return out.orderBy("doc_a", "doc_b")
 
 
@@ -2739,32 +2740,14 @@ def dq_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "divisions of exact counts.",
 )
 def ev_funnel_strict_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import strict_funnel_times
+
     ev = table(spark, sf_dir, "events")
-
-    # Each step frame is per-user tiny (one timestamp per surviving user)
-    # and feeds TWO consumers (the next step's join + its own count), and
-    # the chain nests — without lineage truncation the final plan re-scanned
-    # events ~47 times (judge-measured r03). localCheckpoint caps it at one
-    # events scan per step; the step frames themselves are user-sized.
-    def first_after(step_type: str, prev: DataFrame) -> DataFrame:
-        return (
-            ev.filter(F.col("event_type") == step_type)
-            .join(prev, "user_id")
-            .filter(F.col("ts") > F.col("t"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
-            .localCheckpoint(eager=True)
-        )
-
-    t1 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t"))
-        .localCheckpoint(eager=True)
+    # checkpointed per-step first-reach frames (see strict_funnel_times for
+    # the lineage-truncation rationale — the round-3 47-scan regression)
+    t1, t2, t3, t4 = strict_funnel_times(
+        ev, ["signup", "view", "click", "purchase"]
     )
-    t2 = first_after("view", t1)
-    t3 = first_after("click", t2)
-    t4 = first_after("purchase", t3)
 
     c = (
         t1.agg(F.count("*").alias("c1"))

@@ -36,6 +36,19 @@ def _to_fixed(arr: Column) -> Column:
     return F.transform(arr, lambda x: F.round(x.cast("double") * 1_000_000).cast("long"))
 
 
+def _d2_sql(vec_ints: list[int]) -> str:
+    """SQL-string exact integer squared-L2 distance from the row's
+    ``xi_arr`` column to a literal quantized vector — the shared kernel
+    behind centroid assignment (here), IVF probe routing, and the ANN
+    recall ground truth (plans/similarity_gate.py). ONE place to change
+    if the expression ever needs an overflow guard or tie-break tweak."""
+    return (
+        "aggregate(zip_with(xi_arr, array("
+        + ", ".join(f"{int(m)}L" for m in vec_ints)
+        + "), (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v)"
+    )
+
+
 def _best_assign(cents: dict[int, list[int]]) -> Column:
     """struct(d2, lbl) of the nearest centroid (literal-array distances,
     tie-break on centroid id via array_min's struct ordering).
@@ -44,10 +57,7 @@ def _best_assign(cents: dict[int, list[int]]) -> Column:
     objects costs seconds of driver-side py4j round-trips per plan (the
     emb_pq_encode_stats plan-time lesson)."""
     structs = ", ".join(
-        "named_struct('d2', aggregate(zip_with(xi_arr, array("
-        + ", ".join(f"{int(m)}L" for m in mis)
-        + "), (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v), "
-        f"'lbl', {int(lbl)})"
+        f"named_struct('d2', {_d2_sql(mis)}, 'lbl', {int(lbl)})"
         for lbl, mis in sorted(cents.items())
     )
     return F.expr(f"array_min(array({structs}))")

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import _hyperplanes
 from ..sources.catalog import table
-from .iterative import _best_assign, _to_fixed
+from .iterative import _best_assign, _d2_sql, _to_fixed
 from .registry import register
 
 #: quantization scale for planes and embeddings (micro-units — exact BIGINT
@@ -249,11 +249,7 @@ def sim_ann_recall_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(qid).alias("qid"),
-                        F.expr(
-                            "aggregate(zip_with(xi_arr, array("
-                            + ", ".join(f"{int(m)}L" for m in qv)
-                            + "), (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v)"
-                        ).alias("d2"),
+                        F.expr(_d2_sql(qv)).alias("d2"),
                     )
                     for qid, qv in sorted(qvecs.items())
                 ]
@@ -362,11 +358,7 @@ def sim_ivf_cell_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.expr(
-                            "aggregate(zip_with(xi_arr, array("
-                            + ", ".join(f"{int(m)}L" for m in mis)
-                            + "), (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v)"
-                        ).alias("d2"),
+                        F.expr(_d2_sql(mis)).alias("d2"),
                     )
                     for c, mis in sorted(cents.items())
                 ]

@@ -125,6 +125,10 @@ def test_strict_funnel_chain_at_5m(spark):
     monotone non-increasing, and each step's plan must read the PREVIOUS
     step from its checkpoint (Scan ExistingRDD) instead of re-deriving
     the whole chain — the round-3 47-scan regression shape."""
+    from bigdata_etl_elt_dashboard_spark.operators.temporal import (
+        strict_funnel_times,
+    )
+
     ev = spark.range(N).select(
         F.pmod(F.col("id"), F.lit(200_000)).alias("user_id"),
         F.element_at(
@@ -133,26 +137,11 @@ def test_strict_funnel_chain_at_5m(spark):
         ).alias("event_type"),
         F.col("id").alias("ts"),  # ordering is all the funnel needs
     )
-
-    def first_after(step, prev):
-        return (
-            ev.filter(F.col("event_type") == step)
-            .join(prev, "user_id")
-            .filter(F.col("ts") > F.col("t"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
-            .localCheckpoint(eager=True)
-        )
-
-    t1 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t"))
-        .localCheckpoint(eager=True)
+    # the SAME operator the gated query uses — a regression in its
+    # checkpointing shows up here at 5M rows, not just in the plan lint
+    t1, t2, t3, t4 = strict_funnel_times(
+        ev, ["signup", "view", "click", "purchase"]
     )
-    t2 = first_after("view", t1)
-    t3 = first_after("click", t2)
-    t4 = first_after("purchase", t3)
     counts = [t.count() for t in (t1, t2, t3, t4)]
     assert counts[0] >= counts[1] >= counts[2] >= counts[3] > 0
     # step 4's own lineage reads the checkpointed step-3 frame — the raw

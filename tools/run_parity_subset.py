@@ -6,11 +6,13 @@ Prints one line per query: OK/FAIL (+ mismatch details) and wall time.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
-sys.path.insert(0, "tests")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
 
 from bigdata_etl_elt_dashboard_spark.plans import REGISTRY  # noqa: E402
 from bigdata_etl_elt_dashboard_spark.session import get_spark  # noqa: E402
@@ -29,9 +31,9 @@ def main() -> int:
     con = duck_connection(sf)
     failed = []
     for name in names:
-        q = REGISTRY[name]
         t0 = time.time()
         try:
+            q = REGISTRY[name]  # inside try: a typo'd name reports, not aborts
             if q.oracle is None:
                 df = q.fn(spark, sf)
                 n = df.count()

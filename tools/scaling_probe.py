@@ -63,9 +63,17 @@ def build_scaled(spark, out_dir: str, k: int) -> None:
     for name in COPY:
         df = table(spark, SF_DIR, name)
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+    # shift derived from the ACTUAL key ranges: a fixed constant silently
+    # overlaps replicas once ids outgrow it (larger SFs / regenerated data),
+    # cross-contaminating per-entity state and corrupting every ratio
+    max_key = 0
     for name, keys in SHIFTS.items():
         df = table(spark, SF_DIR, name)
-        shift = 1_000_000_000
+        row = df.agg(*[F.max(F.col(c)).alias(c) for c in keys]).first()
+        max_key = max(max_key, *[int(row[c] or 0) for c in keys])
+    shift = 10 ** (len(str(max_key)) + 1)  # round power of ten past max id
+    for name, keys in SHIFTS.items():
+        df = table(spark, SF_DIR, name)
         copies = [
             df.select(
                 *[
