@@ -445,3 +445,141 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round int, n_nodes long, n_edges long"
     ).orderBy("round")
+
+
+# --------------------------------------------------------------------------
+# k-means: the FULL Lloyd loop (fixed rounds, exact-integer trajectory)
+# --------------------------------------------------------------------------
+
+_KM_ROUNDS = 4
+
+
+def _kmeans_round_sql(prev_a: str, cent: str, d: str, a: str) -> str:
+    """One Lloyd round: recompute integer centroids from the previous
+    assignment, re-assign every vector, carry best_d2 for the inertia."""
+    return f"""
+        {cent} AS MATERIALIZED (
+            SELECT {prev_a}.c AS c, p.pos, CAST(ROUND(AVG(p.xi)) AS BIGINT) AS mi
+            FROM pts p JOIN {prev_a} USING (vec_id)
+            GROUP BY {prev_a}.c, p.pos
+        ),
+        {d} AS (
+            SELECT p.vec_id, t.c, SUM((p.xi - t.mi) * (p.xi - t.mi)) AS d2
+            FROM pts p JOIN {cent} t USING (pos)
+            GROUP BY p.vec_id, t.c
+        ),
+        {a} AS MATERIALIZED (
+            SELECT vec_id, c, d2 AS best_d2 FROM {d}
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, c) = 1
+        )"""
+
+
+@register(
+    "sim_kmeans_trajectory",
+    oracle=f"""
+        WITH pts AS MATERIALIZED (
+            SELECT vec_id, i - 1 AS pos,
+                   CAST(ROUND(emb[i] * 1000000) AS BIGINT) AS xi
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+                 UNNEST(range(1, len(emb) + 1)) AS t(i)
+        ),
+        cent0 AS MATERIALIZED (
+            SELECT vec_id AS c, pos, xi AS mi FROM pts WHERE vec_id < {_K}
+        ),
+        d0 AS (
+            SELECT p.vec_id, t.c, SUM((p.xi - t.mi) * (p.xi - t.mi)) AS d2
+            FROM pts p JOIN cent0 t USING (pos) GROUP BY p.vec_id, t.c
+        ),
+        a0 AS MATERIALIZED (
+            SELECT vec_id, c, d2 AS best_d2 FROM d0
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, c) = 1
+        ),
+        """
+    + ",".join(
+        _kmeans_round_sql(f"a{r - 1}", f"cent{r}", f"d{r}", f"a{r}")
+        for r in range(1, _KM_ROUNDS + 1)
+    )
+    + """
+        SELECT * FROM (
+            """
+    + "\n            UNION ALL ".join(
+        (
+            f"SELECT {r} AS round,"
+            f" (SELECT COUNT(*) FROM a{r} n JOIN a{r - 1} o USING (vec_id)"
+            f"  WHERE n.c <> o.c) AS n_moved,"
+            f" (SELECT COUNT(DISTINCT c) FROM a{r}) AS n_clusters,"
+            f" (SELECT CAST(SUM(best_d2) AS BIGINT) FROM a{r}) AS inertia"
+        )
+        for r in range(1, _KM_ROUNDS + 1)
+    )
+    + """
+        ) ORDER BY round
+    """,
+    doc=f"The FULL Lloyd loop ({_KM_ROUNDS} fixed rounds, k={_K}, init = "
+    "lowest-id vectors): per round, re-assignments moved, surviving "
+    "cluster count (empty clusters drop — both engines), and exact "
+    "integer inertia — the convergence trajectory sim_kmeans_lloyd1's "
+    "single iteration doesn't show (a stable n_moved→0 tail IS "
+    "convergence). Every round runs in exact micro-unit integer "
+    "arithmetic, so the trajectory is bit-identical across engines and "
+    "partitionings. Spark shape per round: the k×64 centroid matrix is "
+    "collected driver-side (512 values — the established centroid-"
+    "collect idiom) and re-enters the plan as literals via the shared "
+    "_d2_sql kernel; assignments checkpoint per round so round r never "
+    "re-executes rounds 1..r-1 (the BPE/k-core lineage pattern); the "
+    "M-step is one partial-aggregatable (cluster, pos) groupBy. The "
+    "oracle chains the same rounds as MATERIALIZED CTEs.",
+)
+def sim_kmeans_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    fixed = emb.select(
+        "vec_id", _to_fixed(F.col("embedding")).alias("xi_arr")
+    ).localCheckpoint(eager=True)  # scanned once; every round reads it
+
+    init_rows = fixed.filter(F.col("vec_id") < _K).collect()
+    cents = {int(r["vec_id"]): list(r["xi_arr"]) for r in init_rows}
+    assign = _best_assign(cents)
+    a_prev = fixed.select(
+        "vec_id", "xi_arr", assign["lbl"].alias("c"), assign["d2"].alias("best_d2")
+    ).localCheckpoint(eager=True)
+
+    out = []
+    for rnd in range(1, _KM_ROUNDS + 1):
+        cent_rows = (
+            a_prev.select("c", F.posexplode("xi_arr"))
+            .withColumnsRenamed({"col": "xi"})
+            .groupBy("c", "pos")
+            .agg(F.round(F.avg("xi")).cast("long").alias("mi"))
+            .collect()
+        )
+        cents = {}
+        for r in cent_rows:
+            cents.setdefault(int(r["c"]), [0] * 64)[r["pos"]] = int(r["mi"])
+        assign = _best_assign(cents)
+        a_new = fixed.select(
+            "vec_id",
+            "xi_arr",
+            assign["lbl"].alias("c"),
+            assign["d2"].alias("best_d2"),
+        ).localCheckpoint(eager=True)
+        stats = (
+            a_new.join(
+                a_prev.select("vec_id", F.col("c").alias("_oc")), "vec_id"
+            )
+            .agg(
+                F.count(F.when(F.col("c") != F.col("_oc"), 1)).alias("n_moved"),
+                F.count_distinct("c").alias("n_clusters"),
+                F.sum("best_d2").alias("inertia"),
+            )
+            .first()
+        )
+        out.append(
+            (rnd, int(stats["n_moved"]), int(stats["n_clusters"]), int(stats["inertia"]))
+        )
+        a_prev = a_new
+    return spark.createDataFrame(
+        out, "round int, n_moved long, n_clusters long, inertia long"
+    ).orderBy("round")
