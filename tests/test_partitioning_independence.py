@@ -1,0 +1,59 @@
+"""Partitioning/optimizer independence: the engine's exactness claims say
+results never depend on partition counts, AQE re-planning, or exchange
+reuse. Pin that by re-running representative gated queries under an
+ADVERSARIAL session posture — AQE off, exchange reuse off (the round-3
+ADVICE failure class: correctness hinging on ReusedExchange), a prime
+shuffle-partition count — and requiring bit-identical rows.
+
+Covers one representative per exactness idiom: fixed-point sums, keyed
+windows, checkpointed iterative loops (funnel, BPE, Lloyd, PageRank),
+partial-agg merges, LSH banding, and the two-pass global rank whose pid
+agreement must hold WITHOUT exchange reuse.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+
+_ADVERSARIAL = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.exchange.reuse": "false",
+    "spark.sql.shuffle.partitions": "17",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+_QUERIES = [
+    "q1_total_revenue",  # fixed-point exact sum
+    "dedup_exact_groups",  # partial-aggregatable groupBy dedup
+    "ev_funnel_strict_steps",  # checkpointed step chain
+    "docs_bpe_train_merges",  # driver-looped argmax over checkpoints
+    "sim_kmeans_trajectory",  # full Lloyd loop, centroid collects
+    "graph_pagerank_3iter",  # integer iterations over checkpoints
+    "wh_incremental_rollup",  # partial-aggregate merge
+    "dedup_lsh_candidates",  # md5 banding determinism
+    "scale_global_rank_orders",  # pid agreement WITHOUT ReusedExchange
+    "stat_cusum_daily_revenue",  # ordered-window closed form
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_result_survives_adversarial_session(spark, sf_smoke, name):
+    baseline = _rows(REGISTRY[name].fn(spark, sf_smoke))
+    prev = {k: spark.conf.get(k, None) for k in _ADVERSARIAL}
+    try:
+        for k, v in _ADVERSARIAL.items():
+            spark.conf.set(k, v)
+        adversarial = _rows(REGISTRY[name].fn(spark, sf_smoke))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert adversarial == baseline, name
