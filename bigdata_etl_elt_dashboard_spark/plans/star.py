@@ -475,3 +475,63 @@ def star_one_big_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sales_id")
     )
+
+
+@register(
+    "ev_hierarchical_rollup",
+    oracle="""
+        SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_sum,
+               CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS max_cents
+        FROM events
+        GROUP BY 1, 2 ORDER BY month, event_type
+    """,
+    doc="HYPERTABLE-style hierarchical rollup (the TimescaleDB "
+    "continuous-aggregate cascade): events roll to HOURLY partials, "
+    "hours roll to DAILY partials, days roll to MONTHLY — each level "
+    "re-aggregating only the level below (counts sum, sums sum, maxes "
+    "max; all decomposable), never the raw events. The oracle computes "
+    "the monthly rollup DIRECTLY from events, so a green row proves the "
+    "cascade identity merge(merge(merge(raw))) == direct — the "
+    "invariant that lets a 100 TB event store serve month queries from "
+    "day partials and day queries from hour partials without ever "
+    "re-touching raw rows, and refresh any level incrementally (see "
+    "wh_incremental_rollup for the old+delta form of the same "
+    "algebra). Three partial-aggregatable groupBys over strictly "
+    "shrinking frames; the raw table is scanned exactly once.",
+)
+def ev_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(cents).alias("cents_sum"),
+        F.max(cents).alias("max_cents"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("hour")).alias("day"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("cents_sum").alias("cents_sum"),
+        F.max("max_cents").alias("max_cents"),
+    )
+    return (
+        daily.groupBy(
+            F.date_format(F.date_trunc("month", F.col("day")), "yyyy-MM-dd").alias(
+                "month"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("cents_sum").alias("cents_sum"),
+            F.max("max_cents").alias("max_cents"),
+        )
+        .orderBy("month", "event_type")
+    )
