@@ -65,7 +65,7 @@ from .registry import REGISTRY, register
 #   docs_pipeline_e2e_digest, docs_winnowing_pairs,
 #   emb_label_centroid_sim, ev_churn_hazard_table, text_langid_confusion,
 #   dedup_method_agreement, dedup_quality_keeper, mm_audio_rms_windows,
-#   sim_kmeans_trajectory, ev_hierarchical_rollup,
+#   sim_kmeans_trajectory, ev_hierarchical_rollup, ev_salted_enrich_rollup,
 #   plus (rows-only, weak rows whenever slots remain):
 #   sim_ann_lsh, sim_ivf_topk, mm_frame_sample.
 # ---------------------------------------------------------------------------

@@ -4873,3 +4873,50 @@ def mm_audio_rms_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rms"
         ),
     ).orderBy("media_id", "channel", "win")
+
+
+@register(
+    "ev_salted_enrich_rollup",
+    oracle="""
+        WITH dim AS (
+            SELECT event_type, MIN(event_id) AS type_code
+            FROM events GROUP BY event_type
+        )
+        SELECT d.type_code, e.event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_sum
+        FROM events e JOIN dim d USING (event_type)
+        GROUP BY 1, 2 ORDER BY event_type
+    """,
+    doc="Skew-safe salted broadcast-replicate JOIN, driver-gated "
+    "(operators/scale.salted_broadcast_join — until now only its "
+    "equivalence pytest covered it): the events fact joins a tiny "
+    "derived event-type dimension on the NATURALLY SKEWED type key "
+    "(a handful of types own millions of rows each at 100 TB), with "
+    "the dim replicated once per salt bucket so each hot key's rows "
+    "scatter over 16 tasks instead of funneling through one. The "
+    "oracle computes the same enrich+rollup with a plain join — a "
+    "green row proves salting changes the schedule, never the answer. "
+    "Deterministic salt from event_id (never rand(): retry-safe).",
+)
+def ev_salted_enrich_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import salted_broadcast_join
+
+    ev = table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.min("event_id").alias("type_code"))
+    joined = salted_broadcast_join(
+        ev.select("event_type", "event_id", "value"),
+        dim,
+        key="event_type",
+        salt_from="event_id",
+        buckets=16,
+    )
+    return (
+        joined.groupBy("type_code", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents_sum"),
+        )
+        .orderBy("event_type")
+    )
