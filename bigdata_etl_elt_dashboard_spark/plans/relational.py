@@ -382,3 +382,79 @@ def part_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("double") / F.lit(100.0) / F.lit(7.0)
         ).alias("avg_yearly"),
     )
+
+
+@register(
+    "li_nation_trade_volume",
+    oracle="""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(CAST(l.l_shipdate AS DATE)) AS INTEGER) AS l_year,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice
+                                   * (1 - l.l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE sn.n_name <> cn.n_name
+          AND sn.n_regionkey = cn.n_regionkey
+        GROUP BY 1, 2, 3
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 skeleton — bilateral trade volume: yearly revenue for "
+    "every CROSS-NATION pair within a region (supplier's nation ships "
+    "to a different customer nation), the two-role dimension pattern "
+    "where the SAME nation table joins twice under different aliases. "
+    "Plan shape for 100 TB: lineitem⋈orders is the one fact-fact "
+    "shuffle; customer/supplier enrich keyed (AQE size-gates), and "
+    "both nation lookups broadcast; the cross-nation + same-region "
+    "predicate applies after the broadcast joins as a cheap residual. "
+    "Revenue is the exact-cents quantized discount product; one "
+    "partial-aggregated rollup onto the bounded "
+    "(nation, nation, year) grid.",
+)
+def li_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year(F.col("l_shipdate").cast("date")).alias("l_year"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("n_regionkey").alias("_cr"),
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+        F.col("n_regionkey").alias("_sr"),
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(F.broadcast(sn), "s_nationkey")
+        .filter(
+            (F.col("supp_nation") != F.col("cust_nation"))
+            & (F.col("_sr") == F.col("_cr"))
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )

@@ -817,3 +817,50 @@ def test_kcore_corpus_trajectory_matches_python(spark, sf_smoke):
         for r in _rows(spark, sf_smoke, "graph_kcore_peel")
     ]
     assert got == ref
+
+
+def test_kmeans_trajectory_matches_python_lloyd(spark, sf_smoke):
+    """sim_kmeans_trajectory vs a literal Python Lloyd loop in exact
+    integer arithmetic: same quantization, same ROUND(AVG) centroid
+    update, same (d2, label) argmin tie-break, empty clusters dropped."""
+    from bigdata_etl_elt_dashboard_spark.plans.iterative import _K, _KM_ROUNDS
+
+    t = pq.read_table(f"{sf_smoke}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {
+        int(vid): [_r(x * 1_000_000) for x in v]
+        for vid, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+
+    def assign(cents):
+        out = {}
+        for vid, v in vecs.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(v, c)), lbl)
+                for lbl, c in cents.items()
+            )
+            out[vid] = best  # (d2, label)
+        return out
+
+    cents = {vid: vecs[vid] for vid in range(_K)}
+    a_prev = assign(cents)
+    ref = []
+    for rnd in range(1, _KM_ROUNDS + 1):
+        members = collections.defaultdict(list)
+        for vid, (_d2, lbl) in a_prev.items():
+            members[lbl].append(vecs[vid])
+        cents = {
+            lbl: [_r(np.mean(col)) for col in zip(*vs)]
+            for lbl, vs in members.items()
+        }
+        a_new = assign(cents)
+        n_moved = sum(
+            1 for vid in vecs if a_new[vid][1] != a_prev[vid][1]
+        )
+        inertia = sum(d2 for d2, _ in a_new.values())
+        ref.append((rnd, n_moved, len({l for _, l in a_new.values()}), inertia))
+        a_prev = a_new
+    got = [
+        (r["round"], r["n_moved"], r["n_clusters"], r["inertia"])
+        for r in _rows(spark, sf_smoke, "sim_kmeans_trajectory")
+    ]
+    assert got == ref
