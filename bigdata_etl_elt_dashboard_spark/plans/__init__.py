@@ -66,7 +66,7 @@ from .registry import REGISTRY, register
 #   emb_label_centroid_sim, ev_churn_hazard_table, text_langid_confusion,
 #   dedup_method_agreement, dedup_quality_keeper, mm_audio_rms_windows,
 #   sim_kmeans_trajectory, ev_hierarchical_rollup, ev_salted_enrich_rollup,
-#   li_nation_trade_volume,
+#   li_nation_trade_volume, cust_order_count_histogram,
 #   plus (rows-only, weak rows whenever slots remain):
 #   sim_ann_lsh, sim_ivf_topk, mm_frame_sample.
 # ---------------------------------------------------------------------------

@@ -458,3 +458,51 @@ def li_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@register(
+    "cust_order_count_histogram",
+    oracle="""
+        WITH oc AS (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM oc GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 skeleton — the customer order-count DISTRIBUTION: how "
+    "many customers placed exactly k (non-urgent) orders, INCLUDING the "
+    "zero bucket. The load-bearing subtlety is the filter's position: "
+    "the priority predicate lives in the LEFT JOIN's ON clause, so a "
+    "customer whose every order is urgent still appears with count 0 — "
+    "a WHERE clause would silently drop them (the classic outer-join "
+    "filter-placement bug). COUNT(o_orderkey) counts matches, not rows, "
+    "so the null-extended row contributes zero. Two chained "
+    "partial-aggregatable rollups: one customer-keyed (the join's own "
+    "shuffle key — no extra exchange), one onto the bounded count grid.",
+)
+def cust_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    oc = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        oc.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
