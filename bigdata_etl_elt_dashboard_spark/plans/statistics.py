@@ -1812,3 +1812,104 @@ def ev_churn_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+@register(
+    "trend_locf_daily_price",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(o_orderdate AS DATE) AS d,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+        grid AS (
+            SELECT p.priority, CAST(t.gd AS DATE) AS d
+            FROM (SELECT DISTINCT priority FROM daily) p
+            CROSS JOIN b,
+                 UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS t(gd)
+        ),
+        j AS (
+            SELECT g.priority, g.d, daily.s, daily.n
+            FROM grid g LEFT JOIN daily
+              ON g.priority = daily.priority AND g.d = daily.d
+        ),
+        f AS (
+            SELECT priority, d, s IS NULL AS was_filled,
+                   last_value(s IGNORE NULLS)
+                       OVER (PARTITION BY priority ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS fs,
+                   last_value(n IGNORE NULLS)
+                       OVER (PARTITION BY priority ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS fn
+            FROM j
+        )
+        SELECT priority, strftime(d, '%Y-%m-%d') AS day, was_filled,
+               CAST(fs AS DOUBLE) / CAST(fn AS DOUBLE) / 100.0
+                   AS mean_price
+        FROM f WHERE fs IS NOT NULL
+        ORDER BY priority, day
+    """,
+    doc="Last-observation-carried-forward imputation (LOCF) — the "
+    "time-series gap-fill every monitoring/feature pipeline needs when "
+    "a day has no observations: the full calendar × priority grid left-"
+    "joins the daily rollup and missing days inherit the PREVIOUS day's "
+    "value via last(ignorenulls) over an ordered per-priority frame. "
+    "Exactness trick: the carried value is not the float mean but the "
+    "exact integer (cents-sum, count) PAIR — both carried forward "
+    "independently, divided once at output — so filled rows are "
+    "bit-identical to their source rows on both engines. Leading days "
+    "before a priority's first observation drop (nothing to carry). "
+    "Shape: one daily rollup, a bounded calendar fan-out, one keyed "
+    "ordered window over the day grid — never event rows; was_filled "
+    "flags imputed rows for downstream honesty.",
+)
+def trend_locf_daily_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"),
+        F.count("*").alias("n"),
+    ).localCheckpoint(eager=True)  # feeds bounds, the grid, and the join
+    b = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    grid = (
+        daily.select("priority")
+        .distinct()
+        .crossJoin(F.broadcast(b))
+        .select(
+            "priority",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+        )
+    )
+    j = grid.join(daily, ["priority", "d"], "left")
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = j.select(
+        "priority",
+        "d",
+        F.col("s").isNull().alias("was_filled"),
+        F.last("s", ignorenulls=True).over(w).alias("fs"),
+        F.last("n", ignorenulls=True).over(w).alias("fn"),
+    )
+    return (
+        f.filter(F.col("fs").isNotNull())
+        .select(
+            "priority",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "was_filled",
+            (
+                F.col("fs").cast("double") / F.col("fn").cast("double")
+                / F.lit(100.0)
+            ).alias("mean_price"),
+        )
+        .orderBy("priority", "day")
+    )
