@@ -4920,3 +4920,79 @@ def ev_salted_enrich_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ev_rfm_segments",
+    oracle="""
+        WITH p AS (
+            SELECT user_id,
+                   MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s,
+                   COUNT(*) AS freq,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        mx AS (SELECT MAX(last_s) AS m FROM p),
+        scored AS (
+            SELECT user_id, cents,
+                   NTILE(5) OVER (ORDER BY (m - last_s), user_id) AS r_score,
+                   NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f_score,
+                   NTILE(5) OVER (ORDER BY cents DESC, user_id) AS m_score
+            FROM p CROSS JOIN mx
+        )
+        SELECT r_score, f_score, m_score,
+               COUNT(*) AS n_users,
+               CAST(SUM(cents) AS BIGINT) AS cents_sum
+        FROM scored
+        GROUP BY 1, 2, 3
+        ORDER BY r_score, f_score, m_score
+    """,
+    doc="RFM customer segmentation — the classic marketing rollup: every "
+    "purchasing user scored 1–5 on Recency (NTILE over the ascending "
+    "seconds-since-last-purchase gap — the most recent land in quintile "
+    "1), Frequency (purchase count, descending), and Monetary (exact cents, "
+    "descending), then users counted and revenue summed per (R, F, M) "
+    "cell. Determinism: every NTILE orders by (metric, user_id) — a "
+    "TOTAL order, so quintile boundaries are identical on any engine "
+    "and partitioning (bare NTILE over ties is nondeterministic — the "
+    "classic segmentation-drift bug). The three windows run over the "
+    "per-user ROLLUP (|users| rows, one shuffle), never events; the "
+    "recency anchor is a 1-row max broadcast. At 100 TB the unpartitioned "
+    "NTILE windows need the users frame to fit a sort — swap for "
+    "percent_rank bucketing over a range-partitioned sort or the "
+    "distributed global_rank operator at that scale.",
+)
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("long")).alias("last_s"),
+            F.count("*").alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    mx = p.agg(F.max("last_s").alias("m"))
+    scored = p.join(F.broadcast(mx)).select(
+        "user_id",
+        "cents",
+        F.ntile(5)
+        .over(Window.orderBy((F.col("m") - F.col("last_s")), F.col("user_id")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("freq"), F.col("user_id")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("cents"), F.col("user_id")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_users"), F.sum("cents").alias("cents_sum"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
