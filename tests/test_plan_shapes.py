@@ -451,6 +451,8 @@ _BNLJ_BOUNDED_OK = {
     "ev_error_rate_pchart",
     "docs_data_card",  # 1-row token-total scalar broadcast
     "ev_churn_hazard_table",  # 1-row corpus-max-timestamp scalar broadcast
+    "ev_rfm_segments",  # 1-row recency-anchor (max purchase ts) broadcast
+    "trend_locf_daily_price",  # 1-row calendar-bounds (min/max day) broadcast
 }
 
 
