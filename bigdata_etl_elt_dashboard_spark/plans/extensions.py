@@ -4996,3 +4996,63 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"), F.sum("cents").alias("cents_sum"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "ev_time_to_convert_hist",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        p AS (
+            SELECT e.user_id,
+                   MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t1
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'purchase'
+              AND CAST(floor(epoch(e.ts)) AS BIGINT) > s.t0
+            GROUP BY e.user_id
+        ),
+        d AS (
+            SELECT LEAST((p.t1 - s.t0) // 3600, 168) AS hours_bucket
+            FROM p JOIN s ON p.user_id = s.user_id
+        )
+        SELECT hours_bucket, COUNT(*) AS n_users
+        FROM d GROUP BY hours_bucket ORDER BY hours_bucket
+    """,
+    doc="Time-to-convert distribution — the funnel's LATENCY companion "
+    "(ev_funnel_strict_steps says how many convert; this says how "
+    "long it takes): per user, seconds from first signup to the first "
+    "strictly-later purchase, bucketed to hours and capped at the "
+    "168-hour (7-day) tail bucket so the histogram key space is "
+    "bounded regardless of corpus span. Two conditional-min rollups "
+    "(the funnel-step shape) + one integer floor-divide bucketing + a "
+    "bounded-grid count — every value an exact integer. At 100 TB "
+    "both rollups key on user_id and the purchase scan arrives "
+    "type-filtered off the pushed predicate.",
+)
+def ev_time_to_convert_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("long")).alias("t0"))
+        .localCheckpoint(eager=True)  # feeds the purchase join AND the delta
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts").cast("long") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("long")).alias("t1"))
+    )
+    d = p.join(s, "user_id").select(
+        F.least(
+            F.expr("(t1 - t0) div 3600"), F.lit(168).cast("long")
+        ).alias("hours_bucket")
+    )
+    return (
+        d.groupBy("hours_bucket")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("hours_bucket")
+    )
