@@ -5056,3 +5056,56 @@ def ev_time_to_convert_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("hours_bucket")
     )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+        WITH sh AS ({{SH}}),
+        bits AS (
+            SELECT doc_id, COUNT(*) AS n,
+                   {{BITSUMS}}
+            FROM (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+                  FROM sh)
+            GROUP BY doc_id
+        ),
+        sigs AS (
+            SELECT doc_id, ({{VOTE}}) AS simhash FROM bits
+        ),
+        bands AS (
+            SELECT doc_id, simhash, b.b AS band_idx,
+                   (simhash >> (b.b * 15)) & 32767 AS band_val
+            FROM sigs, range(4) b(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sa, b.simhash AS sb
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx
+                        AND a.band_val = b.band_val
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        ORDER BY doc_a, doc_b
+    """.replace("{SH}", _SHINGLES_SQL)
+    .replace("{BITSUMS}", _SIMHASH_BIT_SUMS_SQL)
+    .replace("{VOTE}", _SIMHASH_VOTE_SQL),
+    doc="SimHash NEAR-PAIRS, driver-gated (dedup_simhash gates the "
+    "signatures; this gates the pair search built on them): pairs "
+    "within Hamming distance ≤ 3 of the 60-bit signature, found via "
+    "4-band pigeonhole blocking — a pair under the threshold must "
+    "agree exactly on ≥1 15-bit band, so candidates come from a "
+    "band-keyed equi-join (never all-pairs) and exact Hamming via "
+    "bit_count(xor) filters the survivors. The oracle rebuilds the "
+    "same votes, bands, and XOR popcounts in SQL — every value an "
+    "exact integer, hash-gate deterministic.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        D.simhash_near_pairs(docs, max_hamming=3)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("doc_a", "doc_b")
+    )
