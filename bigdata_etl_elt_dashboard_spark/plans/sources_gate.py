@@ -343,6 +343,45 @@ def src_partitioned_prune_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_compaction_digest",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS price_cents_sum,
+               COUNT(DISTINCT o_orderstatus) AS n_status
+        FROM orders
+    """,
+    doc="Small-files COMPACTION driver gate: orders deliberately written "
+    "as 64 fragment files (the streaming-ingest pathology every lake "
+    "accumulates — at 100 TB, million-file directories tax the driver's "
+    "listing and every scan's task count), then rewritten by "
+    "sources/sinks.compact_parquet (tmp-dir + swap with crash "
+    "recovery) into ceil(bytes/128MB) right-sized files, read back, and "
+    "digested vs the oracle over the original parquet. A green row proves the "
+    "compaction rewrite sheds no rows and mangles no values; the file-"
+    "count drop and the crash-recovery path are pinned by "
+    "tests/test_scale_sources.py's compaction tests.",
+)
+def src_compaction_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sinks import compact_parquet
+
+    path = _gate_dir(sf_dir, "orders_fragmented")
+    orders = table(spark, sf_dir, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(path)
+    compact_parquet(spark, path)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "price_cents_sum"
+        ),
+        F.count_distinct(F.col("o_orderstatus")).alias("n_status"),
+    )
+
+
+@register(
     "src_orc_roundtrip_digest",
     oracle="""
         SELECT COUNT(*) AS n_rows,
