@@ -68,7 +68,7 @@ from .registry import REGISTRY, register
 #   sim_kmeans_trajectory, ev_hierarchical_rollup, ev_salted_enrich_rollup,
 #   li_nation_trade_volume, cust_order_count_histogram,
 #   trend_locf_daily_price, ev_rfm_segments, ev_time_to_convert_hist,
-#   dedup_simhash_pairs, src_compaction_digest,
+#   dedup_simhash_pairs, src_compaction_digest, stat_spearman_chars_value,
 #   plus (rows-only, weak rows whenever slots remain):
 #   sim_ann_lsh, sim_ivf_topk, mm_frame_sample.
 # ---------------------------------------------------------------------------

@@ -1913,3 +1913,107 @@ def trend_locf_daily_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "day")
     )
+
+
+@register(
+    "stat_spearman_chars_value",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(n_chars AS BIGINT) AS x,
+                   CAST(doc_id % 97 AS BIGINT) AS y
+            FROM documents
+        ),
+        rx AS (
+            SELECT x, COUNT(*) AS c FROM base GROUP BY x
+        ),
+        rx2 AS (
+            SELECT x,
+                   2 * (COALESCE(SUM(c) OVER (ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)) + c + 1 AS r2
+            FROM rx
+        ),
+        ry AS (SELECT y, COUNT(*) AS c FROM base GROUP BY y),
+        ry2 AS (
+            SELECT y,
+                   2 * (COALESCE(SUM(c) OVER (ORDER BY y
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0)) + c + 1 AS r2
+            FROM ry
+        ),
+        ranked AS (
+            SELECT rx2.r2 AS u, ry2.r2 AS v
+            FROM base JOIN rx2 USING (x) JOIN ry2 USING (y)
+        ),
+        m AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(u) AS BIGINT) AS su,
+                   CAST(SUM(v) AS BIGINT) AS sv,
+                   CAST(SUM(u * v) AS BIGINT) AS suv,
+                   CAST(SUM(u * u) AS BIGINT) AS suu,
+                   CAST(SUM(v * v) AS BIGINT) AS svv
+            FROM ranked
+        )
+        SELECT n,
+               CAST(n * suv - su * sv AS DOUBLE)
+                   / sqrt(CAST(n * suu - su * su AS DOUBLE)
+                          * CAST(n * svv - sv * sv AS DOUBLE))
+                   AS spearman_rho
+        FROM m
+    """,
+    doc="Spearman rank correlation — the rank-based (monotone, outlier-"
+    "robust) complement of stat_corr's Pearson, here between document "
+    "length and a derived value column: Pearson computed ON THE RANKS, "
+    "with ties taking the classical AVERAGE rank. Exactness trick: the "
+    "average rank of a tie group, (first + last)/2, is a half-integer — "
+    "DOUBLING it (r2 = 2·offset + count + 1) keeps every rank an exact "
+    "BIGINT, and Pearson is scale-invariant, so rho over the doubled "
+    "ranks equals rho over the true ranks with all moment sums exact "
+    "integers and ONE closed-form double at the end. Shape: two value-"
+    "keyed count rollups, cumulative windows over the bounded distinct-"
+    "value grids (never the row stream), two joins back, one 1-row "
+    "moment reduce. At corpora where n·Σr² outgrows BIGINT (n ≳ 10⁶ "
+    "rows), promote the moments to DECIMAL — the structure is unchanged.",
+)
+def stat_spearman_chars_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("n_chars").cast("long").alias("x"),
+        (F.col("doc_id") % 97).cast("long").alias("y"),
+    )
+
+    def doubled_ranks(col: str):
+        counts = base.groupBy(col).agg(F.count("*").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return counts.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias("r2"),
+        )
+
+    rx = doubled_ranks("x").withColumnRenamed("r2", "u")
+    ry = doubled_ranks("y").withColumnRenamed("r2", "v")
+    ranked = base.join(rx, "x").join(ry, "y")
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).alias("suv"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    num = F.col("n") * F.col("suv") - F.col("su") * F.col("sv")
+    dx = F.col("n") * F.col("suu") - F.col("su") * F.col("su")
+    dy = F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")
+    return m.select(
+        "n",
+        (
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double"))
+        ).alias("spearman_rho"),
+    )

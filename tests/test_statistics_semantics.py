@@ -864,3 +864,30 @@ def test_kmeans_trajectory_matches_python_lloyd(spark, sf_smoke):
         for r in _rows(spark, sf_smoke, "sim_kmeans_trajectory")
     ]
     assert got == ref
+
+
+def test_spearman_matches_textbook(spark, sf_smoke):
+    """stat_spearman_chars_value vs the textbook definition: Pearson on
+    average-tie ranks computed independently in numpy."""
+    rows_ = _cols(sf_smoke, "documents", ["doc_id", "n_chars"])
+    x = np.array([float(n) for _d, n in rows_])
+    y = np.array([float(d % 97) for d, _n in rows_])
+
+    def avg_ranks(v):
+        order = np.argsort(v, kind="mergesort")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_ranks(x), avg_ranks(y)
+    ref = np.corrcoef(rx, ry)[0, 1]
+    got = _rows(spark, sf_smoke, "stat_spearman_chars_value")[0]
+    assert got["n"] == len(rows_)
+    assert got["spearman_rho"] == pytest.approx(ref, abs=1e-9)
