@@ -448,3 +448,110 @@ def agg_sketch_param_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         within_rsd.alias("users_within_5rsd"),
         med_ok.alias("median_within_p40_p60"),
     ).orderBy("event_type")
+
+
+_KNN_NQ = 50  # evaluation query set: vec_id < 50
+_KNN_K = 5
+
+
+@register(
+    "sim_knn_label_accuracy",
+    oracle=f"""
+        WITH pts AS (
+            SELECT vec_id, label, i - 1 AS pos,
+                   CAST(ROUND(emb[i] * {_Q}) AS BIGINT) AS xi
+            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+                 UNNEST(range(1, len(emb) + 1)) AS t(i)
+        ),
+        qp AS (SELECT vec_id AS qid, label AS true_label, pos, xi AS qi
+               FROM pts WHERE vec_id < {_KNN_NQ}),
+        d2 AS (
+            SELECT q.qid, ANY_VALUE(q.true_label) AS true_label,
+                   p.vec_id, ANY_VALUE(p.label) AS nbr_label,
+                   SUM((p.xi - q.qi) * (p.xi - q.qi)) AS d2
+            FROM pts p JOIN qp q USING (pos)
+            WHERE p.vec_id <> q.qid
+            GROUP BY q.qid, p.vec_id
+        ),
+        topk AS (
+            SELECT qid, true_label, nbr_label FROM d2
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY d2, vec_id) <= {_KNN_K}
+        ),
+        votes AS (
+            SELECT qid, ANY_VALUE(true_label) AS true_label,
+                   nbr_label, COUNT(*) AS cnt
+            FROM topk GROUP BY qid, nbr_label
+        ),
+        pred AS (
+            SELECT qid, true_label, nbr_label AS pred_label FROM votes
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cnt DESC, nbr_label) = 1
+        )
+        SELECT true_label,
+               COUNT(*) AS n_queries,
+               COUNT(CASE WHEN pred_label = true_label THEN 1 END)
+                   AS n_correct,
+               CAST(COUNT(CASE WHEN pred_label = true_label THEN 1 END)
+                    AS DOUBLE) / COUNT(*) AS accuracy
+        FROM pred GROUP BY true_label ORDER BY true_label
+    """,
+    doc=f"kNN CLASSIFICATION eval — the downstream task that justifies "
+    "the whole similarity stack: each of the first "
+    f"{_KNN_NQ} vectors predicts its label by majority vote of its "
+    f"k={_KNN_K} exact integer-L2 nearest neighbors (self excluded; "
+    "vote ties break count-desc then label-asc — fully deterministic), "
+    "scored per true label. This is the quality number an embedding "
+    "space is actually judged by (SemDeDup pruning, mixture reweighting "
+    "and ANN recall all serve it). Shape: the bounded query set joins "
+    "the corpus on the dimension key (exact integer dots, partial-"
+    "aggregated), per-query top-k and vote windows run over query-keyed "
+    "frames; every count exact, one division per label row.",
+)
+def sim_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", "label", F.posexplode(_to_fixed(F.col("embedding")))
+    ).withColumnsRenamed({"col": "xi"})
+    qp = pts.filter(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        "pos",
+        F.col("xi").alias("qi"),
+    )
+    d2 = (
+        pts.join(qp, "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.first("true_label").alias("true_label"),
+            F.first("label").alias("nbr_label"),
+            F.sum((F.col("xi") - F.col("qi")) * (F.col("xi") - F.col("qi"))).alias(
+                "d2"
+            ),
+        )
+    )
+    wk = Window.partitionBy("qid").orderBy("d2", "vec_id")
+    topk = d2.withColumn("_rn", F.row_number().over(wk)).filter(
+        F.col("_rn") <= _KNN_K
+    )
+    votes = topk.groupBy("qid", "nbr_label").agg(
+        F.first("true_label").alias("true_label"), F.count("*").alias("cnt")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("cnt"), F.asc("nbr_label"))
+    pred = votes.withColumn("_rv", F.row_number().over(wv)).filter(
+        F.col("_rv") == 1
+    )
+    correct = F.count(F.when(F.col("nbr_label") == F.col("true_label"), 1))
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_queries"),
+            correct.alias("n_correct"),
+            (correct.cast("double") / F.count("*")).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )
