@@ -69,7 +69,7 @@ from .registry import REGISTRY, register
 #   li_nation_trade_volume, cust_order_count_histogram,
 #   trend_locf_daily_price, ev_rfm_segments, ev_time_to_convert_hist,
 #   dedup_simhash_pairs, src_compaction_digest, stat_spearman_chars_value,
-#   sim_knn_label_accuracy,
+#   sim_knn_label_accuracy, li_promo_revenue_share, li_or_predicate_revenue,
 #   plus (rows-only, weak rows whenever slots remain):
 #   sim_ann_lsh, sim_ivf_topk, mm_frame_sample.
 # ---------------------------------------------------------------------------

@@ -506,3 +506,125 @@ def cust_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@register(
+    "li_promo_revenue_share",
+    oracle="""
+        SELECT strftime(date_trunc('month', CAST(l.l_shipdate AS DATE)),
+                        '%Y-%m-%d') AS month,
+               CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(ROUND(l.l_extendedprice
+                                             * (1 - l.l_discount) * 100)
+                                       AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS promo_cents,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice
+                                   * (1 - l.l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                     THEN CAST(ROUND(l.l_extendedprice
+                                               * (1 - l.l_discount) * 100)
+                                               AS BIGINT) ELSE 0 END)
+                            AS DOUBLE)
+                     / CAST(SUM(CAST(ROUND(l.l_extendedprice
+                                           * (1 - l.l_discount) * 100)
+                                     AS BIGINT)) AS DOUBLE)
+                   AS promo_share_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1 ORDER BY month
+    """,
+    doc="TPC-H Q14 skeleton — monthly promo revenue share: the "
+    "conditional-numerator / unconditional-denominator ratio computed "
+    "in ONE aggregation pass (a CASE inside SUM — never two scans or a "
+    "self-join for the denominator). Both sums are exact cents; the "
+    "percentage is one fixed-sequence double expression. The part type "
+    "arrives via a broadcast-by-nature dim join before the month "
+    "rollup.",
+)
+def li_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_format(
+            F.date_trunc("month", F.col("l_shipdate").cast("date")), "yyyy-MM-dd"
+        ).alias("month"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("cents")).otherwise(F.lit(0))
+    )
+    total = F.sum("cents")
+    return (
+        j.groupBy("month")
+        .agg(
+            promo.alias("promo_cents"),
+            total.alias("total_cents"),
+            (
+                F.lit(100.0) * promo.cast("double") / total.cast("double")
+            ).alias("promo_share_pct"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "li_or_predicate_revenue",
+    oracle="""
+        SELECT COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice
+                                   * (1 - l.l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_type = 'PROMO' AND p.p_size BETWEEN 1 AND 15
+               AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN 1 AND 30)
+           OR (p.p_type = 'ECONOMY' AND p.p_size BETWEEN 10 AND 30
+               AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN 10 AND 40)
+           OR (p.p_type = 'LARGE' AND p.p_size BETWEEN 20 AND 40
+               AND CAST(ROUND(l.l_quantity) AS BIGINT) BETWEEN 20 AND 50)
+    """,
+    doc="TPC-H Q19 skeleton — the OR-of-conjunctions predicate: three "
+    "disjoint (type, size-range, quantity-range) branches over the "
+    "lineitem⋈part join. The plan point: the join stays a PARTKEY "
+    "equi-join (broadcast dim) with the whole disjunction applied as a "
+    "post-join residual filter — the naive reading puts the OR into the "
+    "join condition, which degrades to a nested loop (Q19 is the "
+    "classic optimizer test for exactly this). Part-side conjuncts "
+    "(type, size) could additionally prune the dim before broadcast at "
+    "scale. Revenue exact cents, one 1-row reduce.",
+)
+def li_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch = (
+        (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(1, 15)
+            & F.col("qty").between(1, 30)
+        )
+        | (
+            (F.col("p_type") == "ECONOMY")
+            & F.col("p_size").between(10, 30)
+            & F.col("qty").between(10, 40)
+        )
+        | (
+            (F.col("p_type") == "LARGE")
+            & F.col("p_size").between(20, 40)
+            & F.col("qty").between(20, 50)
+        )
+    )
+    return j.filter(branch).agg(
+        F.count("*").alias("n_items"),
+        F.sum("cents").alias("revenue_cents"),
+    )
