@@ -70,6 +70,7 @@ from .registry import REGISTRY, register
 #   trend_locf_daily_price, ev_rfm_segments, ev_time_to_convert_hist,
 #   dedup_simhash_pairs, src_compaction_digest, stat_spearman_chars_value,
 #   sim_knn_label_accuracy, li_promo_revenue_share, li_or_predicate_revenue,
+#   dedup_token_savings,
 #   plus (rows-only, weak rows whenever slots remain):
 #   sim_ann_lsh, sim_ivf_topk, mm_frame_sample.
 # ---------------------------------------------------------------------------

@@ -5109,3 +5109,98 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_token_savings",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({{TOKS}}) END AS n_tok,
+                   md5({{NORM}}) AS fp
+            FROM documents
+        ),
+        tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS t
+                FROM toks),
+        exact_keep AS (
+            SELECT MIN(doc_id) AS doc_id FROM toks GROUP BY fp
+        ),
+        exact_row AS (
+            SELECT 'exact' AS method, COUNT(*) AS n_docs_kept,
+                   CAST(SUM(t2.n_tok) AS BIGINT) AS tokens_kept
+            FROM exact_keep k JOIN toks t2 ON k.doc_id = t2.doc_id
+        ),
+        labels AS ({{CLUSTERS}}),
+        near_row AS (
+            SELECT 'near_dup' AS method, COUNT(*) AS n_docs_kept,
+                   CAST(SUM(t2.n_tok) AS BIGINT) AS tokens_kept
+            FROM labels l JOIN toks t2 ON l.doc_id = t2.doc_id
+            WHERE l.doc_id = l.cluster_id
+        ),
+        rows_ AS (SELECT * FROM exact_row UNION ALL SELECT * FROM near_row)
+        SELECT r.method, r.n_docs_kept, r.tokens_kept,
+               CAST(tot.t - r.tokens_kept AS BIGINT) AS tokens_dropped,
+               100.0 * CAST(tot.t - r.tokens_kept AS DOUBLE)
+                     / CAST(tot.t AS DOUBLE) AS savings_pct
+        FROM rows_ r CROSS JOIN tot
+        ORDER BY method
+    """.replace("{TOKS}", _TOKS_SQL)
+    .replace("{NORM}", _NORM_SQL)
+    .replace(
+        "{CLUSTERS}",
+        REGISTRY["dedup_clusters"].oracle.replace("ORDER BY doc_id", ""),
+    ),
+    doc="Dedup TOKEN-SAVINGS report — the budget number a dedup decision "
+    "is made on: for each dedup level (exact normalized-md5 vs MinHash-"
+    "LSH near-dup clustering), how many documents and training tokens "
+    "the keep-set retains and what share of the token bill each level "
+    "saves. The near-dup keep rule is the clustering's canonical "
+    "(doc_id == cluster_id), the exact rule keep-lowest-id per "
+    "fingerprint — both already individually gated; this composes them "
+    "against one token base so the two savings numbers are directly "
+    "comparable. One tokenize+fingerprint pass (checkpointed), the CC "
+    "labels from the iterative min-label loop, two keep-set semi-join "
+    "rollups, a 1-row total broadcast.",
+)
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tok"),
+        F.md5(X.normalized_text(F.col("text"))).alias("fp"),
+    ).localCheckpoint(eager=True)  # feeds total, exact keep, both rollups
+    tot = toks.agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("t")
+    )
+    exact_keep = toks.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    exact_row = (
+        toks.join(exact_keep.select("doc_id"), "doc_id", "semi")
+        .agg(F.count("*").alias("n_docs_kept"), F.sum("n_tok").alias("tokens_kept"))
+        .select(F.lit("exact").alias("method"), "n_docs_kept", "tokens_kept")
+    )
+    labels = D.near_dup_clusters(docs, num_hashes=_NUM_HASHES, bands=_BANDS)
+    near_keep = labels.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    near_row = (
+        toks.join(near_keep, "doc_id", "semi")
+        .agg(F.count("*").alias("n_docs_kept"), F.sum("n_tok").alias("tokens_kept"))
+        .select(F.lit("near_dup").alias("method"), "n_docs_kept", "tokens_kept")
+    )
+    return (
+        exact_row.unionAll(near_row)
+        .join(F.broadcast(tot))
+        .select(
+            "method",
+            "n_docs_kept",
+            "tokens_kept",
+            (F.col("t") - F.col("tokens_kept")).alias("tokens_dropped"),
+            (
+                F.lit(100.0)
+                * (F.col("t") - F.col("tokens_kept")).cast("double")
+                / F.col("t").cast("double")
+            ).alias("savings_pct"),
+        )
+        .orderBy("method")
+    )
