@@ -453,6 +453,7 @@ _BNLJ_BOUNDED_OK = {
     "ev_churn_hazard_table",  # 1-row corpus-max-timestamp scalar broadcast
     "ev_rfm_segments",  # 1-row recency-anchor (max purchase ts) broadcast
     "trend_locf_daily_price",  # 1-row calendar-bounds (min/max day) broadcast
+    "dedup_token_savings",  # 1-row corpus token-total broadcast
 }
 
 
