@@ -891,3 +891,112 @@ def test_spearman_matches_textbook(spark, sf_smoke):
     got = _rows(spark, sf_smoke, "stat_spearman_chars_value")[0]
     assert got["n"] == len(rows_)
     assert got["spearman_rho"] == pytest.approx(ref, abs=1e-9)
+
+
+def _ntile(order_keys, n=5):
+    """NTILE(n) over rows pre-sorted by order_keys: first (len % n) buckets
+    get ceil(len/n) rows — the SQL-standard assignment both engines use."""
+    total = len(order_keys)
+    base, extra = divmod(total, n)
+    out, i = {}, 0
+    for b in range(1, n + 1):
+        size = base + (1 if b <= extra else 0)
+        for key in order_keys[i : i + size]:
+            out[key] = b
+        i += size
+    return out
+
+
+def test_rfm_segments_match_python_ntile(spark, sf_smoke):
+    """ev_rfm_segments vs a plain-Python replicate of the per-user rollup
+    and the SQL-standard NTILE assignment over the (metric, user_id)
+    total orders."""
+    per = {}
+    for uid, _eid, etype, sec, cents, _ns in _events(sf_smoke):
+        if etype != "purchase":
+            continue
+        last, freq, tot = per.get(uid, (-1, 0, 0))
+        per[uid] = (max(last, sec), freq + 1, tot + cents)
+    m = max(last for last, _f, _c in per.values())
+    users = list(per)
+    r = _ntile(sorted(users, key=lambda u: (m - per[u][0], u)))
+    f = _ntile(sorted(users, key=lambda u: (-per[u][1], u)))
+    mo = _ntile(sorted(users, key=lambda u: (-per[u][2], u)))
+    ref = collections.defaultdict(lambda: [0, 0])
+    for u in users:
+        cell = ref[(r[u], f[u], mo[u])]
+        cell[0] += 1
+        cell[1] += per[u][2]
+    got = {
+        (row["r_score"], row["f_score"], row["m_score"]): (
+            row["n_users"],
+            row["cents_sum"],
+        )
+        for row in _rows(spark, sf_smoke, "ev_rfm_segments")
+    }
+    assert got == {k: tuple(v) for k, v in ref.items()}
+
+
+def test_locf_fills_match_python(spark, sf_smoke):
+    """trend_locf_daily_price vs a plain-Python carry-forward over the
+    calendar grid: filled rows inherit the exact previous (sum, count)
+    pair, and every unfilled row equals its own day's mean."""
+    import datetime as dt
+
+    daily = collections.defaultdict(lambda: [0, 0])
+    for prio, d, x in _cols(
+        sf_smoke, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"]
+    ):
+        day = d.date() if isinstance(d, dt.datetime) else d
+        cell = daily[(prio, day)]
+        cell[0] += _r(x * 100)
+        cell[1] += 1
+    days = [d for _p, d in daily]
+    lo, hi = min(days), max(days)
+    prios = sorted({p for p, _d in daily})
+    ref = {}
+    for p in prios:
+        carry = None
+        d = lo
+        while d <= hi:
+            if (p, d) in daily:
+                carry = tuple(daily[(p, d)])
+                filled = False
+            else:
+                filled = True
+            if carry is not None:
+                s, n = carry
+                ref[(p, d.isoformat())] = (filled, s / n / 100.0)
+            d += dt.timedelta(days=1)
+    got = {
+        (r["priority"], r["day"]): (r["was_filled"], r["mean_price"])
+        for r in _rows(spark, sf_smoke, "trend_locf_daily_price")
+    }
+    assert set(got) == set(ref)
+    for k, (filled, mean) in ref.items():
+        assert got[k][0] == filled, k
+        assert got[k][1] == pytest.approx(mean, abs=1e-9), k
+
+
+def test_time_to_convert_matches_python(spark, sf_smoke):
+    """ev_time_to_convert_hist vs a per-user replicate of the
+    signup→strictly-later-purchase latency bucketing."""
+    per = collections.defaultdict(lambda: {"s": [], "p": []})
+    for uid, _eid, etype, sec, _c, _ns in _events(sf_smoke):
+        if etype == "signup":
+            per[uid]["s"].append(sec)
+        elif etype == "purchase":
+            per[uid]["p"].append(sec)
+    ref = collections.Counter()
+    for u, d in per.items():
+        if not d["s"]:
+            continue
+        t0 = min(d["s"])
+        later = [t for t in d["p"] if t > t0]
+        if later:
+            ref[min((min(later) - t0) // 3600, 168)] += 1
+    got = {
+        r["hours_bucket"]: r["n_users"]
+        for r in _rows(spark, sf_smoke, "ev_time_to_convert_hist")
+    }
+    assert got == dict(ref)
