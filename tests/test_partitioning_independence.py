@@ -35,6 +35,13 @@ _QUERIES = [
     "dedup_lsh_candidates",  # md5 banding determinism
     "scale_global_rank_orders",  # pid agreement WITHOUT ReusedExchange
     "stat_cusum_daily_revenue",  # ordered-window closed form
+    # round-4 wave 3: the rank/quantile queries whose tie-breaks exist
+    # exactly to survive this test, plus the composed keep-set report
+    "ev_rfm_segments",  # NTILE over explicit total orders
+    "stat_spearman_chars_value",  # doubled average-tie ranks
+    "trend_locf_daily_price",  # carry-forward over the calendar grid
+    "sim_knn_label_accuracy",  # vote ties broken count-desc, label-asc
+    "dedup_token_savings",  # exact + CC keep-sets against one base
 ]
 
 
