@@ -73,6 +73,11 @@ from .registry import REGISTRY, register
 #   dedup_token_savings,
 #   plus (rows-only, weak rows whenever slots remain):
 #   sim_ann_lsh, sim_ivf_topk, mm_frame_sample.
+#
+# The round-4 additions outgrew hand-maintained lists (103 never-gated
+# after this window) — `python tools/gate_rotation.py` now computes the
+# next window from the CORRECTNESS_r*.json history; run it at each
+# round start and paste its output here.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
     # never-gated oracle-backed queries, registration order
