@@ -22,115 +22,85 @@ from . import (  # noqa: F401  (import for registration side effects)
 from .registry import REGISTRY, register
 
 # ---------------------------------------------------------------------------
-# Driver gate-window rotation (round 4).
+# Driver gate-window rotation (round 5).
 #
 # The driver's correctness gate verifies the FIRST 50 registry entries per
-# round. History: r01 gated entries 0-49 in import order (47 green, 3
-# DECIMAL-vs-DOUBLE fails, fixed in r02); r02 gated the star/transform/
-# dedup/similarity/event families (48/50 green; the one hash fail was DuckDB
-# HUGEINT typing drift, fixed in r03 across all 21 affected oracles and
-# guarded by the oracle output-type lint in tests/test_oracle_parity.py);
-# r03 gated the source-roundtrip + corpus-prep + multimodal + dedup-
-# observability + event families (50/50 green — cumulative 147 distinct
-# queries gated, all green at their gating). Green rows stand; gated
-# queries rotate to the back.
+# round; green rows stand once earned, gated queries rotate to the back.
+# History: r01 entries 0-49 (47 green, 3 DECIMAL-vs-DOUBLE fails fixed in
+# r02); r02 star/transform/dedup/similarity/event families (48/50; HUGEINT
+# oracle typing fixed in r03, lint-guarded); r03 source-roundtrip + corpus-
+# prep + multimodal + event families (50/50); r04 statistics + graph +
+# embedding + relational-skeleton families (50/50). Cumulative: 197/250
+# distinct queries gated, every row green at its gating.
 #
-# This round's window = the first 50 never-driver-gated ORACLE-BACKED
-# queries in registration order (the statistics, graph, embedding,
-# relational-skeleton, and round-3-addition families). The 15 stat_*/dq_*/
-# wh_* entries that carried the HUGEINT oracle bug were cast in r03 and are
-# lint-guarded, so their rows start green. The three rows-only queries
-# (sim_ann_lsh, sim_ivf_topk, mm_frame_sample) stay out of the window —
-# no oracle means a weaker rows-only row whenever gated; their geometry is
-# hash-gated through digest twins instead (mm_frame_sample_digest r03;
-# sim_ann_candidate_digest / sim_ivf_cell_digest / sketch params this
-# round — see plans/similarity_gate.py).
+# ROUND-5 WINDOW: the 50 remaining never-gated oracle-backed queries, in
+# registration order, computed by `python tools/gate_rotation.py` (run it
+# at each round start and paste its output here). This window exhausts the
+# oracle-backed backlog — after r05, 250 - 197 - 50 = the 3 rows-only
+# queries (sim_ann_lsh, sim_ivf_topk, mm_frame_sample) are the only
+# never-gated entries. They stay out of the window: with no oracle a gated
+# row is only a weak rows-only check, and their geometry is already
+# hash-gated through digest twins (mm_frame_sample_digest r03;
+# sim_ann_candidate_digest / sim_ann_recall_digest / sim_ivf_cell_digest /
+# agg_sketch_param_digest in THIS window — see plans/similarity_gate.py).
 #
-# ROUND-5 ROTATION PLAN (16 oracle-backed queries remain ungated after
-# this window — they all fit in one window with room for round-4/5
-# additions; append anything newly registered this round to this list):
-#   stat_kmv_distinct_custkeys, stat_bloom_customer_probe,
-#   dq_k_anonymity_customer, stat_ks_price_by_status,
-#   stat_welch_t_price_by_status, supplier_nation_herfindahl,
-#   stat_gini_user_activity, stat_autocorr_daily_revenue,
-#   dq_benford_first_digit, li_return_rate_wilson,
-#   stat_cusum_daily_revenue, li_basket_type_lift,
-#   stat_runs_test_daily_revenue, wh_orders_checksum,
-#   ev_error_rate_pchart, stat_mannwhitney_price_by_status,
-#   plus the round-4 additions (append as they land):
-#   sim_ann_candidate_digest, sim_ann_recall_digest, sim_ivf_cell_digest,
-#   agg_sketch_param_digest, docs_bpe_apply_stats, docs_span_contamination,
-#   src_bucketed_join_digest, wh_incremental_rollup, graph_kcore_peel,
-#   src_partitioned_prune_digest, part_small_qty_revenue,
-#   docs_pipeline_e2e_digest, docs_winnowing_pairs,
-#   emb_label_centroid_sim, ev_churn_hazard_table, text_langid_confusion,
-#   dedup_method_agreement, dedup_quality_keeper, mm_audio_rms_windows,
-#   sim_kmeans_trajectory, ev_hierarchical_rollup, ev_salted_enrich_rollup,
-#   li_nation_trade_volume, cust_order_count_histogram,
-#   trend_locf_daily_price, ev_rfm_segments, ev_time_to_convert_hist,
-#   dedup_simhash_pairs, src_compaction_digest, stat_spearman_chars_value,
-#   sim_knn_label_accuracy, li_promo_revenue_share, li_or_predicate_revenue,
-#   dedup_token_savings,
-#   plus (rows-only, weak rows whenever slots remain):
-#   sim_ann_lsh, sim_ivf_topk, mm_frame_sample.
-#
-# The round-4 additions outgrew hand-maintained lists (103 never-gated
-# after this window) — `python tools/gate_rotation.py` now computes the
-# next window from the CORRECTNESS_r*.json history; run it at each
-# round start and paste its output here.
+# ROUND-6 ROTATION PLAN: every query newly registered in round 5 (none at
+# window-paste time — append names here as they land), then the 3
+# rows-only queries if slots remain. Re-run tools/gate_rotation.py at the
+# r06 round start; it computes this from CORRECTNESS_r*.json history.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
     # never-gated oracle-backed queries, registration order
-    "sim_hard_negatives",
-    "scale_global_rank_orders",
-    "dedup_lsh_scurve_validation",
-    "docs_data_card",
-    "ev_top_session_paths",
-    "dedup_lsh_precision_recall",
-    "ev_cohort_ltv",
-    "docs_repetition_metrics",
-    "docs_gopher_quality_filter",
-    "docs_oov_rate",
-    "docs_split_counts",
-    "emb_dim_stats",
-    "emb_quantize_error",
-    "supplier_pareto_cumshare",
-    "text_unigram_logprob",
-    "emb_l2_norm_stats",
-    "docs_dsir_weights",
-    "docs_zipf_fit",
-    "emb_covariance_top_pairs",
-    "docs_heaps_law_fit",
-    "emb_pca_project",
-    "emb_pq_encode_stats",
-    "docs_duplicate_ngram_spans",
-    "docs_ngram_containment",
-    "docs_token_rarity",
-    "dedup_semdedup_prune",
-    "docs_pmi_collocations",
-    "docs_bpe_train_merges",
-    "sim_kmeans_lloyd1",
-    "graph_pagerank_3iter",
-    "graph_copurchase_triangles",
-    "orders_returned_semi",
-    "cust_big_basket_orders",
-    "cust_idle_rich_anti",
-    "part_supplier_diversity",
-    "supplier_top_quarter_revenue",
-    "set_ops_all_part_multisets",
-    "src_jsonl_roundtrip_digest",
-    "src_orc_roundtrip_digest",
-    "wh_snapshot_delta_orders",
-    "wh_merge_upsert_orders",
-    "star_one_big_table",
-    "stat_corr_discount_qty",
-    "stat_ols_price_vs_qty",
-    "stat_mad_outlier_counts",
-    "stat_daily_zscore_anomaly",
-    "stat_markov_transitions",
-    "stat_equidepth_hist_totalprice",
-    "stat_countmin_heavy_hitters",
-    "stat_chi2_priority_status",
+    "text_langid_confusion",
+    "dedup_method_agreement",
+    "dedup_quality_keeper",
+    "mm_audio_rms_windows",
+    "ev_salted_enrich_rollup",
+    "ev_rfm_segments",
+    "ev_time_to_convert_hist",
+    "dedup_simhash_pairs",
+    "dedup_token_savings",
+    "docs_pipeline_e2e_digest",
+    "emb_label_centroid_sim",
+    "docs_span_contamination",
+    "docs_bpe_apply_stats",
+    "docs_winnowing_pairs",
+    "graph_kcore_peel",
+    "sim_kmeans_trajectory",
+    "part_small_qty_revenue",
+    "li_nation_trade_volume",
+    "cust_order_count_histogram",
+    "li_promo_revenue_share",
+    "li_or_predicate_revenue",
+    "sim_ann_candidate_digest",
+    "sim_ann_recall_digest",
+    "sim_ivf_cell_digest",
+    "agg_sketch_param_digest",
+    "sim_knn_label_accuracy",
+    "src_bucketed_join_digest",
+    "src_partitioned_prune_digest",
+    "src_compaction_digest",
+    "wh_incremental_rollup",
+    "ev_hierarchical_rollup",
+    "stat_kmv_distinct_custkeys",
+    "stat_bloom_customer_probe",
+    "dq_k_anonymity_customer",
+    "stat_ks_price_by_status",
+    "stat_welch_t_price_by_status",
+    "supplier_nation_herfindahl",
+    "stat_gini_user_activity",
+    "stat_autocorr_daily_revenue",
+    "dq_benford_first_digit",
+    "li_return_rate_wilson",
+    "stat_cusum_daily_revenue",
+    "li_basket_type_lift",
+    "stat_runs_test_daily_revenue",
+    "wh_orders_checksum",
+    "ev_error_rate_pchart",
+    "stat_mannwhitney_price_by_status",
+    "ev_churn_hazard_table",
+    "trend_locf_daily_price",
+    "stat_spearman_chars_value",
 ]
 
 

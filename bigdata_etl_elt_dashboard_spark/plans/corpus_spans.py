@@ -631,7 +631,13 @@ def _train_bpe(spark: SparkSession, sf_dir: str):
             .groupBy("p.l", "p.r")
             .agg(F.sum("wc").alias("cnt"))
         )
-        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()[0]
+        rows = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not rows:
+            # corpus exhausted mergeable adjacent pairs before the merge
+            # budget — end early, mirroring the oracle's empty m{r} CTEs
+            # (which simply yield fewer merge rows, never an error)
+            break
+        best = rows[0]
         l, r, cnt = best["l"], best["r"], int(best["cnt"])
         out_rows.append((rank, l, r, cnt))
         cur = cur.select(

@@ -1786,7 +1786,10 @@ def ev_churn_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = u.agg(F.max("l").alias("m"))
     lif = u.join(F.broadcast(mx)).select(
-        ((F.col("l") - F.col("f")) / 86400).cast("long").alias("t_days"),
+        # exact integer floor-div, bit-for-bit with the oracle's `//`
+        # (double division then truncation would route an integer
+        # quantity through IEEE float for no reason)
+        F.expr("(l - f) div 86400").alias("t_days"),
         (F.col("m") - F.col("l") >= _CHURN_CENSOR_S).cast("int").alias("churned"),
     )
     g = lif.groupBy("t_days").agg(
@@ -1946,15 +1949,15 @@ def trend_locf_daily_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM base JOIN rx2 USING (x) JOIN ry2 USING (y)
         ),
         m AS (
-            SELECT COUNT(*) AS n,
-                   CAST(SUM(u) AS BIGINT) AS su,
-                   CAST(SUM(v) AS BIGINT) AS sv,
-                   CAST(SUM(u * v) AS BIGINT) AS suv,
-                   CAST(SUM(u * u) AS BIGINT) AS suu,
-                   CAST(SUM(v * v) AS BIGINT) AS svv
+            SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(u) AS HUGEINT) AS su,
+                   CAST(SUM(v) AS HUGEINT) AS sv,
+                   CAST(SUM(u * v) AS HUGEINT) AS suv,
+                   CAST(SUM(u * u) AS HUGEINT) AS suu,
+                   CAST(SUM(v * v) AS HUGEINT) AS svv
             FROM ranked
         )
-        SELECT n,
+        SELECT CAST(n AS BIGINT) AS n,
                CAST(n * suv - su * sv AS DOUBLE)
                    / sqrt(CAST(n * suu - su * su AS DOUBLE)
                           * CAST(n * svv - sv * sv AS DOUBLE))
@@ -1972,8 +1975,12 @@ def trend_locf_daily_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integers and ONE closed-form double at the end. Shape: two value-"
     "keyed count rollups, cumulative windows over the bounded distinct-"
     "value grids (never the row stream), two joins back, one 1-row "
-    "moment reduce. At corpora where n·Σr² outgrows BIGINT (n ≳ 10⁶ "
-    "rows), promote the moments to DECIMAL — the structure is unchanged.",
+    "moment reduce. Overflow posture: with doubled ranks ~2n, the "
+    "closed-form products n·Σu² ≈ 1.33·n⁴ outgrow BIGINT already near "
+    "n ≈ 5·10⁴ rows, so the combine runs in 128-bit-exact arithmetic on "
+    "BOTH engines — DECIMAL(38,0) moments here, HUGEINT in the oracle — "
+    "exact to n ≈ 4·10⁹ rows, with one identical cast to double at the "
+    "end (double-before-multiply would silently diverge past 2⁵³).",
 )
 def stat_spearman_chars_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1999,19 +2006,24 @@ def stat_spearman_chars_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     rx = doubled_ranks("x").withColumnRenamed("r2", "u")
     ry = doubled_ranks("y").withColumnRenamed("r2", "v")
     ranked = base.join(rx, "x").join(ry, "y")
+    # 128-bit-exact combine: the BIGINT moment sums are promoted to
+    # DECIMAL(38,0) BEFORE the closed-form products (n·Σu² ≈ 1.33·n⁴
+    # overflows int64 near n ≈ 5e4 rows; decimal keeps it exact to
+    # n ≈ 4e9, matching the oracle's HUGEINT bit-for-bit).
+    dec = "decimal(38,0)"
     m = ranked.agg(
-        F.count("*").alias("n"),
-        F.sum("u").alias("su"),
-        F.sum("v").alias("sv"),
-        F.sum(F.col("u") * F.col("v")).alias("suv"),
-        F.sum(F.col("u") * F.col("u")).alias("suu"),
-        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.count("*").cast(dec).alias("n"),
+        F.sum("u").cast(dec).alias("su"),
+        F.sum("v").cast(dec).alias("sv"),
+        F.sum(F.col("u") * F.col("v")).cast(dec).alias("suv"),
+        F.sum(F.col("u") * F.col("u")).cast(dec).alias("suu"),
+        F.sum(F.col("v") * F.col("v")).cast(dec).alias("svv"),
     )
     num = F.col("n") * F.col("suv") - F.col("su") * F.col("sv")
     dx = F.col("n") * F.col("suu") - F.col("su") * F.col("su")
     dy = F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")
     return m.select(
-        "n",
+        F.col("n").cast("long").alias("n"),
         (
             num.cast("double")
             / F.sqrt(dx.cast("double") * dy.cast("double"))
