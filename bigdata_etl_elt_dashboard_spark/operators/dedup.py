@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import fingerprint, normalized_text, shingles
+from .scale import pin
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -236,11 +237,9 @@ def connected_components_minlabel(
     edges = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
-        eager=True
-    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).transform(pin)
     prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
     for _ in range(max_iter):
         msgs = edges.join(
@@ -250,7 +249,7 @@ def connected_components_minlabel(
             labels.union(msgs)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if cur_sum == prev_sum:  # labels only decrease; equal sum == fixpoint
@@ -297,7 +296,7 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     for _ in range(max_iter):
         # large-star: (v, m) for neighbors v > u — canonical (m, v) since m <= u < v
@@ -318,7 +317,7 @@ def connected_components_star(
             .union(with_m.select(F.col("m").alias("u"), F.col("u").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         # fixpoint: the edge set is exactly reproduced (order-insensitive)
         if (

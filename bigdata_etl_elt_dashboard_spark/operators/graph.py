@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from .scale import pin
 
 
 def kcore_peel(
@@ -27,7 +28,7 @@ def kcore_peel(
     of the (checkpointed, shrinking) edge frame; at 100 TB that is one
     edge-keyed shuffle per round.
     """
-    e = edges.select("x", "y").localCheckpoint(eager=True)
+    e = edges.select("x", "y").transform(pin)
 
     def counts(frame: DataFrame) -> tuple[int, int]:
         row = (
@@ -54,7 +55,7 @@ def kcore_peel(
             e.join(keep.withColumnRenamed("node", "x"), "x", "semi")
             .join(keep.withColumnRenamed("node", "y"), "y", "semi")
             .select("x", "y")
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         out.append((rnd, *counts(e)))
     return out

@@ -25,6 +25,74 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: session conf keys for the pin() materialization strategy
+PIN_STRATEGY_CONF = "spark.graft.pin.strategy"
+PIN_DIR_CONF = "spark.graft.pin.dir"
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` now and truncate/freeze its lineage — the engine's
+    single pinning point for every multi-reference or per-iteration frame
+    (use as ``df.transform(pin)`` to keep method chains intact).
+
+    Pinning is what makes multi-branch DAGs *correct by construction* here
+    (both branches read the same materialized bytes — partition ids, sampled
+    range boundaries, and nondeterministic orderings are frozen) and what
+    keeps iterative plans (PageRank, k-core, Lloyd, BPE) from re-executing
+    rounds 1..k-1 through lineage at round k.
+
+    The mechanism is deployment policy, selected per session via
+    ``spark.graft.pin.strategy``:
+
+    - ``local`` (default): ``localCheckpoint(eager=True)``. No setup, no
+      distributed filesystem needed — right for local[n] and for stable
+      (non-preemptible) clusters. The materialized blocks live ONLY on
+      executors and the lineage is gone, so losing an executor loses its
+      blocks unrecoverably and fails the job.
+    - ``reliable``: ``checkpoint(eager=True)`` to the fault-tolerant
+      checkpoint directory — right for preemptible/spot clusters at the
+      100 TB scale, where some executor loss per job is expected. Costs a
+      write+read of the frame to the cluster FS. The directory comes from
+      ``spark.graft.pin.dir`` (set it to an HDFS/S3 path in production);
+      if the context has no checkpoint dir yet, it is registered on first
+      use (falling back to a driver-local tmp dir, which only makes sense
+      single-node).
+    - ``persist``: ``persist(MEMORY_AND_DISK)`` + an eager ``count()``.
+      KEEPS lineage, so lost blocks recompute from source — zero-setup
+      fault tolerance for one-shot multi-reference frames. Not a fix for
+      iterative plans: the lineage (and Catalyst plan) still grows per
+      round, which is exactly what pinning exists to stop there.
+
+    All three strategies yield bit-identical query results (proven by
+    ``tests/test_pin_strategies.py``, which re-runs checkpointed gate
+    queries under each strategy and compares full row sets); they differ
+    only in failure semantics and materialization cost.
+    """
+    spark = df.sparkSession
+    strategy = (spark.conf.get(PIN_STRATEGY_CONF, "local") or "local").lower()
+    if strategy == "local":
+        return df.localCheckpoint(eager=True)
+    if strategy == "reliable":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            pin_dir = spark.conf.get(PIN_DIR_CONF, None)
+            if not pin_dir:
+                import tempfile
+
+                pin_dir = tempfile.mkdtemp(prefix="graft-pin-")
+            sc.setCheckpointDir(pin_dir)
+        return df.checkpoint(eager=True)
+    if strategy == "persist":
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # eager materialization, same contract as the others
+        return df
+    raise ValueError(
+        f"unknown {PIN_STRATEGY_CONF}={strategy!r}; "
+        "expected local | reliable | persist"
+    )
+
 #: merge rule per partial-aggregatable measure: final_agg(partial_col)
 _MERGE = {
     "sum": F.sum,
@@ -104,7 +172,7 @@ def global_rank(
     rp = (
         df.repartitionByRange(n, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
     ranked = rp.withColumn("_rn", F.row_number().over(w))

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from .scale import pin
 
 
 def range_join(
@@ -198,7 +199,7 @@ def strict_funnel_times(
         prev = (
             cur.groupBy(user_col)
             .agg(F.min(ts_col).alias("t"))
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         out.append(prev)
     return out

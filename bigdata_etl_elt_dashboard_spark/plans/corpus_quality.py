@@ -26,6 +26,7 @@ from ..operators import text as X
 from ..sources.catalog import table
 from .extensions import _TOKS_SQL
 from .registry import register
+from ..operators.scale import pin
 
 # --------------------------------------------------------------------------
 # Gopher-style repetition metrics (documents)
@@ -1410,7 +1411,7 @@ def docs_pipeline_e2e_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(X.normalized_text(F.col("text"))).alias("fp"),
             X.token_count(F.col("text")).alias("n_tok"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     canon = surv.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     dd = surv.join(
@@ -1493,7 +1494,7 @@ def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         pts.groupBy("label", "pos")
         .agg(F.round(F.avg("xi")).cast("long").alias("mi"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     a = cent.select(F.col("label").alias("la"), "pos", F.col("mi").alias("ma"))
     b = cent.select(F.col("label").alias("lb"), "pos", F.col("mi").alias("mb"))
@@ -1502,7 +1503,7 @@ def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("la") <= F.col("lb"))
         .groupBy("la", "lb")
         .agg(F.sum(F.col("ma") * F.col("mb")).alias("dab"))
-        .localCheckpoint(eager=True)  # pairs + both norm lookups
+        .transform(pin)  # pairs + both norm lookups
     )
     aa = d.filter(F.col("la") == F.col("lb")).select(
         F.col("la").alias("_l"), F.col("dab").alias("_naa")

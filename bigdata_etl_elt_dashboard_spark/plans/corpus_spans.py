@@ -37,6 +37,7 @@ from ..operators import text as X
 from ..sources.catalog import table
 from .extensions import _TOKS_SQL
 from .registry import register
+from ..operators.scale import pin
 
 #: span width for exact duplicate-span mining (tokens)
 _SPAN_K = 8
@@ -139,7 +140,7 @@ def docs_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus is tokenized/shingled once
     g = docs.select(
         "doc_id", F.explode(_spans(X.tokens(F.col("text")), _SPAN_K)).alias("span")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     dup = (
         g.groupBy("span")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -200,12 +201,12 @@ def docs_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(_spans(X.tokens(F.col("text")), _CONT_K)).alias("span")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     kept = sh.groupBy("span").agg(F.count("*").alias("_df")).filter(
         F.col("_df") <= _CONT_DF_CAP
     )
-    shk = sh.join(kept.select("span"), "span").localCheckpoint(eager=True)
+    shk = sh.join(kept.select("span"), "span").transform(pin)
     sz = shk.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shk.select(F.col("doc_id").alias("doc_a"), "span")
     b = shk.select(F.col("doc_id").alias("doc_b"), "span")
@@ -439,7 +440,7 @@ def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = base.select(F.explode("toks").alias("tok"))
     # uni feeds n1 + both per-word joins: checkpoint the vocab-sized count
     # table so the unigram pass runs once (was 3 of this query's 5 scans)
-    uni = tok.groupBy("tok").agg(F.count("*").alias("c")).localCheckpoint(eager=True)
+    uni = tok.groupBy("tok").agg(F.count("*").alias("c")).transform(pin)
     bg = base.select(F.explode(X.bigram_list(F.col("toks"))).alias("bgram")).select(
         F.split(F.col("bgram"), " ").getItem(0).alias("w1"),
         F.split(F.col("bgram"), " ").getItem(1).alias("w2"),
@@ -609,7 +610,7 @@ def _train_bpe(spark: SparkSession, sf_dir: str):
     spaced = words.select(
         F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("sw"),
         "wc",
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     out_rows = []
     cur = spaced
@@ -645,7 +646,7 @@ def _train_bpe(spark: SparkSession, sf_dir: str):
                 F.col("sw"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
             ).alias("sw"),
             "wc",
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
     return out_rows, cur
 
 

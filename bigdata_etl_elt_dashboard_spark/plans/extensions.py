@@ -21,6 +21,7 @@ from ..sources.catalog import table
 from ..streaming import events as E
 from ..functions.exact_agg import MICROS, xsum, xsum_sql
 from .registry import REGISTRY, register
+from ..operators.scale import pin
 
 # ----------------------------- shared SQL fragments -----------------------
 
@@ -305,7 +306,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # the shingle stream feeds sizes + both inverted-index sides: checkpoint
     # it so the corpus is scanned/shingled once (was 4 scans)
-    sh = D._doc_shingles(docs, "text", 3).localCheckpoint(eager=True)
+    sh = D._doc_shingles(docs, "text", 3).transform(pin)
     # jaccard_pairs filters on the UNROUNDED ratio (matching the oracle's
     # WHERE); the rounded column it returns is display-only
     out = D.jaccard_pairs(docs, min_jaccard=0.5, shingles_df=sh)
@@ -3418,10 +3419,10 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both once so the corpus is scanned and shingled exactly ONCE — without
     # it the final plan re-derived them per reference (judge-measured 8
     # parquet scans at r03; the 100 TB bill is 8 corpus passes).
-    sh = D._doc_shingles(docs, "text", 3).localCheckpoint(eager=True)
+    sh = D._doc_shingles(docs, "text", 3).transform(pin)
     sigs = D.minhash_signatures(
         docs, num_hashes=_NUM_HASHES, shingles_df=sh
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     cands = D.lsh_candidate_pairs(
         docs, num_hashes=_NUM_HASHES, bands=_BANDS, signatures_df=sigs
     )
@@ -3802,7 +3803,7 @@ def dedup_quality_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # sh feeds sizes + both self-join sides: one checkpointed shingle pass
-    sh = D._doc_shingles(docs, "text", 3).localCheckpoint(eager=True)
+    sh = D._doc_shingles(docs, "text", 3).transform(pin)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -4220,10 +4221,10 @@ def dedup_lsh_scurve_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # one corpus scan: shingles checkpoint once, signatures derive from them
     # (see dedup_minhash_estimate_error for the rescan bill this avoids)
-    sh = D._doc_shingles(docs, "text", 3).localCheckpoint(eager=True)
+    sh = D._doc_shingles(docs, "text", 3).transform(pin)
     sigs = D.minhash_signatures(
         docs, num_hashes=_NUM_HASHES, shingles_df=sh
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     cand = D.lsh_candidate_pairs(
         docs, num_hashes=_NUM_HASHES, bands=_BANDS, signatures_df=sigs
     ).select("doc_a", "doc_b", F.lit(True).alias("captured"))
@@ -4320,7 +4321,7 @@ def docs_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         X.token_count(F.col("text")).alias("n_tok"),
         F.md5(X.normalized_text(F.col("text"))).alias("fp"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     canon = base.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
     flagged = base.join(canon, "fp").select(
         "lang",
@@ -4493,7 +4494,7 @@ def dedup_lsh_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # one corpus scan: ground truth AND candidates derive from the same
     # checkpointed shingle stream (see dedup_minhash_estimate_error)
-    sh = D._doc_shingles(docs, "text", 3).localCheckpoint(eager=True)
+    sh = D._doc_shingles(docs, "text", 3).transform(pin)
     truth = D.jaccard_pairs(docs, min_jaccard=0.5, shingles_df=sh).select(
         "doc_a", "doc_b"
     )
@@ -4719,7 +4720,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
-    sh = D._doc_shingles(docs, "text", 3).localCheckpoint(eager=True)
+    sh = D._doc_shingles(docs, "text", 3).transform(pin)
     # integer threshold 2·|A∩B| >= |A∪B| (not jaccard_pairs' 6-dp-rounded
     # filter: round(j,6) >= 0.5 and j >= 0.5 disagree on the boundary)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -4803,7 +4804,7 @@ def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = (
         docs.select("doc_id", "n_chars").join(labels, "doc_id")
         .select("cluster_id", "doc_id", "n_chars")
-        .localCheckpoint(eager=True)  # feeds keeper window AND the rollup
+        .transform(pin)  # feeds keeper window AND the rollup
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
@@ -5037,7 +5038,7 @@ def ev_time_to_convert_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min(F.col("ts").cast("long")).alias("t0"))
-        .localCheckpoint(eager=True)  # feeds the purchase join AND the delta
+        .transform(pin)  # feeds the purchase join AND the delta
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -5169,7 +5170,7 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         X.token_count(F.col("text")).alias("n_tok"),
         F.md5(X.normalized_text(F.col("text"))).alias("fp"),
-    ).localCheckpoint(eager=True)  # feeds total, exact keep, both rollups
+    ).transform(pin)  # feeds total, exact keep, both rollups
     tot = toks.agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("t")
     )

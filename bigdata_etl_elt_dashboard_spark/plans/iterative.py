@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import table
 from .registry import register
+from ..operators.scale import pin
 
 _K = 8  # initial centroids: vectors with vec_id 0..7 (deterministic seed)
 
@@ -220,11 +221,9 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         e0.select(pn.alias("src"), sn.alias("dst"))
         .unionAll(e0.select(sn.alias("src"), pn.alias("dst")))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
-        eager=True
-    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(pin)
     n_nodes = deg.count()  # driver-side scalar (graph cardinality)
     base = (_PR_UNITS * 15) // (100 * n_nodes)
 
@@ -309,14 +308,14 @@ def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lj.join(rj, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y")))
         .select("x", "y")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     deg = (
         e.select(F.col("x").alias("node"))
         .unionAll(e.select(F.col("y").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # orient each edge from the lower (degree, id) endpoint to the higher,
     # keeping the head's rank so wedges can be rank-ordered below
@@ -330,7 +329,7 @@ def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("u"),
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("v"),
         F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
-    ).localCheckpoint(eager=True)  # consumed by w1, w2, AND the closing edge
+    ).transform(pin)  # consumed by w1, w2, AND the closing edge
     # wedges (u -> a, u -> b) with rank(a) < rank(b): the closing edge, if
     # present, is oriented a -> b by construction — a pure EQUI-join on
     # (a, b), no OR-of-equalities nested loop
@@ -537,14 +536,14 @@ def sim_kmeans_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     fixed = emb.select(
         "vec_id", _to_fixed(F.col("embedding")).alias("xi_arr")
-    ).localCheckpoint(eager=True)  # scanned once; every round reads it
+    ).transform(pin)  # scanned once; every round reads it
 
     init_rows = fixed.filter(F.col("vec_id") < _K).collect()
     cents = {int(r["vec_id"]): list(r["xi_arr"]) for r in init_rows}
     assign = _best_assign(cents)
     a_prev = fixed.select(
         "vec_id", "xi_arr", assign["lbl"].alias("c"), assign["d2"].alias("best_d2")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     out = []
     for rnd in range(1, _KM_ROUNDS + 1):
@@ -564,7 +563,7 @@ def sim_kmeans_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xi_arr",
             assign["lbl"].alias("c"),
             assign["d2"].alias("best_d2"),
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         stats = (
             a_new.join(
                 a_prev.select("vec_id", F.col("c").alias("_oc")), "vec_id"

@@ -39,6 +39,7 @@ from ..operators.similarity import _hyperplanes
 from ..sources.catalog import table
 from .iterative import _best_assign, _d2_sql, _to_fixed
 from .registry import register
+from ..operators.scale import pin
 
 #: quantization scale for planes and embeddings (micro-units — exact BIGINT
 #: dots: |x|,|p| <= 1e6 → per-term 1e12, 64 terms → 6.4e13 << 2^63)
@@ -128,7 +129,7 @@ def _int_signatures(spark: SparkSession, emb: DataFrame) -> DataFrame:
                 )
             ).alias("sig")
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
 
@@ -264,7 +265,7 @@ def sim_ann_recall_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _ANN_K)
         .select(F.col("q.qid").alias("qid"), "vec_id")
-        .localCheckpoint(eager=True)  # feeds the capture join AND its count
+        .transform(pin)  # feeds the capture join AND its count
     )
 
     sigs = _int_signatures(spark, emb)
@@ -277,7 +278,7 @@ def sim_ann_recall_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cvid") != F.col("qid"))
         .select("qid", F.col("cvid").alias("vec_id"))
         .distinct()
-        .localCheckpoint(eager=True)  # feeds capture join AND per-query count
+        .transform(pin)  # feeds capture join AND per-query count
     )
     cap = (
         topk.join(cand.withColumn("_hit", F.lit(1)), ["qid", "vec_id"], "left")
@@ -346,9 +347,8 @@ def sim_ivf_cell_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     init_rows = fixed.filter(F.col("vec_id") < _IVF_CELLS).collect()
     cents = {int(r["vec_id"]): list(r["xi_arr"]) for r in init_rows}
     best = _best_assign(cents)
-    cells = fixed.select("vec_id", best["lbl"].alias("cell")).localCheckpoint(
-        eager=True  # feeds the inventory rollup AND the probe rollup
-    )
+    # pinned: feeds the inventory rollup AND the probe rollup
+    cells = fixed.select("vec_id", best["lbl"].alias("cell")).transform(pin)
     # probe selection needs full (query, cell) distance ranking — rebuild
     # the per-cell distances only for the _NQ query vectors (bounded rows)
     dists = fixed.filter(F.col("vec_id") < _NQ).select(

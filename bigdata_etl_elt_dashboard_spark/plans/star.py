@@ -16,6 +16,7 @@ from ..operators.warehouse import build_dim, fk_integrity, resolve_fk, snapshot_
 from ..sources.catalog import table
 from ..functions.exact_agg import xsum, xsum_sql
 from .registry import register
+from ..operators.scale import pin
 
 
 def _dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,10 +123,10 @@ def _fact_sales(
     region = table(spark, sf_dir, "region")
 
     if dim_date is None:
-        dim_date = _dim_date(spark, sf_dir).localCheckpoint(eager=True)
+        dim_date = _dim_date(spark, sf_dir).transform(pin)
     dim_date = dim_date.select("date_id", "order_date")
     if dim_geo is None:
-        dim_geo = _dim_geo(spark, sf_dir).localCheckpoint(eager=True)
+        dim_geo = _dim_geo(spark, sf_dir).transform(pin)
 
     geo_of_cust = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
@@ -200,7 +201,7 @@ def star_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def star_region_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one geo build: the fact's FK resolution and the report join share it
-    dim_geo = _dim_geo(spark, sf_dir).localCheckpoint(eager=True)
+    dim_geo = _dim_geo(spark, sf_dir).transform(pin)
     fact = _fact_sales(spark, sf_dir, dim_geo=dim_geo)
     return (
         fact.join(F.broadcast(dim_geo), "geo_id")
@@ -387,7 +388,7 @@ def wh_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("k"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.col("o_orderpriority").alias("prio"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     u = (
         t.filter((F.col("k") % 13 == 0) & (F.col("k") % 17 != 0))
         .select("k", (F.col("cents") + 1000).alias("cents"), F.lit("MERGED").alias("prio"), F.lit(False).alias("is_del"))
@@ -458,8 +459,8 @@ def star_one_big_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize each broadcast-by-nature dim ONCE (they are needed twice:
     # FK resolution inside the fact build + the wide rejoin here) — the
     # un-truncated plan rebuilt them per reference (10 scans at r03).
-    dd = _dim_date(spark, sf_dir).localCheckpoint(eager=True)
-    dg = _dim_geo(spark, sf_dir).localCheckpoint(eager=True)
+    dd = _dim_date(spark, sf_dir).transform(pin)
+    dg = _dim_geo(spark, sf_dir).transform(pin)
     fact = _fact_sales(spark, sf_dir, dim_date=dd, dim_geo=dg)
     return (
         fact.join(F.broadcast(dd), "date_id", "left")

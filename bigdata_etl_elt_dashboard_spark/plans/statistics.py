@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import table
 from .registry import register
+from ..operators.scale import pin
 
 
 def _moments(x: Column, y: Column) -> list[Column]:
@@ -201,7 +202,7 @@ def stat_mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = orders.select(
         "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     med = c.groupBy("o_orderstatus").agg(
         F.round(F.expr("percentile(cents, 0.5)")).cast("long").alias("med_c")
     )
@@ -701,11 +702,9 @@ def stat_bloom_customer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = (
         orders.select(F.col("o_custkey").alias("key"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
-    bits = members.select("key", rs).select(pos_col()).distinct().localCheckpoint(
-        eager=True
-    )
+    bits = members.select("key", rs).select(pos_col()).distinct().transform(pin)
     probe = cust.select(F.col("c_custkey").alias("key"), rs).select(
         "key", "r", pos_col()
     )
@@ -715,7 +714,7 @@ def stat_bloom_customer_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("r").alias("nr"))
         .filter(F.col("nr") == _BF_HASHES)
         .select("key")
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     s = (
         members.agg(F.count("*").alias("n_members"))
@@ -1399,7 +1398,7 @@ def li_basket_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_type")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     n = ot.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     tc = ot.groupBy("p_type").agg(F.count("*").alias("c"))
@@ -1879,7 +1878,7 @@ def trend_locf_daily_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s"),
         F.count("*").alias("n"),
-    ).localCheckpoint(eager=True)  # feeds bounds, the grid, and the join
+    ).transform(pin)  # feeds bounds, the grid, and the join
     b = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     grid = (
         daily.select("priority")

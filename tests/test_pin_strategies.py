@@ -1,0 +1,79 @@
+"""The pin() materialization helper is deployment policy, not semantics:
+every strategy (local checkpoint / reliable checkpoint / persist+count)
+must yield bit-identical results for the queries whose correctness LEANS
+on pinning — the iterative plans (per-round frames) and global_rank
+(frozen partition ids feeding two branches).
+
+This is the cluster-grading proof for the round-4 advisory: on a
+preemptible cluster, ``spark.graft.pin.strategy=reliable`` swaps every
+executor-local checkpoint for a fault-tolerant one WITHOUT touching any
+query code, and these tests pin (sic) the equivalence.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_etl_elt_dashboard_spark.operators.scale import (
+    PIN_DIR_CONF,
+    PIN_STRATEGY_CONF,
+    pin,
+)
+from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+
+# queries whose plans route through pin(): one iterative (per-round
+# pinning), one multi-branch (frozen partition ids), one corpus DAG
+_PINNED_QUERIES = [
+    "graph_pagerank_3iter",
+    "scale_global_rank_orders",
+    "docs_span_contamination",
+]
+
+
+def _rows(spark, name: str, sf_dir: str):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def _strategy(spark, tmp_path):
+    """Restore the default strategy (and checkpoint dir conf) after each
+    test — the session is shared across the whole suite."""
+    yield
+    spark.conf.set(PIN_STRATEGY_CONF, "local")
+    spark.conf.unset(PIN_DIR_CONF)
+
+
+@pytest.mark.parametrize("strategy", ["reliable", "persist"])
+@pytest.mark.parametrize("name", _PINNED_QUERIES)
+def test_strategy_equivalence(spark, sf_smoke, tmp_path, _strategy, strategy, name):
+    spark.conf.set(PIN_STRATEGY_CONF, "local")
+    baseline = _rows(spark, name, sf_smoke)
+    spark.conf.set(PIN_STRATEGY_CONF, strategy)
+    spark.conf.set(PIN_DIR_CONF, str(tmp_path / "pin"))
+    assert _rows(spark, name, sf_smoke) == baseline
+
+
+def test_reliable_checkpoints_to_configured_dir(spark, sf_smoke, tmp_path, _strategy):
+    """The reliable strategy must actually write fault-tolerant checkpoint
+    files under spark.graft.pin.dir (not executor-local block storage)."""
+    import os
+
+    target = tmp_path / "pin-dir"
+    spark.conf.set(PIN_STRATEGY_CONF, "reliable")
+    spark.conf.set(PIN_DIR_CONF, str(target))
+    df = spark.range(100).transform(pin)
+    assert df.count() == 100
+    # setCheckpointDir only applies on first use; if an earlier test in the
+    # session already registered one, the context dir wins — accept either,
+    # but SOME reliable checkpoint dir must exist and be non-empty.
+    ckpt_dir = spark.sparkContext.getCheckpointDir()
+    assert ckpt_dir is not None
+    local = ckpt_dir.removeprefix("file:")
+    assert os.path.isdir(local) and any(os.scandir(local))
+
+
+def test_unknown_strategy_raises(spark, _strategy):
+    spark.conf.set(PIN_STRATEGY_CONF, "no-such-strategy")
+    with pytest.raises(ValueError, match="no-such-strategy"):
+        spark.range(1).transform(pin)
