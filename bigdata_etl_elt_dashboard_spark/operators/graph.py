@@ -25,25 +25,21 @@ def kcore_peel(
     ``[(round, n_nodes, n_edges), ...]`` including round 0 (the input) —
     a stable tail means the true k-core fixpoint was reached within the
     unroll. Each round costs one degree groupBy + two semi-join filters
-    of the (checkpointed, shrinking) edge frame; at 100 TB that is one
-    edge-keyed shuffle per round.
+    of the (pinned, shrinking) edge frame; at 100 TB that is one
+    edge-keyed shuffle per round. (A window-over-doubled-endpoint-stream
+    formulation with one fewer shuffle was measured SLOWER — the window
+    sort costs more than the semi-join hash exchange it saves.)
     """
-    e = edges.select("x", "y").transform(pin)
+    # round 0 must be pinned (it is re-read by round 1 AND the trajectory
+    # rollup) — but callers that hand over an already-pinned frame (the
+    # shared co-purchase edge builder) shouldn't pay a second copy
+    if getattr(edges, "_graft_pinned", False):
+        e = edges
+    else:
+        e = edges.select("x", "y").transform(pin)
 
-    def counts(frame: DataFrame) -> tuple[int, int]:
-        row = (
-            frame.select(F.col("x").alias("node"))
-            .unionAll(frame.select(F.col("y").alias("node")))
-            .agg(
-                F.count_distinct("node").alias("n"),
-                (F.count("*") / 2).cast("long").alias("m"),
-            )
-            .first()
-        )
-        return int(row["n"] or 0), int(row["m"] or 0)
-
-    out = [(0, *counts(e))]
-    for rnd in range(1, rounds + 1):
+    rounds_frames = [e]
+    for _ in range(rounds):
         deg = (
             e.select(F.col("x").alias("node"))
             .unionAll(e.select(F.col("y").alias("node")))
@@ -57,5 +53,27 @@ def kcore_peel(
             .select("x", "y")
             .transform(pin)
         )
-        out.append((rnd, *counts(e)))
-    return out
+        rounds_frames.append(e)
+
+    # trajectory stats in ONE job: tag each (pinned, so free to re-read)
+    # round's frame, explode endpoints, and roll up per round — instead of
+    # a separate driver action per round (rounds+1 jobs -> 1)
+    spark = edges.sparkSession
+    tagged = None
+    for rnd, frame in enumerate(rounds_frames):
+        part = frame.select(
+            F.lit(rnd).alias("rnd"),
+            F.explode(F.array(F.col("x"), F.col("y"))).alias("node"),
+        )
+        tagged = part if tagged is None else tagged.unionAll(part)
+    stats = {
+        int(r["rnd"]): (int(r["n"]), int(r["m"]))
+        for r in tagged.groupBy("rnd")
+        .agg(
+            F.count_distinct("node").alias("n"),
+            (F.count("*") / 2).cast("long").alias("m"),
+        )
+        .collect()
+    }
+    # a round whose edge set emptied contributes no groups — report (0, 0)
+    return [(rnd, *stats.get(rnd, (0, 0))) for rnd in range(rounds + 1)]

@@ -71,8 +71,8 @@ def pin(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     strategy = (spark.conf.get(PIN_STRATEGY_CONF, "local") or "local").lower()
     if strategy == "local":
-        return df.localCheckpoint(eager=True)
-    if strategy == "reliable":
+        out = df.localCheckpoint(eager=True)
+    elif strategy == "reliable":
         sc = spark.sparkContext
         if sc.getCheckpointDir() is None:
             pin_dir = spark.conf.get(PIN_DIR_CONF, None)
@@ -81,17 +81,45 @@ def pin(df: DataFrame) -> DataFrame:
 
                 pin_dir = tempfile.mkdtemp(prefix="graft-pin-")
             sc.setCheckpointDir(pin_dir)
-        return df.checkpoint(eager=True)
-    if strategy == "persist":
+        out = df.checkpoint(eager=True)
+    elif strategy == "persist":
         from pyspark import StorageLevel
 
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        df.count()  # eager materialization, same contract as the others
-        return df
-    raise ValueError(
-        f"unknown {PIN_STRATEGY_CONF}={strategy!r}; "
-        "expected local | reliable | persist"
-    )
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()  # eager materialization, same contract as the others
+    else:
+        raise ValueError(
+            f"unknown {PIN_STRATEGY_CONF}={strategy!r}; "
+            "expected local | reliable | persist"
+        )
+    # marker for callers that conditionally re-pin (operators/graph.py)
+    out._graft_pinned = True
+    return out
+
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Raise compute parallelism before a CPU-dense narrow stage (span
+    shingling, per-row hashing, interpreted higher-order functions) when —
+    and only when — the upstream scan cannot provide it.
+
+    Narrow stages run at SCAN parallelism: a table that arrives as one
+    parquet row group runs every downstream per-row expression on ONE task
+    until the first shuffle, serializing exactly the CPU-heavy part of the
+    corpus plans (measured: the containment shingle build spent 3.5 s on a
+    single core at sf0.1). The fix is a round-robin repartition to the
+    context's default parallelism — but ONLY in the few-splits regime:
+    ``inputFiles()`` is a metadata-only probe, and when the scan already
+    has >= target splits (any real multi-file / multi-row-group dataset —
+    the 100 TB case) this is an identity, so the full-corpus reshuffle
+    this would imply at scale never happens.
+    """
+    spark = df.sparkSession
+    t = target or spark.sparkContext.defaultParallelism
+    try:
+        wide_enough = len(df.inputFiles()) >= t
+    except Exception:  # non-file-backed plans: nothing to widen
+        wide_enough = True
+    return df if wide_enough else df.repartition(t)
+
 
 #: merge rule per partial-aggregatable measure: final_agg(partial_col)
 _MERGE = {

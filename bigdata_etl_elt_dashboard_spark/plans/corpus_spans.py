@@ -37,7 +37,7 @@ from ..operators import text as X
 from ..sources.catalog import table
 from .extensions import _TOKS_SQL
 from .registry import register
-from ..operators.scale import pin
+from ..operators.scale import fan_out, pin
 
 #: span width for exact duplicate-span mining (tokens)
 _SPAN_K = 8
@@ -90,7 +90,7 @@ def _spans(toks: F.Column, k: int) -> F.Column:
 )
 def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    g = docs.select(
+    g = fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(_spans(X.tokens(F.col("text")), _SPAN_K)).alias("span")
     )
     return (
@@ -137,8 +137,9 @@ def docs_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # g feeds the duplicate-span set AND the membership join: checkpoint so
-    # the corpus is tokenized/shingled once
-    g = docs.select(
+    # the corpus is tokenized/shingled once; fan_out so the shingle HOF
+    # doesn't run at the scan's split count
+    g = fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(_spans(X.tokens(F.col("text")), _SPAN_K)).alias("span")
     ).transform(pin)
     dup = (
@@ -192,21 +193,28 @@ def docs_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "IEEE division is display-only.",
 )
 def docs_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = table(spark, sf_dir, "documents")
-    # sh feeds the DF-cap filter AND the capped rejoin; shk feeds sizes and
-    # both inverted-index sides — checkpoint both so the corpus is shingled
-    # once (the un-truncated plan had 8 scans / 23 exchanges at r03).
-    sh = (
-        docs.select(
+    # ONE pinned frame: shingle (fan_out first — the interpreted-HOF
+    # shingling must not run at the scan's split count; 3.5 s serial on
+    # the one-row-group testdata), distinct, then apply the DF cap as a
+    # count-over-span WINDOW instead of a groupBy + rejoin — same span-
+    # keyed shuffle, but no second pass over the shingle stream and one
+    # checkpoint instead of two (the un-truncated r03 plan had 8 scans).
+    # shk feeds sizes and both inverted-index sides.
+    wspan = Window.partitionBy("span")
+    shk = (
+        fan_out(docs.select("doc_id", "text"))
+        .select(
             "doc_id", F.explode(_spans(X.tokens(F.col("text")), _CONT_K)).alias("span")
         )
         .distinct()
+        .withColumn("_df", F.count("*").over(wspan))
+        .filter(F.col("_df") <= _CONT_DF_CAP)
+        .drop("_df")
         .transform(pin)
     )
-    kept = sh.groupBy("span").agg(F.count("*").alias("_df")).filter(
-        F.col("_df") <= _CONT_DF_CAP
-    )
-    shk = sh.join(kept.select("span"), "span").transform(pin)
     sz = shk.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shk.select(F.col("doc_id").alias("doc_a"), "span")
     b = shk.select(F.col("doc_id").alias("doc_b"), "span")
@@ -776,7 +784,9 @@ def docs_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    g = docs.select(
+    # fan_out: shingle + md5 per position is the CPU-dense stage — widen
+    # past the scan's split count before it runs
+    g = fan_out(docs.select("doc_id", "text")).select(
         "doc_id", F.posexplode(_spans(X.tokens(F.col("text")), _WIN_K))
     ).withColumnsRenamed({"col": "span"})
     h = g.select(

@@ -249,6 +249,27 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned distinct co-purchase edge list (x < y) from lineitem.
+
+    No pre-distinct on (o, p): the final edge ``distinct`` collapses any
+    duplicate pairs a twice-ordered part would create, and skipping the
+    extra pass removes a full (o, p)-keyed shuffle of lineitem before the
+    self-join (measured ~0.7 s at sf0.1; at 100 TB it's a whole stage)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    lj = li.select(F.col("o"), F.col("p").alias("x"))
+    rj = li.select(F.col("o").alias("o2"), F.col("p").alias("y"))
+    return (
+        lj.join(rj, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y")))
+        .select("x", "y")
+        .distinct()
+        .transform(pin)
+    )
+
+
+
 @register(
     "graph_copurchase_triangles",
     oracle="""
@@ -284,32 +305,24 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recommendation features. Scale shape: edges are distinct-projected "
     "once, then ORIENTED from the lower-(degree, id) endpoint to the "
     "higher so every triangle is counted exactly once at its lowest-"
-    "degree corner — the standard O(m^1.5) wedge bound that keeps hub "
-    "nodes from exploding the wedge join (a hub of degree d contributes "
-    "C(d,2) wedges unoriented but near-zero once it outranks its "
-    "neighbors). Two equi-join shuffles (wedge build, wedge close); the "
-    "oracle counts the same triangles with DuckDB's unoriented 3-way "
-    "join. Reports nodes/edges/wedges/triangles and 3T/W clustering.",
+    "degree corner — the standard O(m^1.5) bound that keeps hub nodes "
+    "from exploding (a hub of degree d contributes C(d,2) wedges "
+    "unoriented but near-zero once it outranks its neighbors). Closing "
+    "is COMPACT-FORWARD: per-node out-neighbor arrays (size ≤ O(√m) by "
+    "the orientation) are re-attached to each oriented edge by two "
+    "node-keyed equi-joins and intersected JVM-side, so the wedge "
+    "stream is never materialized or shuffled (148M unoriented wedges "
+    "at sf0.1). The oracle counts the same triangles with DuckDB's "
+    "unoriented 3-way join. Reports nodes/edges/wedges/triangles and "
+    "3T/W clustering.",
 )
 def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    lj = li.select(F.col("o"), F.col("p").alias("x"))
-    rj = li.select(F.col("o").alias("o2"), F.col("p").alias("y"))
     # e (lineitem self-join + distinct!) feeds deg, the orientation join,
     # and the edge-count stat; deg feeds dx/dy and two stats. Checkpoint
     # both so each is computed ONCE — the un-truncated tree re-derived the
     # self-join per reference (judge-measured 41 scans + 20.8 s plan build
     # at r03).
-    e = (
-        lj.join(rj, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y")))
-        .select("x", "y")
-        .distinct()
-        .transform(pin)
-    )
+    e = _copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("x").alias("node"))
         .unionAll(e.select(F.col("y").alias("node")))
@@ -328,19 +341,33 @@ def graph_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oe = ranked.select(
         F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("u"),
         F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("v"),
-        F.when(fwd, F.col("dy")).otherwise(F.col("dx")).alias("dv"),
-    ).transform(pin)  # consumed by w1, w2, AND the closing edge
-    # wedges (u -> a, u -> b) with rank(a) < rank(b): the closing edge, if
-    # present, is oriented a -> b by construction — a pure EQUI-join on
-    # (a, b), no OR-of-equalities nested loop
-    w1 = oe.select(F.col("u"), F.col("v").alias("a"), F.col("dv").alias("da"))
-    w2 = oe.select(F.col("u").alias("u2"), F.col("v").alias("b"), F.col("dv").alias("db"))
-    rank_lt = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    ).transform(pin)  # consumed by the adjacency rollup AND the edge stream
+    # compact-forward closing: a triangle {u,a,b} with ranks u < a < b is
+    # oriented u->a, u->b, a->b, so for each oriented edge (u,a) the
+    # triangles it roots are |N+(u) ∩ N+(a)| — counted exactly once. The
+    # wedge stream never materializes: one node-keyed adjacency rollup,
+    # two node-keyed equi-joins re-attaching the (duplicate-free) neighbor
+    # arrays, and a JVM-side array_intersect per edge. vs the explicit
+    # wedge join this removes a shuffle of O(Σ C(outdeg,2)) wedge rows
+    # (148M unoriented wedges at sf0.1); per-node array size is bounded by
+    # the orientation (outdeg ≤ O(√m)), so rows stay executor-safe at
+    # 100 TB and the joins remain ordinary shuffles.
+    # the adjacency table is PART-keyed — a dimension-bounded frame (nodes
+    # = catalog size, arrays ≤ O(√m) by the orientation; ~10 MB at sf0.1)
+    # — so broadcasting it turns the close into a map-side pass over the
+    # pinned edge stream with NO shuffle of array-carrying rows (shuffling
+    # them cost ~600 MB / 1 s at sf0.1). For a graph whose node set is
+    # fact-scale, drop the broadcast hints and the same plan runs as two
+    # node-keyed shuffle joins.
+    adj = oe.groupBy("u").agg(F.collect_list("v").alias("nb"))
+    nb_u = F.broadcast(adj.select(F.col("u"), F.col("nb").alias("nb_u")))
+    nb_v = F.broadcast(adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v")))
+    tri = (
+        oe.join(nb_u, "u")
+        .join(nb_v, "v")  # inner: a head with no out-edges roots nothing
+        .select(F.size(F.array_intersect("nb_u", "nb_v")).alias("t"))
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_triangles"))
     )
-    wedges = w1.join(w2, (F.col("u") == F.col("u2")) & rank_lt).select("a", "b")
-    close_f = oe.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    tri = wedges.join(close_f, ["a", "b"]).agg(F.count("*").alias("n_triangles"))
     s = (
         deg.agg(F.count("*").alias("n_nodes"))
         .crossJoin(e.agg(F.count("*").alias("n_edges")))
@@ -428,18 +455,7 @@ def _kcore_round_sql(ein: str, dout: str, kout: str, eout: str, k: int) -> str:
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore_peel
 
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    lj = li.select("o", F.col("p").alias("x"))
-    rj = li.select(F.col("o").alias("o2"), F.col("p").alias("y"))
-    e = (
-        lj.join(rj, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y")))
-        .select("x", "y")
-        .distinct()
-    )
+    e = _copurchase_edges(spark, sf_dir)
     out = kcore_peel(e, k=_KCORE_K, rounds=_KCORE_ROUNDS)
     return spark.createDataFrame(
         out, "round int, n_nodes long, n_edges long"

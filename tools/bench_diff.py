@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Diff two bench JSON lines and flag per-query regressions.
 
-Usage: ``python tools/bench_diff.py BENCH_r01.json [bench_now.json]``
-With one argument, the current bench runs live (same interpreter) and
-compares against the given baseline. Exit code 1 if any query regressed
-more than the threshold (default 20%, BENCH_DIFF_THRESHOLD_PCT).
+Usage: ``python tools/bench_diff.py [BENCH_rNN.json [bench_now.json]]``
+With no arguments, the baseline is the NEWEST parseable BENCH_r*.json in
+the repo root (so the tripwire never goes stale against an old round)
+and the current bench runs live (same interpreter). Exit code 1 if any
+query regressed more than the threshold (default 20%,
+BENCH_DIFF_THRESHOLD_PCT).
 
 Keeps the round-over-round contract honest: BENCH_r{N} must report the
 same warm per-query metric as BENCH_r{N-1}, and any regression > 20%
@@ -40,10 +42,24 @@ def load(path: str) -> dict:
         raise SystemExit(f"no JSON bench line found in {path}")
 
 
+def latest_baseline() -> str:
+    """Newest BENCH_r*.json (by round number) that load() can parse."""
+    import glob
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json")), reverse=True):
+        try:
+            load(path)
+            return path
+        except SystemExit:
+            continue  # unparseable wrapper (e.g. the r03 emission bug)
+    raise SystemExit("no parseable BENCH_r*.json baseline found")
+
+
 def main() -> None:
-    if len(sys.argv) < 2:
-        raise SystemExit(__doc__)
-    base = load(sys.argv[1])
+    base_path = sys.argv[1] if len(sys.argv) > 1 else latest_baseline()
+    print(f"# baseline: {os.path.basename(base_path)}")
+    base = load(base_path)
     if len(sys.argv) > 2:
         cur = load(sys.argv[2])
     else:
