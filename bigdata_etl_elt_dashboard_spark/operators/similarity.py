@@ -342,6 +342,8 @@ def ann_lsh_topk(
     recall, while keeping the candidate join an equi-join on
     (table_id, sig): the plan shape that survives a 100×-bigger corpus
     (bucket join, never a cross product)."""
+    from .scale import pin
+
     all_planes = _hyperplanes(dim, n_tables * planes_per_table)
     # Planes live in a 96-row broadcast DATAFRAME, not as plan literals:
     # inlining 96 dot products over 64-element literal arrays builds a
@@ -357,11 +359,16 @@ def ann_lsh_topk(
         ],
         "table_id int, bit int, plane array<double>",
     )
+    # the corpus feeds BOTH the signature build and the post-candidate
+    # vector re-attach: pin the (id, vec) projection once instead of two
+    # full parquet scans (the cast/fan_out work also runs once)
+    base = (
+        _fan_out(corpus)
+        .select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_v"))
+        .transform(pin)
+    )
 
-    def with_sigs(df, id_alias):
-        v = df.select(
-            F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias("_v")
-        )
+    def with_sigs(v, id_alias):
         return (
             v.crossJoin(F.broadcast(planes_df))
             .select(
@@ -378,12 +385,18 @@ def ann_lsh_topk(
             .agg(F.sum("bitval").alias("sig"))  # exact integer OR-as-sum
         )
 
-    q = with_sigs(queries, "query_id")
-    c = with_sigs(_fan_out(corpus), "neighbor_id")
+    q = with_sigs(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_v")
+        ),
+        "query_id",
+    )
+    c = with_sigs(base, "neighbor_id")
     # candidate union across tables carries ONLY the id pair — vectors are
     # 64 doubles/row, and dragging them through the dropDuplicates shuffle
     # multiplies its payload ~30×; re-attaching them afterwards is two
-    # cheap joins (queries broadcast; candidates ≪ corpus)
+    # cheap joins against the PINNED base frame (queries broadcast), so
+    # the corpus parquet is scanned exactly once
     cand = (
         c.select("neighbor_id", "table_id", "sig")
         .join(
@@ -396,10 +409,7 @@ def ann_lsh_topk(
     )
     scored = (
         cand.join(
-            corpus.select(
-                F.col(id_col).alias("neighbor_id"),
-                _as_double(F.col(vec_col)).alias("c_vec"),
-            ),
+            base.withColumnRenamed("_v", "c_vec"),
             "neighbor_id",
         )
         .join(

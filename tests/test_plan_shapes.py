@@ -473,13 +473,12 @@ _SCAN_BUDGET = 3
 #: - set_ops_all_part_multisets: EXCEPT ALL + INTERSECT ALL each reference
 #:   both single-column filtered sides → 4 pushed-filter 1-column scans;
 #:   checkpointing fact-sized single columns would cost more than the scans
-#: - sim_ann_lsh: signature build + post-candidate vector re-attach per
-#:   side (4 pruned scans) — deliberately re-scans rather than dragging
-#:   64-double vectors through the candidate dedup shuffle (see its doc)
+#: (sim_ann_lsh left the whitelist in round 5: its corpus projection is
+#: now pinned once and feeds both the signature build and the candidate
+#: vector re-attach — 4 scans -> 2 pruned query scans, within budget)
 _SCAN_BUDGET_OK = {
     "dq_profile_orders",
     "set_ops_all_part_multisets",
-    "sim_ann_lsh",
 }
 
 

@@ -1000,3 +1000,49 @@ def test_time_to_convert_matches_python(spark, sf_smoke):
         for r in _rows(spark, sf_smoke, "ev_time_to_convert_hist")
     }
     assert got == dict(ref)
+
+
+def test_pagerank_matches_python_reference(spark, sf_smoke):
+    """graph_pagerank_3iter vs a plain-Python integer PageRank over the
+    same bipartite part<->supplier graph: the distributed joins/groupBys
+    must land on bit-identical rank units, and the replicated full rank
+    vector must conserve mass up to the documented integer-floor losses
+    (each div drops < 1 unit per contribution, the base term < 1 per
+    node) — the audit the DuckDB twin can't give (a shared formula bug
+    would ship identical wrong numbers on both engines)."""
+    UNITS = 1_000_000_000
+    pairs = {
+        (p, s)
+        for p, s in _cols(sf_smoke, "lineitem", ["l_partkey", "l_suppkey"])
+    }
+    adj = collections.defaultdict(list)  # src -> [dst, ...] (both directions)
+    for p, s in pairs:
+        adj[f"P{p}"].append(f"S{s}")
+        adj[f"S{s}"].append(f"P{p}")
+    n = len(adj)
+    base = (UNITS * 15) // (100 * n)
+    ranks = {node: UNITS // n for node in adj}
+    for _ in range(3):
+        nxt = collections.defaultdict(int)
+        for src, dsts in adj.items():
+            c = (ranks[src] * 85) // (100 * len(dsts))
+            for dst in dsts:
+                nxt[dst] += c
+        ranks = {node: base + m for node, m in nxt.items()}
+
+    # 3-iter values: Spark's top-20 must equal the replicate's, exactly
+    top = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r["node"], r["rank_units"])
+        for r in _rows(spark, sf_smoke, "graph_pagerank_3iter")
+    ]
+    assert got == top
+
+    # mass conservation: total mass never exceeds UNITS and loses at most
+    # the floor slack — n units to the base terms + one unit per directed
+    # edge per iteration to the contribution divisions, compounded over 3
+    # rounds (losses of round k shrink the mass rounds k+1.. redistribute)
+    m_edges = sum(len(v) for v in adj.values())
+    total = sum(ranks.values())
+    assert total <= UNITS
+    assert total >= UNITS - 3 * (n + m_edges)

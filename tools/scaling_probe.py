@@ -40,9 +40,16 @@ SHIFTS = {
     "customer": ["c_custkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
+    # embeddings scale too (round-5): query/centroid roles key on small
+    # vec_ids, so only replica 0 carries them — queries stay FIXED while
+    # the corpus grows K×, the honest scaling regime for search. Replicas
+    # are exact duplicate VECTORS, so near-dup pair counts grow
+    # quadratically per duplicate bucket — correct dedup behavior, same
+    # as replicated documents (adjudicated in SCALING.md).
+    "embeddings": ["vec_id"],
 }
 #: tables copied unscaled (dims / unprobed)
-COPY = ["region", "nation", "supplier", "part", "embeddings"]
+COPY = ["region", "nation", "supplier", "part"]
 
 PROBES = [
     "q1_total_revenue",
@@ -55,6 +62,11 @@ PROBES = [
     "docs_pipeline_e2e_digest",
     "scale_global_rank_orders",
     "wh_incremental_rollup",
+    # embedding family (round-5): fixed queries over a K×-grown corpus
+    "sim_topk_cosine",
+    "sim_knn_label_accuracy",
+    "dedup_embedding_cosine",
+    "sim_ann_lsh",
 ]
 
 
@@ -103,6 +115,35 @@ def timed(spark, sf_dir: str, name: str) -> tuple[float, float]:
     return build, min(times)
 
 
+def build_skewed(spark, base_dir: str, out_dir: str) -> int:
+    """Hot-key variant of the K× events table: every replica-0 event keeps
+    its user, every OTHER replica's events collapse onto ONE user id —
+    with K=8 that is ~7/8 of all events (~7M) in a single session key.
+    Non-event tables are symlink-free copies of the K× build. Returns the
+    hot user's event count."""
+    os.makedirs(out_dir, exist_ok=True)
+    for name in list(SHIFTS) + COPY:
+        if name == "events":
+            continue
+        src = os.path.join(base_dir, f"{name}.parquet")
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            shutil.rmtree(dst, ignore_errors=True)
+        shutil.copytree(src, dst)
+    ev = table(spark, base_dir, "events")
+    base_max = table(spark, SF_DIR, "events").agg(F.max("user_id")).first()[0]
+    hot = int(base_max) + 1
+    skewed = ev.withColumn(
+        "user_id",
+        F.when(F.col("user_id") <= base_max, F.col("user_id")).otherwise(
+            F.lit(hot)
+        ),
+    )
+    skewed.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    n_hot = skewed.filter(F.col("user_id") == hot).count()
+    return n_hot
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     spark = get_spark(app_name="scaling_probe", shuffle_partitions=32)
@@ -119,8 +160,23 @@ def main() -> None:
             f"| `{name}` | {w1:.3f} | {wk:.3f} | {ratio:.1f}x "
             f"| {b1:.2f} | {bk:.2f} |"
         )
+
+    # hot-key probe: same K× row count, ~(K-1)/K of events on ONE user —
+    # proves the session window's keyed shuffle degrades gracefully under
+    # a pathological key instead of stalling a straggler task
+    skew_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_skewed_{k}x")
+    n_hot = build_skewed(spark, out_dir, skew_dir)
+    b_u, w_u = timed(spark, out_dir, "ev_session_10m")
+    b_s, w_s = timed(spark, skew_dir, "ev_session_10m")
+    print()
+    print(
+        f"| `ev_session_10m` hot-key probe ({n_hot} events on one user) "
+        f"| uniform {k}x {w_u:.3f}s | skewed {k}x {w_s:.3f}s "
+        f"| skew ratio {w_s / w_u if w_u > 0 else float('nan'):.1f}x |"
+    )
     spark.stop()
     shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(skew_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
