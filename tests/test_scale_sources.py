@@ -782,9 +782,16 @@ def test_running_type_counts_v2_plan_and_exec(spark, tmp_path):
     assert out.schema == T._parse_datatype_string(TYPE_COUNTS_SCHEMA)
 
     if not _protobuf_available():
-        pytest.skip(
+        # xfail, not skip — this is a KNOWN, permanent limitation of this
+        # container (protobuf is transformWithState's state-server wire
+        # format, and installing packages is out of scope), not an
+        # environment accident to paper over. The plan-construction half
+        # above already ran; only the execution half is protobuf-gated.
+        # On any cluster with protobuf present the full test runs.
+        pytest.xfail(
             "protobuf not installed in this container — "
-            "transformWithState's Python state client cannot start"
+            "transformWithState's Python state client cannot start "
+            "(execution half xfails by design; plan half asserted above)"
         )
 
     spark.conf.set(
