@@ -44,10 +44,13 @@ from .registry import REGISTRY, register
 # sim_ann_candidate_digest / sim_ann_recall_digest / sim_ivf_cell_digest /
 # agg_sketch_param_digest in THIS window — see plans/similarity_gate.py).
 #
-# ROUND-6 ROTATION PLAN: every query newly registered in round 5 (none at
-# window-paste time — append names here as they land), then the 3
-# rows-only queries if slots remain. Re-run tools/gate_rotation.py at the
-# r06 round start; it computes this from CORRECTNESS_r*.json history.
+# ROUND-6 ROTATION PLAN: every query newly registered in round 5 —
+#   stat_hll_distinct_custkeys, graph_label_propagation,
+#   ev_ab_test_conversion, ev_funnel_time_window
+# (append more here as they land) — then the 3 rows-only queries
+# (sim_ann_lsh, sim_ivf_topk, mm_frame_sample) if slots remain. Re-run
+# tools/gate_rotation.py at the r06 round start; it computes this from
+# CORRECTNESS_r*.json history.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
     # never-gated oracle-backed queries, registration order

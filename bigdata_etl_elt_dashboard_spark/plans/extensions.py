@@ -5205,3 +5205,202 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# ------------------------- A/B experiment readout ---------------------------
+
+
+@register(
+    "ev_ab_test_conversion",
+    oracle="""
+        WITH m AS (
+            SELECT user_id,
+                   ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2
+                       AS variant,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_first_purchase
+            FROM events GROUP BY user_id
+        ),
+        v AS (
+            SELECT variant,
+                   COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n,
+                   COUNT(CASE WHEN t_view IS NOT NULL
+                              AND t_first_purchase > t_view
+                              AND t_first_purchase <=
+                                  t_view + INTERVAL 60 MINUTE
+                         THEN 1 END) AS x
+            FROM m GROUP BY variant
+        ),
+        w AS (
+            SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+                   MAX(CASE WHEN variant = 0 THEN x END) AS conv_a,
+                   MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+                   MAX(CASE WHEN variant = 1 THEN x END) AS conv_b
+            FROM v
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+               CAST(conv_a AS DOUBLE) / NULLIF(n_a, 0) AS p_a,
+               CAST(conv_b AS DOUBLE) / NULLIF(n_b, 0) AS p_b,
+               (CAST(conv_a AS DOUBLE) / NULLIF(n_a, 0)
+                    - CAST(conv_b AS DOUBLE) / NULLIF(n_b, 0))
+                   / NULLIF(
+                       sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                         / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 0.0) AS z_score
+        FROM w
+    """,
+    doc="Two-proportion z-test A/B readout: users hash-split into two "
+    "variants (ascii of the first md5 hex digit mod 2 — deterministic, "
+    "engine-portable, and independent of id assignment order, unlike a "
+    "raw id mod), exposure = has a view, conversion = first purchase "
+    "within 60 minutes after the first view (the deadline keeps the "
+    "metric non-degenerate on corpora where every long-lived user "
+    "eventually buys); pooled-variance z on the two conversion rates, "
+    "NULL (both engines, via NULLIF) when the pooled variance is 0. "
+    "Shape: ONE conditional-aggregation pass per user (no self-joins), "
+    "a 2-row variant rollup, a 1-row pivot — the z is a fixed sequence "
+    "of IEEE ops over exact integer counts, identical on both engines. "
+    "At 100 TB: one user-keyed shuffle, then constant-size frames.",
+)
+def ev_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_first_purchase"
+        ),
+    ).select(
+        (
+            F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)) % 2
+        ).alias("variant"),
+        "t_view",
+        "t_first_purchase",
+    )
+    converted = (
+        F.col("t_view").isNotNull()
+        & (F.col("t_first_purchase") > F.col("t_view"))
+        & (F.col("t_first_purchase") <= F.col("t_view") + F.expr("INTERVAL 60 MINUTES"))
+    )
+    v = m.groupBy("variant").agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n"),
+        F.count(F.when(converted, 1)).alias("x"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.nullif(F.col("n_a"), F.lit(0))
+    p_b = F.col("conv_b").cast("double") / F.nullif(F.col("n_b"), F.lit(0))
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return w.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        ((p_a - p_b) / F.nullif(se, F.lit(0.0))).alias("z_score"),
+    )
+
+
+# ----------------- time-constrained funnel (per-step deadline) --------------
+
+_FUNNEL_WINDOW_MIN = 30
+
+
+@register(
+    "ev_funnel_time_window",
+    oracle=f"""
+        WITH v AS MATERIALIZED (
+            SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS MATERIALIZED (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+              AND e.ts <= v.t_view + INTERVAL {_FUNNEL_WINDOW_MIN} MINUTE
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+              AND e.ts <= c.t_click + INTERVAL {_FUNNEL_WINDOW_MIN} MINUTE
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+               (SELECT COUNT(*) FROM c) AS n_clicked_in_window,
+               (SELECT COUNT(*) FROM p) AS n_purchased_in_window,
+               CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM v) AS click_rate,
+               CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM v) AS full_rate
+    """,
+    doc=f"Funnel with PER-STEP DEADLINES: first view → first click within "
+    f"{_FUNNEL_WINDOW_MIN} minutes → first purchase within "
+    f"{_FUNNEL_WINDOW_MIN} minutes of that click (the unconstrained "
+    "funnel, ev_funnel_conversion, answers 'ever converted'; campaign "
+    "and UX analysis need 'converted promptly'). Each stage is one "
+    "event_type-pruned scan joined to the (pinned, user-sized) previous "
+    "stage frame and reduced by a user-keyed MIN — stage k's frame only "
+    "shrinks, so the whole funnel is three pushed-filter scans + three "
+    "user-keyed shuffles; no self-join of the full event stream, no "
+    "per-user event arrays. Timestamp arithmetic is exact (timestamp + "
+    "literal interval on both engines); rates are one division each.",
+)
+def ev_funnel_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import pin
+
+    ev = table(spark, sf_dir, "events")
+    iv = F.expr(f"INTERVAL {_FUNNEL_WINDOW_MIN} MINUTES")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+        .transform(pin)  # feeds stage 2 AND the n_viewed count
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + iv))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+        .transform(pin)  # feeds stage 3 AND the n_clicked count
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + iv)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_in_window")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_in_window")))
+    )
+    return counts.select(
+        "n_viewed",
+        "n_clicked_in_window",
+        "n_purchased_in_window",
+        (
+            F.col("n_clicked_in_window").cast("double") / F.col("n_viewed")
+        ).alias("click_rate"),
+        (
+            F.col("n_purchased_in_window").cast("double") / F.col("n_viewed")
+        ).alias("full_rate"),
+    )

@@ -463,6 +463,111 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# label propagation (fixed synchronous rounds) over the co-purchase graph
+# --------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+_LPA_TOP = 10
+
+
+def _lpa_round_sql(lin: str, lout: str) -> str:
+    """One synchronous LPA round: each node adopts the most frequent label
+    among its NEIGHBORS' previous-round labels, ties to the smallest."""
+    return f"""
+        {lout} AS MATERIALIZED (
+            SELECT dst AS node, lbl
+            FROM (
+                SELECT ed.dst, l.lbl, COUNT(*) AS cnt
+                FROM ed JOIN {lin} l ON ed.src = l.node
+                GROUP BY ed.dst, l.lbl
+            )
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY dst
+                                       ORDER BY cnt DESC, lbl) = 1
+        )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT a.p AS x, b.p AS y
+            FROM (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem) a
+            JOIN (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem) b
+                ON a.o = b.o AND a.p < b.p
+        ),
+        ed AS MATERIALIZED (
+            SELECT x AS src, y AS dst FROM e0
+            UNION ALL SELECT y, x FROM e0
+        ),
+        l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM ed),
+        """
+    + ",".join(_lpa_round_sql(f"l{i}", f"l{i + 1}") for i in range(_LPA_ROUNDS))
+    + f""",
+        comm AS (
+            SELECT lbl AS community_label, COUNT(*) AS size
+            FROM l{_LPA_ROUNDS} GROUP BY lbl
+        ),
+        total AS (SELECT COUNT(*) AS n_communities FROM comm),
+        top AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY size DESC, community_label)
+                       AS rank,
+                   community_label, size
+            FROM comm
+            ORDER BY size DESC, community_label LIMIT {_LPA_TOP}
+        )
+        SELECT rank, community_label, size, n_communities
+        FROM top CROSS JOIN total ORDER BY rank
+    """,
+    doc=f"Community detection via synchronous label propagation "
+    f"({_LPA_ROUNDS} fixed rounds) over the co-purchase part graph: each "
+    "node starts as its own community and per round adopts the most "
+    "frequent label among its neighbors' previous labels, ties broken to "
+    "the SMALLEST label — fully deterministic (classic LPA breaks ties "
+    "randomly, which is ungateable; min-tie-break is the same "
+    "determinism discipline as the CC min-label rule). Emits the top-"
+    f"{_LPA_TOP} community sizes plus the total community count. Scale "
+    "shape: per round ONE label-keyed equi-join (edges ⋈ labels on src) "
+    "and one (dst, lbl)-keyed count with a max_by merge — message-"
+    "passing as two keyed shuffles over the pinned edge list; labels "
+    "frames are node-sized and pinned per round so round r never "
+    "re-executes rounds 1..r-1. All counts/labels exact integers.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _copurchase_edges(spark, sf_dir)
+    ed = e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).select(
+        F.col("x").alias("src"), F.col("y").alias("dst")
+    ).transform(pin)
+    labels = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).transform(pin)
+    for _ in range(_LPA_ROUNDS):
+        msgs = ed.join(labels, ed.src == labels.node).select("dst", "lbl")
+        cnt = msgs.groupBy("dst", "lbl").agg(F.count("*").alias("cnt"))
+        labels = (
+            cnt.groupBy("dst")
+            # lexicographic struct max = highest count, then LOWEST label
+            .agg(F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl"))
+            .select(F.col("dst").alias("node"), "lbl")
+            .transform(pin)
+        )
+    comm = labels.groupBy(F.col("lbl").alias("community_label")).agg(
+        F.count("*").alias("size")
+    )
+    total = comm.agg(F.count("*").alias("n_communities"))
+    w = Window.orderBy(F.desc("size"), "community_label")
+    top = (
+        comm.orderBy(F.desc("size"), "community_label")
+        .limit(_LPA_TOP)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        "rank", "community_label", "size", "n_communities"
+    ).orderBy("rank")
+
+
+# --------------------------------------------------------------------------
 # k-means: the FULL Lloyd loop (fixed rounds, exact-integer trajectory)
 # --------------------------------------------------------------------------
 

@@ -2028,3 +2028,99 @@ def stat_spearman_chars_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(dx.cast("double") * dy.cast("double"))
         ).alias("spearman_rho"),
     )
+
+
+# --------------------------- HyperLogLog sketch ----------------------------
+
+_HLL_M = 64  # buckets (p = 6 prefix bits)
+#: alpha_m * m^2 * 2^55 — the full estimator numerator, precomputed in
+#: Python and injected as ONE literal on both engines (alpha involves a
+#: division; computing it engine-side would risk libm/order drift)
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_C = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 55)
+
+
+@register(
+    "stat_hll_distinct_custkeys",
+    oracle=f"""
+        WITH h AS (
+            SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                       AS hv
+            FROM orders
+        ),
+        rho AS (
+            SELECT hv % {_HLL_M} AS bucket,
+                   CASE WHEN hv // {_HLL_M} = 0 THEN 55
+                        ELSE 55 - length(bin(hv // {_HLL_M})) END AS r
+            FROM h
+        ),
+        regs AS (
+            SELECT t.b AS bucket, COALESCE(MAX(rho.r), 0) AS m_j
+            FROM UNNEST(range({_HLL_M})) AS t(b)
+            LEFT JOIN rho ON rho.bucket = t.b
+            GROUP BY t.b
+        ),
+        s AS (
+            SELECT CAST(SUM(1::BIGINT << (55 - m_j)) AS BIGINT) AS sum_scaled,
+                   COUNT(CASE WHEN m_j = 0 THEN 1 END) AS n_zero_buckets
+            FROM regs
+        ),
+        t AS (SELECT COUNT(DISTINCT o_custkey) AS true_distinct FROM orders)
+        SELECT {_HLL_M} AS m, sum_scaled, n_zero_buckets, true_distinct,
+               {_HLL_C!r} / CAST(sum_scaled AS DOUBLE) AS est_distinct,
+               {_HLL_C!r} / CAST(sum_scaled AS DOUBLE)
+                   / CAST(true_distinct AS DOUBLE) - 1.0 AS rel_err
+        FROM s CROSS JOIN t
+    """,
+    doc=f"HyperLogLog distinct-count sketch over order custkeys (m="
+    f"{_HLL_M} registers), the mergeable fixed-size counterpart of the "
+    "KMV sketch (stat_kmv_distinct_custkeys) and the deterministic twin "
+    "of Spark's approx_count_distinct: md5-hash each key to 60 uniform "
+    "bits, bucket on the low 6, register = max leading-zero rank of the "
+    "remaining 54. EXACT cross-engine algebra: every per-row quantity is "
+    "an integer; the harmonic-mean denominator Σ2^-M_j is held as the "
+    "SCALED integer Σ2^(55-M_j) (≤ 64·2^55, fits BIGINT), and the "
+    "estimator constant α·m²·2^55 is ONE Python-precomputed literal, so "
+    "the estimate is a single identical IEEE division on both engines — "
+    "a hash-gateable HLL, unlike the engine-native implementations whose "
+    "sketch layout is private. Raw estimator only (no small-range linear-"
+    "counting branch: it needs ln at runtime — libm drift; the reported "
+    "n_zero_buckets is exactly the signal a consumer needs to decide the "
+    "correction applies). Plan: one scan → 64-row register rollup "
+    "(partial max before the shuffle); the register table is the ENTIRE "
+    "state at any scale — union-mergeable across partitions, streams, "
+    "or days, which is why HLL is the 100 TB distinct-count workhorse.",
+)
+def stat_hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    rho = orders.select(hv).select(
+        F.pmod(F.col("hv"), F.lit(_HLL_M)).alias("bucket"),
+        F.when(F.expr(f"hv div {_HLL_M}") == 0, F.lit(55))
+        .otherwise(F.lit(55) - F.length(F.conv(F.expr(f"hv div {_HLL_M}"), 10, 2)))
+        .alias("r"),
+    )
+    regs = (
+        spark.range(_HLL_M)
+        .withColumnRenamed("id", "bucket")
+        .join(rho.groupBy("bucket").agg(F.max("r").alias("mx")), "bucket", "left")
+        .select(F.coalesce(F.col("mx"), F.lit(0)).alias("m_j"))
+    )
+    s = regs.agg(
+        F.sum(F.expr("shiftleft(1L, 55 - m_j)")).alias("sum_scaled"),
+        F.count(F.when(F.col("m_j") == 0, 1)).alias("n_zero_buckets"),
+    )
+    t = orders.agg(F.count_distinct("o_custkey").alias("true_distinct"))
+    est = F.lit(_HLL_C) / F.col("sum_scaled").cast("double")
+    return s.crossJoin(t).select(
+        F.lit(_HLL_M).alias("m"),
+        "sum_scaled",
+        "n_zero_buckets",
+        "true_distinct",
+        est.alias("est_distinct"),
+        (est / F.col("true_distinct").cast("double") - F.lit(1.0)).alias("rel_err"),
+    )
