@@ -435,3 +435,60 @@ def src_orc_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("flag_hash_sum"),
         F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),
     )
+
+
+@register(
+    "src_schema_evolution_digest",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS id_sum,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS price_cents_sum,
+               COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_with_status,
+               CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN
+                        ('0x' || substr(md5(o_orderstatus), 1, 10))::BIGINT
+                    END) AS BIGINT) AS status_hash_sum
+        FROM orders
+    """,
+    doc="Schema-evolution driver gate: the warehouse reality that columns "
+    "are ADDED over time and old files never rewrite. Orders are split "
+    "into a v1 batch written WITHOUT o_orderstatus (even keys) and a v2 "
+    "batch WITH it (odd keys); a mergeSchema parquet read over both "
+    "batches must present the union schema with v1 rows NULL in the new "
+    "column. The digest checksums row counts, key and price-cent sums "
+    "over BOTH eras, and the status md5-prefix sum over the v2 era only "
+    "— a green row proves column addition is non-destructive and NULL "
+    "back-fill is exact, vs the same digest computed directly on the "
+    "source table. mergeSchema is a footer-only union at plan time; the "
+    "scan itself stays pruned and partial-aggregatable at any scale.",
+)
+def src_schema_evolution_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _gate_dir(sf_dir, "orders_evolution")
+    v1_path, v2_path = os.path.join(base, "v1"), os.path.join(base, "v2")
+    orders = table(spark, sf_dir, "orders")
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(v1_path)
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .parquet(v2_path)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(v1_path, v2_path)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("id_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "price_cents_sum"
+        ),
+        F.count("o_orderstatus").alias("n_with_status"),
+        F.sum(
+            F.conv(F.substring(F.md5(F.col("o_orderstatus")), 1, 10), 16, 10).cast(
+                "long"
+            )
+        ).alias("status_hash_sum"),
+    )

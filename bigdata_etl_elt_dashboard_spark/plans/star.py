@@ -536,3 +536,88 @@ def ev_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "event_type")
     )
+
+
+@register(
+    "wh_late_arriving_dim",
+    oracle="""
+        WITH known AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),
+        phase1 AS (
+            SELECT COALESCE(k.c_mktsegment, 'UNKNOWN') AS segment,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders o LEFT JOIN known k ON o.o_custkey = k.c_custkey
+            GROUP BY segment
+        ),
+        resolved AS (
+            SELECT c.c_mktsegment AS segment,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY segment
+        )
+        SELECT COALESCE(p.segment, r.segment) AS segment,
+               COALESCE(p.n_orders, 0) AS n_phase1,
+               COALESCE(r.n_orders, 0) AS n_after_backfill,
+               COALESCE(p.cents, 0) AS cents_phase1,
+               COALESCE(r.cents, 0) AS cents_after_backfill
+        FROM phase1 p FULL OUTER JOIN resolved r ON p.segment = r.segment
+        ORDER BY segment
+    """,
+    doc="Late-arriving-dimension handling — the warehouse pattern where "
+    "fact rows land BEFORE their dimension member exists: phase 1 "
+    "resolves orders against the known dim slice (every 10th customer "
+    "'late'), bucketing unresolved facts under an explicit UNKNOWN "
+    "member instead of dropping them (an inner join would silently lose "
+    "10% of revenue — the classic bug); after the dim backfill arrives, "
+    "the re-resolved rollup is reported next to phase 1 per segment, so "
+    "the UNKNOWN bucket's drain into real segments is auditable. Shape: "
+    "two broadcast fact⋈dim rollups and a FULL OUTER merge of their "
+    "segment-sized results; at 100 TB the backfill pass would re-resolve "
+    "ONLY the UNKNOWN-keyed facts (the incremental form proven by "
+    "wh_incremental_rollup) — run here over the full fact table so the "
+    "oracle pins both phases end-to-end. Cents exact; counts BIGINT.",
+)
+def wh_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    known = customer.filter(F.col("c_custkey") % 10 != 0)
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    phase1 = (
+        orders.join(
+            F.broadcast(known.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == known.c_custkey,
+            "left",
+        )
+        .groupBy(F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"))
+        .agg(F.count("*").alias("n_orders"), cents)
+    )
+    resolved = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_orders"), cents)
+    )
+    p = phase1.select(
+        F.col("segment").alias("p_seg"), F.col("n_orders").alias("p_n"),
+        F.col("cents").alias("p_c"),
+    )
+    r = resolved.select(
+        F.col("segment").alias("r_seg"), F.col("n_orders").alias("r_n"),
+        F.col("cents").alias("r_c"),
+    )
+    return (
+        p.join(r, p.p_seg == r.r_seg, "full_outer")
+        .select(
+            F.coalesce(F.col("p_seg"), F.col("r_seg")).alias("segment"),
+            F.coalesce(F.col("p_n"), F.lit(0)).alias("n_phase1"),
+            F.coalesce(F.col("r_n"), F.lit(0)).alias("n_after_backfill"),
+            F.coalesce(F.col("p_c"), F.lit(0)).alias("cents_phase1"),
+            F.coalesce(F.col("r_c"), F.lit(0)).alias("cents_after_backfill"),
+        )
+        .orderBy("segment")
+    )
