@@ -114,6 +114,16 @@ EXTENSION_SUITE = (
     "wh_incremental_rollup",
     "sim_ann_recall_digest",
     "dedup_method_agreement",
+    # round-5 additions: the new sketch/graph/experiment/warehouse queries
+    # (regression tripwires from their first round), plus sim_ann_lsh now
+    # that its corpus scan is pinned single-pass
+    "stat_hll_distinct_custkeys",
+    "graph_label_propagation",
+    "ev_ab_test_conversion",
+    "ev_funnel_time_window",
+    "src_schema_evolution_digest",
+    "wh_late_arriving_dim",
+    "sim_ann_lsh",
 )
 
 

@@ -454,6 +454,9 @@ _BNLJ_BOUNDED_OK = {
     "ev_rfm_segments",  # 1-row recency-anchor (max purchase ts) broadcast
     "trend_locf_daily_price",  # 1-row calendar-bounds (min/max day) broadcast
     "dedup_token_savings",  # 1-row corpus token-total broadcast
+    "stat_hll_distinct_custkeys",  # 1-row register-sum × 1-row true-count
+    "graph_label_propagation",  # 1-row community-count scalar broadcast
+    "ev_funnel_time_window",  # three 1-row stage-count scalars crossed
 }
 
 
