@@ -528,33 +528,46 @@ def _lpa_round_sql(lin: str, lout: str) -> str:
     f"{_LPA_TOP} community sizes plus the total community count. Scale "
     "shape: per round ONE label-keyed equi-join (edges ⋈ labels on src) "
     "and one (dst, lbl)-keyed count with a max_by merge — message-"
-    "passing as two keyed shuffles over the pinned edge list; labels "
-    "frames are node-sized and pinned per round so round r never "
-    "re-executes rounds 1..r-1. All counts/labels exact integers.",
+    "passing as two keyed shuffles over the pinned edge list. Unlike "
+    "the k-core/PageRank loops, round frames here are single-consumer "
+    "(round r feeds only round r+1), so the chain runs as ONE lazy plan "
+    "with no per-round pin; only the edge list (read every round) and "
+    "the final community rollup (two consumers) materialize. All "
+    "counts/labels exact integers.",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = _copurchase_edges(spark, sf_dir)
+    # pin ONLY the multi-referenced frames: ed feeds every round's join
+    # (and the label init); each round's labels frame is consumed exactly
+    # once (by the next round), so pinning them would buy nothing and
+    # cost a sequential materialization job per round (~1.5 s each on
+    # local mode) — the whole 3-round chain executes as ONE lazy plan.
     ed = e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).select(
         F.col("x").alias("src"), F.col("y").alias("dst")
     ).transform(pin)
     labels = ed.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
-    ).transform(pin)
+    )
     for _ in range(_LPA_ROUNDS):
         msgs = ed.join(labels, ed.src == labels.node).select("dst", "lbl")
-        cnt = msgs.groupBy("dst", "lbl").agg(F.count("*").alias("cnt"))
         labels = (
-            cnt.groupBy("dst")
-            # lexicographic struct max = highest count, then LOWEST label
-            .agg(F.expr("max_by(lbl, struct(cnt, -lbl))").alias("lbl"))
+            # mode(lbl, deterministic=true) ties to the LOWEST value —
+            # exactly the min-label rule — and runs as ONE dst-keyed
+            # shuffle with partial count-map merges (ObjectHashAggregate),
+            # instead of materializing the (dst, lbl) count grid through a
+            # second shuffle; per-group state is bounded by the node's
+            # distinct neighbor labels (≤ degree)
+            msgs.groupBy("dst")
+            .agg(F.expr("mode(lbl, true)").alias("lbl"))
             .select(F.col("dst").alias("node"), "lbl")
-            .transform(pin)
         )
+    # comm feeds BOTH the total count and the top-k head — pin the tiny
+    # community-sized frame so the 3-round chain above runs once, not twice
     comm = labels.groupBy(F.col("lbl").alias("community_label")).agg(
         F.count("*").alias("size")
-    )
+    ).transform(pin)
     total = comm.agg(F.count("*").alias("n_communities"))
     w = Window.orderBy(F.desc("size"), "community_label")
     top = (

@@ -1046,3 +1046,43 @@ def test_pagerank_matches_python_reference(spark, sf_smoke):
     total = sum(ranks.values())
     assert total <= UNITS
     assert total >= UNITS - 3 * (n + m_edges)
+
+
+def test_label_propagation_matches_python_reference(spark, sf_smoke):
+    """graph_label_propagation vs a plain-Python synchronous LPA with the
+    same min-label tie-break: community sizes and count must match
+    exactly (the mode(lbl, deterministic) aggregate and the replicate's
+    Counter must land on identical labels every round)."""
+    li = {
+        (o, p)
+        for o, p in _cols(sf_smoke, "lineitem", ["l_orderkey", "l_partkey"])
+    }
+    baskets = collections.defaultdict(set)
+    for o, p in li:
+        baskets[o].add(p)
+    adj = collections.defaultdict(set)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                adj[ps[i]].add(ps[j])
+                adj[ps[j]].add(ps[i])
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for node, nbrs in adj.items():
+            freq = collections.Counter(labels[v] for v in nbrs)
+            best = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[node] = best[0]
+        labels = nxt
+    sizes = collections.Counter(labels.values())
+    top = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = [
+        (rank, lbl, size, len(sizes))
+        for rank, (lbl, size) in enumerate(top, start=1)
+    ]
+    got = [
+        (r["rank"], r["community_label"], r["size"], r["n_communities"])
+        for r in _rows(spark, sf_smoke, "graph_label_propagation")
+    ]
+    assert got == expect
