@@ -124,6 +124,8 @@ EXTENSION_SUITE = (
     "src_schema_evolution_digest",
     "wh_late_arriving_dim",
     "sim_ann_lsh",
+    "supplier_return_blame",
+    "emb_jl_projection_distortion",
 )
 
 

@@ -47,7 +47,8 @@ from .registry import REGISTRY, register
 # ROUND-6 ROTATION PLAN: every query newly registered in round 5 —
 #   stat_hll_distinct_custkeys, graph_label_propagation,
 #   ev_ab_test_conversion, ev_funnel_time_window,
-#   src_schema_evolution_digest, wh_late_arriving_dim
+#   src_schema_evolution_digest, wh_late_arriving_dim,
+#   supplier_return_blame, emb_jl_projection_distortion
 # (append more here as they land) — then the 3 rows-only queries
 # (sim_ann_lsh, sim_ivf_topk, mm_frame_sample) if slots remain. Re-run
 # tools/gate_rotation.py at the r06 round start; it computes this from

@@ -628,3 +628,90 @@ def li_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+@register(
+    "supplier_return_blame",
+    oracle="""
+        WITH l1 AS (
+            SELECT l.l_orderkey, l.l_suppkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+        ),
+        blamed AS (
+            SELECT l1.l_suppkey, COUNT(*) AS numwait
+            FROM l1
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+            )
+            AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_returnflag = 'R'
+            )
+            GROUP BY l1.l_suppkey
+        )
+        SELECT s.s_name AS s_name, b.numwait AS numwait
+        FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+    doc="TPC-H Q21 skeleton (suppliers-who-kept-orders-waiting), adapted "
+    "to this schema's columns: for finalized orders, count per supplier "
+    "the RETURNED lines where (a) the order involved at least one OTHER "
+    "supplier (EXISTS) and (b) no other supplier's line was returned "
+    "(NOT EXISTS) — the sole-blame attribution query, and the classic "
+    "composition of a semi-join AND an anti-join against the same fact "
+    "table with a same-key-different-entity residual. Spark plan: both "
+    "quantifiers are orderkey-keyed LEFT SEMI / LEFT ANTI joins with the "
+    "supplier-inequality as a join residual (never a correlated per-row "
+    "subquery), over ONE pinned candidate frame; top-20 is a "
+    "TakeOrdered. Counts exact; no floats anywhere.",
+)
+def supplier_return_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import pin
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supplier = table(spark, sf_dir, "supplier")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+        .transform(pin)  # feeds both quantifier joins
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "anti",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        blamed.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            blamed.l_suppkey == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
