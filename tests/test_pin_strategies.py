@@ -77,3 +77,24 @@ def test_unknown_strategy_raises(spark, _strategy):
     spark.conf.set(PIN_STRATEGY_CONF, "no-such-strategy")
     with pytest.raises(ValueError, match="no-such-strategy"):
         spark.range(1).transform(pin)
+
+
+def test_fan_out_widens_single_split_scans(spark, sf_oracle, tmp_path):
+    """fan_out must repartition a single-file scan up to the context's
+    default parallelism, be an identity on scans that already have enough
+    splits, and never change row contents."""
+    from bigdata_etl_elt_dashboard_spark.operators.scale import fan_out
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    assert len(docs.inputFiles()) == 1
+    wide = fan_out(docs)
+    target = spark.sparkContext.defaultParallelism
+    assert wide.rdd.getNumPartitions() == target
+    assert wide.count() == docs.count()
+
+    # many-file input: identity (no repartition node, same object)
+    many = tmp_path / "many"
+    spark.range(1000).repartition(target).write.parquet(str(many))
+    df = spark.read.parquet(str(many))
+    assert len(df.inputFiles()) >= target
+    assert fan_out(df) is df
