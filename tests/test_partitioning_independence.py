@@ -42,6 +42,10 @@ _QUERIES = [
     "trend_locf_daily_price",  # carry-forward over the calendar grid
     "sim_knn_label_accuracy",  # vote ties broken count-desc, label-asc
     "dedup_token_savings",  # exact + CC keep-sets against one base
+    # round 5: the mode()-based LPA tie-break and the HLL register maxima
+    # are partial-merge aggregates whose determinism this posture stresses
+    "graph_label_propagation",  # mode(lbl, deterministic) min-label ties
+    "stat_hll_distinct_custkeys",  # register max merge + scaled-int sum
 ]
 
 
