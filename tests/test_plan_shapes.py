@@ -457,6 +457,7 @@ _BNLJ_BOUNDED_OK = {
     "stat_hll_distinct_custkeys",  # 1-row register-sum × 1-row true-count
     "graph_label_propagation",  # 1-row community-count scalar broadcast
     "ev_funnel_time_window",  # three 1-row stage-count scalars crossed
+    "emb_jl_projection_distortion",  # _JL_NQ(=20)-row query side broadcast
 }
 
 
