@@ -48,7 +48,8 @@ from .registry import REGISTRY, register
 #   stat_hll_distinct_custkeys, graph_label_propagation,
 #   ev_ab_test_conversion, ev_funnel_time_window,
 #   src_schema_evolution_digest, wh_late_arriving_dim,
-#   supplier_return_blame, emb_jl_projection_distortion
+#   supplier_return_blame, emb_jl_projection_distortion,
+#   text_token_fertility_by_lang
 # (append more here as they land) — then the 3 rows-only queries
 # (sim_ann_lsh, sim_ivf_topk, mm_frame_sample) if slots remain. Re-run
 # tools/gate_rotation.py at the r06 round start; it computes this from

@@ -5404,3 +5404,52 @@ def ev_funnel_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_purchased_in_window").cast("double") / F.col("n_viewed")
         ).alias("full_rate"),
     )
+
+
+@register(
+    "text_token_fertility_by_lang",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN trim(text) = '' THEN 0 ELSE
+                    len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                    END) AS BIGINT) AS n_words,
+               CAST(SUM(len(regexp_extract_all(text,
+                    '{X.BPE_TOKEN_PATTERN}'))) AS BIGINT) AS n_bpe_tokens,
+               CAST(SUM(len(regexp_extract_all(text,
+                    '{X.BPE_TOKEN_PATTERN}'))) AS DOUBLE)
+                   / NULLIF(SUM(CASE WHEN trim(text) = '' THEN 0 ELSE
+                        len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                        END), 0) AS fertility
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Tokenizer fertility by language — BPE-ish tokens per whitespace "
+    "word, THE standard multilingual-tokenizer health metric (high "
+    "fertility = a language is over-fragmented, costing sequence length "
+    "and compute; tokenizer-rebalancing decisions key on exactly this "
+    "table). Exact integer token counts on both engines (the shared "
+    "regexp token pattern), one NULLIF-guarded division per language. "
+    "Shape: a single partial-aggregatable scan grouped by the "
+    "low-cardinality lang key — trivially 100 TB-safe.",
+)
+def text_token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(X.token_count(F.col("text"))).alias("n_words"),
+            F.sum(X.bpe_token_count(F.col("text"))).alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            (
+                F.col("n_bpe_tokens").cast("double")
+                / F.nullif(F.col("n_words"), F.lit(0))
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

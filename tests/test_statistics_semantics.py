@@ -1086,3 +1086,67 @@ def test_label_propagation_matches_python_reference(spark, sf_smoke):
         for r in _rows(spark, sf_smoke, "graph_label_propagation")
     ]
     assert got == expect
+
+
+def test_hll_matches_python_reference(spark, sf_smoke):
+    """stat_hll_distinct_custkeys vs a plain-Python HLL with the same md5
+    hashing, register layout, and scaled-integer denominator — registers,
+    zero count, and the one-division estimate must match exactly."""
+    import hashlib
+
+    keys = _col(sf_smoke, "orders", "o_custkey")
+    M = [0] * 64
+    for k in keys:
+        hv = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        bucket, w = hv % 64, hv // 64
+        rho = 55 if w == 0 else 55 - len(bin(w)[2:])
+        M[bucket] = max(M[bucket], rho)
+    sum_scaled = sum(1 << (55 - m) for m in M)
+    n_zero = sum(1 for m in M if m == 0)
+    alpha = 0.7213 / (1 + 1.079 / 64)
+    C = alpha * 64 * 64 * float(1 << 55)
+    est = C / float(sum_scaled)
+    got = _rows(spark, sf_smoke, "stat_hll_distinct_custkeys")[0]
+    assert got["sum_scaled"] == sum_scaled
+    assert got["n_zero_buckets"] == n_zero
+    assert got["true_distinct"] == len(set(keys))
+    assert got["est_distinct"] == est  # bit-identical: same one division
+
+
+def test_ab_ztest_matches_textbook(spark, sf_smoke):
+    """ev_ab_test_conversion vs a from-scratch pooled two-proportion z:
+    counts exact, z within float tolerance of the independently-ordered
+    textbook computation (the query's fixed op sequence is what the
+    oracle hash pins; this audit checks the FORMULA itself)."""
+    import datetime as dt
+    import hashlib
+
+    rows = _cols(sf_smoke, "events", ["user_id", "event_type", "ts"])
+    per_user = {}
+    for uid, etype, ts in rows:
+        d = per_user.setdefault(uid, {"view": None, "purchase": None})
+        if etype in d and (d[etype] is None or ts < d[etype]):
+            d[etype] = ts
+    stats = {0: [0, 0], 1: [0, 0]}  # variant -> [n_exposed, n_converted]
+    for uid, d in per_user.items():
+        variant = ord(hashlib.md5(str(uid).encode()).hexdigest()[0]) % 2
+        if d["view"] is None:
+            continue
+        stats[variant][0] += 1
+        if (
+            d["purchase"] is not None
+            and d["view"] < d["purchase"] <= d["view"] + dt.timedelta(minutes=60)
+        ):
+            stats[variant][1] += 1
+    got = _rows(spark, sf_smoke, "ev_ab_test_conversion")[0]
+    assert (got["n_a"], got["conv_a"]) == tuple(stats[0])
+    assert (got["n_b"], got["conv_b"]) == tuple(stats[1])
+    n1, x1 = stats[0]
+    n2, x2 = stats[1]
+    p1, p2 = x1 / n1, x2 / n2
+    p = (x1 + x2) / (n1 + n2)
+    se = math.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
+    if se == 0:
+        assert got["z_score"] is None
+    else:
+        assert abs(got["z_score"] - (p1 - p2) / se) < 1e-12
