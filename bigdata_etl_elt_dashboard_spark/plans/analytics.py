@@ -1409,3 +1409,53 @@ def trend_price_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "trend_wow_revenue_growth",
+    oracle="""
+        WITH w AS (
+            SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')
+                       AS week_start,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY week_start
+        )
+        SELECT week_start, cents, n_orders,
+               LAG(cents) OVER (ORDER BY week_start) AS prev_cents,
+               CAST(cents - LAG(cents) OVER (ORDER BY week_start) AS DOUBLE)
+                   / NULLIF(LAG(cents) OVER (ORDER BY week_start), 0)
+                   AS wow_growth
+        FROM w ORDER BY week_start
+    """,
+    doc="Week-over-week revenue growth — the default BI pulse metric: "
+    "ISO-week buckets (both engines truncate to Monday), exact cent "
+    "sums, LAG over the week-grain frame, one NULLIF-guarded division "
+    "per row. The unpartitioned window is safe BY CONSTRUCTION: it "
+    "orders the post-aggregation week table (|weeks| rows, bounded by "
+    "calendar span), never the order stream — the same bounded-window "
+    "discipline as global_rank's offsets frame.",
+)
+def trend_wow_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = orders.groupBy(
+        F.date_format(F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "week_start"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.count("*").alias("n_orders"),
+    )
+    lag = F.lag("cents").over(Window.orderBy("week_start"))
+    return w.select(
+        "week_start",
+        "cents",
+        "n_orders",
+        lag.alias("prev_cents"),
+        (
+            (F.col("cents") - lag).cast("double") / F.nullif(lag, F.lit(0))
+        ).alias("wow_growth"),
+    ).orderBy("week_start")

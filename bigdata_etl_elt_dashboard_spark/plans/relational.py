@@ -715,3 +715,57 @@ def supplier_return_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "cust_returned_revenue_top",
+    oracle="""
+        SELECT c.c_custkey AS c_custkey,
+               ANY_VALUE(c.c_name) AS c_name,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * CAST(100 - ROUND(l.l_discount * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_micropct
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey
+        ORDER BY revenue_micropct DESC, c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 skeleton: customers ranked by the revenue they returned "
+    "— the who-is-hurting-us account review. Revenue stays EXACT to the "
+    "last unit: price in cents times (100 − discount-pct) is an integer "
+    "'micro-percent' quantity summed as BIGINT (the engine's standard "
+    "no-float-accumulation discipline; display scaling is the consumer's "
+    "one division). Spark plan: lineitem filtered to returns at the scan "
+    "(pushed predicate), one orderkey join, a custkey rollup, a "
+    "broadcast customer-name attach, TakeOrdered top-20 — fact tables "
+    "shuffle once each, dims broadcast.",
+)
+def cust_returned_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100)).cast("long")
+    )
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", rev.alias("rev"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_items"), F.sum("rev").alias("revenue_micropct"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            per_cust.o_custkey == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_name", "n_items", "revenue_micropct")
+        .orderBy(F.desc("revenue_micropct"), "c_custkey")
+        .limit(20)
+    )

@@ -155,3 +155,55 @@ def test_strict_funnel_chain_at_5m(spark):
     )
     assert "Scan ExistingRDD" in plan
     assert plan.count("Exchange") <= 4
+
+
+def test_triangle_orientation_tames_hot_node(spark):
+    """Compact-forward triangle closing on a pathological hub graph: one
+    node adjacent to EVERY other node (a part in every basket). The
+    unoriented wedge count through the hub is C(n-1, 2) ≈ 1.25e9 at
+    n=50k — materializing it would OOM — but the (degree, id)
+    orientation gives the hub OUT-degree 0 (every neighbor outranks
+    nothing... the hub outranks everyone, so all hub edges point INTO
+    it), keeping every adjacency array bounded by the non-hub degree.
+    Asserts the exact closed-form triangle count and that no adjacency
+    array exceeds the small-neighbor bound."""
+    n = 50_000
+    # ring edges (i, i+1) plus hub edges (i, hub): non-hub degree <= 3
+    ring = spark.range(n - 1).select(
+        F.col("id").alias("x"), (F.col("id") + 1).alias("y")
+    )
+    hub = spark.range(n - 1).select(
+        F.col("id").alias("x"), F.lit(n - 1).alias("y")
+    )
+    e = ring.unionAll(hub).filter(F.col("x") < F.col("y")).distinct()
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    ranked = e.join(F.broadcast(dx), "x").join(F.broadcast(dy), "y")
+    fwd = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oe = ranked.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("v"),
+    )
+    adj = oe.groupBy("u").agg(F.collect_list("v").alias("nb"))
+    # orientation bound: every out-adjacency stays tiny despite the hub
+    assert adj.select(F.max(F.size("nb"))).first()[0] <= 3
+    nb_u = F.broadcast(adj.select(F.col("u"), F.col("nb").alias("nb_u")))
+    nb_v = F.broadcast(adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v")))
+    tri = (
+        oe.join(nb_u, "u")
+        .join(nb_v, "v")
+        .select(F.size(F.array_intersect("nb_u", "nb_v")).alias("t"))
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n"))
+        .first()["n"]
+    )
+    # triangles = ring edge (i, i+1) + hub, for i = 0..n-3 (edge (n-2, hub)
+    # is itself a ring edge): exactly n - 2
+    assert tri == n - 2
