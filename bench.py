@@ -126,6 +126,9 @@ EXTENSION_SUITE = (
     "sim_ann_lsh",
     "supplier_return_blame",
     "emb_jl_projection_distortion",
+    "text_token_fertility_by_lang",
+    "cust_returned_revenue_top",
+    "trend_wow_revenue_growth",
 )
 
 

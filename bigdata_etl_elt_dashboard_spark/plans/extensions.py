@@ -5453,3 +5453,69 @@ def text_token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ev_inter_event_gap_hist",
+    oracle="""
+        WITH t AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+                   event_id
+            FROM events
+        ),
+        g AS (
+            SELECT tsec - LAG(tsec) OVER (PARTITION BY user_id
+                                          ORDER BY tsec, event_id) AS gap
+            FROM t
+        ),
+        b AS (
+            SELECT CASE WHEN gap = 0 THEN 0
+                        ELSE length(bin(gap)) END AS log2_bucket
+            FROM g WHERE gap IS NOT NULL
+        )
+        SELECT log2_bucket, COUNT(*) AS n_gaps,
+               CAST(COUNT(*) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM b) AS share
+        FROM b GROUP BY log2_bucket ORDER BY log2_bucket
+    """,
+    doc="Inter-event gap histogram on a log2 grid — the OBSERVABILITY "
+    "query behind sessionization parameters: the session gap threshold "
+    "(ev_session_10m's 10 minutes) should sit in the valley between the "
+    "within-session and between-session modes of exactly this "
+    "distribution. Per user, consecutive-event gaps over the "
+    "(epoch-second, event_id) total order (the tie-break that keeps "
+    "simultaneous events deterministic), bucketed by integer bit-length "
+    "(floor(log2)+1 — both engines via binary-string length, no "
+    "floating log). ONE user-keyed window shuffle + a bounded (~40-row) "
+    "histogram rollup; shares are one division each off exact counts.",
+)
+def ev_inter_event_gap_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id", F.col("ts").cast("long").alias("tsec"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    g = t.select((F.col("tsec") - F.lag("tsec").over(w)).alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    b = g.select(
+        F.when(F.col("gap") == 0, F.lit(0))
+        .otherwise(F.length(F.conv(F.col("gap"), 10, 2)))
+        .cast("long")
+        .alias("log2_bucket")
+    ).transform(pin)  # feeds the per-bucket count AND the grand total
+    total = b.agg(F.count("*").alias("n_total"))
+    return (
+        b.groupBy("log2_bucket")
+        .agg(F.count("*").alias("n_gaps"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "log2_bucket",
+            "n_gaps",
+            (F.col("n_gaps").cast("double") / F.col("n_total")).alias("share"),
+        )
+        .orderBy("log2_bucket")
+    )

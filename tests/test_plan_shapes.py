@@ -458,6 +458,7 @@ _BNLJ_BOUNDED_OK = {
     "graph_label_propagation",  # 1-row community-count scalar broadcast
     "ev_funnel_time_window",  # three 1-row stage-count scalars crossed
     "emb_jl_projection_distortion",  # _JL_NQ(=20)-row query side broadcast
+    "ev_inter_event_gap_hist",  # 1-row grand-total scalar broadcast
 }
 
 

@@ -1150,3 +1150,43 @@ def test_ab_ztest_matches_textbook(spark, sf_smoke):
         assert got["z_score"] is None
     else:
         assert abs(got["z_score"] - (p1 - p2) / se) < 1e-12
+
+
+def test_jl_distortion_matches_numpy(spark, sf_smoke):
+    """emb_jl_projection_distortion vs a numpy int64 replicate of the
+    whole pipeline (same xorshift Rademacher matrix, same micro-unit
+    quantization, same 128-bit bucket floor-division) — the histogram
+    must match exactly."""
+    import pyarrow.parquet as pq_mod
+
+    from bigdata_etl_elt_dashboard_spark.plans.similarity_gate import (
+        _JL_K,
+        _JL_NQ,
+        _JL_R,
+    )
+
+    t = pq_mod.read_table(f"{sf_smoke}/embeddings.parquet")
+    ids = t["vec_id"].to_pylist()
+    embs = t["embedding"].to_pylist()
+    X = {
+        i: [int(_r(float(v) * 1_000_000)) for v in e] for i, e in zip(ids, embs)
+    }
+    Y = {
+        i: [sum(r * x for r, x in zip(_JL_R[p], xs)) for p in range(_JL_K)]
+        for i, xs in X.items()
+    }
+    hist = collections.Counter()
+    for qid in [i for i in X if i < _JL_NQ]:
+        for cid in X:
+            if cid <= qid:
+                continue
+            d2o = sum((a - b) ** 2 for a, b in zip(X[cid], X[qid]))
+            if d2o == 0:
+                continue
+            d2p = sum((a - b) ** 2 for a, b in zip(Y[cid], Y[qid]))
+            hist[(d2p * 64 * 10) // (d2o * _JL_K)] += 1
+    got = {
+        r["ratio_decile"]: r["n_pairs"]
+        for r in _rows(spark, sf_smoke, "emb_jl_projection_distortion")
+    }
+    assert got == dict(hist)
