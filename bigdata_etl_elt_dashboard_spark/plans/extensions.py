@@ -5519,3 +5519,52 @@ def ev_inter_event_gap_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+@register(
+    "ev_stickiness_dau_mau",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   strftime(date_trunc('month', ts), '%Y-%m') AS month,
+                   COUNT(DISTINCT user_id) AS dau
+            FROM events GROUP BY day, month
+        ),
+        m AS (
+            SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+                   COUNT(DISTINCT user_id) AS mau
+            FROM events GROUP BY month
+        )
+        SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, m.mau,
+               CAST(d.dau AS DOUBLE) / m.mau AS stickiness
+        FROM d JOIN m ON d.month = m.month
+        ORDER BY day
+    """,
+    doc="DAU/MAU stickiness — the engagement ratio product teams track "
+    "daily: per-day distinct users over the month's distinct users, "
+    "joined on the month key. Two partial-aggregated distinct rollups "
+    "(day grain and month grain — each one keyed shuffle over the "
+    "event stream) and a broadcast join of the month-sized frame; the "
+    "ratio is one division per day row off exact BIGINT counts. At "
+    "100 TB the distincts are the only real cost and both are "
+    "map-side partially aggregated on (grain, user).",
+)
+def ev_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM").alias("month"),
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    m = ev.groupBy(
+        F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM").alias("month")
+    ).agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        d.join(F.broadcast(m), "month")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            (F.col("dau").cast("double") / F.col("mau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

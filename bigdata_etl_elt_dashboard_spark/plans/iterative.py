@@ -716,3 +716,54 @@ def sim_kmeans_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round int, n_moved long, n_clusters long, inertia long"
     ).orderBy("round")
+
+
+@register(
+    "graph_degree_distribution",
+    oracle="""
+        WITH e0 AS (
+            SELECT DISTINCT a.p AS x, b.p AS y
+            FROM (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem) a
+            JOIN (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem) b
+                ON a.o = b.o AND a.p < b.p
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS d
+            FROM (SELECT x AS node FROM e0 UNION ALL SELECT y FROM e0)
+            GROUP BY node
+        )
+        SELECT length(bin(d)) AS log2_bucket,
+               COUNT(*) AS n_nodes,
+               MIN(d) AS min_degree,
+               MAX(d) AS max_degree
+        FROM deg GROUP BY log2_bucket ORDER BY log2_bucket
+    """,
+    doc="Degree distribution of the co-purchase graph on a log2 grid — "
+    "the power-law diagnostic every graph-algorithm parameter (LSH "
+    "bucket caps, orientation thresholds, skew-salt bucket counts) is "
+    "read against: a heavy tail here is WHY triangles orient by degree "
+    "and why hot-key salting exists. Bit-length bucketing (no floating "
+    "log), exact counts, min/max degree per bucket. Shape: the shared "
+    "pinned edge builder + one node-keyed degree rollup + a ~16-row "
+    "histogram — the edge list is built once and the histogram is "
+    "constant-size at any scale.",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return (
+        deg.groupBy(
+            F.length(F.conv(F.col("d"), 10, 2)).cast("long").alias("log2_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("d").alias("min_degree"),
+            F.max("d").alias("max_degree"),
+        )
+        .orderBy("log2_bucket")
+    )
