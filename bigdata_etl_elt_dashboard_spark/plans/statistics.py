@@ -2124,3 +2124,104 @@ def stat_hll_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_distinct"),
         (est / F.col("true_distinct").cast("double") - F.lit(1.0)).alias("rel_err"),
     )
+
+
+# ------------------------- Mann–Kendall trend test -------------------------
+
+
+@register(
+    "stat_mann_kendall_daily_revenue",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS c
+            FROM orders GROUP BY day
+        ),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                                 WHEN b.c < a.c THEN -1 ELSE 0 END)
+                        AS BIGINT) AS s_stat
+            FROM d a JOIN d b ON a.day < b.day
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+        ties AS (
+            SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+                       AS tie_term
+            FROM (SELECT COUNT(*) AS t FROM d GROUP BY c HAVING COUNT(*) > 1)
+        ),
+        v AS (
+            SELECT (n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term) AS var18
+            FROM n CROSS JOIN ties
+        )
+        SELECT n.n AS n_days, s.s_stat, v.var18,
+               CASE WHEN s.s_stat > 0 THEN
+                        CAST(s.s_stat - 1 AS DOUBLE)
+                            / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                    WHEN s.s_stat < 0 THEN
+                        CAST(s.s_stat + 1 AS DOUBLE)
+                            / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                    ELSE 0.0 END AS z_score
+        FROM s CROSS JOIN n CROSS JOIN v
+    """,
+    doc="Mann–Kendall monotone-trend test over daily revenue — the "
+    "nonparametric is-this-series-drifting check (no normality or "
+    "linearity assumption; the robust complement of stat_ols and "
+    "stat_cusum): S = Σ sign-comparisons over all day pairs, the "
+    "tie-corrected variance, and the continuity-corrected z. The day "
+    "grain makes the pair self-join CALENDAR-bounded (n≈2.4k days → "
+    "~6M sign comparisons regardless of fact-table size), so the "
+    "quadratic lives on a frame that does not grow with the data — the "
+    "same bounded-grid argument as the ECDF/runs tests. S, the tie "
+    "term, and 18·Var are exact integers; z is a fixed sequence of "
+    "IEEE ops identical on both engines.",
+)
+def stat_mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c")
+    ).transform(pin)  # feeds the pair join (twice), n, and the tie rollup
+    a = d.select(F.col("day").alias("day_a"), F.col("c").alias("c_a"))
+    b = d.select(F.col("day").alias("day_b"), F.col("c").alias("c_b"))
+    s = (
+        a.join(b, F.col("day_a") < F.col("day_b"))
+        .agg(
+            F.sum(
+                F.when(F.col("c_b") > F.col("c_a"), 1)
+                .when(F.col("c_b") < F.col("c_a"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_stat")
+        )
+    )
+    n = d.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        d.groupBy("c")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).cast("long").alias("tie_term")
+        )
+    )
+    j = s.crossJoin(n).crossJoin(ties).select(
+        "n",
+        "s_stat",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("tie_term")
+        ).alias("var18"),
+    )
+    sd = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    return j.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        "var18",
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / sd)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+        .alias("z_score"),
+    )

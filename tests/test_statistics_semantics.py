@@ -1190,3 +1190,45 @@ def test_jl_distortion_matches_numpy(spark, sf_smoke):
         for r in _rows(spark, sf_smoke, "emb_jl_projection_distortion")
     }
     assert got == dict(hist)
+
+
+def test_ngram_containment_matches_python(spark, sf_smoke):
+    """docs_ngram_containment (rewritten round 5: windowed DF cap, one
+    pinned frame) vs a plain-Python shingle/containment replicate —
+    pair set and exact counts must match."""
+    from bigdata_etl_elt_dashboard_spark.plans.corpus_spans import (
+        _CONT_DEN,
+        _CONT_DF_CAP,
+        _CONT_K,
+        _CONT_NUM,
+    )
+
+    rows = _cols(sf_smoke, "documents", ["doc_id", "text"])
+    sh = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.strip().lower().split() if t != ""]
+        if text.strip() == "":
+            toks = []
+        spans = {
+            " ".join(toks[i : i + _CONT_K])
+            for i in range(len(toks) - _CONT_K + 1)
+        }
+        sh[doc_id] = spans
+    df_count = collections.Counter(s for spans in sh.values() for s in spans)
+    kept = {d: {s for s in spans if df_count[s] <= _CONT_DF_CAP}
+            for d, spans in sh.items()}
+    n_sh = {d: len(s) for d, s in kept.items()}
+    expect = []
+    for a, sa in kept.items():
+        for b, sb in kept.items():
+            if a == b or n_sh[a] > n_sh[b] or n_sh[a] == 0:
+                continue
+            common = len(sa & sb)
+            if common * _CONT_DEN >= n_sh[a] * _CONT_NUM and common > 0:
+                expect.append((a, b, common, n_sh[a]))
+    expect.sort()
+    got = [
+        (r["doc_a"], r["doc_b"], r["n_common"], r["n_sh_a"])
+        for r in _rows(spark, sf_smoke, "docs_ngram_containment")
+    ]
+    assert got == expect
