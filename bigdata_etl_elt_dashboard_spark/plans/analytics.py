@@ -1459,3 +1459,67 @@ def trend_wow_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") - lag).cast("double") / F.nullif(lag, F.lit(0))
         ).alias("wow_growth"),
     ).orderBy("week_start")
+
+
+@register(
+    "supplier_revenue_rank_profile",
+    oracle="""
+        WITH s AS (
+            SELECT l.l_suppkey AS suppkey,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem l GROUP BY suppkey
+        ),
+        r AS (
+            SELECT su.s_nationkey AS nationkey, s.suppkey, s.cents,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk,
+                   PERCENT_RANK() OVER w AS pct_rank,
+                   CUME_DIST() OVER w AS cume
+            FROM s JOIN supplier su ON s.suppkey = su.s_suppkey
+            WINDOW w AS (PARTITION BY su.s_nationkey
+                         ORDER BY s.cents DESC, s.suppkey)
+        )
+        SELECT nationkey, suppkey, cents, rnk, drnk, pct_rank, cume
+        FROM r WHERE rnk <= 5
+        ORDER BY nationkey, rnk
+    """,
+    doc="Per-nation supplier revenue leaderboard exercising the FULL "
+    "ranking-window surface in one query: rank, dense_rank, "
+    "percent_rank, and cume_dist over the same window, top-5 per "
+    "nation. The ORDER BY (cents DESC, suppkey) is a TOTAL order (the "
+    "engine's standing tie-break discipline), so every ranking "
+    "function — including the two ratio-valued ones, which divide "
+    "small exact integers — is deterministic and bit-identical across "
+    "engines and partitionings. Shape: one suppkey revenue rollup "
+    "(partial-aggregated), a broadcast supplier join, and ONE "
+    "nation-keyed window pass; per-nation partitions are "
+    "dimension-bounded, so the window never sees a fact-scale "
+    "partition.",
+)
+def supplier_revenue_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    s = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+    )
+    j = s.join(
+        F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        s.suppkey == F.col("s_suppkey"),
+    ).select(F.col("s_nationkey").alias("nationkey"), "suppkey", "cents")
+    w = Window.partitionBy("nationkey").orderBy(F.desc("cents"), "suppkey")
+    return (
+        j.select(
+            "nationkey",
+            "suppkey",
+            "cents",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .filter(F.col("rnk") <= 5)
+        .orderBy("nationkey", "rnk")
+    )

@@ -14,6 +14,12 @@ this module is where our engine's global execution posture lives:
   written ANSI-safe (nullif-guarded division, explicit casts) so they run
   identically under ANSI and legacy modes — mirroring the reference's
   coerce-to-null semantics without requiring a session-level switch.
+- Lineage pinning (``operators/scale.pin``) reads two session confs:
+  ``spark.graft.pin.strategy`` (local | reliable | persist; default
+  local) and ``spark.graft.pin.dir`` (the fault-tolerant checkpoint
+  location for the reliable strategy). On a preemptible 100 TB cluster
+  set ``strategy=reliable`` and point the dir at HDFS/S3; nothing else
+  changes — see SCALING.md's executor-loss notes.
 """
 
 from __future__ import annotations
