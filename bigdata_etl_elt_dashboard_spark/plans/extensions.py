@@ -5540,8 +5540,10 @@ def ev_inter_event_gap_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d JOIN m ON d.month = m.month
         ORDER BY day
     """,
-    doc="DAU/MAU stickiness — the engagement ratio product teams track "
-    "daily: per-day distinct users over the month's distinct users, "
+    doc="DAU/MAU stickiness — the CALENDAR-month companion of "
+    "ev_dau_wau_stickiness (that one divides by a rolling 7-day WAU; "
+    "this one by the calendar month's MAU, the form most growth "
+    "dashboards quote): per-day distinct users over the month's distinct users, "
     "joined on the month key. Two partial-aggregated distinct rollups "
     "(day grain and month grain — each one keyed shuffle over the "
     "event stream) and a broadcast join of the month-sized frame; the "
