@@ -115,10 +115,15 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     spark = df.sparkSession
     t = target or spark.sparkContext.defaultParallelism
     try:
-        wide_enough = len(df.inputFiles()) >= t
-    except Exception:  # non-file-backed plans: nothing to widen
-        wide_enough = True
-    return df if wide_enough else df.repartition(t)
+        n_files = len(df.inputFiles())
+    except Exception:  # plans that can't report files: leave untouched
+        return df
+    # 0 files = not file-backed at all (range/localRelation/in-memory) —
+    # those parallelize by their own split settings; only a REAL scan
+    # with too few splits gets the widening repartition
+    if n_files == 0 or n_files >= t:
+        return df
+    return df.repartition(t)
 
 
 #: merge rule per partial-aggregatable measure: final_agg(partial_col)
