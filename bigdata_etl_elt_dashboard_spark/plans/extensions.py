@@ -5570,3 +5570,78 @@ def ev_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "wh_scd2_asof_resolve",
+    oracle="""
+        WITH hist AS (
+            SELECT c_custkey, c_mktsegment AS segment,
+                   DATE '2020-01-01' AS valid_from
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, 'UPGRADED', DATE '2024-01-01'
+            FROM customer WHERE c_custkey % 5 = 0
+        ),
+        v AS (
+            SELECT c_custkey, segment, valid_from,
+                   lead(valid_from) OVER (PARTITION BY c_custkey
+                                          ORDER BY valid_from) AS valid_to
+            FROM hist
+        )
+        SELECT v.segment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN v ON o.o_custkey = v.c_custkey
+              AND CAST(o.o_orderdate AS DATE) >= v.valid_from
+              AND (v.valid_to IS NULL
+                   OR CAST(o.o_orderdate AS DATE) < v.valid_to)
+        GROUP BY v.segment ORDER BY v.segment
+    """,
+    doc="AS-OF fact resolution against SCD2 history — the query Type-2 "
+    "dimensions exist FOR: each order joins the customer-segment VERSION "
+    "that was valid on its order date (half-open [valid_from, valid_to) "
+    "intervals from scd2_customer_segments' derivation), so pre-2024 "
+    "orders of re-segmented customers roll up under their HISTORICAL "
+    "segment and later ones under UPGRADED — point-in-time-correct "
+    "attribution, the same leakage discipline as ev_pit_features. Plan "
+    "shape: an EQUI-join on the dimension key with the interval test as "
+    "a join residual (never a range/theta join — versions per key are "
+    "few, so the residual filters a handful of rows per match), then "
+    "one segment rollup. Exact cents.",
+)
+def wh_scd2_asof_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.warehouse import scd2_merge
+
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    base = customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+    )
+    updates = customer.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("UPGRADED").alias("segment"),
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+    )
+    hist = scd2_merge(base, updates, "c_custkey", ["segment"]).select(
+        "c_custkey", "segment", "valid_from", "valid_to"
+    )
+    od = F.col("o_orderdate").cast("date")
+    j = orders.join(
+        F.broadcast(hist),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (od >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (od < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy("segment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("segment")
+    )
