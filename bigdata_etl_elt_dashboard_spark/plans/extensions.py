@@ -5577,10 +5577,10 @@ def ev_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH hist AS (
             SELECT c_custkey, c_mktsegment AS segment,
-                   DATE '2020-01-01' AS valid_from
+                   DATE '1990-01-01' AS valid_from
             FROM customer
             UNION ALL
-            SELECT c_custkey, 'UPGRADED', DATE '2024-01-01'
+            SELECT c_custkey, 'UPGRADED', DATE '1998-01-01'
             FROM customer WHERE c_custkey % 5 = 0
         ),
         v AS (
@@ -5603,14 +5603,14 @@ def ev_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="AS-OF fact resolution against SCD2 history — the query Type-2 "
     "dimensions exist FOR: each order joins the customer-segment VERSION "
     "that was valid on its order date (half-open [valid_from, valid_to) "
-    "intervals from scd2_customer_segments' derivation), so pre-2024 "
-    "orders of re-segmented customers roll up under their HISTORICAL "
-    "segment and later ones under UPGRADED — point-in-time-correct "
-    "attribution, the same leakage discipline as ev_pit_features. Plan "
-    "shape: an EQUI-join on the dimension key with the interval test as "
-    "a join residual (never a range/theta join — versions per key are "
-    "few, so the residual filters a handful of rows per match), then "
-    "one segment rollup. Exact cents.",
+    "intervals, epochs 1990/1998 chosen inside the 1995-2001 order "
+    "span so BOTH eras carry facts: pre-1998 orders of re-segmented "
+    "customers roll up under their HISTORICAL segment, later ones "
+    "under UPGRADED — point-in-time-correct attribution (the SCD2 "
+    "derivation itself is scd2_customer_segments). Plan shape: an "
+    "EQUI-join on the dimension key with the interval test as a join "
+    "residual (never a range/theta join — versions per key are few), "
+    "then one segment rollup. Exact cents.",
 )
 def wh_scd2_asof_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.warehouse import scd2_merge
@@ -5620,12 +5620,12 @@ def wh_scd2_asof_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = customer.select(
         "c_custkey",
         F.col("c_mktsegment").alias("segment"),
-        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
     )
     updates = customer.filter(F.col("c_custkey") % 5 == 0).select(
         "c_custkey",
         F.lit("UPGRADED").alias("segment"),
-        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit("1998-01-01").cast("date").alias("valid_from"),
     )
     hist = scd2_merge(base, updates, "c_custkey", ["segment"]).select(
         "c_custkey", "segment", "valid_from", "valid_to"
