@@ -46,6 +46,9 @@ _QUERIES = [
     # are partial-merge aggregates whose determinism this posture stresses
     "graph_label_propagation",  # mode(lbl, deterministic) min-label ties
     "stat_hll_distinct_custkeys",  # register max merge + scaled-int sum
+    "stat_mann_kendall_daily_revenue",  # sign-pair sum + tie rollup
+    "emb_jl_projection_distortion",  # 128-bit bucket floor-division
+    "supplier_revenue_rank_profile",  # percent_rank/cume_dist total order
 ]
 
 

@@ -67,6 +67,10 @@ PROBES = [
     "sim_knn_label_accuracy",
     "dedup_embedding_cosine",
     "sim_ann_lsh",
+    # round-5 additions worth a ratio of their own: the mode()-based LPA
+    # message-passing loop and the per-step-deadline funnel
+    "graph_label_propagation",
+    "ev_funnel_time_window",
 ]
 
 
