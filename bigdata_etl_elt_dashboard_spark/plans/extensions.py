@@ -5645,3 +5645,125 @@ def wh_scd2_asof_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "trend_backtest_ma3_mae",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY month
+        ),
+        w AS (
+            SELECT cents,
+                   SUM(cents) OVER (ORDER BY month
+                                    ROWS BETWEEN 3 PRECEDING
+                                    AND 1 PRECEDING) AS sum3,
+                   COUNT(*) OVER (ORDER BY month
+                                  ROWS BETWEEN 3 PRECEDING
+                                  AND 1 PRECEDING) AS n3,
+                   LAG(cents) OVER (ORDER BY month) AS prev
+            FROM monthly
+        ),
+        scored AS (SELECT * FROM w WHERE n3 = 3)
+        SELECT COUNT(*) AS n_scored,
+               CAST(SUM(ABS(3 * cents - sum3)) AS BIGINT) AS sum_abs_err3,
+               CAST(SUM(ABS(cents - prev)) AS BIGINT) AS sum_abs_err_naive,
+               CAST(SUM(ABS(3 * cents - sum3)) AS DOUBLE)
+                   / (3.0 * COUNT(*)) / 100.0 AS mae_dollars,
+               CAST(SUM(ABS(3 * cents - sum3)) AS DOUBLE)
+                   / (3.0 * SUM(ABS(cents - prev))) AS mase
+        FROM scored
+    """,
+    doc="Walk-forward backtest of the MA3 forecaster — the evaluation "
+    "half the trend_ma3/ema12 predictors need before anyone acts on "
+    "them: predict each month's revenue from the mean of the PRECEDING "
+    "three (strictly out-of-sample — the frame ends at 1 PRECEDING, the "
+    "same leakage discipline as ev_pit_features), score MAE, and report "
+    "MASE (model MAE over the naive previous-month forecaster's — the "
+    "scale-free skill number; < 1 beats naive). Exactness: the ×3 trick "
+    "keeps every |error| an exact integer (|3·actual − Σ3| in cents) "
+    "and both divisions happen once at the end. One month-grain window "
+    "pass over the post-agg frame; calendar-bounded everywhere.",
+)
+def trend_backtest_ma3_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    wf = Window.orderBy("month").rowsBetween(-3, -1)
+    wl = Window.orderBy("month")
+    w = monthly.select(
+        "cents",
+        F.sum("cents").over(wf).alias("sum3"),
+        F.count("*").over(wf).alias("n3"),
+        F.lag("cents").over(wl).alias("prev"),
+    ).filter(F.col("n3") == 3)
+    err3 = F.abs(F.lit(3) * F.col("cents") - F.col("sum3"))
+    err1 = F.abs(F.col("cents") - F.col("prev"))
+    return w.agg(
+        F.count("*").alias("n_scored"),
+        F.sum(err3).alias("sum_abs_err3"),
+        F.sum(err1).alias("sum_abs_err_naive"),
+        (
+            F.sum(err3).cast("double") / (F.lit(3.0) * F.count("*")) / F.lit(100.0)
+        ).alias("mae_dollars"),
+        (
+            F.sum(err3).cast("double") / (F.lit(3.0) * F.sum(err1))
+        ).alias("mase"),
+    )
+
+
+@register(
+    "ev_ab_srm_check",
+    oracle="""
+        WITH u AS (
+            SELECT DISTINCT user_id,
+                   ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) % 2
+                       AS variant
+            FROM events
+        ),
+        c AS (
+            SELECT COUNT(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+                   COUNT(CASE WHEN variant = 1 THEN 1 END) AS n_b
+            FROM u
+        )
+        SELECT n_a, n_b, n_a + n_b AS n_users,
+               CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+                   AS chi2,
+               CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+                   > 3.841 AS srm_flag
+        FROM c
+    """,
+    doc="Sample-ratio-mismatch check for the A/B hash split — the "
+    "guardrail run BEFORE reading ev_ab_test_conversion (an experiment "
+    "whose 50/50 assignment is skewed is broken upstream and its "
+    "z-score is meaningless): chi-square of the observed variant counts "
+    "against the expected even split, which for two cells collapses to "
+    "(n_a − n_b)²/n — exact integers, ONE division — flagged at the "
+    "3.841 critical value (α = 0.05, 1 dof, a constant). One distinct-"
+    "user rollup, then constant-size arithmetic.",
+)
+def ev_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct().select(
+        (
+            F.ascii(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)) % 2
+        ).alias("variant")
+    )
+    c = u.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+    )
+    diff2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    chi2 = diff2.cast("double") / (F.col("n_a") + F.col("n_b"))
+    return c.select(
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b")).alias("n_users"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("srm_flag"),
+    )
