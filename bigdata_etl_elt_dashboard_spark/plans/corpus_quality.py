@@ -1527,3 +1527,79 @@ def emb_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@register(
+    "docs_contamination_by_split",
+    oracle="""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+                FROM (SELECT doc_id,
+                             string_split(regexp_replace(lower(trim(text)),
+                                                         '\\s+', ' ', 'g'),
+                                          ' ') AS toks
+                      FROM documents),
+                     UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS t(i)
+            )
+        ),
+        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        contaminated AS (
+            SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (sh)
+            WHERE s.doc_id % 97 <> 0
+        ),
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             ::BIGINT % 100 < 5 THEN 'val'
+                        WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             ::BIGINT % 100 < 10 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents WHERE doc_id % 97 <> 0
+        )
+        SELECT s.split,
+               COUNT(*) AS n_docs,
+               COUNT(c.doc_id) AS n_contaminated,
+               CAST(COUNT(c.doc_id) AS DOUBLE) / COUNT(*)
+                   AS contamination_rate
+        FROM s LEFT JOIN contaminated c USING (doc_id)
+        GROUP BY s.split ORDER BY s.split
+    """,
+    doc="Benchmark-contamination rate PER SPLIT — the composition the "
+    "two building blocks exist for (docs_decontaminate finds "
+    "contaminated docs; docs_split_counts deals the splits; THIS table "
+    "answers the release question: how much of each train/val/test "
+    "slice shares content with the benchmark, i.e. is the eval split "
+    "clean). Shape: the inverted-index contamination semi-set LEFT-"
+    "joined onto the hash-percentile split assignment, one split-keyed "
+    "rollup; counts exact, one division per split row. The benchmark "
+    "side is tiny and broadcasts; nothing all-pairs.",
+)
+def docs_contamination_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import train_val_test_split
+    from ..operators.dedup import _doc_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    t_sh = _doc_shingles(train, "text", 3)
+    b_sh = _doc_shingles(bench, "text", 3).select("sh").distinct()
+    contaminated = (
+        t_sh.join(b_sh, "sh")
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(1).alias("_c"))
+    )
+    s = train_val_test_split(train).select("doc_id", "split")
+    return (
+        s.join(contaminated, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("_c").alias("n_contaminated"),
+            (F.count("_c").cast("double") / F.count("*")).alias(
+                "contamination_rate"
+            ),
+        )
+        .orderBy("split")
+    )

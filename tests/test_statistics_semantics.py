@@ -1232,3 +1232,34 @@ def test_ngram_containment_matches_python(spark, sf_smoke):
         for r in _rows(spark, sf_smoke, "docs_ngram_containment")
     ]
     assert got == expect
+
+
+def test_mann_kendall_matches_python(spark, sf_smoke):
+    """stat_mann_kendall_daily_revenue vs a from-scratch O(n²) Python
+    Mann–Kendall: S, the tie-corrected 18·Var, and the continuity-
+    corrected z must match (z bit-identical — same op sequence)."""
+    rows = _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"])
+    daily = collections.defaultdict(int)
+    for ts, price in rows:
+        daily[ts.date()] += _r(float(price) * 100)
+    days = sorted(daily)
+    c = [daily[d] for d in days]
+    n = len(c)
+    s = sum(
+        (1 if c[j] > c[i] else -1 if c[j] < c[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5)
+        for t in collections.Counter(c).values()
+        if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    sd = math.sqrt(var18 / 18.0)
+    z = (s - 1) / sd if s > 0 else (s + 1) / sd if s < 0 else 0.0
+    got = _rows(spark, sf_smoke, "stat_mann_kendall_daily_revenue")[0]
+    assert got["n_days"] == n
+    assert got["s_stat"] == s
+    assert got["var18"] == var18
+    assert got["z_score"] == z
