@@ -769,3 +769,51 @@ def cust_returned_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_micropct"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "part_supplier_cnt_q16",
+    oracle="""
+        SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#45'
+          AND p.p_type NOT LIKE 'MEDIUM%'
+          AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+        GROUP BY brand, type, size
+        ORDER BY supplier_cnt DESC, brand, type, size
+        LIMIT 20
+    """,
+    doc="TPC-H Q16 skeleton (parts/supplier relationship counting), "
+    "adapted to the lineitem-mediated part↔supplier link this schema "
+    "carries: per (brand, type, size) — with the classic negated "
+    "predicates (<> literal, NOT LIKE prefix pattern, IN value list) — "
+    "count DISTINCT shipping suppliers, top-20. Exercises predicate "
+    "forms no other registry query combines (NOT LIKE + IN-list + "
+    "inequality pushed to the dimension scan) plus a distinct-count "
+    "over a join. Spark plan: the filtered part dim broadcasts into "
+    "lineitem, the count_distinct partial-aggregates on (group, supp) "
+    "before the final rollup, and the head is a TakeOrdered — fact "
+    "shuffles once, no global sort.",
+)
+def part_supplier_cnt_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    p = part.filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+        F.col("p_size").alias("size"),
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("brand", "type", "size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "type", "size")
+        .limit(20)
+    )

@@ -2225,3 +2225,96 @@ def stat_mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise(F.lit(0.0))
         .alias("z_score"),
     )
+
+
+@register(
+    "stat_cohens_d_price_by_status",
+    oracle="""
+        WITH m AS (
+            SELECT o_orderstatus AS st,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS sx,
+                   SUM(CAST(ROUND(o_totalprice) AS BIGINT)
+                       * CAST(ROUND(o_totalprice) AS BIGINT)) AS sxx
+            FROM orders WHERE o_orderstatus IN ('O', 'F')
+            GROUP BY o_orderstatus
+        ),
+        w AS (
+            SELECT
+                MAX(CASE WHEN st = 'O' THEN n END) AS n1,
+                MAX(CASE WHEN st = 'F' THEN n END) AS n2,
+                MAX(CASE WHEN st = 'O' THEN sx END) AS sx1,
+                MAX(CASE WHEN st = 'F' THEN sx END) AS sx2,
+                MAX(CASE WHEN st = 'O' THEN sxx END) AS sxx1,
+                MAX(CASE WHEN st = 'F' THEN sxx END) AS sxx2
+            FROM m
+        )
+        SELECT n1 AS n_open, n2 AS n_filled,
+               (CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
+                   / sqrt((CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / n1
+                           + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / n2)
+                          / (n1 + n2 - 2)) AS cohens_d,
+               ((CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
+                   / sqrt((CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / n1
+                           + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / n2)
+                          / (n1 + n2 - 2)))
+                   * (1.0 - 3.0 / (4.0 * (n1 + n2 - 2) - 1.0)) AS hedges_g
+        FROM w
+    """,
+    doc="Cohen's d (pooled-SD standardized mean difference) with the "
+    "Hedges' g small-sample correction — the EFFECT-SIZE companion of "
+    "stat_welch_t (a t-statistic says whether a difference exists; d "
+    "says whether it's big enough to matter, the number an experiment "
+    "readout should lead with). Same distributed shape as the t-test: "
+    "per-group exact BIGINT raw moments in one pass, a 2-row pivot, and "
+    "one fixed IEEE sequence — the pooled variance numerators n·Σx²−"
+    "(Σx)² stay exact integers (dollar-rounded so squares fit int64, "
+    "the Welch convention here). g's correction factor is pure "
+    "arithmetic of exact counts.",
+)
+def stat_cohens_d_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    x = F.round(F.col("o_totalprice")).cast("long")
+    m = (
+        orders.filter(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy(F.col("o_orderstatus").alias("st"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sxx"),
+        )
+    )
+    w = m.agg(
+        F.max(F.when(F.col("st") == "O", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("st") == "F", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("st") == "O", F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("st") == "F", F.col("sx"))).alias("sx2"),
+        F.max(F.when(F.col("st") == "O", F.col("sxx"))).alias("sxx1"),
+        F.max(F.when(F.col("st") == "F", F.col("sxx"))).alias("sxx2"),
+    )
+    mean_diff = (
+        F.col("sx1").cast("double") / F.col("n1")
+        - F.col("sx2").cast("double") / F.col("n2")
+    )
+    pooled = F.sqrt(
+        (
+            (F.col("n1") * F.col("sxx1") - F.col("sx1") * F.col("sx1")).cast("double")
+            / F.col("n1")
+            + (F.col("n2") * F.col("sxx2") - F.col("sx2") * F.col("sx2")).cast(
+                "double"
+            )
+            / F.col("n2")
+        )
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    d = mean_diff / pooled
+    g = d * (
+        F.lit(1.0)
+        - F.lit(3.0) / (F.lit(4.0) * (F.col("n1") + F.col("n2") - 2) - F.lit(1.0))
+    )
+    return w.select(
+        F.col("n1").alias("n_open"),
+        F.col("n2").alias("n_filled"),
+        d.alias("cohens_d"),
+        g.alias("hedges_g"),
+    )
