@@ -5767,3 +5767,94 @@ def ev_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > F.lit(3.841)).alias("srm_flag"),
     )
+
+
+@register(
+    "ev_heatmap_hour_dow",
+    oracle="""
+        SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY iso_dow, hour
+        ORDER BY iso_dow, hour
+    """,
+    doc="Hour-of-day × ISO-day-of-week activity heat map — the load/"
+    "engagement grid behind capacity planning and send-time decisions. "
+    "Cross-engine calendar care: Spark's dayofweek() is Sunday-1 while "
+    "DuckDB's isodow() is Monday-1, so the Spark side uses weekday()+1 "
+    "(Monday-0 + 1 == ISO) — the same pinned-convention discipline as "
+    "the Monday-truncated weeks elsewhere. One grouped count over a "
+    "7×24-bounded grid, partial-aggregated map-side; counts exact.",
+)
+def ev_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("long").alias("iso_dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("iso_dow", "hour")
+    )
+
+
+@register(
+    "stat_poisson_dispersion_daily_orders",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM orders GROUP BY day
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sk,
+                   CAST(SUM(k * k) AS BIGINT) AS skk
+            FROM d
+        )
+        SELECT n AS n_days, sk AS n_orders,
+               CAST(sk AS DOUBLE) / n AS mean_per_day,
+               CAST(n * skk - sk * sk AS DOUBLE)
+                   / CAST(n AS DOUBLE) / (n - 1) AS var_per_day,
+               (CAST(n * skk - sk * sk AS DOUBLE)
+                   / CAST(n AS DOUBLE) / (n - 1))
+                   / (CAST(sk AS DOUBLE) / n) AS dispersion_index
+        FROM m
+    """,
+    doc="Poisson dispersion index (variance-to-mean ratio) of daily order "
+    "arrivals — the arrival-process diagnostic: ≈1 means Poisson-like "
+    "(independent arrivals; queueing/capacity math applies), >1 means "
+    "bursty/overdispersed (expect heavier tails than a Poisson model "
+    "predicts — reach for the negative binomial and re-read "
+    "stat_cusum/ev_daily_volume_anomaly with wider bands). Day-grain "
+    "counts, exact BIGINT raw moments (n·Σk²−(Σk)² stays integer), one "
+    "fixed IEEE sequence at the end. One calendar-bounded rollup.",
+)
+def stat_poisson_dispersion_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    d = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").cast("long").alias("k")
+    )
+    m = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+    )
+    mean = F.col("sk").cast("double") / F.col("n")
+    var = (
+        (F.col("n") * F.col("skk") - F.col("sk") * F.col("sk")).cast("double")
+        / F.col("n").cast("double")
+        / (F.col("n") - 1)
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("sk").alias("n_orders"),
+        mean.alias("mean_per_day"),
+        var.alias("var_per_day"),
+        (var / mean).alias("dispersion_index"),
+    )
