@@ -5858,3 +5858,119 @@ def stat_poisson_dispersion_daily_orders(spark: SparkSession, sf_dir: str) -> Da
         var.alias("var_per_day"),
         (var / mean).alias("dispersion_index"),
     )
+
+
+@register(
+    "docs_packing_fill_stats",
+    oracle=f"""
+        WITH packed AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                        - n_tokens AS BIGINT) AS tok_offset
+            FROM (SELECT doc_id, lang, {{NTOK}} AS n_tokens FROM documents)
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST((SUM(n_tokens) + 2047) // 2048 AS BIGINT) AS n_packs,
+               COUNT(CASE WHEN n_tokens > 0
+                          AND tok_offset // 2048 <>
+                              (tok_offset + n_tokens - 1) // 2048
+                     THEN 1 END) AS n_straddling,
+               CAST(SUM(n_tokens) AS DOUBLE)
+                   / (2048.0 * ((SUM(n_tokens) + 2047) // 2048))
+                   AS utilization
+        FROM packed GROUP BY lang ORDER BY lang
+    """.replace("{NTOK}", _NTOK_SQL),
+    doc="Packing-efficiency readout over docs_sequence_packing's concat-"
+    "then-chunk layout, per language stratum: total context windows "
+    "(ceil of token mass / 2048), how many documents STRADDLE a window "
+    "boundary (the rows that need cross-chunk attention masking or "
+    "re-packing), and the tail-padding utilization — the numbers that "
+    "decide whether a smarter bin-packing is worth its shuffle. Exact "
+    "integers throughout (ceil as (t + 2047) div 2048, straddle test "
+    "compares integer window indices); one division per lang row. Same "
+    "per-stratum window sum as the packing itself.",
+)
+def docs_packing_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import sequence_packing
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = sequence_packing(docs, "n_tokens", budget=2048, part_cols=("lang",))
+    straddle = (
+        (F.col("n_tokens") > 0)
+        & (
+            F.expr("tok_offset div 2048")
+            != F.expr("(tok_offset + n_tokens - 1) div 2048")
+        )
+    )
+    n_packs = F.expr("(sum(n_tokens) + 2047) div 2048")
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            n_packs.alias("n_packs"),
+            F.count(F.when(straddle, 1)).alias("n_straddling"),
+            (
+                F.sum("n_tokens").cast("double")
+                / (F.lit(2048.0) * F.expr("(sum(n_tokens) + 2047) div 2048"))
+            ).alias("utilization"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "mm_audio_silence_windows",
+    oracle="""
+        WITH s AS (
+            SELECT d.doc_id, c.c AS channel, CAST(i.i // 16 AS INTEGER) AS win,
+                   ((d.doc_id * 31 + i.i * 7 + c.c * 13) % 65536) - 32768 AS v
+            FROM documents d, range(64) i(i), range(2) c(c)
+        ),
+        w AS (
+            SELECT doc_id AS media_id, channel, win,
+                   CAST(SUM(v * v) AS BIGINT) AS sumsq_w,
+                   COUNT(*) AS n
+            FROM s GROUP BY 1, 2, 3
+        )
+        SELECT media_id, channel,
+               COUNT(*) AS n_windows,
+               COUNT(CASE WHEN sumsq_w * 3 < n * 32768 * 32768
+                     THEN 1 END) AS n_silent,
+               CAST(COUNT(CASE WHEN sumsq_w * 3 < n * 32768 * 32768
+                          THEN 1 END) AS DOUBLE) / COUNT(*)
+                   AS silence_ratio
+        FROM w GROUP BY media_id, channel
+        ORDER BY media_id, channel
+    """,
+    doc="Per-channel silence detection over the windowed-RMS energy grid "
+    "— the VAD-style pre-filter an audio pipeline runs before "
+    "transcription (silent windows are dropped or merged; a clip that "
+    "is mostly silence is a curation reject). A window is 'silent' when "
+    "its mean power is under a third of full-scale² — the comparison is "
+    "EXACT integers (sumsq·3 < n·32768², no division, no float "
+    "threshold), chosen at the uniform-synthesis expected power so both "
+    "classes materialize on the test corpus. Same real WAV decode + "
+    "window segmentation as mm_audio_rms_windows; adds one media-keyed "
+    "rollup. One division per output row.",
+)
+def mm_audio_silence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    media = M.synth_wav_table(docs, n_samples=64, sample_rate=8000, n_channels=2)
+    w = M.decode_audio_windows(media, window_samples=16)
+    silent = F.col("sumsq_w") * 3 < F.col("n") * F.lit(32768) * F.lit(32768)
+    return (
+        w.groupBy("media_id", "channel")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count(F.when(silent, 1)).alias("n_silent"),
+            (
+                F.count(F.when(silent, 1)).cast("double") / F.count("*")
+            ).alias("silence_ratio"),
+        )
+        .orderBy("media_id", "channel")
+    )
