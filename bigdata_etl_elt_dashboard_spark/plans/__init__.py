@@ -57,7 +57,8 @@ from .registry import REGISTRY, register
 #   docs_contamination_by_split, part_supplier_cnt_q16,
 #   stat_cohens_d_price_by_status, ev_heatmap_hour_dow,
 #   stat_poisson_dispersion_daily_orders, docs_packing_fill_stats,
-#   mm_audio_silence_windows
+#   mm_audio_silence_windows, mm_image_brightness_hist,
+#   ev_bot_rate_heuristic
 # (append more here as they land) — then the 3 rows-only queries
 # (sim_ann_lsh, sim_ivf_topk, mm_frame_sample) if slots remain. Re-run
 # tools/gate_rotation.py at the r06 round start; it computes this from

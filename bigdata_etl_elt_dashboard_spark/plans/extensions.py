@@ -5974,3 +5974,103 @@ def mm_audio_silence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "channel")
     )
+
+
+@register(
+    "mm_image_brightness_hist",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id,
+                   ((d.doc_id % 256) * 7 + (3 * (8 * y.y + x.x) + ch.ch)) % 256
+                       AS v
+            FROM documents d, range(8) x(x), range(4) y(y), range(3) ch(ch)
+        ),
+        lum AS (
+            SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sum_rgb, COUNT(*) AS n
+            FROM px GROUP BY doc_id
+        )
+        SELECT CAST((sum_rgb * 16) // (n * 256) AS BIGINT) AS brightness_bucket,
+               COUNT(*) AS n_images
+        FROM lum GROUP BY brightness_bucket ORDER BY brightness_bucket
+    """,
+    doc="Image brightness histogram (16 buckets of mean RGB luminance) — "
+    "the too-dark/too-blown curation filter an image-corpus pipeline "
+    "runs right after decode: each synthesized 8×4 PPM decodes through "
+    "the real codec (mm_decode_channel_stats' machinery), per-image "
+    "channel sums collapse to an exact mean-luma bucket ((Σrgb·16) div "
+    "(n·256) — all-integer, no float rounding ambiguity at bucket "
+    "edges), and the corpus histogram is a 16-row rollup. The oracle "
+    "recomputes pixels from the synthesis arithmetic without the codec, "
+    "so a green row re-proves decode + the bucketing algebra. At scale: "
+    "mapInPandas keeps bytes in Arrow batches; only (id, sums) shuffle.",
+)
+def mm_image_brightness_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    media = M.synth_ppm_table(docs, width=8, height=4)
+    stats = M.decode_image_stats(media)
+    n_px = (F.col("width") * F.col("height")).cast("long")
+    bucket = F.expr(
+        "((sum_r + sum_g + sum_b) * 16) div (3 * width * height * 256)"
+    ).cast("long")
+    return (
+        stats.select(bucket.alias("brightness_bucket"))
+        .groupBy("brightness_bucket")
+        .agg(F.count("*").alias("n_images"))
+        .orderBy("brightness_bucket")
+    )
+
+
+@register(
+    "ev_bot_rate_heuristic",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                       - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS span_s
+            FROM events GROUP BY user_id
+        ),
+        f AS (
+            SELECT *,
+                   (n_events >= 50 AND n_events * 10 > span_s) AS flagged
+            FROM u
+        )
+        SELECT COUNT(*) AS n_users,
+               COUNT(CASE WHEN flagged THEN 1 END) AS n_flagged,
+               CAST(SUM(CASE WHEN flagged THEN n_events ELSE 0 END)
+                    AS BIGINT) AS flagged_events,
+               CAST(SUM(CASE WHEN flagged THEN n_events ELSE 0 END) AS DOUBLE)
+                   / SUM(n_events) AS flagged_event_share
+        FROM f
+    """,
+    doc="Bot-rate heuristic — the traffic-hygiene filter run before any "
+    "engagement metric is trusted: flag users sustaining more than one "
+    "event per 10 seconds across their whole active span (n·10 > "
+    "span_s, an EXACT integer cross-multiplication — no float rate) "
+    "with a minimum-volume guard (≥50 events) so short bursts don't "
+    "trip it, then report how much event mass the flagged accounts "
+    "own. One user-keyed rollup + a 1-row reduce; the share is one "
+    "division.",
+)
+def ev_bot_rate_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "span_s"
+        ),
+    )
+    flagged = (F.col("n_events") >= 50) & (
+        F.col("n_events") * 10 > F.col("span_s")
+    )
+    return u.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(flagged, 1)).alias("n_flagged"),
+        F.sum(F.when(flagged, F.col("n_events")).otherwise(0)).alias(
+            "flagged_events"
+        ),
+        (
+            F.sum(F.when(flagged, F.col("n_events")).otherwise(0)).cast("double")
+            / F.sum("n_events")
+        ).alias("flagged_event_share"),
+    )
