@@ -58,7 +58,8 @@ from .registry import REGISTRY, register
 #   stat_cohens_d_price_by_status, ev_heatmap_hour_dow,
 #   stat_poisson_dispersion_daily_orders, docs_packing_fill_stats,
 #   mm_audio_silence_windows, mm_image_brightness_hist,
-#   ev_bot_rate_heuristic
+#   ev_bot_rate_heuristic, graph_clustering_coeff_hist,
+#   graph_degree_assortativity, graph_bfs_layers
 # (append more here as they land) — then the 3 rows-only queries
 # (sim_ann_lsh, sim_ivf_topk, mm_frame_sample) if slots remain. Re-run
 # tools/gate_rotation.py at the r06 round start; it computes this from

@@ -767,3 +767,276 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+@register(
+    "graph_clustering_coeff_hist",
+    oracle="""
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        e AS MATERIALIZED (
+            SELECT DISTINCT a.p AS x, b.p AS y
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        ),
+        deg AS MATERIALIZED (
+            SELECT node, COUNT(*) AS d
+            FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+            GROUP BY node
+        ),
+        t AS MATERIALIZED (
+            SELECT e1.x AS a, e1.y AS b, e2.y AS c
+            FROM e e1 JOIN e e2 ON e2.x = e1.y
+                      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+        ),
+        corner AS (
+            SELECT a AS node FROM t
+            UNION ALL SELECT b FROM t
+            UNION ALL SELECT c FROM t
+        ),
+        tc AS (SELECT node, COUNT(*) AS tri FROM corner GROUP BY node),
+        cc AS (
+            SELECT d.node, COALESCE(tc.tri, 0) AS tri, d.d
+            FROM deg d LEFT JOIN tc ON d.node = tc.node
+            WHERE d.d >= 2
+        )
+        SELECT CAST(((tri * 2 * 1000000) // (d * (d - 1))) // 100000
+                    AS BIGINT) AS cc_bucket,
+               COUNT(*) AS n_nodes,
+               CAST(SUM(tri) AS BIGINT) AS sum_corner_triangles
+        FROM cc GROUP BY cc_bucket ORDER BY cc_bucket
+    """,
+    doc="Local clustering-coefficient histogram over the co-purchase "
+    "graph — the per-node 'how clique-like is my neighborhood' "
+    "diagnostic (community cores vs bridge nodes) that degree alone "
+    "can't see. Per-node triangle counts come from the SAME "
+    "compact-forward close as graph_copurchase_triangles, but the "
+    "intersection is EXPLODED into the (much smaller than wedges) "
+    "triangle stream so each triangle credits all three corners; "
+    "cc = 2·tri/(d·(d−1)) is quantized to micro-units with pure "
+    "integer div (bucket edges can't float-drift) and bucketed on a "
+    "0..10 decile grid. Shape: shared pinned edge builder, degree "
+    "rollup, broadcast adjacency close, one corner rollup — the "
+    "histogram is constant-size at any scale.",
+)
+def graph_clustering_coeff_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .transform(pin)  # feeds the orientation ranks AND the cc join
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    ranked = e.join(F.broadcast(dx), "x").join(F.broadcast(dy), "y")
+    fwd = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oe = ranked.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("v"),
+    ).transform(pin)
+    adj = oe.groupBy("u").agg(F.collect_list("v").alias("nb"))
+    nb_u = F.broadcast(adj.select(F.col("u"), F.col("nb").alias("nb_u")))
+    nb_v = F.broadcast(adj.select(F.col("u").alias("v"), F.col("nb").alias("nb_v")))
+    # explode the per-edge intersection: one row per triangle (u, v, w) —
+    # bounded by the true triangle count, far below the wedge stream the
+    # compact-forward close avoids materializing
+    tris = (
+        oe.join(nb_u, "u")
+        .join(nb_v, "v")
+        .select(
+            F.col("u"),
+            F.col("v"),
+            F.explode(F.array_intersect("nb_u", "nb_v")).alias("w"),
+        )
+    )
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("v").alias("node")))
+        .unionAll(tris.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri"))
+    )
+    cc = (
+        deg.filter(F.col("d") >= 2)
+        .join(corners, "node", "left")
+        .select(
+            F.col("d"), F.coalesce(F.col("tri"), F.lit(0)).alias("tri")
+        )
+    )
+    bucket = F.expr("((tri * 2 * 1000000) div (d * (d - 1))) div 100000").cast(
+        "long"
+    )
+    return (
+        cc.groupBy(bucket.alias("cc_bucket"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("tri").alias("sum_corner_triangles"),
+        )
+        .orderBy("cc_bucket")
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        e AS MATERIALIZED (
+            SELECT DISTINCT a.p AS x, b.p AS y
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        ),
+        deg AS MATERIALIZED (
+            SELECT node, COUNT(*) AS d
+            FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+            GROUP BY node
+        ),
+        be AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+        ends AS (
+            SELECT d1.d AS a, d2.d AS b
+            FROM be JOIN deg d1 ON be.x = d1.node
+                    JOIN deg d2 ON be.y = d2.node
+        ),
+        m AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(a) AS BIGINT) AS sx,
+                   CAST(SUM(a * a) AS BIGINT) AS sxx,
+                   CAST(SUM(a * b) AS BIGINT) AS sxy
+            FROM ends
+        )
+        SELECT n, sx, sxx, sxy,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   AS assortativity
+        FROM m
+    """,
+    doc="Degree assortativity of the co-purchase graph — Newman's r: do "
+    "high-degree parts co-purchase with other hubs (r>0) or with the "
+    "tail (r<0)? Listing every edge in BOTH directions makes the two "
+    "endpoint-degree marginals identical, so Pearson collapses to "
+    "(nΣab−(Σa)²)/(nΣa²−(Σa)²) — no sqrt. The four moments are exact "
+    "BIGINT sums (order-independent, map-side combined); the closed "
+    "form runs as ONE fixed IEEE sequence (int→double casts round "
+    "half-even identically on both engines), so the double is "
+    "bit-identical. Shape: shared pinned edge builder + broadcast "
+    "degree join + a 1-row reduce; a negative r here is the measured "
+    "justification for the triangle orientation and hot-key salting.",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    be = e.unionAll(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    d1 = deg.select(F.col("node").alias("x"), F.col("d").alias("a"))
+    d2 = deg.select(F.col("node").alias("y"), F.col("d").alias("b"))
+    ends = be.join(F.broadcast(d1), "x").join(F.broadcast(d2), "y")
+    m = ends.agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sx"),
+        F.sum(F.col("a") * F.col("a")).alias("sxx"),
+        F.sum(F.col("a") * F.col("b")).alias("sxy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
+    den = F.col("n").cast("double") * F.col("sxx").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
+    return m.select("n", "sx", "sxx", "sxy", (num / den).alias("assortativity"))
+
+
+@register(
+    "graph_bfs_layers",
+    oracle="""
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        e AS MATERIALIZED (
+            SELECT DISTINCT a.p AS x, b.p AS y
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        ),
+        be AS MATERIALIZED (
+            SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e
+        ),
+        l0 AS MATERIALIZED (SELECT MIN(x) AS node FROM be),
+        l1 AS MATERIALIZED (
+            SELECT DISTINCT be.y AS node
+            FROM be JOIN l0 ON be.x = l0.node
+            WHERE be.y NOT IN (SELECT node FROM l0)
+        ),
+        l2 AS MATERIALIZED (
+            SELECT DISTINCT be.y AS node
+            FROM be JOIN l1 ON be.x = l1.node
+            WHERE be.y NOT IN (SELECT node FROM l0
+                               UNION ALL SELECT node FROM l1)
+        ),
+        l3 AS MATERIALIZED (
+            SELECT DISTINCT be.y AS node
+            FROM be JOIN l2 ON be.x = l2.node
+            WHERE be.y NOT IN (SELECT node FROM l0
+                               UNION ALL SELECT node FROM l1
+                               UNION ALL SELECT node FROM l2)
+        )
+        SELECT 0 AS layer, COUNT(*) AS n_nodes,
+               MIN(node) AS min_node, MAX(node) AS max_node FROM l0
+        UNION ALL
+        SELECT 1, COUNT(*), MIN(node), MAX(node) FROM l1
+        UNION ALL
+        SELECT 2, COUNT(*), MIN(node), MAX(node) FROM l2
+        UNION ALL
+        SELECT 3, COUNT(*), MIN(node), MAX(node) FROM l3
+        ORDER BY layer
+    """,
+    doc="Unrolled breadth-first search (3 hops from the minimum part key) "
+    "over the co-purchase graph — the reachability / diameter probe "
+    "behind 'is this graph one community or many', and the simplest "
+    "member of the frontier-expansion family (connected components, "
+    "SSSP) expressed in the engine's iterative idiom: per-round "
+    "frontier = neighbors(frontier) ANTI-JOIN visited, every frontier "
+    "pinned so no round re-executes (the k-core/PageRank discipline), "
+    "visited re-derived as a union of already-pinned layers (no extra "
+    "pin jobs). Frontiers are broadcast against the pinned "
+    "both-direction edge list, so each hop is one map-side join + one "
+    "distinct — at fact-scale node sets the same plan degrades to "
+    "keyed shuffles with no rewrite. The co-purchase graph is "
+    "near-diameter-2, so layer 3 is legitimately empty on the test "
+    "corpus; tests/test_properties.py proves the positive path on an "
+    "engineered path graph.",
+)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _copurchase_edges(spark, sf_dir)
+    be = e.unionAll(
+        e.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).transform(pin)
+    l0 = be.agg(F.min("x").alias("node")).transform(pin)
+    layers = [l0]
+    for _ in range(3):
+        visited = layers[0]
+        for lyr in layers[1:]:
+            visited = visited.unionAll(lyr)
+        frontier = layers[-1].withColumnRenamed("node", "x")
+        nxt = (
+            be.join(F.broadcast(frontier), "x")
+            .select(F.col("y").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .transform(pin)
+        )
+        layers.append(nxt)
+    out = None
+    for i, lyr in enumerate(layers):
+        row = lyr.agg(
+            F.lit(i).alias("layer"),
+            F.count("*").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("layer")

@@ -1263,3 +1263,86 @@ def test_mann_kendall_matches_python(spark, sf_smoke):
     assert got["s_stat"] == s
     assert got["var18"] == var18
     assert got["z_score"] == z
+
+
+def _copurchase_py(sf):
+    """Brute-force co-purchase graph (edges, adjacency, degree) in Python."""
+    li = {(o, p) for o, p in _cols(sf, "lineitem", ["l_orderkey", "l_partkey"])}
+    baskets = collections.defaultdict(set)
+    for o, p in li:
+        baskets[o].add(p)
+    edges = set()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    return edges, adj
+
+
+def test_clustering_coeff_hist_matches_bruteforce(spark, sf_smoke):
+    """graph_clustering_coeff_hist's exploded compact-forward corner counts
+    must reproduce the brute-force per-node triangle count and the exact
+    integer micro-bucket for every node with degree >= 2."""
+    _, adj = _copurchase_py(sf_smoke)
+    hist = collections.Counter()
+    tri_by_bucket = collections.Counter()
+    for n, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        tri = sum(len(adj[m] & nb) for m in nb) // 2
+        bucket = ((tri * 2 * 1_000_000) // (d * (d - 1))) // 100_000
+        hist[bucket] += 1
+        tri_by_bucket[bucket] += tri
+    got = {
+        r["cc_bucket"]: (r["n_nodes"], r["sum_corner_triangles"])
+        for r in _rows(spark, sf_smoke, "graph_clustering_coeff_hist")
+    }
+    assert got == {b: (hist[b], tri_by_bucket[b]) for b in hist}
+
+
+def test_assortativity_matches_python_and_star_graph(spark, sf_smoke, tmp_path):
+    """Newman's r from exact moments vs a direct numpy Pearson over the
+    both-direction endpoint-degree pairs; then r == -1 exactly on an
+    engineered star graph (the textbook perfectly-disassortative case)."""
+    edges, adj = _copurchase_py(sf_smoke)
+    deg = {n: len(v) for n, v in adj.items()}
+    pairs = [(deg[a], deg[b]) for a, b in edges]
+    pairs += [(b, a) for a, b in pairs]
+    xs = np.array([p[0] for p in pairs], float)
+    ys = np.array([p[1] for p in pairs], float)
+    ref = np.corrcoef(xs, ys)[0, 1]
+    got = _rows(spark, sf_smoke, "graph_degree_assortativity")[0]
+    assert got["n"] == len(pairs)
+    assert abs(got["assortativity"] - ref) < 1e-9
+    # star graph: one order carrying parts 0..5 would be a clique, so build
+    # the star as 5 two-part orders sharing part 0
+    star = [(i, 0) for i in range(1, 6)] + [(i, i) for i in range(1, 6)]
+    spark.createDataFrame(
+        star, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    r = REGISTRY["graph_degree_assortativity"].fn(spark, str(tmp_path)).collect()[0]
+    assert r["assortativity"] == -1.0
+
+
+def test_bfs_layers_path_graph_positive(spark, sf_smoke, tmp_path):
+    """graph_bfs_layers is legitimately 0-rows-at-layer-3 on the dense
+    co-purchase corpus — pin the positive path on an engineered 10-node
+    path graph (order i links parts i, i+1): BFS from part 0 must put
+    exactly node k at layer k."""
+    path = [(i, i) for i in range(10)] + [(i, i + 1) for i in range(9)]
+    spark.createDataFrame(
+        path, "l_orderkey long, l_partkey long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    rows = REGISTRY["graph_bfs_layers"].fn(spark, str(tmp_path)).collect()
+    assert [(r["layer"], r["n_nodes"], r["min_node"], r["max_node"]) for r in rows] == [
+        (0, 1, 0, 0),
+        (1, 1, 1, 1),
+        (2, 1, 2, 2),
+        (3, 1, 3, 3),
+    ]
