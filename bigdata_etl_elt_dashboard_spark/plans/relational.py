@@ -817,3 +817,133 @@ def part_supplier_cnt_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("supplier_cnt"), "brand", "type", "size")
         .limit(20)
     )
+
+
+@register(
+    "mkt_share_nation_q8",
+    oracle="""
+        WITH vol AS (
+            SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                            * CAST(100 - ROUND(l.l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS total_rev,
+                   CAST(SUM(CASE WHEN n.n_name = 'NATION_7'
+                                 THEN CAST(ROUND(l.l_extendedprice * 100)
+                                           AS BIGINT)
+                                      * CAST(100 - ROUND(l.l_discount * 100)
+                                             AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS nation_rev
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY o_year
+        )
+        SELECT o_year, nation_rev, total_rev,
+               CAST(nation_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
+                   AS mkt_share
+        FROM vol ORDER BY o_year
+    """,
+    doc="TPC-H Q8 skeleton (national market share): per order year, the "
+    "share of discounted revenue supplied by NATION_7's suppliers — the "
+    "conditional-aggregate-over-join pattern where the CASE runs inside "
+    "the SAME rollup as the denominator (one pass, no second scan or "
+    "self-join). Revenue is the engine's exact cents×(100−pct) BIGINT "
+    "micro-percent unit; the share is ONE terminal double division. "
+    "Spark plan: lineitem⋈orders is the only fact⋈fact shuffle; "
+    "supplier and nation broadcast; ~7 result rows.",
+)
+def mkt_share_nation_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supplier = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100)).cast("long")
+    )
+    vol = (
+        li.select("l_orderkey", "l_suppkey", rev.alias("rev"))
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum("rev").alias("total_rev"),
+            F.sum(
+                F.when(F.col("n_name") == "NATION_7", F.col("rev")).otherwise(0)
+            ).alias("nation_rev"),
+        )
+    )
+    return vol.select(
+        "o_year",
+        "nation_rev",
+        "total_rev",
+        (F.col("nation_rev").cast("double") / F.col("total_rev").cast("double")).alias(
+            "mkt_share"
+        ),
+    ).orderBy("o_year")
+
+
+@register(
+    "profit_nation_year_q9",
+    oracle="""
+        SELECT n.n_name AS n_name,
+               EXTRACT(year FROM o.o_orderdate) AS o_year,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                        * CAST(100 - ROUND(l.l_discount * 100) AS BIGINT)
+                        - CAST(ROUND(p.p_retailprice * 100) AS BIGINT) * 100
+                          * CAST(ROUND(l.l_quantity) AS BIGINT))
+                    AS BIGINT) AS profit_micropct,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY n_name, o_year
+        ORDER BY n_name, o_year DESC
+    """,
+    doc="TPC-H Q9 skeleton (product-type profit by nation and year), "
+    "adapted to this schema: profit = discounted revenue minus a "
+    "retail-price×quantity cost proxy (the schema carries no "
+    "ps_supplycost), per supplier nation per order year. Both terms "
+    "live in the SAME exact integer unit (cent·percent: revenue is "
+    "cents×(100−disc_pct), cost is cents×100×qty), so the difference "
+    "sums as a BIGINT with no float accumulation anywhere. Spark plan: "
+    "ONE lineitem⋈orders fact shuffle; part, supplier, nation all "
+    "broadcast; the rollup is 25 nations × ~7 years.",
+)
+def profit_nation_year_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supplier = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    amount = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100)).cast("long")
+        - F.round(F.col("p_retailprice") * 100).cast("long")
+        * 100
+        * F.round(F.col("l_quantity")).cast("long")
+    )
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_partkey", "l_quantity",
+                  "l_extendedprice", "l_discount")
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.sum(amount).alias("profit_micropct"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("n_name", F.col("o_year").desc())
+    )

@@ -2318,3 +2318,92 @@ def stat_cohens_d_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame
         d.alias("cohens_d"),
         g.alias("hedges_g"),
     )
+
+
+@register(
+    "stat_theilsen_monthly_revenue",
+    oracle="""
+        WITH m AS MATERIALIZED (
+            SELECT EXTRACT(year FROM o_orderdate) * 12
+                       + EXTRACT(month FROM o_orderdate) AS t,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS c
+            FROM orders GROUP BY t
+        ),
+        p AS (
+            SELECT a.t AS t1, b.t AS t2,
+                   (b.c - a.c) * 1000000 AS num, (b.t - a.t) AS den
+            FROM m a JOIN m b ON a.t < b.t
+        ),
+        sl AS (
+            SELECT t1, t2,
+                   (num - (((num % den) + den) % den)) / den AS slope_micro
+            FROM p
+        ),
+        r AS (
+            SELECT slope_micro,
+                   ROW_NUMBER() OVER (ORDER BY slope_micro, t1, t2) AS rn,
+                   COUNT(*) OVER () AS n_pairs
+            FROM sl
+        )
+        SELECT (SELECT COUNT(*) FROM m) AS n_months,
+               n_pairs,
+               CAST(slope_micro AS BIGINT) AS median_slope_micro,
+               CAST(slope_micro AS DOUBLE) / 1000000.0
+                   AS slope_cents_per_month
+        FROM r WHERE rn = (n_pairs + 1) // 2
+    """,
+    doc="Theil–Sen robust trend estimator over monthly revenue: the "
+    "(lower) median of all pairwise slopes — the outlier-immune "
+    "companion to stat_mann_kendall_daily_revenue (MK decides IF a "
+    "monotone trend exists, Theil–Sen says HOW STEEP). Slopes are exact "
+    "integers: cents×10⁶ FLOOR-divided by the month gap via the "
+    "sign-safe identity (a − pmod(a,b))/b — Spark's `div` truncates "
+    "toward zero while DuckDB's `//` floors, so neither engine's native "
+    "operator is used on the (often negative) numerators. The pair grid "
+    "is CALENDAR-bounded (~84 months → ~3.5k pairs regardless of data "
+    "volume), so the single-partition median window is a constant-size "
+    "reduce at any scale; the fact table contributes one month-keyed "
+    "rollup.",
+)
+def stat_theilsen_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("t")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"))
+        .transform(pin)  # feeds the pair self-join (twice) and n_months
+    )
+    a = m.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    b = m.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    num = (F.col("c2") - F.col("c1")) * 1000000
+    den = F.col("t2") - F.col("t1")
+    sl = (
+        a.join(b, F.col("t1") < F.col("t2"))
+        .select(
+            "t1",
+            "t2",
+            ((num - F.pmod(num, den)) / den).cast("long").alias("slope_micro"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("slope_micro", "t1", "t2")
+    ranked = sl.select(
+        "slope_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.partitionBy()
+        ).alias("n_pairs"),
+    )
+    # integer lower-median index: (n+1) div 2
+    med = ranked.filter(F.expr("rn = (n_pairs + 1) div 2"))
+    return med.crossJoin(m.agg(F.count("*").alias("n_months"))).select(
+        "n_months",
+        "n_pairs",
+        F.col("slope_micro").alias("median_slope_micro"),
+        (F.col("slope_micro").cast("double") / 1000000.0).alias(
+            "slope_cents_per_month"
+        ),
+    )

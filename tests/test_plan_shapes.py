@@ -462,6 +462,9 @@ _BNLJ_BOUNDED_OK = {
     # calendar-bounded day-pair sign comparisons (~2.4k-row broadcast side;
     # the same bounded-grid argument as the ECDF/runs whitelist entries)
     "stat_mann_kendall_daily_revenue",
+    # calendar-bounded month-pair slope grid (~84-row broadcast side) plus
+    # a 1-row n_months scalar crossed onto the 1-row median
+    "stat_theilsen_monthly_revenue",
 }
 
 

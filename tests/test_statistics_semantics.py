@@ -1346,3 +1346,21 @@ def test_bfs_layers_path_graph_positive(spark, sf_smoke, tmp_path):
         (2, 1, 2, 2),
         (3, 1, 3, 3),
     ]
+
+
+def test_theilsen_matches_python(spark, sf_smoke):
+    """stat_theilsen_monthly_revenue's pmod floor-div slope grid and
+    lower-median selection vs a direct Python recomputation."""
+    monthly = collections.defaultdict(int)
+    for d, x in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        monthly[d.year * 12 + d.month] += _r(x * 100)
+    ts = sorted(monthly)
+    slopes = sorted(
+        ((monthly[t2] - monthly[t1]) * 1_000_000) // (t2 - t1)
+        for i, t1 in enumerate(ts)
+        for t2 in ts[i + 1 :]
+    )
+    got = _rows(spark, sf_smoke, "stat_theilsen_monthly_revenue")[0]
+    assert got["n_months"] == len(ts)
+    assert got["n_pairs"] == len(slopes)
+    assert got["median_slope_micro"] == slopes[(len(slopes) + 1) // 2 - 1]
