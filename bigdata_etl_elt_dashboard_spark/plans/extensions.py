@@ -6074,3 +6074,197 @@ def ev_bot_rate_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_events")
         ).alias("flagged_event_share"),
     )
+
+
+@register(
+    "text_readability_by_lang",
+    oracle=f"""
+        WITH f AS (
+            SELECT lang,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE CAST(len({_TOKS_SQL}) AS BIGINT) END AS w,
+                   GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+                                 AS BIGINT), 1) AS s,
+                   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                        AS BIGINT) AS y
+            FROM documents
+        ),
+        g AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(w) AS BIGINT) AS words,
+                   CAST(SUM(s) AS BIGINT) AS sentences,
+                   CAST(SUM(y) AS BIGINT) AS syllables
+            FROM f GROUP BY lang
+        )
+        SELECT lang, n_docs, words, sentences, syllables,
+               206.835
+               - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+               - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+                   AS flesch_ease
+        FROM g ORDER BY lang
+    """,
+    doc="Flesch reading-ease per language — the classic readability "
+    "quality signal (alongside the Gopher rules) for corpus curation: "
+    "words, sentence runs ([.!?]+ clusters, floored at 1 per doc so "
+    "fragments don't zero the denominator) and vowel-group syllable "
+    "approximations are all EXACT BIGINT counts from JVM-side regexes "
+    "(no UDF); the corpus-level formula 206.835 − 1.015·(W/S) − "
+    "84.6·(Y/W) runs once per language as a fixed IEEE sequence, so "
+    "both engines emit identical bits. One narrow scan + one tiny "
+    "lang-keyed rollup; per-doc work is Tungsten-codegen regex.",
+)
+def text_readability_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = X.token_count(F.col("text")).cast("long")
+    s = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))).cast(
+            "long"
+        ),
+        F.lit(1).cast("long"),
+    )
+    y = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))
+    ).cast("long")
+    g = (
+        docs.select("lang", w.alias("w"), s.alias("s"), y.alias("y"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("w").alias("words"),
+            F.sum("s").alias("sentences"),
+            F.sum("y").alias("syllables"),
+        )
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("syllables").cast("double") / F.col("words").cast("double"))
+    )
+    return g.select(
+        "lang", "n_docs", "words", "sentences", "syllables",
+        flesch.alias("flesch_ease"),
+    ).orderBy("lang")
+
+
+@register(
+    "ev_bounce_rate_daily",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL '10 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+            FROM marked
+        ), per_session AS (
+            SELECT user_id, sess, MIN(ts) AS session_start,
+                   COUNT(*) AS n_events
+            FROM sessions GROUP BY user_id, sess
+        )
+        SELECT strftime(CAST(session_start AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_sessions,
+               COUNT(CASE WHEN n_events = 1 THEN 1 END) AS n_bounces,
+               CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+                   / COUNT(*) AS bounce_rate
+        FROM per_session GROUP BY day ORDER BY day
+    """,
+    doc="Daily bounce rate — the share of 10-minute-gap sessions that "
+    "contain exactly ONE event, bucketed by the session's start day: "
+    "the engagement-hygiene metric read next to DAU/stickiness. Spark "
+    "side uses the native session_window (same keyed shuffle as "
+    "ev_session_10m — gap rule diff >= 10m matches the oracle's "
+    "gaps-and-islands rewrite exactly); the daily rollup is a second "
+    "small shuffle on the ~2.4k-day calendar. One division per day "
+    "row, counts exact.",
+)
+def ev_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_session = (
+        ev.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd").alias("day"),
+            "n_events",
+        )
+    )
+    return (
+        per_session.groupBy("day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounces",
+            (
+                F.col("n_bounces").cast("double")
+                / F.nullif(F.col("n_sessions").cast("double"), F.lit(0.0))
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "dq_freshness_lag",
+    oracle="""
+        WITH mx AS (
+            SELECT 'orders' AS table_name,
+                   MAX(CAST(o_orderdate AS DATE)) AS max_day FROM orders
+            UNION ALL
+            SELECT 'lineitem', MAX(CAST(l_shipdate AS DATE)) FROM lineitem
+            UNION ALL
+            SELECT 'events', MAX(CAST(ts AS DATE)) FROM events
+        )
+        SELECT table_name,
+               strftime(max_day, '%Y-%m-%d') AS max_day,
+               CAST(MAX(max_day) OVER () - max_day AS BIGINT) AS lag_days
+        FROM mx ORDER BY table_name
+    """,
+    doc="Cross-table freshness lag — the data-ops staleness check run "
+    "before trusting any cross-source join: each fact table's newest "
+    "business date vs the freshest table in the lake, in EXACT integer "
+    "days. Three 1-row column-pruned aggregates (min/max push into the "
+    "parquet footer at scan time) unioned into a 3-row frame; the lag "
+    "is a window max over that constant-size frame — no shuffle "
+    "beyond the three scans' own reduces.",
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+    mx = (
+        orders.agg(
+            F.lit("orders").alias("table_name"),
+            F.max(F.to_date("o_orderdate")).alias("max_day"),
+        )
+        .unionAll(
+            li.agg(
+                F.lit("lineitem").alias("table_name"),
+                F.max(F.to_date("l_shipdate")).alias("max_day"),
+            )
+        )
+        .unionAll(
+            ev.agg(
+                F.lit("events").alias("table_name"),
+                F.max(F.to_date("ts")).alias("max_day"),
+            )
+        )
+    )
+    w = Window.partitionBy()
+    return mx.select(
+        "table_name",
+        F.date_format("max_day", "yyyy-MM-dd").alias("max_day"),
+        F.datediff(F.max("max_day").over(w), F.col("max_day"))
+        .cast("long")
+        .alias("lag_days"),
+    ).orderBy("table_name")
