@@ -1603,3 +1603,146 @@ def docs_contamination_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "emb_isotropy_mean_cosine",
+    oracle="""
+        WITH pts AS (
+            SELECT vec_id, i - 1 AS pos,
+                   CAST(ROUND(emb[i] * 1000000) AS BIGINT) AS xi
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+                 UNNEST(range(1, len(emb) + 1)) AS t(i)
+        ),
+        mean_v AS MATERIALIZED (
+            SELECT pos, CAST(ROUND(AVG(xi)) AS BIGINT) AS mi
+            FROM pts GROUP BY pos
+        ),
+        m2 AS (SELECT CAST(SUM(mi * mi) AS BIGINT) AS mm FROM mean_v),
+        per_vec AS (
+            SELECT p.vec_id,
+                   CAST(SUM(p.xi * v.mi) AS BIGINT) AS dot,
+                   CAST(SUM(p.xi * p.xi) AS BIGINT) AS vv
+            FROM pts p JOIN mean_v v USING (pos)
+            GROUP BY p.vec_id
+        ),
+        cosr AS (
+            SELECT vec_id,
+                   CAST(ROUND(CAST(dot AS DOUBLE)
+                              / NULLIF(sqrt(CAST(vv AS DOUBLE))
+                                       * sqrt(CAST(m2.mm AS DOUBLE)), 0.0)
+                              * 1000000) AS BIGINT) AS cos_micro
+            FROM per_vec, m2
+        )
+        SELECT COUNT(*) AS n_vecs,
+               CAST(SUM(cos_micro) AS BIGINT) AS sum_cos_micro,
+               CAST(SUM(cos_micro) AS DOUBLE) / (COUNT(*) * 1000000.0)
+                   AS mean_cosine,
+               COUNT(CASE WHEN cos_micro >= 500000 THEN 1 END)
+                   AS n_ge_half,
+               COUNT(CASE WHEN cos_micro <= 0 THEN 1 END) AS n_nonpos
+        FROM cosr
+    """,
+    doc="Embedding isotropy diagnostic — the mean cosine of every vector "
+    "to the corpus MEAN vector: anisotropic representation spaces "
+    "(mean cosine near 1) break cosine-based dedup/ANN thresholds, so "
+    "this is the calibration readout run before trusting any of them. "
+    "Exactness: vectors and the mean quantize to micro-unit BIGINTs "
+    "(the kmeans/centroid idiom), dot and norms are exact integers, "
+    "each per-vector cosine is ONE fixed IEEE sequence rounded to an "
+    "integer micro-cosine, and the corpus rollup sums those integers — "
+    "order-independent, hash-stable. Spark shape: one posexplode "
+    "rollup for the 64-row mean (pinned, broadcast back), one "
+    "vec-keyed reduce for dot/norm, a 1-row |mean|² scalar broadcast, "
+    "and a 1-row final reduce.",
+)
+def emb_isotropy_mean_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .iterative import _to_fixed
+
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.posexplode(_to_fixed(F.col("embedding")))
+    ).withColumnsRenamed({"col": "xi"})
+    mean_v = (
+        pts.groupBy("pos")
+        .agg(F.round(F.avg("xi")).cast("long").alias("mi"))
+        .transform(pin)  # feeds the per-vec join AND the |m|^2 scalar
+    )
+    m2 = mean_v.agg(F.sum(F.col("mi") * F.col("mi")).alias("mm"))
+    per_vec = (
+        pts.join(F.broadcast(mean_v), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("xi") * F.col("mi")).alias("dot"),
+            F.sum(F.col("xi") * F.col("xi")).alias("vv"),
+        )
+    )
+    cos_micro = F.round(
+        F.col("dot").cast("double")
+        / F.nullif(
+            F.sqrt(F.col("vv").cast("double")) * F.sqrt(F.col("mm").cast("double")),
+            F.lit(0.0),
+        )
+        * 1000000
+    ).cast("long")
+    cosr = per_vec.join(F.broadcast(m2)).select(cos_micro.alias("cos_micro"))
+    return cosr.agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("cos_micro").alias("sum_cos_micro"),
+        (
+            F.sum("cos_micro").cast("double")
+            / (F.count("*") * F.lit(1000000.0))
+        ).alias("mean_cosine"),
+        F.count(F.when(F.col("cos_micro") >= 500000, 1)).alias("n_ge_half"),
+        F.count(F.when(F.col("cos_micro") <= 0, 1)).alias("n_nonpos"),
+    )
+
+
+@register(
+    "emb_exact_dup_sizes",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  e -> CAST(ROUND(e * 1000000) AS BIGINT))
+                       AS qv
+            FROM embeddings
+        ),
+        g AS (SELECT qv, COUNT(*) AS group_size, MIN(vec_id) AS keeper
+              FROM q GROUP BY qv)
+        SELECT group_size,
+               COUNT(*) AS n_groups,
+               CAST(SUM(keeper) AS BIGINT) AS keeper_id_sum
+        FROM g GROUP BY group_size ORDER BY group_size
+    """,
+    doc="Exact-duplicate detection in REPRESENTATION space: group by the "
+    "full micro-quantized vector (the curation step that catches "
+    "re-encoded/re-crawled items whose raw text differs but whose "
+    "embedding is bit-identical). The vector itself is the grouping "
+    "key — array equality, no hashing ambiguity; the readout is the "
+    "group-size histogram plus a min-vec_id keeper digest, all exact "
+    "integers. Scale shape: ONE shuffle keyed on the quantized array "
+    "(Spark hashes arrays natively, same cost as an md5 key but with "
+    "zero collision risk); the testdata corpus has no exact dups "
+    "(every group_size = 1 — itself the assertion), so "
+    "tests/test_dedup_similarity.py pins the positive path on an "
+    "engineered frame with planted duplicates.",
+)
+def emb_exact_dup_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .iterative import _to_fixed
+
+    emb = table(spark, sf_dir, "embeddings")
+    g = (
+        emb.select("vec_id", _to_fixed(F.col("embedding")).alias("qv"))
+        .groupBy("qv")
+        .agg(F.count("*").alias("group_size"), F.min("vec_id").alias("keeper"))
+    )
+    return (
+        g.groupBy("group_size")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("keeper").alias("keeper_id_sum"),
+        )
+        .orderBy("group_size")
+    )

@@ -6268,3 +6268,63 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lag_days"),
     ).orderBy("table_name")
+
+
+@register(
+    "wh_retention_policy_digest",
+    oracle="""
+        WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor
+                    FROM orders),
+        marked AS (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(o_orderdate AS DATE)
+                       >= (mx.anchor - INTERVAL '730 days') AS keep
+            FROM orders, mx
+        )
+        SELECT (SELECT strftime(anchor - INTERVAL '730 days', '%Y-%m-%d')
+                FROM mx) AS cutoff_day,
+               COUNT(CASE WHEN keep THEN 1 END) AS n_kept,
+               COUNT(CASE WHEN NOT keep THEN 1 END) AS n_dropped,
+               CAST(SUM(CASE WHEN keep THEN o_orderkey ELSE 0 END)
+                    AS BIGINT) AS kept_key_sum,
+               CAST(SUM(CASE WHEN keep
+                             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS kept_revenue_cents
+        FROM marked
+    """,
+    doc="Retention-policy digest — the dry-run readout of a "
+    "'keep the trailing 2 years' data-retention sweep: cutoff anchored "
+    "to the table's own max business date (reproducible on any "
+    "snapshot, no wall clock), kept/dropped row counts, and an "
+    "id-sum + revenue-cents membership digest of the surviving set so "
+    "the post-delete table can be verified against this exact "
+    "signature. Spark shape: a 1-row max-date scalar broadcast onto "
+    "one scan (no second pass), all-integer digests. At 100 TB the "
+    "same predicate IS the partition-drop list when the table is "
+    "date-partitioned — the digest verifies the drop either way.",
+)
+def wh_retention_policy_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    mx = orders.agg(
+        F.date_sub(F.max(F.to_date("o_orderdate")), 730).alias("cutoff")
+    )
+    marked = orders.join(F.broadcast(mx)).select(
+        "o_orderkey",
+        "o_totalprice",
+        "cutoff",
+        (F.to_date("o_orderdate") >= F.col("cutoff")).alias("keep"),
+    )
+    return marked.agg(
+        F.date_format(F.first("cutoff"), "yyyy-MM-dd").alias("cutoff_day"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.count(F.when(~F.col("keep"), 1)).alias("n_dropped"),
+        F.sum(F.when(F.col("keep"), F.col("o_orderkey")).otherwise(0)).alias(
+            "kept_key_sum"
+        ),
+        F.sum(
+            F.when(
+                F.col("keep"),
+                F.round(F.col("o_totalprice") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("kept_revenue_cents"),
+    )

@@ -308,3 +308,37 @@ def test_png_crc_and_magic_guards():
         M.decode_png(b"BM" + bytes(enc[2:]))
     # magic dispatch routes PNG payloads to the PNG decoder
     assert M.decode_auto(M.encode_png(img, filter_type=4)).pixels == img.pixels
+
+
+def test_emb_exact_dup_sizes_positive(spark, sf_smoke, tmp_path):
+    """The real corpus has no bit-identical quantized vectors (every
+    group_size == 1) — plant duplicates and assert the histogram and the
+    min-id keeper digest on the engineered frame."""
+    from pyspark.sql import functions as F
+
+    from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+
+    emb = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    base = emb.orderBy("vec_id").limit(4)
+    clones = base.filter(F.col("vec_id") < 2).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    triple = base.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.col("vec_id") + 2000
+    )
+    base.unionByName(clones).unionByName(triple).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    rows = {
+        r["group_size"]: (r["n_groups"], r["keeper_id_sum"])
+        for r in REGISTRY["emb_exact_dup_sizes"].fn(spark, str(tmp_path)).collect()
+    }
+    # vec 0 appears 3x (keeper 0), vec 1 appears 2x (keeper 1), vecs 2/3 unique
+    assert rows == {1: (2, 5), 2: (1, 1), 3: (1, 0)}
+
+
+def test_emb_exact_dup_sizes_all_unique_on_corpus(spark, sf_smoke):
+    from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+
+    rows = REGISTRY["emb_exact_dup_sizes"].fn(spark, sf_smoke).collect()
+    assert [r["group_size"] for r in rows] == [1]

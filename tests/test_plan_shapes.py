@@ -465,6 +465,8 @@ _BNLJ_BOUNDED_OK = {
     # calendar-bounded month-pair slope grid (~84-row broadcast side) plus
     # a 1-row n_months scalar crossed onto the 1-row median
     "stat_theilsen_monthly_revenue",
+    "emb_isotropy_mean_cosine",  # 1-row |mean|^2 scalar broadcast
+    "wh_retention_policy_digest",  # 1-row max-date cutoff scalar broadcast
 }
 
 
