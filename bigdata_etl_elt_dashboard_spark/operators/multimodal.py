@@ -739,3 +739,44 @@ def decode_audio_windows(media: DataFrame, window_samples: int = 16) -> DataFram
             )
 
     return media.mapInPandas(stats, AUDIO_WINDOW_SCHEMA)
+
+
+MOMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+        T.StructField("sum_s", T.LongType()),
+        T.StructField("sumsq_s", T.LongType()),
+    ]
+)
+
+
+def decode_image_moments(media: DataFrame) -> DataFrame:
+    """Decode every image and emit exact integer luma-sum moments per
+    image: n pixels, Σs and Σs² where s = r+g+b per pixel — the inputs a
+    contrast/variance readout needs. Same Arrow-batched mapInPandas shape
+    as decode_image_stats; only (id, 3 ints) leave the executor."""
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, s1, s2 = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = decode_image(bytes(content))
+                px = img.pixels
+                svals = [
+                    px[i] + px[i + 1] + px[i + 2] for i in range(0, len(px), 3)
+                ]
+                ids.append(mid)
+                ns.append(len(svals))
+                s1.append(sum(svals))
+                s2.append(sum(v * v for v in svals))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "n_px": pd.Series(ns, dtype="int64"),
+                    "sum_s": pd.Series(s1, dtype="int64"),
+                    "sumsq_s": pd.Series(s2, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(moments, MOMENTS_SCHEMA)

@@ -1523,3 +1523,69 @@ def supplier_revenue_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rnk") <= 5)
         .orderBy("nationkey", "rnk")
     )
+
+
+@register(
+    "trend_seasonal_index_monthly",
+    oracle="""
+        WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+                   EXTRACT(month FROM o_orderdate) AS moy,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS c
+            FROM orders GROUP BY ym, moy
+        ),
+        g AS (
+            SELECT moy, COUNT(*) AS n_months,
+                   CAST(SUM(c) AS BIGINT) AS sum_cents
+            FROM m GROUP BY moy
+        )
+        SELECT moy, n_months, sum_cents,
+               CAST(sum_cents AS DOUBLE) / CAST(n_months AS DOUBLE) / 100.0
+                   AS mean_revenue,
+               (CAST(sum_cents AS DOUBLE)
+                * CAST(SUM(n_months) OVER () AS DOUBLE))
+               / (CAST(SUM(sum_cents) OVER () AS DOUBLE)
+                  * CAST(n_months AS DOUBLE)) AS seasonal_ratio
+        FROM g ORDER BY moy
+    """,
+    doc="Multiplicative seasonal index by month-of-year: each calendar "
+    "month's mean monthly revenue relative to the all-months mean — "
+    "the seasonality readout that turns trend_monthly_revenue into a "
+    "normalization table (deseasonalized revenue = actual / index). "
+    "Two nested rollups (month, then month-of-year) keep every sum an "
+    "exact BIGINT; the grand totals come from window sums OVER the "
+    "12-row frame (no scalar crossjoin, no second scan), and each "
+    "ratio is one fixed IEEE sequence. Constant-size output at any "
+    "scale.",
+)
+def trend_seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.month("o_orderdate").alias("moy"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"))
+    g = m.groupBy("moy").agg(
+        F.count("*").alias("n_months"), F.sum("c").alias("sum_cents")
+    )
+    w = Window.partitionBy()
+    ratio = (
+        F.col("sum_cents").cast("double")
+        * F.sum("n_months").over(w).cast("double")
+    ) / (
+        F.sum("sum_cents").over(w).cast("double")
+        * F.col("n_months").cast("double")
+    )
+    return g.select(
+        "moy",
+        "n_months",
+        "sum_cents",
+        (
+            F.col("sum_cents").cast("double")
+            / F.col("n_months").cast("double")
+            / F.lit(100.0)
+        ).alias("mean_revenue"),
+        ratio.alias("seasonal_ratio"),
+    ).orderBy("moy")

@@ -6328,3 +6328,73 @@ def wh_retention_policy_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("kept_revenue_cents"),
     )
+
+
+@register(
+    "mm_image_contrast_stats",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id, y.y, x.x,
+                   ((d.doc_id % 256) * 7 + (3 * (8 * y.y + x.x) + ch.ch)) % 256
+                       AS v
+            FROM documents d, range(8) x(x), range(4) y(y), range(3) ch(ch)
+        ),
+        s AS (
+            SELECT doc_id, y, x, CAST(SUM(v) AS BIGINT) AS sv
+            FROM px GROUP BY doc_id, y, x
+        ),
+        m AS (
+            SELECT doc_id, COUNT(*) AS n_px,
+                   CAST(SUM(sv) AS BIGINT) AS sum_s,
+                   CAST(SUM(sv * sv) AS BIGINT) AS sumsq_s
+            FROM s GROUP BY doc_id
+        ),
+        c AS (
+            SELECT doc_id,
+                   CAST(ROUND(sqrt(CAST(n_px * sumsq_s - sum_s * sum_s
+                                        AS DOUBLE))
+                              / CAST(n_px AS DOUBLE) * 1000000)
+                        AS BIGINT) AS std_micro
+            FROM m
+        )
+        SELECT COUNT(*) AS n_images,
+               CAST(SUM(std_micro) AS BIGINT) AS sum_std_micro,
+               CAST(MIN(std_micro) AS BIGINT) AS min_std_micro,
+               CAST(MAX(std_micro) AS BIGINT) AS max_std_micro,
+               CAST(SUM(std_micro) AS DOUBLE) / (COUNT(*) * 1000000.0)
+                   AS mean_std
+        FROM c
+    """,
+    doc="Image contrast statistics — the flat/washed-out curation filter "
+    "that complements mm_image_brightness_hist (a mid-brightness image "
+    "can still be uniform gray): per-image population std of the pixel "
+    "luma-sum s=r+g+b, from EXACT integer moments (n, Σs, Σs²) emitted "
+    "by the real decoder through Arrow-batched mapInPandas "
+    "(operators/multimodal.decode_image_moments). Each per-image std "
+    "runs ONE fixed IEEE sequence rounded to integer micro-units, so "
+    "the corpus rollup is an order-independent integer sum. The oracle "
+    "recomputes pixels from the synthesis arithmetic without the "
+    "codec, re-proving decode + the moment algebra end to end.",
+)
+def mm_image_contrast_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    media = M.synth_ppm_table(docs, width=8, height=4)
+    m = M.decode_image_moments(media)
+    std_micro = F.round(
+        F.sqrt(
+            (F.col("n_px") * F.col("sumsq_s") - F.col("sum_s") * F.col("sum_s"))
+            .cast("double")
+        )
+        / F.col("n_px").cast("double")
+        * 1000000
+    ).cast("long")
+    c = m.select(std_micro.alias("std_micro"))
+    return c.agg(
+        F.count("*").alias("n_images"),
+        F.sum("std_micro").alias("sum_std_micro"),
+        F.min("std_micro").alias("min_std_micro"),
+        F.max("std_micro").alias("max_std_micro"),
+        (
+            F.sum("std_micro").cast("double") / (F.count("*") * F.lit(1000000.0))
+        ).alias("mean_std"),
+    )

@@ -2407,3 +2407,84 @@ def stat_theilsen_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             "slope_cents_per_month"
         ),
     )
+
+
+@register(
+    "stat_kendall_tau_revenue_orders",
+    oracle="""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS x,
+                   COUNT(*) AS y
+            FROM orders GROUP BY day
+        ),
+        p AS (
+            SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END
+                       AS conc,
+                   CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END
+                       AS disc,
+                   CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+                   CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+            FROM d a JOIN d b ON a.day < b.day
+        ),
+        m AS (
+            SELECT (SELECT COUNT(*) FROM d) AS n_days,
+                   COUNT(*) AS n_pairs,
+                   CAST(SUM(conc) AS BIGINT) AS concordant,
+                   CAST(SUM(disc) AS BIGINT) AS discordant,
+                   CAST(SUM(tx) AS BIGINT) AS tx_pairs,
+                   CAST(SUM(ty) AS BIGINT) AS ty_pairs
+            FROM p
+        )
+        SELECT n_days, n_pairs, concordant, discordant, tx_pairs, ty_pairs,
+               CAST(concordant - discordant AS DOUBLE)
+               / sqrt(CAST(n_pairs - tx_pairs AS DOUBLE)
+                      * CAST(n_pairs - ty_pairs AS DOUBLE)) AS tau_b
+        FROM m
+    """,
+    doc="Kendall's tau-b between daily revenue and daily order count — "
+    "the tie-corrected rank association between volume and value "
+    "(Mann-Kendall answers 'does revenue trend over TIME'; this "
+    "answers 'do busier days earn proportionally more'). Concordant / "
+    "discordant / tie counts are exact integers over the "
+    "CALENDAR-bounded day-pair grid (~2.4k days → ~2.9M sign "
+    "comparisons regardless of data volume — the "
+    "stat_mann_kendall_daily_revenue argument); tau-b's closed form "
+    "(C−D)/√((n₀−n₁)(n₀−n₂)) is one fixed IEEE sequence. The fact "
+    "table contributes a single day-keyed rollup.",
+)
+def stat_kendall_tau_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    d = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"),
+            F.count("*").alias("y"),
+        )
+        .transform(pin)  # feeds both pair-join sides and the n_days scalar
+    )
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    prod = (F.col("xb") - F.col("xa")) * (F.col("yb") - F.col("ya"))
+    p = a.join(b, F.col("da") < F.col("db")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("xa") == F.col("xb"), 1).otherwise(0).alias("tx"),
+        F.when(F.col("ya") == F.col("yb"), 1).otherwise(0).alias("ty"),
+    )
+    m = p.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("conc").alias("concordant"),
+        F.sum("disc").alias("discordant"),
+        F.sum("tx").alias("tx_pairs"),
+        F.sum("ty").alias("ty_pairs"),
+    ).crossJoin(d.agg(F.count("*").alias("n_days")))
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / F.sqrt(
+        (F.col("n_pairs") - F.col("tx_pairs")).cast("double")
+        * (F.col("n_pairs") - F.col("ty_pairs")).cast("double")
+    )
+    return m.select(
+        "n_days", "n_pairs", "concordant", "discordant", "tx_pairs", "ty_pairs",
+        tau.alias("tau_b"),
+    )

@@ -467,6 +467,9 @@ _BNLJ_BOUNDED_OK = {
     "stat_theilsen_monthly_revenue",
     "emb_isotropy_mean_cosine",  # 1-row |mean|^2 scalar broadcast
     "wh_retention_policy_digest",  # 1-row max-date cutoff scalar broadcast
+    # calendar-bounded day-pair grid + 1-row n_days scalar (the
+    # stat_mann_kendall_daily_revenue argument)
+    "stat_kendall_tau_revenue_orders",
 }
 
 

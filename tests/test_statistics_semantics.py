@@ -1364,3 +1364,34 @@ def test_theilsen_matches_python(spark, sf_smoke):
     assert got["n_months"] == len(ts)
     assert got["n_pairs"] == len(slopes)
     assert got["median_slope_micro"] == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+def test_kendall_tau_matches_python(spark, sf_smoke):
+    """stat_kendall_tau_revenue_orders' pair-grid counts and tau-b vs a
+    direct O(n^2) Python recomputation over the daily rollup."""
+    daily = {}
+    for d, x in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        k = d
+        rev, cnt = daily.get(k, (0, 0))
+        daily[k] = (rev + _r(x * 100), cnt + 1)
+    vals = [daily[k] for k in sorted(daily)]
+    conc = disc = tx = ty = 0
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            dx = vals[j][0] - vals[i][0]
+            dy = vals[j][1] - vals[i][1]
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+    n0 = len(vals) * (len(vals) - 1) // 2
+    ref = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+    got = _rows(spark, sf_smoke, "stat_kendall_tau_revenue_orders")[0]
+    assert (got["concordant"], got["discordant"], got["tx_pairs"], got["ty_pairs"]) == (
+        conc, disc, tx, ty
+    )
+    assert abs(got["tau_b"] - ref) < 1e-12
