@@ -129,6 +129,16 @@ EXTENSION_SUITE = (
     "text_token_fertility_by_lang",
     "cust_returned_revenue_top",
     "trend_wow_revenue_growth",
+    # round-5 session-2 additions: the clustering-coefficient explode (the
+    # triangle family's heaviest new member), frontier-expansion BFS, the
+    # Kendall pair grid, the decoder-moment contrast pass, the
+    # embedding-isotropy rollup, and the 5-table Q9 profit join
+    "graph_clustering_coeff_hist",
+    "graph_bfs_layers",
+    "stat_kendall_tau_revenue_orders",
+    "mm_image_contrast_stats",
+    "emb_isotropy_mean_cosine",
+    "profit_nation_year_q9",
 )
 
 

@@ -64,7 +64,9 @@ from .registry import REGISTRY, register
 #   text_readability_by_lang, ev_bounce_rate_daily, dq_freshness_lag,
 #   emb_isotropy_mean_cosine, emb_exact_dup_sizes,
 #   wh_retention_policy_digest, mm_image_contrast_stats,
-#   stat_kendall_tau_revenue_orders, trend_seasonal_index_monthly
+#   stat_kendall_tau_revenue_orders, trend_seasonal_index_monthly,
+#   ev_markov_3step_mass, ev_session_duration_percentiles,
+#   docs_ttr_by_source
 # (append more here as they land) — then the 3 rows-only queries
 # (sim_ann_lsh, sim_ivf_topk, mm_frame_sample) if slots remain. Re-run
 # tools/gate_rotation.py at the r06 round start; it computes this from

@@ -6398,3 +6398,60 @@ def mm_image_contrast_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("std_micro").cast("double") / (F.count("*") * F.lit(1000000.0))
         ).alias("mean_std"),
     )
+
+
+@register(
+    "docs_ttr_by_source",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, t.tok
+            FROM documents, UNNEST({_TOKS_SQL}) AS t(tok)
+            WHERE trim(text) <> '' AND t.tok <> ''
+        ),
+        tt AS (
+            SELECT source, tok, COUNT(*) AS cnt
+            FROM toks GROUP BY source, tok
+        )
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_types,
+               COUNT(CASE WHEN cnt = 1 THEN 1 END) AS n_hapax,
+               CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS ttr,
+               CAST(COUNT(CASE WHEN cnt = 1 THEN 1 END) AS DOUBLE)
+                   / COUNT(*) AS hapax_share
+        FROM tt GROUP BY source ORDER BY source
+    """,
+    doc="Type-token ratio and hapax-legomena share per source — the "
+    "lexical-diversity signals that separate template/boilerplate "
+    "sources (low TTR: few types repeated) from natural prose, read "
+    "next to the Zipf/Heaps fits when weighting a training mixture. "
+    "One (source, token) shuffle with map-side combine, then a tiny "
+    "source rollup — counts exact, two guarded terminal divisions. "
+    "Empty docs and blank tokens are excluded identically on both "
+    "engines.",
+)
+def docs_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("source", F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tt = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    return (
+        tt.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.count(F.when(F.col("cnt") == 1, 1)).alias("n_hapax"),
+            (
+                F.count("*").cast("double")
+                / F.nullif(F.sum("cnt").cast("double"), F.lit(0.0))
+            ).alias("ttr"),
+            (
+                F.count(F.when(F.col("cnt") == 1, 1)).cast("double")
+                / F.nullif(F.count("*").cast("double"), F.lit(0.0))
+            ).alias("hapax_share"),
+        )
+        .orderBy("source")
+    )

@@ -2488,3 +2488,176 @@ def stat_kendall_tau_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFra
         "n_days", "n_pairs", "concordant", "discordant", "tx_pairs", "ty_pairs",
         tau.alias("tau_b"),
     )
+
+
+@register(
+    "ev_markov_3step_mass",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type AS dst,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS src
+            FROM events
+        ),
+        pairs AS MATERIALIZED (
+            SELECT src, dst, COUNT(*) AS n
+            FROM seq WHERE src IS NOT NULL GROUP BY src, dst
+        ),
+        tot AS MATERIALIZED (
+            SELECT src, CAST(SUM(n) AS BIGINT) AS n_src
+            FROM pairs GROUP BY src
+        ),
+        p AS (SELECT pairs.src, pairs.dst, pairs.n, tot.n_src
+              FROM pairs JOIN tot USING (src)),
+        m0 AS (
+            SELECT src AS event_type,
+                   1000000000 // (SELECT COUNT(*) FROM tot) AS m
+            FROM tot
+        ),
+        m1 AS MATERIALIZED (
+            SELECT p.dst AS event_type,
+                   CAST(SUM((m0.m * p.n) // p.n_src) AS BIGINT) AS m
+            FROM m0 JOIN p ON m0.event_type = p.src GROUP BY p.dst
+        ),
+        m2 AS MATERIALIZED (
+            SELECT p.dst AS event_type,
+                   CAST(SUM((m1.m * p.n) // p.n_src) AS BIGINT) AS m
+            FROM m1 JOIN p ON m1.event_type = p.src GROUP BY p.dst
+        ),
+        m3 AS (
+            SELECT p.dst AS event_type,
+                   CAST(SUM((m2.m * p.n) // p.n_src) AS BIGINT) AS m
+            FROM m2 JOIN p ON m2.event_type = p.src GROUP BY p.dst
+        )
+        SELECT event_type, m AS mass_units,
+               CAST(m AS DOUBLE) / 1000000000.0 AS mass_share
+        FROM m3 ORDER BY event_type
+    """,
+    doc="Three-step Markov mass propagation — where does engagement "
+    "concentrate after a few transitions: 10⁹ integer mass units start "
+    "uniformly over the event types and redistribute three times "
+    "through the empirical transition matrix, every per-edge flow an "
+    "EXACT floor-divided integer (the graph_pagerank_3iter mass "
+    "discipline — no float matrix powers, sub-unit truncation loss is "
+    "deterministic and identical on both engines; all quantities "
+    "non-negative so Spark div == DuckDB //). The fact table "
+    "contributes ONE user-keyed lag window; the |types|² matrix and "
+    "the 5-row mass vectors broadcast through three tiny joins.",
+)
+def ev_markov_3step_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).filter(F.col("src").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("src")
+    p = pairs.select(
+        "src", "dst", "n", F.sum("n").over(tot).alias("n_src")
+    ).transform(pin)  # the matrix feeds all three propagation rounds
+    m = p.select("src").distinct().select(
+        F.col("src").alias("event_type"),
+        F.expr(
+            "1000000000L div count(*) over ()"
+        ).alias("m"),
+    )
+    for _ in range(3):
+        m = (
+            m.join(F.broadcast(p), F.col("event_type") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum(F.expr("(m * n) div n_src")).alias("m"))
+            .withColumnRenamed("dst", "event_type")
+        )
+    return m.select(
+        "event_type",
+        F.col("m").alias("mass_units"),
+        (F.col("m").cast("double") / 1000000000.0).alias("mass_share"),
+    ).orderBy("event_type")
+
+
+@register(
+    "ev_session_duration_percentiles",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL '10 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+            FROM marked
+        ), per_session AS (
+            SELECT CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                       - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS dur_s
+            FROM sessions GROUP BY user_id, sess
+        ),
+        grouped AS (
+            SELECT dur_s AS v, COUNT(*) AS cnt FROM per_session GROUP BY v
+        ),
+        cum AS (
+            SELECT v, cnt,
+                   SUM(cnt) OVER (ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS c,
+                   SUM(cnt) OVER () AS n
+            FROM grouped
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_sessions,
+               CAST(MIN(CASE WHEN c >= (n * 50 + 99) // 100 THEN v END)
+                    AS BIGINT) AS p50_s,
+               CAST(MIN(CASE WHEN c >= (n * 90 + 99) // 100 THEN v END)
+                    AS BIGINT) AS p90_s,
+               CAST(MIN(CASE WHEN c >= (n * 99 + 99) // 100 THEN v END)
+                    AS BIGINT) AS p99_s,
+               CAST(MAX(v) AS BIGINT) AS max_s
+        FROM cum
+    """,
+    doc="Exact nearest-rank session-duration percentiles (p50/p90/p99/max "
+    "in whole seconds) — the engagement-depth readout behind session "
+    "timeout tuning, computed WITHOUT approx_percentile so it "
+    "hash-gates: durations roll up by VALUE first (cardinality bounded "
+    "by the longest session span, not by data volume), the cumulative "
+    "ordering runs over that bounded frame, and each percentile is the "
+    "smallest value whose cumulative count reaches ceil(p·n/100) — "
+    "all-integer selection, partitioning-independent. One session "
+    "shuffle + one value rollup; the single-partition window touches "
+    "only the bounded value frame.",
+)
+def ev_session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    per_session = ev.groupBy(F.session_window("ts", "10 minutes"), "user_id").agg(
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "dur_s"
+        )
+    )
+    grouped = per_session.groupBy(F.col("dur_s").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    cum = grouped.select(
+        "v",
+        "cnt",
+        F.sum("cnt")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("c"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    return cum.agg(
+        F.max("n").cast("long").alias("n_sessions"),
+        F.min(F.when(F.expr("c >= (n * 50 + 99) div 100"), F.col("v")))
+        .cast("long")
+        .alias("p50_s"),
+        F.min(F.when(F.expr("c >= (n * 90 + 99) div 100"), F.col("v")))
+        .cast("long")
+        .alias("p90_s"),
+        F.min(F.when(F.expr("c >= (n * 99 + 99) div 100"), F.col("v")))
+        .cast("long")
+        .alias("p99_s"),
+        F.max("v").cast("long").alias("max_s"),
+    )
