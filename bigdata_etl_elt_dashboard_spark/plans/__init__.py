@@ -66,7 +66,8 @@ from .registry import REGISTRY, register
 #   wh_retention_policy_digest, mm_image_contrast_stats,
 #   stat_kendall_tau_revenue_orders, trend_seasonal_index_monthly,
 #   ev_markov_3step_mass, ev_session_duration_percentiles,
-#   docs_ttr_by_source
+#   docs_ttr_by_source, text_char_trigram_entropy_by_lang,
+#   wh_gdpr_erasure_digest, li_ship_latency_by_priority
 # (append more here as they land) — then the 3 rows-only queries
 # (sim_ann_lsh, sim_ivf_topk, mm_frame_sample) if slots remain. Re-run
 # tools/gate_rotation.py at the r06 round start; it computes this from

@@ -6455,3 +6455,147 @@ def docs_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_char_trigram_entropy_by_lang",
+    oracle="""
+        WITH tri AS (
+            SELECT lang, substr(lower(text), CAST(i AS INTEGER), 3) AS g
+            FROM documents,
+                 UNNEST(range(1, length(lower(text)) - 1)) AS t(i)
+            WHERE length(text) >= 3
+        ),
+        c AS (
+            SELECT lang, g, COUNT(*) AS c FROM tri GROUP BY lang, g
+        ),
+        per AS (
+            SELECT lang,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   COUNT(*) AS n_distinct,
+                   CAST(SUM(c * CAST(ROUND(log2(CAST(c AS DOUBLE)) * 1000000)
+                                     AS BIGINT)) AS BIGINT) AS sum_clogc
+            FROM c GROUP BY lang
+        )
+        SELECT lang, n AS n_trigrams, n_distinct,
+               CAST(n * CAST(ROUND(log2(CAST(n AS DOUBLE)) * 1000000)
+                             AS BIGINT) - sum_clogc AS DOUBLE)
+                   / CAST(n * 1000000 AS DOUBLE) AS entropy_bits
+        FROM per ORDER BY lang
+    """,
+    doc="Character-trigram entropy per language — the orthographic "
+    "complexity signal that separates natural text from boilerplate/"
+    "machine-generated repetition at the CHARACTER level (where the "
+    "token-level TTR and repetition metrics can't see), and the "
+    "feature family the n-gram language-ID heuristic reads from. Same "
+    "exact micro-bit discipline as ev_user_behavior_entropy: H = "
+    "log2(n) − (1/n)Σc·q(log2 c) with every accumulator an exact "
+    "BIGINT (order-independent, map-side combined); trigrams explode "
+    "JVM-side (sequence + substring, no UDF). Two keyed shuffles.",
+)
+def text_char_trigram_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tri = (
+        docs.filter(F.length("text") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.length(F.lower(F.col("text"))) - 2)
+            ).alias("i"),
+            F.lower(F.col("text")).alias("txt"),
+        )
+        .select("lang", F.expr("substring(txt, i, 3)").alias("g"))
+    )
+    c = tri.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    qlog = lambda col: F.round(F.log2(col.cast("double")) * F.lit(1000000)).cast(
+        "long"
+    )
+    per = c.groupBy("lang").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * qlog(F.col("c"))).alias("sum_clogc"),
+    )
+    return per.select(
+        "lang",
+        F.col("n").alias("n_trigrams"),
+        "n_distinct",
+        (
+            (F.col("n") * qlog(F.col("n")) - F.col("sum_clogc")).cast("double")
+            / (F.col("n") * F.lit(1000000)).cast("double")
+        ).alias("entropy_bits"),
+    ).orderBy("lang")
+
+
+@register(
+    "wh_gdpr_erasure_digest",
+    oracle="""
+        WITH victims AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+        ),
+        o AS (
+            SELECT o_orderkey,
+                   (o_custkey % 97 = 0) AS erased
+            FROM orders
+        ),
+        li AS (
+            SELECT l.l_orderkey, o.erased
+            FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT (SELECT COUNT(*) FROM victims) AS n_victims,
+               (SELECT COUNT(CASE WHEN erased THEN 1 END) FROM o)
+                   AS n_orders_erased,
+               (SELECT CAST(SUM(CASE WHEN erased THEN o_orderkey ELSE 0 END)
+                            AS BIGINT) FROM o) AS erased_order_key_sum,
+               (SELECT COUNT(CASE WHEN erased THEN 1 END) FROM li)
+                   AS n_lineitems_erased,
+               (SELECT COUNT(CASE WHEN NOT erased THEN 1 END) FROM o)
+                   AS n_orders_surviving,
+               (SELECT COUNT(CASE WHEN NOT erased THEN 1 END) FROM li)
+                   AS n_lineitems_surviving
+    """,
+    doc="GDPR right-to-be-forgotten dry-run digest — the cascade audit "
+    "run before an erasure sweep ships: a deterministic victim cohort "
+    "(custkey ≡ 0 mod 97, the engineered stand-in for a deletion-"
+    "request list), the orders and lineitems that cascade from it, and "
+    "an erased-key-sum signature so the post-delete tables can be "
+    "verified against this exact expectation. Spark shape: the victim "
+    "predicate is evaluated INLINE on the orders scan (no join against "
+    "customer for a key-derivable cohort), the lineitem cascade is the "
+    "one fact⋈fact equi-join carrying a boolean, and every digest is "
+    "a conditional aggregate of the same pass — three scans total, "
+    "no per-victim loops. At 100 TB the erased flag IS the delete "
+    "predicate pushed to the MERGE/rewrite.",
+)
+def wh_gdpr_erasure_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    n_victims = customer.filter(F.col("c_custkey") % 97 == 0).agg(
+        F.count("*").alias("n_victims")
+    )
+    o = orders.select(
+        "o_orderkey", (F.col("o_custkey") % 97 == 0).alias("erased")
+    )
+    o_stats = o.agg(
+        F.count(F.when(F.col("erased"), 1)).alias("n_orders_erased"),
+        F.sum(F.when(F.col("erased"), F.col("o_orderkey")).otherwise(0)).alias(
+            "erased_order_key_sum"
+        ),
+        F.count(F.when(~F.col("erased"), 1)).alias("n_orders_surviving"),
+    )
+    li_stats = (
+        li.select("l_orderkey")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.count(F.when(F.col("erased"), 1)).alias("n_lineitems_erased"),
+            F.count(F.when(~F.col("erased"), 1)).alias("n_lineitems_surviving"),
+        )
+    )
+    return n_victims.crossJoin(o_stats).crossJoin(li_stats).select(
+        "n_victims",
+        "n_orders_erased",
+        "erased_order_key_sum",
+        "n_lineitems_erased",
+        "n_orders_surviving",
+        "n_lineitems_surviving",
+    )

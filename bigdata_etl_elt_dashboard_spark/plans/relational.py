@@ -947,3 +947,59 @@ def profit_nation_year_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", F.col("o_year").desc())
     )
+
+
+@register(
+    "li_ship_latency_by_priority",
+    oracle="""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_lines,
+               COUNT(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 30 THEN 1 END)
+                   AS n_within_30d,
+               COUNT(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 90 THEN 1 END)
+                   AS n_within_90d,
+               CAST(COUNT(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 30
+                               THEN 1 END) AS DOUBLE) / COUNT(*)
+                   AS share_30d,
+               CAST(COUNT(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 90
+                               THEN 1 END) AS DOUBLE) / COUNT(*)
+                   AS share_90d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    doc="TPC-H Q12 skeleton (shipping-latency service levels by "
+    "priority), adapted to this schema's dates: per order priority, "
+    "the share of lineitems shipped within 30 and 90 days of the "
+    "order date — the two-level conditional-count-over-join pattern "
+    "(Q12 counts high/low line priorities per shipmode; same shape, "
+    "this schema's columns). Day lags are exact DATE subtraction "
+    "integers; both service-level counts ride the SAME rollup as the "
+    "denominator. Spark plan: one lineitem⋈orders shuffle, "
+    "conditional aggregates, 5 result rows.",
+)
+def li_ship_latency_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    j = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count(F.when(lag_days <= 30, 1)).alias("n_within_30d"),
+            F.count(F.when(lag_days <= 90, 1)).alias("n_within_90d"),
+            (
+                F.count(F.when(lag_days <= 30, 1)).cast("double")
+                / F.count("*")
+            ).alias("share_30d"),
+            (
+                F.count(F.when(lag_days <= 90, 1)).cast("double")
+                / F.count("*")
+            ).alias("share_90d"),
+        )
+        .orderBy("o_orderpriority")
+    )

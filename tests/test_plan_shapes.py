@@ -470,6 +470,7 @@ _BNLJ_BOUNDED_OK = {
     # calendar-bounded day-pair grid + 1-row n_days scalar (the
     # stat_mann_kendall_daily_revenue argument)
     "stat_kendall_tau_revenue_orders",
+    "wh_gdpr_erasure_digest",  # three 1-row digest scalars crossed
 }
 
 
