@@ -2661,3 +2661,131 @@ def ev_session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
         .alias("p99_s"),
         F.max("v").cast("long").alias("max_s"),
     )
+
+
+_BOOT_REPS = 100  # percentile-bootstrap replicates (2.5%/97.5% → ranks 3/98)
+
+
+@register(
+    "stat_bootstrap_ci_daily_revenue",
+    oracle=f"""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS c,
+                   ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) - 1
+                       AS j
+            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM d),
+        draws AS (
+            SELECT r.r,
+                   ('0x' || substr(md5(CAST(r.r AS VARCHAR) || '_'
+                                       || CAST(d.j AS VARCHAR)), 1, 15))::BIGINT
+                       % nn.n AS idx
+            FROM range({_BOOT_REPS}) r(r), d, nn
+        ),
+        reps AS (
+            SELECT draws.r, CAST(SUM(d.c) AS BIGINT) AS rep_sum
+            FROM draws JOIN d ON draws.idx = d.j GROUP BY draws.r
+        ),
+        ranked AS (
+            SELECT rep_sum, ROW_NUMBER() OVER (ORDER BY rep_sum, r) AS rk
+            FROM reps
+        )
+        SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_days,
+               CAST({_BOOT_REPS} AS BIGINT) AS n_reps,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM d) AS obs_sum_cents,
+               (SELECT rep_sum FROM ranked WHERE rk = 3) AS lo_sum_cents,
+               (SELECT rep_sum FROM ranked WHERE rk = 98) AS hi_sum_cents,
+               (SELECT CAST(rep_sum AS DOUBLE) FROM ranked WHERE rk = 3)
+                   / (SELECT CAST(n AS DOUBLE) FROM nn) / 100.0
+                   AS lo_daily_mean,
+               (SELECT CAST(rep_sum AS DOUBLE) FROM ranked WHERE rk = 98)
+                   / (SELECT CAST(n AS DOUBLE) FROM nn) / 100.0
+                   AS hi_daily_mean
+    """,
+    doc="Percentile-bootstrap 95% CI for total (and mean) daily revenue — "
+    "resampling WITHOUT nondeterminism: draw (replicate, position) is "
+    "resolved to a day index via md5(r_j) mod n (the registry's md5 "
+    "base-hash idiom — both engines hash the same string to the same "
+    "index, so the 100 replicate sums are bit-identical exact BIGINTs) "
+    "and the 2.5/97.5 percentile bounds are nearest-rank selections "
+    "(ranks 3 and 98 of 100). This is how a distributed pipeline gets "
+    "reproducible uncertainty bands: the resample plan is data-"
+    "independent (replicates × calendar-bounded days), the per-"
+    "replicate reduce is one keyed shuffle with map-side combine, and "
+    "no driver-side RNG state exists to drift. Fact table contributes "
+    "ONE day-keyed rollup.",
+)
+def stat_bootstrap_ci_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    d = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"))
+        .select(
+            "c",
+            (F.row_number().over(Window.orderBy("day")) - 1).alias("j"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        .transform(pin)  # feeds grid generation, the draw join, and obs/n
+    )
+    grid = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))).alias("r"),
+        "j",
+        "n",
+    )
+    idx = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"),
+                        F.lit("_"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.col("n"),
+    )
+    draws = grid.select("r", idx.alias("idx"))
+    dd = d.select(F.col("j").alias("j2"), F.col("c").alias("c2"))
+    reps = (
+        draws.join(dd, F.col("idx") == F.col("j2"))
+        .groupBy("r")
+        .agg(F.sum("c2").alias("rep_sum"))
+    )
+    ranked = reps.select(
+        "rep_sum",
+        F.row_number().over(Window.orderBy("rep_sum", "r")).alias("rk"),
+    )
+    band = ranked.agg(
+        F.min(F.when(F.col("rk") == 3, F.col("rep_sum"))).alias("lo_sum_cents"),
+        F.min(F.when(F.col("rk") == 98, F.col("rep_sum"))).alias("hi_sum_cents"),
+    )
+    obs = d.agg(
+        F.count("*").alias("n_days"), F.sum("c").alias("obs_sum_cents")
+    )
+    return obs.crossJoin(band).select(
+        "n_days",
+        F.lit(_BOOT_REPS).cast("long").alias("n_reps"),
+        "obs_sum_cents",
+        "lo_sum_cents",
+        "hi_sum_cents",
+        (
+            F.col("lo_sum_cents").cast("double")
+            / F.col("n_days").cast("double")
+            / F.lit(100.0)
+        ).alias("lo_daily_mean"),
+        (
+            F.col("hi_sum_cents").cast("double")
+            / F.col("n_days").cast("double")
+            / F.lit(100.0)
+        ).alias("hi_daily_mean"),
+    )

@@ -471,6 +471,7 @@ _BNLJ_BOUNDED_OK = {
     # stat_mann_kendall_daily_revenue argument)
     "stat_kendall_tau_revenue_orders",
     "wh_gdpr_erasure_digest",  # three 1-row digest scalars crossed
+    "stat_bootstrap_ci_daily_revenue",  # 1-row obs scalar x 1-row CI band
 }
 
 
