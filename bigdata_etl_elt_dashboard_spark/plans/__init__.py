@@ -22,7 +22,7 @@ from . import (  # noqa: F401  (import for registration side effects)
 from .registry import REGISTRY, register
 
 # ---------------------------------------------------------------------------
-# Driver gate-window rotation (round 5).
+# Driver gate-window rotation (round 6).
 #
 # The driver's correctness gate verifies the FIRST 50 registry entries per
 # round; green rows stand once earned, gated queries rotate to the back.
@@ -30,101 +30,79 @@ from .registry import REGISTRY, register
 # r02); r02 star/transform/dedup/similarity/event families (48/50; HUGEINT
 # oracle typing fixed in r03, lint-guarded); r03 source-roundtrip + corpus-
 # prep + multimodal + event families (50/50); r04 statistics + graph +
-# embedding + relational-skeleton families (50/50). Cumulative: 197/250
-# distinct queries gated, every row green at its gating.
+# embedding + relational-skeleton families (50/50); r05 the final 50 of the
+# original 250-query backlog — digest twins, stat/dq/wh tails, wave-2/3
+# (50/50). Cumulative: 247/250 original-registry queries gated, every row
+# green at its gating; the only never-gated originals are the 3 rows-only
+# queries (sim_ann_lsh, sim_ivf_topk, mm_frame_sample), which stay out of
+# the window by design: with no oracle a gated row is only a weak rows-only
+# check, and their geometry is already hash-gated through digest twins
+# (mm_frame_sample_digest r03; sim_ann_candidate_digest /
+# sim_ann_recall_digest / sim_ivf_cell_digest / agg_sketch_param_digest r05
+# — see plans/similarity_gate.py).
 #
-# ROUND-5 WINDOW: the 50 remaining never-gated oracle-backed queries, in
-# registration order, computed by `python tools/gate_rotation.py` (run it
-# at each round start and paste its output here). This window exhausts the
-# oracle-backed backlog — after r05, 250 - 197 - 50 = the 3 rows-only
-# queries (sim_ann_lsh, sim_ivf_topk, mm_frame_sample) are the only
-# never-gated entries. They stay out of the window: with no oracle a gated
-# row is only a weak rows-only check, and their geometry is already
-# hash-gated through digest twins (mm_frame_sample_digest r03;
-# sim_ann_candidate_digest / sim_ann_recall_digest / sim_ivf_cell_digest /
-# agg_sketch_param_digest in THIS window — see plans/similarity_gate.py).
+# ROUND-6 WINDOW: the 50 queries newly registered in round 5 (registry grew
+# 250 → 300), in registration order, computed by
+# `python tools/gate_rotation.py` (run it at each round start and paste its
+# output here).
 #
-# ROUND-6 ROTATION PLAN: every query newly registered in round 5 —
-#   stat_hll_distinct_custkeys, graph_label_propagation,
-#   ev_ab_test_conversion, ev_funnel_time_window,
-#   src_schema_evolution_digest, wh_late_arriving_dim,
-#   supplier_return_blame, emb_jl_projection_distortion,
-#   text_token_fertility_by_lang, cust_returned_revenue_top,
-#   trend_wow_revenue_growth, ev_inter_event_gap_hist,
-#   ev_stickiness_dau_mau, graph_degree_distribution,
-#   stat_mann_kendall_daily_revenue, supplier_revenue_rank_profile,
-#   wh_scd2_asof_resolve, trend_backtest_ma3_mae, ev_ab_srm_check,
-#   docs_contamination_by_split, part_supplier_cnt_q16,
-#   stat_cohens_d_price_by_status, ev_heatmap_hour_dow,
-#   stat_poisson_dispersion_daily_orders, docs_packing_fill_stats,
-#   mm_audio_silence_windows, mm_image_brightness_hist,
-#   ev_bot_rate_heuristic, graph_clustering_coeff_hist,
-#   graph_degree_assortativity, graph_bfs_layers, mkt_share_nation_q8,
-#   profit_nation_year_q9, stat_theilsen_monthly_revenue,
-#   text_readability_by_lang, ev_bounce_rate_daily, dq_freshness_lag,
-#   emb_isotropy_mean_cosine, emb_exact_dup_sizes,
-#   wh_retention_policy_digest, mm_image_contrast_stats,
-#   stat_kendall_tau_revenue_orders, trend_seasonal_index_monthly,
-#   ev_markov_3step_mass, ev_session_duration_percentiles,
-#   docs_ttr_by_source, text_char_trigram_entropy_by_lang,
-#   wh_gdpr_erasure_digest, li_ship_latency_by_priority
-# (append more here as they land) — then the 3 rows-only queries
-# (sim_ann_lsh, sim_ivf_topk, mm_frame_sample) if slots remain. Re-run
-# tools/gate_rotation.py at the r06 round start; it computes this from
-# CORRECTNESS_r*.json history.
+# ROUND-7 ROTATION PLAN: every query newly registered in round 6 — re-run
+# tools/gate_rotation.py at the r07 round start; it computes the window from
+# CORRECTNESS_r*.json history. Queries added this round are appended to the
+# registry (registration order), so the tool picks them up automatically.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # never-gated oracle-backed queries, registration order
-    "text_langid_confusion",
-    "dedup_method_agreement",
-    "dedup_quality_keeper",
-    "mm_audio_rms_windows",
-    "ev_salted_enrich_rollup",
-    "ev_rfm_segments",
-    "ev_time_to_convert_hist",
-    "dedup_simhash_pairs",
-    "dedup_token_savings",
-    "docs_pipeline_e2e_digest",
-    "emb_label_centroid_sim",
-    "docs_span_contamination",
-    "docs_bpe_apply_stats",
-    "docs_winnowing_pairs",
-    "graph_kcore_peel",
-    "sim_kmeans_trajectory",
-    "part_small_qty_revenue",
-    "li_nation_trade_volume",
-    "cust_order_count_histogram",
-    "li_promo_revenue_share",
-    "li_or_predicate_revenue",
-    "sim_ann_candidate_digest",
-    "sim_ann_recall_digest",
-    "sim_ivf_cell_digest",
-    "agg_sketch_param_digest",
-    "sim_knn_label_accuracy",
-    "src_bucketed_join_digest",
-    "src_partitioned_prune_digest",
-    "src_compaction_digest",
-    "wh_incremental_rollup",
-    "ev_hierarchical_rollup",
-    "stat_kmv_distinct_custkeys",
-    "stat_bloom_customer_probe",
-    "dq_k_anonymity_customer",
-    "stat_ks_price_by_status",
-    "stat_welch_t_price_by_status",
-    "supplier_nation_herfindahl",
-    "stat_gini_user_activity",
-    "stat_autocorr_daily_revenue",
-    "dq_benford_first_digit",
-    "li_return_rate_wilson",
-    "stat_cusum_daily_revenue",
-    "li_basket_type_lift",
-    "stat_runs_test_daily_revenue",
-    "wh_orders_checksum",
-    "ev_error_rate_pchart",
-    "stat_mannwhitney_price_by_status",
-    "ev_churn_hazard_table",
-    "trend_locf_daily_price",
-    "stat_spearman_chars_value",
+    # round-6 window: the 50 round-5 additions, registration order
+    "trend_wow_revenue_growth",
+    "supplier_revenue_rank_profile",
+    "trend_seasonal_index_monthly",
+    "ev_ab_test_conversion",
+    "ev_funnel_time_window",
+    "text_token_fertility_by_lang",
+    "ev_inter_event_gap_hist",
+    "ev_stickiness_dau_mau",
+    "wh_scd2_asof_resolve",
+    "trend_backtest_ma3_mae",
+    "ev_ab_srm_check",
+    "ev_heatmap_hour_dow",
+    "stat_poisson_dispersion_daily_orders",
+    "docs_packing_fill_stats",
+    "mm_audio_silence_windows",
+    "mm_image_brightness_hist",
+    "ev_bot_rate_heuristic",
+    "text_readability_by_lang",
+    "ev_bounce_rate_daily",
+    "dq_freshness_lag",
+    "wh_retention_policy_digest",
+    "mm_image_contrast_stats",
+    "docs_ttr_by_source",
+    "text_char_trigram_entropy_by_lang",
+    "wh_gdpr_erasure_digest",
+    "docs_contamination_by_split",
+    "emb_isotropy_mean_cosine",
+    "emb_exact_dup_sizes",
+    "graph_label_propagation",
+    "graph_degree_distribution",
+    "graph_clustering_coeff_hist",
+    "graph_degree_assortativity",
+    "graph_bfs_layers",
+    "supplier_return_blame",
+    "cust_returned_revenue_top",
+    "part_supplier_cnt_q16",
+    "mkt_share_nation_q8",
+    "profit_nation_year_q9",
+    "li_ship_latency_by_priority",
+    "emb_jl_projection_distortion",
+    "src_schema_evolution_digest",
+    "wh_late_arriving_dim",
+    "stat_hll_distinct_custkeys",
+    "stat_mann_kendall_daily_revenue",
+    "stat_cohens_d_price_by_status",
+    "stat_theilsen_monthly_revenue",
+    "stat_kendall_tau_revenue_orders",
+    "ev_markov_3step_mass",
+    "ev_session_duration_percentiles",
+    "stat_bootstrap_ci_daily_revenue",
 ]
 
 
