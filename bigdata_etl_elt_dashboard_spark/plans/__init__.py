@@ -19,6 +19,9 @@ from . import (  # noqa: F401  (import for registration side effects)
     statistics,
     transform_queries,
 )
+from . import wave6  # noqa: F401  (round-6 additions; imported LAST so new
+# queries append to the registry after every already-gated name — keeps
+# gate-window rotation order stable)
 from .registry import REGISTRY, register
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,655 @@
+"""Round-6 registry additions: decision-support shapes beyond the round-5
+surface (beyond-reference; TPC-H skeletons adapted to this schema, plus
+stats / events / corpus / embedding / multimodal operators added in later
+sections of this module).
+
+The testdata lake has no ``partsupp`` table, so the Q2/Q11/Q20 skeletons
+derive the supplier×part relation from ``lineitem`` — the supply "offer"
+is the minimum observed unit price for a (part, supplier) pair. That keeps
+the plan shapes the skeletons exist to exercise (correlated MIN with
+join-back, group-share vs a keyed scalar threshold, aggregate-HAVING
+semi-join chains) while staying a pure function of the parquet inputs.
+
+Determinism: unit prices quantize to integer cents with ONE IEEE
+multiply + divide + round in the same order on both engines; quantities
+are integral doubles (exact BIGINT casts); every share comparison is an
+integer cross-multiplication, never a float ratio.
+
+At 100 TB: each query is one partial-aggregatable keyed shuffle over the
+fact table plus dim joins that stay broadcastable (part/supplier/nation/
+region scale with the catalog, not the fact stream); multi-consumer
+aggregate frames are `pin()`-ed so no base table is scanned twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.scale import pin
+from ..sources.catalog import table
+from .registry import register
+
+#: Q11-style share threshold: a part matters in a nation when it carries
+#: more than 1/_SHARE_DENOM of that nation's supplied value.
+_SHARE_DENOM = 1000
+
+
+def _unit_cents(ep: str = "l_extendedprice", qty: str = "l_quantity") -> F.Column:
+    """Observed unit price in integer cents: ROUND(ep * 100 / qty).
+
+    ``ep`` has fixed 2dp granularity so ``ep * 100`` is an exactly-integral
+    double; dividing by the integral quantity is one IEEE op; the single
+    ROUND half-away-from-zero matches DuckDB's. Both engines evaluate the
+    identical op sequence, so the quantization is bit-identical.
+    """
+    return F.round(F.col(ep) * F.lit(100) / F.col(qty)).cast("long")
+
+
+@register(
+    "part_min_cost_supplier_q2",
+    oracle="""
+        WITH offers AS MATERIALIZED (
+            SELECT l_partkey, l_suppkey,
+                   MIN(CAST(ROUND(l_extendedprice * 100 / l_quantity) AS BIGINT))
+                       AS unit_cents
+            FROM lineitem GROUP BY l_partkey, l_suppkey),
+        best AS (
+            SELECT l_partkey, MIN(unit_cents) AS best_cents
+            FROM offers GROUP BY l_partkey)
+        SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, r.r_name,
+               b.best_cents, s.s_acctbal
+        FROM offers o
+        JOIN best b ON o.l_partkey = b.l_partkey AND o.unit_cents = b.best_cents
+        JOIN part p ON p.p_partkey = o.l_partkey AND p.p_type = 'ECONOMY'
+        JOIN supplier s ON s.s_suppkey = o.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+    """,
+    doc="Correlated-MIN join-back (TPC-H Q2 skeleton, partsupp derived "
+    "from lineitem): for every ECONOMY part, the supplier(s) offering the "
+    "cheapest observed unit price, with their nation/region. The "
+    "correlated subquery decorrelates into two keyed aggregates — offers "
+    "per (part, supplier), then the per-part MIN — and an equi-join back "
+    "on (partkey, min); ties keep every winning supplier, exactly Q2's "
+    "semantics. The offers frame is pin()-ed (two consumers), so lineitem "
+    "is scanned once; part/supplier/nation/region joins broadcast. "
+    "Ordering is total (acctbal DESC, then unique supplier/part keys).",
+)
+def part_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    offers = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_unit_cents()).alias("unit_cents"))
+        .transform(pin)
+    )
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(F.min("unit_cents").alias("best_cents"))
+        .withColumnRenamed("l_partkey", "b_partkey")  # disambiguate the self-derived join
+    )
+    winners = offers.join(
+        best,
+        (offers.l_partkey == best.b_partkey) & (offers.unit_cents == best.best_cents),
+    ).select("l_partkey", "l_suppkey", "best_cents")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    reg = table(spark, sf_dir, "region")
+    return (
+        winners.join(F.broadcast(part), winners.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), winners.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "r_name", "best_cents", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "supplier_important_share_q11",
+    oracle=f"""
+        WITH val AS MATERIALIZED (
+            SELECT s_nationkey, l_partkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS val_cents
+            FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+            GROUP BY s_nationkey, l_partkey),
+        tot AS (
+            SELECT s_nationkey, CAST(SUM(val_cents) AS BIGINT) AS tot_cents
+            FROM val GROUP BY s_nationkey)
+        SELECT n.n_name, v.l_partkey AS p_partkey, v.val_cents
+        FROM val v
+        JOIN tot t ON t.s_nationkey = v.s_nationkey
+        JOIN nation n ON n.n_nationkey = v.s_nationkey
+        WHERE v.val_cents * {_SHARE_DENOM} > t.tot_cents
+        ORDER BY v.val_cents DESC, n.n_name, p_partkey
+    """,
+    doc="Group share vs keyed scalar threshold (TPC-H Q11 skeleton over "
+    "all nations): parts carrying more than 1/"
+    f"{_SHARE_DENOM} of their supplying nation's total traded value. "
+    "Value per (nation, part) is one partial-aggregatable shuffle (the "
+    "supplier join broadcasts before it, attaching the nation key to the "
+    "fact stream); the nation totals reduce the pinned val frame — "
+    "lineitem is scanned once — and join back keyed on nation (25 rows, "
+    "broadcast). The threshold compares integer cents by "
+    "cross-multiplication; no float division anywhere.",
+)
+def supplier_important_share_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    val = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey", "l_partkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("val_cents"))
+        .transform(pin)
+    )
+    tot = val.groupBy("s_nationkey").agg(F.sum("val_cents").alias("tot_cents"))
+    nat = table(spark, sf_dir, "nation")
+    return (
+        val.join(F.broadcast(tot), "s_nationkey")
+        .filter(F.col("val_cents") * _SHARE_DENOM > F.col("tot_cents"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("n_name", F.col("l_partkey").alias("p_partkey"), "val_cents")
+        .orderBy(F.desc("val_cents"), "n_name", "p_partkey")
+    )
+
+
+@register(
+    "supplier_excess_ship_q20",
+    oracle="""
+        WITH sp AS (
+            SELECT l_suppkey, l_partkey,
+                   CAST(SUM(CASE WHEN l_shipdate >= DATE '1997-01-01'
+                                  AND l_shipdate < DATE '1998-01-01'
+                             THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END)
+                        AS BIGINT) AS qty_1997,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS qty_total
+            FROM lineitem GROUP BY l_suppkey, l_partkey)
+        SELECT s.s_name, n.n_name,
+               COUNT(*) AS n_excess_parts,
+               CAST(SUM(sp.qty_1997) AS BIGINT) AS qty_1997_sum
+        FROM sp
+        JOIN part p ON p.p_partkey = sp.l_partkey AND p.p_name LIKE '%red%'
+        JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE sp.qty_1997 * 2 > sp.qty_total AND sp.qty_1997 > 0
+        GROUP BY s.s_name, n.n_name
+        ORDER BY s.s_name
+    """,
+    doc="Aggregate-HAVING semi-join chain (TPC-H Q20 skeleton): suppliers "
+    "who concentrated more than half of a red part's lifetime shipped "
+    "quantity into 1997, counted per supplier. The (supplier, part) "
+    "conditional/total quantity sums are ONE partial-aggregatable shuffle "
+    "with the year split as a CASE inside the same aggregate (no second "
+    "scan, no self-join); the rare qualifying pairs then join a broadcast "
+    "filtered part dim and broadcast supplier/nation dims. Quantities are "
+    "integral, so the >50% test is an exact integer comparison. Grouped "
+    "output keyed by the unique s_name — total order.",
+)
+def supplier_excess_ship_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    in_1997 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("date")
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.when(in_1997, qty).otherwise(F.lit(0))).alias("qty_1997"),
+        F.sum(qty).alias("qty_total"),
+    )
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    return (
+        sp.filter((F.col("qty_1997") * 2 > F.col("qty_total")) & (F.col("qty_1997") > 0))
+        .join(F.broadcast(part), sp.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), sp.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(
+            F.count("*").alias("n_excess_parts"),
+            F.sum("qty_1997").alias("qty_1997_sum"),
+        )
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistics: classical hypothesis tests on exact integer moments
+# ---------------------------------------------------------------------------
+
+#: The five order priorities, pivoted by literal so every cross-group
+#: reduction is a FIXED-order expression (never a SUM over a tiny frame,
+#: whose accumulation order is partition-dependent).
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@register(
+    "stat_anova_f_price_by_priority",
+    oracle="""
+        WITH m AS (
+            SELECT o_orderpriority AS pr, COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS s,
+                   CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)
+                            * CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS q
+            FROM orders GROUP BY o_orderpriority
+        ),
+        w AS (
+            SELECT
+                MAX(CASE WHEN pr = '1-URGENT' THEN n END) AS n1,
+                MAX(CASE WHEN pr = '2-HIGH' THEN n END) AS n2,
+                MAX(CASE WHEN pr = '3-MEDIUM' THEN n END) AS n3,
+                MAX(CASE WHEN pr = '4-NOT SPECIFIED' THEN n END) AS n4,
+                MAX(CASE WHEN pr = '5-LOW' THEN n END) AS n5,
+                MAX(CASE WHEN pr = '1-URGENT' THEN s END) AS s1,
+                MAX(CASE WHEN pr = '2-HIGH' THEN s END) AS s2,
+                MAX(CASE WHEN pr = '3-MEDIUM' THEN s END) AS s3,
+                MAX(CASE WHEN pr = '4-NOT SPECIFIED' THEN s END) AS s4,
+                MAX(CASE WHEN pr = '5-LOW' THEN s END) AS s5,
+                MAX(CASE WHEN pr = '1-URGENT' THEN q END) AS q1,
+                MAX(CASE WHEN pr = '2-HIGH' THEN q END) AS q2,
+                MAX(CASE WHEN pr = '3-MEDIUM' THEN q END) AS q3,
+                MAX(CASE WHEN pr = '4-NOT SPECIFIED' THEN q END) AS q4,
+                MAX(CASE WHEN pr = '5-LOW' THEN q END) AS q5
+            FROM m
+        )
+        SELECT n_total, ss_between, ss_within,
+               (ss_between / 4.0) / (ss_within / CAST(n_total - 5 AS DOUBLE)) AS f_stat
+        FROM (
+            SELECT ((((n1 + n2) + n3) + n4) + n5) AS n_total,
+                   ((((CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+                      + CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+                      + CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE)/CAST(n3 AS DOUBLE))
+                      + CAST(s4 AS DOUBLE)*CAST(s4 AS DOUBLE)/CAST(n4 AS DOUBLE))
+                      + CAST(s5 AS DOUBLE)*CAST(s5 AS DOUBLE)/CAST(n5 AS DOUBLE))
+                   - CAST(((((s1 + s2) + s3) + s4) + s5) AS DOUBLE)
+                     * CAST(((((s1 + s2) + s3) + s4) + s5) AS DOUBLE)
+                     / CAST(((((n1 + n2) + n3) + n4) + n5) AS DOUBLE) AS ss_between,
+                   (CAST(((((q1 + q2) + q3) + q4) + q5) AS DOUBLE)
+                   - CAST(((((s1 + s2) + s3) + s4) + s5) AS DOUBLE)
+                     * CAST(((((s1 + s2) + s3) + s4) + s5) AS DOUBLE)
+                     / CAST(((((n1 + n2) + n3) + n4) + n5) AS DOUBLE))
+                   - (((((CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+                      + CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+                      + CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE)/CAST(n3 AS DOUBLE))
+                      + CAST(s4 AS DOUBLE)*CAST(s4 AS DOUBLE)/CAST(n4 AS DOUBLE))
+                      + CAST(s5 AS DOUBLE)*CAST(s5 AS DOUBLE)/CAST(n5 AS DOUBLE))
+                   - CAST(((((s1 + s2) + s3) + s4) + s5) AS DOUBLE)
+                     * CAST(((((s1 + s2) + s3) + s4) + s5) AS DOUBLE)
+                     / CAST(((((n1 + n2) + n3) + n4) + n5) AS DOUBLE)) AS ss_within
+            FROM w
+        )
+    """,
+    doc="One-way ANOVA F-statistic for order totals across the five "
+    "priorities. Distributed form: per-group exact BIGINT raw moments "
+    "(n, Σx, Σx² in whole currency units — ONE map-side-combined shuffle "
+    "onto 5 keys), pivoted by priority literal into a single row so that "
+    "SSB = Σ Sⱼ²/nⱼ − S²/N and SSW = SST − SSB evaluate in a FIXED "
+    "left-to-right IEEE sequence — bit-identical cross-engine (the "
+    "classic pitfall, SUM(double) over the group frame, never appears). "
+    "Whole units keep Σx² inside BIGINT to ~3e7 rows; beyond that the "
+    "moment sums move to DECIMAL(38,0) on both engines.",
+)
+def stat_anova_f_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    units = F.round(F.col("o_totalprice")).cast("long")
+    m = o.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.count("*").alias("n"), F.sum(units).alias("s"), F.sum(units * units).alias("q")
+    )
+    pivots = []
+    for i, p in enumerate(_PRIORITIES, start=1):
+        for c in ("n", "s", "q"):
+            pivots.append(F.max(F.when(F.col("pr") == p, F.col(c))).alias(f"{c}{i}"))
+    w = m.agg(*pivots)
+
+    def chain_sum(prefix: str) -> F.Column:
+        acc = F.col(f"{prefix}1")
+        for i in range(2, 6):
+            acc = acc + F.col(f"{prefix}{i}")
+        return acc
+
+    def d(col: F.Column) -> F.Column:
+        return col.cast("double")
+
+    n_total = chain_sum("n")
+    s_total, q_total = chain_sum("s"), chain_sum("q")
+    between = d(F.col("s1")) * d(F.col("s1")) / d(F.col("n1"))
+    for i in range(2, 6):
+        between = between + d(F.col(f"s{i}")) * d(F.col(f"s{i}")) / d(F.col(f"n{i}"))
+    ssb = between - d(s_total) * d(s_total) / d(n_total)
+    sst = d(q_total) - d(s_total) * d(s_total) / d(n_total)
+    ssw = sst - ssb
+    return w.select(
+        n_total.alias("n_total"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        ((ssb / F.lit(4.0)) / (ssw / d(n_total - 5))).alias("f_stat"),
+    )
+
+
+@register(
+    "stat_kruskal_wallis_price_by_priority",
+    oracle="""
+        WITH counts AS MATERIALIZED (
+            SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS v,
+                   o_orderpriority AS pr, COUNT(*) AS c
+            FROM orders GROUP BY v, pr),
+        vals AS MATERIALIZED (
+            SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM counts GROUP BY v),
+        mr AS (
+            SELECT v,
+                   2 * CAST(COALESCE(SUM(cv) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) + cv + 1 AS mr2
+            FROM vals),
+        rj AS (
+            SELECT pr, CAST(SUM(c * mr2) AS BIGINT) AS r2,
+                   CAST(SUM(c) AS BIGINT) AS n
+            FROM counts JOIN mr USING (v) GROUP BY pr),
+        tie AS (
+            SELECT CAST(SUM(cv * cv * cv - cv) AS BIGINT) AS t3 FROM vals),
+        w AS (
+            SELECT
+                MAX(CASE WHEN pr = '1-URGENT' THEN n END) AS n1,
+                MAX(CASE WHEN pr = '2-HIGH' THEN n END) AS n2,
+                MAX(CASE WHEN pr = '3-MEDIUM' THEN n END) AS n3,
+                MAX(CASE WHEN pr = '4-NOT SPECIFIED' THEN n END) AS n4,
+                MAX(CASE WHEN pr = '5-LOW' THEN n END) AS n5,
+                MAX(CASE WHEN pr = '1-URGENT' THEN r2 END) AS r1,
+                MAX(CASE WHEN pr = '2-HIGH' THEN r2 END) AS r2_,
+                MAX(CASE WHEN pr = '3-MEDIUM' THEN r2 END) AS r3,
+                MAX(CASE WHEN pr = '4-NOT SPECIFIED' THEN r2 END) AS r4,
+                MAX(CASE WHEN pr = '5-LOW' THEN r2 END) AS r5
+            FROM rj)
+        SELECT n_total, h_stat,
+               h_stat / NULLIF(1.0 - CAST(t3 AS DOUBLE)
+                   / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                      * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)), 0.0)
+                   AS h_corrected
+        FROM (
+            SELECT ((((n1 + n2) + n3) + n4) + n5) AS n_total,
+                   12.0 / (CAST(((((n1 + n2) + n3) + n4) + n5) AS DOUBLE)
+                           * (CAST(((((n1 + n2) + n3) + n4) + n5) AS DOUBLE) + 1.0))
+                   * (((((CAST(r1 AS DOUBLE) / 2.0) * (CAST(r1 AS DOUBLE) / 2.0) / CAST(n1 AS DOUBLE)
+                        + (CAST(r2_ AS DOUBLE) / 2.0) * (CAST(r2_ AS DOUBLE) / 2.0) / CAST(n2 AS DOUBLE))
+                        + (CAST(r3 AS DOUBLE) / 2.0) * (CAST(r3 AS DOUBLE) / 2.0) / CAST(n3 AS DOUBLE))
+                        + (CAST(r4 AS DOUBLE) / 2.0) * (CAST(r4 AS DOUBLE) / 2.0) / CAST(n4 AS DOUBLE))
+                        + (CAST(r5 AS DOUBLE) / 2.0) * (CAST(r5 AS DOUBLE) / 2.0) / CAST(n5 AS DOUBLE))
+                   - 3.0 * (CAST(((((n1 + n2) + n3) + n4) + n5) AS DOUBLE) + 1.0) AS h_stat,
+                   t3
+            FROM w, tie
+        )
+    """,
+    doc="Kruskal-Wallis H across the five order priorities, with midrank "
+    "tie handling and tie correction. Ranks never materialize per row: "
+    "totals quantize to whole units and the rank machinery runs on the "
+    "DISTINCT-VALUE frame (bounded by the price RANGE, not the row count "
+    "— the scale argument for the single ordered cumulative window over "
+    "it), where doubled midranks 2R = 2·(#smaller) + count + 1 stay "
+    "integral. Per-group doubled rank sums Σc·2R are exact BIGINTs from "
+    "one keyed shuffle over the pinned (value, priority) counts (orders "
+    "scanned once); H evaluates on the 5-literal pivot in a fixed IEEE "
+    "sequence, and the tie term Σ(t³−t) is an exact BIGINT (switch to "
+    "DECIMAL(38,0) past ~2e6 rows of one value). 1-row tie frame joins "
+    "by bounded cross join.",
+)
+def stat_kruskal_wallis_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    v = F.round(F.col("o_totalprice")).cast("long")
+    counts = (
+        o.groupBy(v.alias("v"), F.col("o_orderpriority").alias("pr"))
+        .agg(F.count("*").alias("c"))
+        .transform(pin)
+    )
+    vals = counts.groupBy("v").agg(F.sum("c").alias("cv")).transform(pin)
+    # ordered cumulative over the bounded distinct-value frame
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    mr = vals.select(
+        "v",
+        (2 * F.coalesce(F.sum("cv").over(cum), F.lit(0)) + F.col("cv") + 1).alias("mr2"),
+    )
+    rj = (
+        counts.join(mr, "v")
+        .groupBy("pr")
+        .agg(F.sum(F.col("c") * F.col("mr2")).alias("r2"), F.sum("c").alias("n"))
+    )
+    pivots = []
+    for i, p in enumerate(_PRIORITIES, start=1):
+        pivots.append(F.max(F.when(F.col("pr") == p, F.col("n"))).alias(f"n{i}"))
+        pivots.append(F.max(F.when(F.col("pr") == p, F.col("r2"))).alias(f"r{i}"))
+    w = rj.agg(*pivots)
+    tie = vals.agg(F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv")).alias("t3"))
+
+    def d(col: F.Column) -> F.Column:
+        return col.cast("double")
+
+    n_total = (((F.col("n1") + F.col("n2")) + F.col("n3")) + F.col("n4")) + F.col("n5")
+    acc = (d(F.col("r1")) / 2.0) * (d(F.col("r1")) / 2.0) / d(F.col("n1"))
+    for i in range(2, 6):
+        acc = acc + (d(F.col(f"r{i}")) / 2.0) * (d(F.col(f"r{i}")) / 2.0) / d(F.col(f"n{i}"))
+    h = F.lit(12.0) / (d(n_total) * (d(n_total) + 1.0)) * acc - 3.0 * (d(n_total) + 1.0)
+    correction = F.nullif(
+        F.lit(1.0) - d(F.col("t3")) / (d(n_total) * d(n_total) * d(n_total) - d(n_total)),
+        F.lit(0.0),
+    )
+    return (
+        w.crossJoin(tie)  # 1-row × 1-row
+        .select(
+            n_total.alias("n_total"),
+            h.alias("h_stat"),
+            (h / correction).alias("h_corrected"),
+        )
+    )
+
+
+#: Chow-test breakpoint: split the daily-revenue series at this date.
+_CHOW_BREAK = "1998-07-01"
+
+
+@register(
+    "stat_chow_break_daily_revenue",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS t,
+                   (o_orderdate >= DATE '{_CHOW_BREAK}') AS late,
+                   CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY o_orderdate),
+        m AS (
+            SELECT late, COUNT(*) AS n,
+                   CAST(SUM(t) AS BIGINT) AS st,
+                   CAST(SUM(t * t) AS BIGINT) AS stt,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(t * y) AS BIGINT) AS sty,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM daily GROUP BY late),
+        w AS (
+            SELECT
+                MAX(CASE WHEN NOT late THEN n END) AS n1,
+                MAX(CASE WHEN NOT late THEN st END) AS st1,
+                MAX(CASE WHEN NOT late THEN stt END) AS stt1,
+                MAX(CASE WHEN NOT late THEN sy END) AS sy1,
+                MAX(CASE WHEN NOT late THEN sty END) AS sty1,
+                MAX(CASE WHEN NOT late THEN syy END) AS syy1,
+                MAX(CASE WHEN late THEN n END) AS n2,
+                MAX(CASE WHEN late THEN st END) AS st2,
+                MAX(CASE WHEN late THEN stt END) AS stt2,
+                MAX(CASE WHEN late THEN sy END) AS sy2,
+                MAX(CASE WHEN late THEN sty END) AS sty2,
+                MAX(CASE WHEN late THEN syy END) AS syy2
+            FROM m)
+        SELECT n1 AS n_pre, n2 AS n_post,
+               ssr1 + ssr2 AS ssr_split, ssr_pool,
+               ((ssr_pool - (ssr1 + ssr2)) / 2.0)
+                   / NULLIF((ssr1 + ssr2) / CAST(n1 + n2 - 4 AS DOUBLE), 0.0)
+                   AS chow_f
+        FROM (
+            SELECT n1, n2,
+                   (CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE)
+                    - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)
+                    - (CAST(n1 AS DOUBLE) * CAST(sty1 AS DOUBLE)
+                       - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+                      * (CAST(n1 AS DOUBLE) * CAST(sty1 AS DOUBLE)
+                         - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+                      / NULLIF(CAST(n1 AS DOUBLE) * CAST(stt1 AS DOUBLE)
+                               - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE), 0.0))
+                   / CAST(n1 AS DOUBLE) AS ssr1,
+                   (CAST(n2 AS DOUBLE) * CAST(syy2 AS DOUBLE)
+                    - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                    - (CAST(n2 AS DOUBLE) * CAST(sty2 AS DOUBLE)
+                       - CAST(st2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+                      * (CAST(n2 AS DOUBLE) * CAST(sty2 AS DOUBLE)
+                         - CAST(st2 AS DOUBLE) * CAST(sy2 AS DOUBLE))
+                      / NULLIF(CAST(n2 AS DOUBLE) * CAST(stt2 AS DOUBLE)
+                               - CAST(st2 AS DOUBLE) * CAST(st2 AS DOUBLE), 0.0))
+                   / CAST(n2 AS DOUBLE) AS ssr2,
+                   (CAST(n1 + n2 AS DOUBLE) * CAST(syy1 + syy2 AS DOUBLE)
+                    - CAST(sy1 + sy2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE)
+                    - (CAST(n1 + n2 AS DOUBLE) * CAST(sty1 + sty2 AS DOUBLE)
+                       - CAST(st1 + st2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE))
+                      * (CAST(n1 + n2 AS DOUBLE) * CAST(sty1 + sty2 AS DOUBLE)
+                         - CAST(st1 + st2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE))
+                      / NULLIF(CAST(n1 + n2 AS DOUBLE) * CAST(stt1 + stt2 AS DOUBLE)
+                               - CAST(st1 + st2 AS DOUBLE) * CAST(st1 + st2 AS DOUBLE), 0.0))
+                   / CAST(n1 + n2 AS DOUBLE) AS ssr_pool
+            FROM w
+        )
+    """,
+    doc=f"Chow structural-break F-test on the daily-revenue linear trend "
+    f"at {_CHOW_BREAK}: fits OLS y~t on the pre/post regimes and on the "
+    "pooled series purely from exact BIGINT moment sums (n, Σt, Σt², Σy, "
+    "Σty, Σy² per regime — whole currency units per day; day index from "
+    "a date subtraction). ONE keyed shuffle onto dates (calendar-bounded "
+    "output), one 2-key reduction, then every residual sum of squares is "
+    "a closed form over the 2-regime literal pivot in fixed IEEE order — "
+    "bit-identical cross-engine; NULLIF guards the degenerate one-day "
+    "regimes. Pooled moments derive from the regime sums by exact "
+    "integer addition (no third pass).",
+)
+def stat_chow_break_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderdate").agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y")
+    )
+    daily = daily.select(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+        (F.col("o_orderdate") >= F.lit(_CHOW_BREAK).cast("date")).alias("late"),
+        "y",
+    )
+    m = daily.groupBy("late").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    pivots = []
+    for i, cond in ((1, ~F.col("late")), (2, F.col("late"))):
+        for c in ("n", "st", "stt", "sy", "sty", "syy"):
+            pivots.append(F.max(F.when(cond, F.col(c))).alias(f"{c}{i}"))
+    w = m.agg(*pivots)
+
+    def d(col) -> F.Column:
+        return col.cast("double")
+
+    def ssr(n, st, stt, sy, sty) -> F.Column:
+        syy = {"n1": "syy1", "n2": "syy2"}.get(n)
+        nn, stc, sttc, syc, styc = (F.col(x) for x in (n, st, stt, sy, sty))
+        syyc = F.col(syy) if syy else F.col("syy1") + F.col("syy2")
+        if syy is None:  # pooled: exact integer sums of the regime moments
+            nn = F.col("n1") + F.col("n2")
+            stc = F.col("st1") + F.col("st2")
+            sttc = F.col("stt1") + F.col("stt2")
+            syc = F.col("sy1") + F.col("sy2")
+            styc = F.col("sty1") + F.col("sty2")
+        sxy = d(nn) * d(styc) - d(stc) * d(syc)
+        sxx = F.nullif(d(nn) * d(sttc) - d(stc) * d(stc), F.lit(0.0))
+        return (d(nn) * d(syyc) - d(syc) * d(syc) - sxy * sxy / sxx) / d(nn)
+
+    ssr1 = ssr("n1", "st1", "stt1", "sy1", "sty1")
+    ssr2 = ssr("n2", "st2", "stt2", "sy2", "sty2")
+    ssr_pool = ssr("pool", "", "", "", "")
+    split = ssr1 + ssr2
+    chow = ((ssr_pool - split) / F.lit(2.0)) / F.nullif(
+        split / d(F.col("n1") + F.col("n2") - 4), F.lit(0.0)
+    )
+    return w.select(
+        F.col("n1").alias("n_pre"),
+        F.col("n2").alias("n_post"),
+        split.alias("ssr_split"),
+        ssr_pool.alias("ssr_pool"),
+        chow.alias("chow_f"),
+    )
+
+
+@register(
+    "stat_hodges_lehmann_yoy_shift",
+    oracle="""
+        WITH d96 AS MATERIALIZED (
+            SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+            GROUP BY o_orderdate),
+        d97 AS MATERIALIZED (
+            SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+            FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+            GROUP BY o_orderdate),
+        diffs AS MATERIALIZED (
+            SELECT d97.y - d96.y AS diff FROM d96, d97),
+        ranked AS (
+            SELECT diff,
+                   ROW_NUMBER() OVER (ORDER BY diff) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM diffs)
+        SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+               CAST(SUM(diff) AS BIGINT) AS mid_sum_cents,
+               CAST(SUM(diff) AS DOUBLE) / COUNT(*) / 100.0 AS hl_shift
+        FROM ranked
+        WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    """,
+    doc="Hodges-Lehmann estimator of the 1996→1997 daily-revenue shift: "
+    "the median of all pairwise differences between 1997 and 1996 daily "
+    "totals (integer cents). The pair space is calendar × calendar "
+    "(≤366² regardless of row count — the reason the full cross join is "
+    "admissible at 100 TB; the per-day totals are the only fact-sized "
+    "shuffle, one scan of orders feeding both year frames via pruned "
+    "date filters). Median via the two middle order statistics of the "
+    "integer diffs — their mean is ≤1 IEEE add + 2 exact divisions, "
+    "bit-identical cross-engine; selection by ROW_NUMBER over equal "
+    "integers is value-deterministic even though row identity is not.",
+)
+def stat_hodges_lehmann_yoy_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+
+    def year_frame(year: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year).groupBy("o_orderdate").agg(cents).select("y")
+        )
+
+    d96 = year_frame(1996)
+    d97 = year_frame(1997).withColumnRenamed("y", "y97")
+    diffs = d97.crossJoin(F.broadcast(d96)).select((F.col("y97") - F.col("y")).alias("diff"))
+    ranked = diffs.select(
+        "diff",
+        F.row_number().over(Window.orderBy("diff")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.agg(
+        F.max("n").alias("n_pairs"),
+        F.sum("diff").alias("mid_sum_cents"),
+        (F.sum("diff").cast("double") / F.count("*") / F.lit(100.0)).alias("hl_shift"),
+    )

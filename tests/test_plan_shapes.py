@@ -472,6 +472,9 @@ _BNLJ_BOUNDED_OK = {
     "stat_kendall_tau_revenue_orders",
     "wh_gdpr_erasure_digest",  # three 1-row digest scalars crossed
     "stat_bootstrap_ci_daily_revenue",  # 1-row obs scalar x 1-row CI band
+    "stat_kruskal_wallis_price_by_priority",  # 1-row tie-term scalar crossed
+    # calendar² pair grid (≤366² diffs; one year's daily totals broadcast)
+    "stat_hodges_lehmann_yoy_shift",
 }
 
 
