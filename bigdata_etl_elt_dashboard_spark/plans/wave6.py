@@ -653,3 +653,270 @@ def stat_hodges_lehmann_yoy_shift(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("diff").alias("mid_sum_cents"),
         (F.sum("diff").cast("double") / F.count("*") / F.lit(100.0)).alias("hl_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: concurrency, growth accounting, campaign range join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ev_concurrent_sessions_peak",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL '10 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess
+            FROM marked),
+        spans AS (
+            SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) // 60 AS m0,
+                   CAST(floor(epoch(MAX(ts))) AS BIGINT) // 60 AS m1
+            FROM sessions GROUP BY user_id, sess),
+        minutes AS (
+            SELECT UNNEST(generate_series(m0, m1)) AS m FROM spans),
+        per_minute AS (
+            SELECT m, COUNT(*) AS c FROM minutes GROUP BY m)
+        SELECT CAST(to_timestamp((m // 1440) * 86400) AS DATE) AS day,
+               CAST(MAX(c) AS BIGINT) AS peak_concurrency,
+               CAST(COUNT(*) AS BIGINT) AS active_minutes
+        FROM per_minute
+        GROUP BY day
+        ORDER BY day
+    """,
+    doc="Peak concurrent 10-minute-gap sessions per day, by the interval-"
+    "cover method: each session covers its [start, end] minute range "
+    "(explode factor bounded by session LENGTH, which the gap timeout "
+    "bounds — linear, never quadratic), per-minute concurrency is one "
+    "keyed count, and the daily peak is a second bounded rollup "
+    "(calendar-sized output). Native session_window does the "
+    "sessionization in one keyed shuffle; everything downstream is exact "
+    "integer epoch-minute arithmetic, identical on both engines "
+    "(floor-epoch matches the ns→us truncation path).",
+)
+def ev_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    spans = ev.groupBy(F.session_window("ts", "10 minutes"), "user_id").agg(
+        (F.floor(F.min(F.col("ts").cast("long"))) / 60).cast("long").alias("m0_raw"),
+        (F.floor(F.max(F.col("ts").cast("long"))) / 60).cast("long").alias("m1_raw"),
+    )
+    # integer floor-division: cast("long") after /60 truncates toward zero,
+    # which differs from // for negatives — epochs here are positive, but we
+    # mirror DuckDB's // exactly via floor()
+    spans = spans.select(
+        F.floor(F.col("m0_raw")).alias("m0"), F.floor(F.col("m1_raw")).alias("m1")
+    )
+    minutes = spans.select(F.explode(F.sequence("m0", "m1")).alias("m"))
+    per_minute = minutes.groupBy("m").agg(F.count("*").alias("c"))
+    return (
+        per_minute.groupBy(
+            F.to_date(F.timestamp_seconds(F.floor(F.col("m") / 1440) * 86400)).alias("day")
+        )
+        .agg(
+            F.max("c").cast("long").alias("peak_concurrency"),
+            F.count("*").cast("long").alias("active_minutes"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "ev_user_lifecycle_weekly",
+    oracle="""
+        WITH uw AS MATERIALIZED (
+            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+            FROM events),
+        states AS (
+            SELECT wk,
+                   CASE WHEN lag(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                             IS NULL THEN 'new'
+                        WHEN wk - lag(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                             = 7 THEN 'retained'
+                        ELSE 'resurrected' END AS state
+            FROM uw),
+        weekly AS (
+            SELECT wk,
+                   CAST(COUNT(*) AS BIGINT) AS n_active,
+                   CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_new,
+                   CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_retained,
+                   CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_resurrected
+            FROM states GROUP BY wk)
+        SELECT wk, n_active, n_new, n_retained, n_resurrected,
+               COALESCE(lag(n_active) OVER (ORDER BY wk), 0) - n_retained
+                   AS n_churned_from_prev
+        FROM weekly
+        ORDER BY wk
+    """,
+    doc="Weekly growth accounting (the new/retained/resurrected/churned "
+    "ledger): one distinct (user, ISO week) shuffle, a per-user lag "
+    "window classifying each active week, one weekly rollup, and churn "
+    "derived ARITHMETICALLY as lag(active) − retained on the calendar-"
+    "bounded weekly frame — no second pass over users, no future-looking "
+    "join. All counts exact integers; Spark's and DuckDB's date_trunc "
+    "both snap to ISO Monday.",
+)
+def ev_user_lifecycle_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    lag_wk = F.lag("wk").over(Window.partitionBy("user_id").orderBy("wk"))
+    states = uw.select(
+        "wk",
+        F.when(lag_wk.isNull(), F.lit("new"))
+        .when(F.datediff(F.col("wk"), lag_wk) == 7, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+        .alias("state"),
+    )
+    weekly = states.groupBy("wk").agg(
+        F.count("*").alias("n_active"),
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0)).alias("n_retained"),
+        F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0)).alias("n_resurrected"),
+    )
+    churn = F.coalesce(F.lag("n_active").over(Window.orderBy("wk")), F.lit(0)) - F.col(
+        "n_retained"
+    )
+    return weekly.select(
+        "wk", "n_active", "n_new", "n_retained", "n_resurrected",
+        churn.alias("n_churned_from_prev"),
+    ).orderBy("wk")
+
+
+#: Campaign calendar (inclusive start, exclusive end) — a broadcast dim for
+#: the range join; weekly flights over the events month.
+_CAMPAIGNS = (
+    ("launch_wave", "2024-01-02", "2024-01-09"),
+    ("mid_flight", "2024-01-09", "2024-01-16"),
+    ("retarget", "2024-01-16", "2024-01-23"),
+    ("closeout", "2024-01-23", "2024-01-31"),
+)
+
+
+@register(
+    "ev_campaign_window_join",
+    oracle="""
+        WITH campaigns(name, d0, d1) AS (
+            VALUES ('launch_wave', DATE '2024-01-02', DATE '2024-01-09'),
+                   ('mid_flight', DATE '2024-01-09', DATE '2024-01-16'),
+                   ('retarget', DATE '2024-01-16', DATE '2024-01-23'),
+                   ('closeout', DATE '2024-01-23', DATE '2024-01-31'))
+        SELECT c.name AS campaign,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                        THEN CAST(ROUND(e.value * 1000000) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS purchase_value_micros
+        FROM events e
+        JOIN campaigns c
+          ON e.ts >= c.d0 AND e.ts < c.d1
+        GROUP BY c.name
+        ORDER BY c.name
+    """,
+    doc="Range join of the event stream against a tiny campaign-flight "
+    "calendar: the canonical broadcast non-equi join — the 4-row dim "
+    "broadcasts and each event probes its interval predicate in-place "
+    "(BroadcastNestedLoopJoin over a constant-sized side; never a "
+    "shuffle, never events×events). Overlapping flights would fan out "
+    "correctly (an event can belong to several). Rollups are exact: "
+    "counts, distinct users, and purchase value in integer micros.",
+)
+def ev_campaign_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    rows = [(n, d0, d1) for n, d0, d1 in _CAMPAIGNS]
+    camp = (
+        ev.sparkSession.createDataFrame(rows, "name string, d0 string, d1 string")
+        .select("name", F.col("d0").cast("date").alias("d0"), F.col("d1").cast("date").alias("d1"))
+    )
+    joined = ev.join(
+        F.broadcast(camp),
+        (F.col("ts") >= F.col("d0").cast("timestamp"))
+        & (F.col("ts") < F.col("d1").cast("timestamp")),
+    )
+    return (
+        joined.groupBy(F.col("name").alias("campaign"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 1000000).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("purchase_value_micros"),
+        )
+        .orderBy("campaign")
+    )
+
+
+@register(
+    "trend_rolling28_anomaly_topdays",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY o_orderdate),
+        scored AS (
+            SELECT day, x,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(x) OVER w AS BIGINT) AS s,
+                   CAST(SUM(x * x) OVER w AS BIGINT) AS q
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+        SELECT day, x,
+               (28 * x - s) * (28 * x - s) - 9 * (28 * q - s * s) AS score,
+               ((28 * x - s) * (28 * x - s) > 9 * (28 * q - s * s)) AS is_anomaly
+        FROM scored
+        WHERE n = 28
+        ORDER BY score DESC, day
+        LIMIT 10
+    """,
+    doc="Trailing-28-day 3-sigma anomaly scan over daily revenue, "
+    "all-integer: with S=Σx and Q=Σx² over the 28 PRIOR days (whole "
+    "currency units), the flag (x−μ)² > 9σ² multiplies through to "
+    "(28x−S)² > 9(28Q−S²) — exact BIGINT comparison, zero float drift, "
+    "no sqrt. One keyed shuffle to the calendar-bounded daily frame, one "
+    "ordered window over it (2.4k rows regardless of fact volume — the "
+    "single-partition window is bounded by the calendar, not the data), "
+    "top-10 most extreme days with a day tie-break. Whole units keep "
+    "(28x−S)² inside BIGINT to ~3e8 rows/day-scale; beyond that promote "
+    "the score to DECIMAL(38,0) on both engines.",
+)
+def trend_rolling28_anomaly_topdays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("x")
+    )
+    w = Window.orderBy("day").rowsBetween(-28, -1)
+    scored = daily.select(
+        "day",
+        "x",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
+    )
+    dev = 28 * F.col("x") - F.col("s")
+    spread = 9 * (28 * F.col("q") - F.col("s") * F.col("s"))
+    return (
+        scored.filter(F.col("n") == 28)
+        .select(
+            "day",
+            "x",
+            (dev * dev - spread).alias("score"),
+            (dev * dev > spread).alias("is_anomaly"),
+        )
+        .orderBy(F.desc("score"), "day")
+        .limit(10)
+    )

@@ -475,6 +475,9 @@ _BNLJ_BOUNDED_OK = {
     "stat_kruskal_wallis_price_by_priority",  # 1-row tie-term scalar crossed
     # calendar² pair grid (≤366² diffs; one year's daily totals broadcast)
     "stat_hodges_lehmann_yoy_shift",
+    # 4-row campaign-calendar broadcast side probed by an interval predicate
+    # (the canonical broadcast range join — constant dim, linear probe)
+    "ev_campaign_window_join",
 }
 
 
