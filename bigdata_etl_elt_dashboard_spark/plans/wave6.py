@@ -920,3 +920,411 @@ def trend_rolling28_anomaly_topdays(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("score"), "day")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus prep: block-level dedup, stopword coverage, TF-IDF terms
+# ---------------------------------------------------------------------------
+
+#: Non-overlapping word-block width for CCNet-style block dedup.
+_BLOCK_W = 8
+
+#: Function-word list for coverage scoring (fixed literal on both engines).
+_STOPWORDS = ("a", "the")
+
+
+@register(
+    "docs_block_dedup_by_source",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS tk
+            FROM documents),
+        blocks AS (
+            SELECT doc_id, source,
+                   array_to_string(list_slice(tk, b * {_BLOCK_W} + 1,
+                                              b * {_BLOCK_W} + {_BLOCK_W}), ' ')
+                       AS blk
+            FROM toks,
+                 UNNEST(range(0, len(tk) // {_BLOCK_W})) AS t(b)),
+        freq AS (
+            SELECT blk, COUNT(*) AS c FROM blocks GROUP BY blk)
+        SELECT b.source,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_blocks,
+               CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS dup_ppm
+        FROM blocks b JOIN freq f USING (blk)
+        GROUP BY b.source
+        ORDER BY b.source
+    """,
+    doc=f"CCNet-style block-level exact dedup readout: every document "
+    f"splits into non-overlapping {_BLOCK_W}-word blocks (full blocks "
+    "only), block frequencies roll up corpus-wide, and each source "
+    "reports how many of its block instances are duplicated anywhere in "
+    "the corpus (parts-per-million share by integer floor division). "
+    "Blocks explode JVM-side (split + slice over a pre-projected token "
+    "array — linear in tokens); the frequency rollup and the join back "
+    "are both keyed on the block hash, so the plan is two shuffles on "
+    "md5-distributable keys — no pairwise comparison anywhere. The "
+    "block-instance frame is pinned: documents is scanned once.",
+)
+def docs_block_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.split("text", " ").alias("tk"))
+    blocks = (
+        toks.select(
+            "doc_id",
+            "source",
+            "tk",
+            F.explode(
+                F.sequence(F.lit(0), (F.size("tk") / _BLOCK_W).cast("long") - 1)
+            ).alias("b"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.array_join(
+                F.slice(F.col("tk"), F.col("b") * _BLOCK_W + 1, _BLOCK_W), " "
+            ).alias("blk"),
+        )
+        .transform(pin)
+    )
+    freq = blocks.groupBy("blk").agg(F.count("*").alias("c"))
+    dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+    return (
+        blocks.join(freq, "blk")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            dup.alias("n_dup_blocks"),
+            F.expr(
+                "CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1000000"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "docs_stopword_coverage_by_lang",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT lang, doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> t IN {_STOPWORDS!r})) AS n_stop
+            FROM documents)
+        SELECT lang,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_stop) AS BIGINT) AS n_stopwords,
+               CAST(SUM(n_stop) * 1000000 // SUM(n_tok) AS BIGINT)
+                   AS stop_ppm,
+               CAST(SUM(CASE WHEN n_stop = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_no_stopwords
+        FROM per_doc
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="Function-word (stopword) coverage per language — the classic "
+    "quality-filter signal: human-written text carries a stable share of "
+    "function words, and documents with none are machine-noise "
+    "candidates. Token and stopword counts are per-doc integers from one "
+    "JVM-side split/filter projection (no explode — the counts reduce "
+    "inside the row), rolled up per language in one small keyed shuffle; "
+    "the ppm share is integer floor division. The zero-stopword doc "
+    "count doubles as the filter's would-drop readout.",
+)
+def docs_stopword_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    per_doc = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.size(
+            F.filter(F.split("text", " "), lambda t: F.array_contains(stop_arr, t))
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_stop").alias("n_stopwords"),
+            F.expr("CAST(SUM(n_stop) * 1000000 div SUM(n_tok) AS BIGINT)").alias(
+                "stop_ppm"
+            ),
+            F.sum(F.when(F.col("n_stop") == 0, 1).otherwise(0)).alias(
+                "n_docs_no_stopwords"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+#: Top terms kept per source in the TF-IDF readout.
+_TFIDF_K = 5
+
+
+@register(
+    "docs_tfidf_top_terms",
+    oracle=f"""
+        WITH tok AS (
+            SELECT source, UNNEST(string_split(text, ' ')) AS term
+            FROM documents),
+        tf AS MATERIALIZED (
+            SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY source, term),
+        df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        nsrc AS (
+            SELECT COUNT(DISTINCT source) AS ns FROM tf),
+        scored AS (
+            SELECT tf.source, tf.term,
+                   tf.tf * (CAST(ROUND(log2(CAST(ns AS DOUBLE)) * 1000000)
+                                 AS BIGINT)
+                            - CAST(ROUND(log2(CAST(df.df AS DOUBLE)) * 1000000)
+                                   AS BIGINT)) AS score_micro
+            FROM tf JOIN df USING (term), nsrc),
+        ranked AS (
+            SELECT source, term, score_micro,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY score_micro DESC, term) AS rk
+            FROM scored)
+        SELECT source, term, score_micro, rk
+        FROM ranked WHERE rk <= {_TFIDF_K}
+        ORDER BY source, rk
+    """,
+    doc=f"TF-IDF top-{_TFIDF_K} distinguishing terms per source: term "
+    "frequencies per (source, term) in one keyed shuffle, document "
+    "frequencies (sources containing the term) reduced from that same "
+    "pinned frame (documents scanned once), idf = q(log2 ns) − "
+    "q(log2 df) in exact micro-bits (the corpus-wide micro-bit log "
+    "discipline — quantized log2 of INTEGER counts, so both engines "
+    "round the same libm-exact values), score = tf·idf as exact BIGINT "
+    "products, and a per-source top-k window with a term tie-break for "
+    "a total order. The 1-row source-count scalar broadcasts.",
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("source", "term").agg(F.count("*").alias("tf")).transform(pin)
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nsrc = tf.agg(F.countDistinct("source").alias("ns"))
+    qlog = lambda col: F.round(F.log2(col.cast("double")) * F.lit(1000000)).cast("long")
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nsrc))
+        .select(
+            "source",
+            "term",
+            (F.col("tf") * (qlog(F.col("ns")) - qlog(F.col("df")))).alias("score_micro"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("score_micro"), "term")
+    )
+    return (
+        scored.select("source", "term", "score_micro", rk.alias("rk"))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .orderBy("source", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: mutual-kNN graph diagnostics and simplified silhouette
+# ---------------------------------------------------------------------------
+
+#: kNN-graph probe: every 10th vector is a node (deterministic stratum);
+#: k nearest within the node set by exact integer L2.
+_KNNG_MOD = 10
+_KNNG_K = 5
+
+
+@register(
+    "emb_knn_graph_reciprocity",
+    oracle=f"""
+        WITH pts AS MATERIALIZED (
+            SELECT vec_id, label, i - 1 AS pos,
+                   CAST(ROUND(emb[i] * 1000000) AS BIGINT) AS xi
+            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings WHERE vec_id % {_KNNG_MOD} = 0),
+                 UNNEST(range(1, len(emb) + 1)) AS t(i)),
+        d2 AS (
+            SELECT a.vec_id AS src, ANY_VALUE(a.label) AS src_label,
+                   b.vec_id AS dst,
+                   SUM((a.xi - b.xi) * (a.xi - b.xi)) AS d2
+            FROM pts a JOIN pts b USING (pos)
+            WHERE a.vec_id <> b.vec_id
+            GROUP BY src, dst),
+        edges AS MATERIALIZED (
+            SELECT src, src_label, dst FROM d2
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+                                       ORDER BY d2, dst) <= {_KNNG_K}),
+        mutual AS (
+            SELECT e.src, e.src_label,
+                   CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS m
+            FROM edges e
+            LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src)
+        SELECT src_label AS label,
+               CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+               CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(m) AS BIGINT) AS n_mutual,
+               CAST(SUM(m) AS DOUBLE) / COUNT(*) AS reciprocity
+        FROM mutual
+        GROUP BY src_label
+        ORDER BY src_label
+    """,
+    doc=f"Mutual-kNN reciprocity of the embedding space, per label: build "
+    f"the directed k={_KNNG_K} nearest-neighbor graph over a "
+    f"deterministic 1/{_KNNG_MOD} node stratum (exact integer-L2 via the "
+    "dimension-keyed join — partial-aggregated dots, never a row×row "
+    "array shuffle), then score what fraction of edges are reciprocated "
+    "(a standard embedding-health probe: low reciprocity = hubness). "
+    "The edge frame pins once and joins itself on the reversed key — "
+    "hash equi-join, no second distance pass. The probe stratum bounds "
+    "the quadratic candidate space; the production-scale path for the "
+    "full corpus is the LSH/IVF bucketed candidate join the ANN family "
+    "already implements.",
+)
+def emb_knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .iterative import _to_fixed
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % _KNNG_MOD == 0)
+    pts = (
+        emb.select("vec_id", "label", F.posexplode(_to_fixed(F.col("embedding"))))
+        .withColumnsRenamed({"col": "xi"})
+        .transform(pin)
+    )
+    a = pts.select(
+        F.col("vec_id").alias("src"), F.col("label").alias("src_label"), "pos",
+        F.col("xi").alias("ai"),
+    )
+    b = pts.select(F.col("vec_id").alias("dst"), "pos", F.col("xi").alias("bi"))
+    d2 = (
+        a.join(b, "pos")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.first("src_label").alias("src_label"),
+            F.sum((F.col("ai") - F.col("bi")) * (F.col("ai") - F.col("bi"))).alias("d2"),
+        )
+    )
+    wk = Window.partitionBy("src").orderBy("d2", "dst")
+    edges = (
+        d2.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") <= _KNNG_K)
+        .select("src", "src_label", "dst")
+        .transform(pin)
+    )
+    rev = edges.select(F.col("src").alias("r_src"), F.col("dst").alias("r_dst"))
+    mutual = edges.join(
+        rev, (F.col("r_src") == F.col("dst")) & (F.col("r_dst") == F.col("src")), "left"
+    ).select(
+        "src", "src_label",
+        F.when(F.col("r_src").isNotNull(), 1).otherwise(0).alias("m"),
+    )
+    return (
+        mutual.groupBy(F.col("src_label").alias("label"))
+        .agg(
+            F.countDistinct("src").alias("n_nodes"),
+            F.count("*").alias("n_edges"),
+            F.sum("m").alias("n_mutual"),
+            (F.sum("m").cast("double") / F.count("*")).alias("reciprocity"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "emb_simplified_silhouette",
+    oracle="""
+        WITH pts AS MATERIALIZED (
+            SELECT vec_id, label, i - 1 AS pos,
+                   CAST(ROUND(emb[i] * 1000000) AS BIGINT) AS xi
+            FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+                 UNNEST(range(1, len(emb) + 1)) AS t(i)),
+        cent AS MATERIALIZED (
+            SELECT label AS clabel, pos, CAST(ROUND(AVG(xi)) AS BIGINT) AS mi
+            FROM pts GROUP BY clabel, pos),
+        dists AS (
+            SELECT p.vec_id, ANY_VALUE(p.label) AS label, c.clabel,
+                   SUM((p.xi - c.mi) * (p.xi - c.mi)) AS dd
+            FROM pts p JOIN cent c USING (pos)
+            GROUP BY p.vec_id, c.clabel),
+        ab AS (
+            SELECT vec_id, ANY_VALUE(label) AS label,
+                   MAX(CASE WHEN clabel = label THEN dd END) AS a2,
+                   MIN(CASE WHEN clabel <> label THEN dd END) AS b2
+            FROM dists GROUP BY vec_id),
+        s AS (
+            SELECT label,
+                   CAST(ROUND((sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                              / NULLIF(GREATEST(sqrt(CAST(a2 AS DOUBLE)),
+                                                sqrt(CAST(b2 AS DOUBLE))), 0.0)
+                              * 1000000) AS BIGINT) AS s_micro
+            FROM ab)
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s_micro) AS BIGINT) AS s_micro_sum,
+               CAST(SUM(s_micro) AS DOUBLE) / (1000000.0 * COUNT(*))
+                   AS mean_silhouette
+        FROM s GROUP BY label ORDER BY label
+    """,
+    doc="Simplified (centroid-based) silhouette per label — the cluster-"
+    "quality score where a = distance to own centroid and b = distance "
+    "to the nearest other centroid, s = (b−a)/max(a,b). Centroids "
+    "quantize to micro-unit BIGINTs (ROUND(AVG) per dimension), every "
+    "squared distance is an exact integer via the dimension-keyed join "
+    "against the broadcast |labels|×64 centroid frame (a bounded 10× "
+    "fan-out, linear in corpus size — never point×point), and each "
+    "point's s quantizes to micro-units BEFORE the per-label mean so "
+    "the rollup is an order-independent integer sum. sqrt is correctly "
+    "rounded IEEE — identical bits on both engines.",
+)
+def emb_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .iterative import _to_fixed
+
+    emb = table(spark, sf_dir, "embeddings")
+    pts = (
+        emb.select("vec_id", "label", F.posexplode(_to_fixed(F.col("embedding"))))
+        .withColumnsRenamed({"col": "xi"})
+        .transform(pin)
+    )
+    cent = pts.groupBy(F.col("label").alias("clabel"), F.col("pos")).agg(
+        F.round(F.avg("xi")).cast("long").alias("mi")
+    )
+    dists = (
+        pts.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.first("label").alias("label"),
+            F.sum((F.col("xi") - F.col("mi")) * (F.col("xi") - F.col("mi"))).alias("dd"),
+        )
+    )
+    ab = dists.groupBy("vec_id").agg(
+        F.first("label").alias("label"),
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("dd"))).alias("a2"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dd"))).alias("b2"),
+    )
+    sa, sb = F.sqrt(F.col("a2").cast("double")), F.sqrt(F.col("b2").cast("double"))
+    s_micro = F.round(
+        (sb - sa) / F.nullif(F.greatest(sa, sb), F.lit(0.0)) * 1000000
+    ).cast("long")
+    return (
+        ab.select("label", s_micro.alias("s_micro"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("s_micro").alias("s_micro_sum"),
+            (F.sum("s_micro").cast("double") / (F.lit(1000000.0) * F.count("*"))).alias(
+                "mean_silhouette"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -478,6 +478,7 @@ _BNLJ_BOUNDED_OK = {
     # 4-row campaign-calendar broadcast side probed by an interval predicate
     # (the canonical broadcast range join — constant dim, linear probe)
     "ev_campaign_window_join",
+    "docs_tfidf_top_terms",  # 1-row source-count scalar broadcast
 }
 
 
