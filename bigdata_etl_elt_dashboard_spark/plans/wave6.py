@@ -1646,3 +1646,225 @@ def src_codec_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("price_cents_sum") / 2).cast("long").alias("price_cents_sum"),
         F.max("n_priorities").cast("long").alias("n_priorities"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q21 late-blame, SQL-surface PIVOT / LATERAL VIEW, sliding windows
+# ---------------------------------------------------------------------------
+
+#: An item is "late" when it ships more than this many days after the order.
+_LATE_DAYS = 60
+
+
+@register(
+    "supplier_late_blame_q21",
+    oracle=f"""
+        WITH sp AS MATERIALIZED (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   MAX(CASE WHEN l.l_shipdate > o.o_orderdate
+                                 + INTERVAL {_LATE_DAYS} DAY
+                            THEN 1 ELSE 0 END) AS late
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY l.l_orderkey, l.l_suppkey),
+        oc AS (
+            SELECT l_orderkey,
+                   COUNT(*) AS n_supps,
+                   CAST(SUM(late) AS BIGINT) AS n_late
+            FROM sp GROUP BY l_orderkey)
+        SELECT s.s_name, n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM sp
+        JOIN oc ON oc.l_orderkey = sp.l_orderkey
+        JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE sp.late = 1 AND oc.n_supps > 1 AND oc.n_late = 1
+        GROUP BY s.s_name, n.n_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+    """,
+    doc="Suppliers-who-kept-orders-waiting (TPC-H Q21 skeleton, lateness "
+    f"= shipped >{_LATE_DAYS} days after order): count, per supplier, "
+    "multi-supplier orders where THEY were the only late supplier. The "
+    "EXISTS/NOT-EXISTS pair decorrelates into one (order, supplier) "
+    "late-flag aggregate (one fact-fact shuffle on the order key — the "
+    "orders date lookup rides the same key) plus an order-level rollup "
+    "of that pinned frame, joined back — no correlated re-scans. "
+    "supplier/nation broadcast; top-20 with the s_name tie-break.",
+)
+def supplier_late_blame_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.max(
+        F.when(
+            F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), _LATE_DAYS), 1
+        ).otherwise(0)
+    )
+    sp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late.alias("late"))
+        .transform(pin)
+    )
+    oc = sp.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("n_supps"), F.sum("late").alias("n_late")
+    )
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    return (
+        sp.join(oc, sp.l_orderkey == oc.ok)
+        .filter((F.col("late") == 1) & (F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(sup), sp.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "elt_pivot_priority_year_sql",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+                    AS BIGINT) AS urgent,
+               CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+                    AS BIGINT) AS high,
+               CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+                    AS BIGINT) AS medium,
+               CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+                    AS BIGINT) AS notspec,
+               CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+                    AS BIGINT) AS low
+        FROM orders
+        GROUP BY yr
+        ORDER BY yr
+    """,
+    doc="SQL-surface PIVOT clause (Spark's native `PIVOT (agg FOR col IN "
+    "...)` syntax) — revenue cents per order-year wide by priority. "
+    "Catalyst rewrites PIVOT into exactly the conditional-aggregate plan "
+    "the oracle spells out by hand, so this is one map-side-combined "
+    "shuffle onto ~7 year keys wide into 5 literal columns. Proves the "
+    "spark.sql PIVOT dialect end-to-end (view registration, literal "
+    "aliasing, BIGINT cents).",
+)
+def elt_pivot_priority_year_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, names=("orders",), register_views=True)
+    return spark.sql(
+        """
+        SELECT * FROM (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                   o_orderpriority AS pr,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+        PIVOT (
+            SUM(cents)
+            FOR pr IN ('1-URGENT' AS urgent, '2-HIGH' AS high,
+                       '3-MEDIUM' AS medium, '4-NOT SPECIFIED' AS notspec,
+                       '5-LOW' AS low)
+        )
+        ORDER BY yr
+        """
+    )
+
+
+@register(
+    "elt_lateral_explode_sql",
+    oracle="""
+        WITH tok AS (
+            SELECT source, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents)
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok
+        GROUP BY source, tok
+        ORDER BY n DESC, source, tok
+        LIMIT 50
+    """,
+    doc="SQL-surface LATERAL VIEW explode (the HiveQL-heritage dialect "
+    "Spark SQL keeps for table-generating functions): tokenizes the "
+    "documents view in pure SQL and rolls up the top (source, token) "
+    "pairs. Catalyst plans the LATERAL VIEW as the same Generate node "
+    "the DataFrame explode() produces — one generate + one keyed "
+    "shuffle; total order via the n DESC, source, tok tie-break.",
+)
+def elt_lateral_explode_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_tables
+
+    load_tables(spark, sf_dir, names=("documents",), register_views=True)
+    return spark.sql(
+        """
+        SELECT source, tok, COUNT(*) AS n
+        FROM documents
+        LATERAL VIEW explode(split(text, ' ')) t AS tok
+        GROUP BY source, tok
+        ORDER BY n DESC, source, tok
+        LIMIT 50
+        """
+    )
+
+
+@register(
+    "ev_sliding_1h15m_peak",
+    oracle="""
+        WITH e AS (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        win AS (
+            SELECT (es // 900) * 900 - j.j * 900 AS w0
+            FROM e, range(4) j(j)),
+        per_win AS (
+            SELECT w0, CAST(COUNT(*) AS BIGINT) AS c FROM win GROUP BY w0),
+        daily AS (
+            SELECT CAST(to_timestamp((w0 // 86400) * 86400) AS DATE) AS day,
+                   c, w0
+            FROM per_win)
+        SELECT day,
+               CAST(MAX(c) AS BIGINT) AS peak_events,
+               CAST(MIN(CASE WHEN c = mx THEN w0 END) AS BIGINT)
+                   AS peak_window_epoch
+        FROM (SELECT day, c, w0, MAX(c) OVER (PARTITION BY day) AS mx
+              FROM daily)
+        GROUP BY day
+        ORDER BY day
+    """,
+    doc="Sliding-window peak load (1-hour windows sliding every 15 "
+    "minutes — Spark's native F.window slide semantics, epoch-aligned): "
+    "each event fans out to exactly 4 overlapping windows, per-window "
+    "counts reduce in one keyed shuffle, and each day reports its "
+    "busiest window (earliest start on ties — deterministic). The "
+    "oracle re-derives the window assignment from integer epoch "
+    "arithmetic (es//900 minus 0..3 slides), proving the engine's "
+    "sliding-window bucketing bit-exactly. Windows group by their "
+    "START day.",
+)
+def ev_sliding_1h15m_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    per_win = ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w")).agg(
+        F.count("*").alias("c")
+    )
+    daily = per_win.select(
+        F.to_date(F.col("w.start")).alias("day"),
+        F.col("c"),
+        F.col("w.start").cast("long").alias("w0"),
+    )
+    mx = F.max("c").over(Window.partitionBy("day"))
+    return (
+        daily.withColumn("mx", mx)
+        .groupBy("day")
+        .agg(
+            F.max("c").alias("peak_events"),
+            F.min(F.when(F.col("c") == F.col("mx"), F.col("w0"))).alias(
+                "peak_window_epoch"
+            ),
+        )
+        .orderBy("day")
+    )
