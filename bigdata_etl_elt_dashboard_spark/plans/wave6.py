@@ -1868,3 +1868,340 @@ def ev_sliding_1h15m_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe, EWMA, market-basket association, gaps-and-islands
+# ---------------------------------------------------------------------------
+
+_STATUSES = ("O", "F", "P")
+
+
+@register(
+    "stat_levene_brown_forsythe",
+    oracle="""
+        WITH vc AS MATERIALIZED (
+            SELECT o_orderstatus AS st, CAST(ROUND(o_totalprice) AS BIGINT) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY st, v),
+        med AS MATERIALIZED (
+            SELECT st, MIN(CASE WHEN cum * 2 >= n THEN v END) AS med
+            FROM (SELECT st, v, c,
+                         SUM(c) OVER (PARTITION BY st ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                         SUM(c) OVER (PARTITION BY st) AS n
+                  FROM vc)
+            GROUP BY st),
+        z AS (
+            SELECT vc.st, vc.c, ABS(vc.v - med.med) AS z
+            FROM vc JOIN med USING (st)),
+        m AS (
+            SELECT st, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c * z) AS BIGINT) AS s,
+                   CAST(SUM(c * z * z) AS BIGINT) AS q
+            FROM z GROUP BY st),
+        w AS (
+            SELECT MAX(CASE WHEN st = 'O' THEN n END) AS n1,
+                   MAX(CASE WHEN st = 'F' THEN n END) AS n2,
+                   MAX(CASE WHEN st = 'P' THEN n END) AS n3,
+                   MAX(CASE WHEN st = 'O' THEN s END) AS s1,
+                   MAX(CASE WHEN st = 'F' THEN s END) AS s2,
+                   MAX(CASE WHEN st = 'P' THEN s END) AS s3,
+                   MAX(CASE WHEN st = 'O' THEN q END) AS q1,
+                   MAX(CASE WHEN st = 'F' THEN q END) AS q2,
+                   MAX(CASE WHEN st = 'P' THEN q END) AS q3
+            FROM m)
+        SELECT n_total, ss_between, ss_within,
+               (ss_between / 2.0) / (ss_within / CAST(n_total - 3 AS DOUBLE))
+                   AS bf_stat
+        FROM (
+            SELECT ((n1 + n2) + n3) AS n_total,
+                   ((CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+                     + CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+                     + CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE)/CAST(n3 AS DOUBLE))
+                   - CAST(((s1 + s2) + s3) AS DOUBLE)
+                     * CAST(((s1 + s2) + s3) AS DOUBLE)
+                     / CAST(((n1 + n2) + n3) AS DOUBLE) AS ss_between,
+                   (CAST(((q1 + q2) + q3) AS DOUBLE)
+                    - CAST(((s1 + s2) + s3) AS DOUBLE)
+                      * CAST(((s1 + s2) + s3) AS DOUBLE)
+                      / CAST(((n1 + n2) + n3) AS DOUBLE))
+                   - (((CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+                      + CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+                      + CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE)/CAST(n3 AS DOUBLE))
+                   - CAST(((s1 + s2) + s3) AS DOUBLE)
+                     * CAST(((s1 + s2) + s3) AS DOUBLE)
+                     / CAST(((n1 + n2) + n3) AS DOUBLE)) AS ss_within
+            FROM w)
+    """,
+    doc="Brown-Forsythe variance-equality test across order statuses "
+    "(Levene's test with group MEDIANS — robust to the skew that breaks "
+    "the mean-based form): group medians select exactly on the bounded "
+    "value-count frame (lower median: first value whose doubled "
+    "cumulative count reaches n), absolute deviations stay integral, "
+    "and the one-way ANOVA F over them evaluates on the 3-status "
+    "literal pivot in fixed IEEE order. ONE scan of orders builds the "
+    "pinned (status, value, count) frame; medians AND deviation moments "
+    "both derive from it — no second pass.",
+)
+def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    vc = (
+        o.groupBy(
+            F.col("o_orderstatus").alias("st"),
+            F.round(F.col("o_totalprice")).cast("long").alias("v"),
+        )
+        .agg(F.count("*").alias("c"))
+        .transform(pin)
+    )
+    wcum = Window.partitionBy("st").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("st")
+    med = (
+        vc.select(
+            "st",
+            "v",
+            F.sum("c").over(wcum).alias("cum"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        .groupBy("st")
+        .agg(F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("med"))
+    )
+    z = vc.join(F.broadcast(med), "st").select(
+        "st", "c", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    m = z.groupBy("st").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("z")).alias("s"),
+        F.sum(F.col("c") * F.col("z") * F.col("z")).alias("q"),
+    )
+    pivots = []
+    for i, st in enumerate(_STATUSES, start=1):
+        for cname in ("n", "s", "q"):
+            pivots.append(F.max(F.when(F.col("st") == st, F.col(cname))).alias(f"{cname}{i}"))
+    w = m.agg(*pivots)
+
+    def d(col) -> F.Column:
+        return col.cast("double")
+
+    n_total = (F.col("n1") + F.col("n2")) + F.col("n3")
+    s_total = (F.col("s1") + F.col("s2")) + F.col("s3")
+    q_total = (F.col("q1") + F.col("q2")) + F.col("q3")
+    between = d(F.col("s1")) * d(F.col("s1")) / d(F.col("n1"))
+    for i in (2, 3):
+        between = between + d(F.col(f"s{i}")) * d(F.col(f"s{i}")) / d(F.col(f"n{i}"))
+    ssb = between - d(s_total) * d(s_total) / d(n_total)
+    ssw = (d(q_total) - d(s_total) * d(s_total) / d(n_total)) - ssb
+    return w.select(
+        n_total.alias("n_total"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        ((ssb / F.lit(2.0)) / (ssw / d(n_total - 3))).alias("bf_stat"),
+    )
+
+
+#: EWMA horizon (days) and the per-lag weight 2^(HORIZON-1-k).
+_EWMA_H = 32
+
+
+@register(
+    "trend_ewma32_daily_revenue",
+    oracle=f"""
+        WITH daily AS MATERIALIZED (
+            SELECT o_orderdate AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY day),
+        j AS (
+            SELECT cur.day,
+                   CAST(SUM(prev.y * (1::BIGINT << ({_EWMA_H} - 1 - k.k)))
+                        AS BIGINT) AS wsum,
+                   CAST(SUM(1::BIGINT << ({_EWMA_H} - 1 - k.k)) AS BIGINT)
+                       AS wtot,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily cur
+            JOIN range({_EWMA_H}) k(k) ON TRUE
+            JOIN daily prev ON prev.day = cur.day - INTERVAL (k.k) DAY
+            GROUP BY cur.day)
+        SELECT day, wsum, wtot, n_days,
+               CAST(wsum AS DOUBLE) / CAST(wtot AS DOUBLE) AS ewma
+        FROM j
+        ORDER BY day
+    """,
+    doc=f"Exponentially-weighted (half-life 1 day, {_EWMA_H}-day horizon) "
+    "trailing mean of daily revenue — the smoother dashboards overlay "
+    "on noisy dailies — computed WITHOUT sequential float accumulation: "
+    "each day joins its trailing calendar offsets against a broadcast "
+    f"{_EWMA_H}-row lag frame, weights are exact powers of two as "
+    "BIGINTs (the Σ2^k span fits because revenue scales to whole units "
+    "and 2^31·y·32 < 2^63), and the single output division is one IEEE "
+    "op. Missing days simply drop out of both numerator and denominator "
+    "(the standard irregular-series EWMA). One scan; calendar-bounded "
+    f"{_EWMA_H}× fan-out.",
+)
+def trend_ewma32_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y"))
+        .transform(pin)
+    )
+    lags = daily.sparkSession.range(_EWMA_H).select(F.col("id").cast("int").alias("k"))
+    cur = daily.select(F.col("day"), F.lit(1).alias("_one"))
+    prev = daily.select(F.col("day").alias("pday"), F.col("y"))
+    j = (
+        cur.crossJoin(F.broadcast(lags))
+        .join(prev, F.expr("pday = day - make_interval(0, 0, 0, k)"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.expr("y * shiftleft(1L, {0} - 1 - k)".format(_EWMA_H))).alias("wsum"),
+            F.sum(F.expr("shiftleft(1L, {0} - 1 - k)".format(_EWMA_H))).alias("wtot"),
+            F.count("*").alias("n_days"),
+        )
+    )
+    return j.select(
+        "day",
+        "wsum",
+        "wtot",
+        "n_days",
+        (F.col("wsum").cast("double") / F.col("wtot").cast("double")).alias("ewma"),
+    ).orderBy("day")
+
+
+#: Association pairs kept in the market-basket readout.
+_ASSOC_K = 20
+
+
+@register(
+    "part_pair_association_topk",
+    oracle=f"""
+        WITH li AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        nn AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+        singles AS MATERIALIZED (
+            SELECT p, CAST(COUNT(*) AS BIGINT) AS cp FROM li GROUP BY p),
+        pairs AS (
+            SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS cuv
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            GROUP BY u, v)
+        SELECT u, v, cuv, cu.cp AS cu, cv.cp AS cv,
+               cuv * 1000000 // n_orders AS support_ppm,
+               cuv * 1000000 // cu.cp AS conf_u_to_v_ppm,
+               cuv * 1000000 // cv.cp AS conf_v_to_u_ppm,
+               cuv * n_orders * 1000000 // (cu.cp * cv.cp) AS lift_ppm
+        FROM pairs
+        JOIN singles cu ON cu.p = u
+        JOIN singles cv ON cv.p = v
+        CROSS JOIN nn
+        ORDER BY cuv DESC, u, v
+        LIMIT {_ASSOC_K}
+    """,
+    doc=f"Market-basket 2-item association rules, top {_ASSOC_K} pairs by "
+    "co-occurrence: support, both directional confidences, and lift — "
+    "every metric an integer-ppm floor division of exact counts (lift's "
+    "cross-multiplied numerator c·N·1e6 stays in BIGINT to ~1e5 pair "
+    "counts; past that promote to DECIMAL). The pair frame is the "
+    "order-keyed self-join of the distinct (order, part) projection "
+    "(pinned, one scan) — co-occurrence counting, never all-parts² — "
+    "and the singles/total frames reduce from the same projection. "
+    "Total order via the (count, u, v) tie-break.",
+)
+def part_pair_association_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .transform(pin)
+    )
+    nn = li.agg(F.countDistinct("o").alias("n_orders"))
+    singles = li.groupBy("p").agg(F.count("*").alias("cp"))
+    a = li.select("o", F.col("p").alias("u"))
+    b = li.select(F.col("o").alias("o2"), F.col("p").alias("v"))
+    pairs = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cuv"))
+    )
+    cu = singles.select(F.col("p").alias("u"), F.col("cp").alias("cu"))
+    cv = singles.select(F.col("p").alias("v"), F.col("cp").alias("cv"))
+    return (
+        pairs.join(cu, "u")
+        .join(cv, "v")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "u",
+            "v",
+            "cuv",
+            "cu",
+            "cv",
+            F.expr("cuv * 1000000 div n_orders").alias("support_ppm"),
+            F.expr("cuv * 1000000 div cu").alias("conf_u_to_v_ppm"),
+            F.expr("cuv * 1000000 div cv").alias("conf_v_to_u_ppm"),
+            F.expr("cuv * n_orders * 1000000 div (cu * cv)").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("cuv"), "u", "v")
+        .limit(_ASSOC_K)
+    )
+
+
+#: Streak leaders kept in the error-burst readout.
+_STREAK_K = 10
+
+
+@register(
+    "ev_longest_error_streak",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events),
+        err AS (
+            SELECT user_id, rn,
+                   rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+                       AS grp
+            FROM ordered WHERE event_type = 'error'),
+        streaks AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak
+            FROM err GROUP BY user_id, grp),
+        best AS (
+            SELECT user_id, MAX(streak) AS longest_streak,
+                   CAST(COUNT(*) AS BIGINT) AS n_streaks
+            FROM streaks GROUP BY user_id)
+        SELECT user_id, longest_streak, n_streaks
+        FROM best
+        ORDER BY longest_streak DESC, user_id
+        LIMIT {_STREAK_K}
+    """,
+    doc=f"Longest consecutive-error run per user, top {_STREAK_K} — the "
+    "gaps-and-islands pattern (rn − rn_within_subset as the island key) "
+    "that powers every burst/outage detector: two user-partitioned "
+    "windows over a totally-ordered stream ((ts, event_id) breaks "
+    "timestamp ties deterministically), one keyed rollup per island, "
+    "one per-user max. All counts exact; scales as two keyed window "
+    "passes over the user partition — no self-join, no explode.",
+)
+def ev_longest_error_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    err = ordered.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "rn",
+        (
+            F.col("rn")
+            - F.row_number().over(Window.partitionBy("user_id").orderBy("rn"))
+        ).alias("grp"),
+    )
+    streaks = err.groupBy("user_id", "grp").agg(F.count("*").alias("streak"))
+    best = streaks.groupBy("user_id").agg(
+        F.max("streak").alias("longest_streak"), F.count("*").alias("n_streaks")
+    )
+    return best.orderBy(F.desc("longest_streak"), "user_id").limit(_STREAK_K)

@@ -479,6 +479,10 @@ _BNLJ_BOUNDED_OK = {
     # (the canonical broadcast range join — constant dim, linear probe)
     "ev_campaign_window_join",
     "docs_tfidf_top_terms",  # 1-row source-count scalar broadcast
+    # 32-row trailing-lag frame crossed onto the calendar-bounded daily
+    # frame before the equi-join back to it (bounded 32x fan-out)
+    "trend_ewma32_daily_revenue",
+    "part_pair_association_topk",  # 1-row order-count scalar broadcast
 }
 
 
