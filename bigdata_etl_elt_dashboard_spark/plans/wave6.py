@@ -2009,7 +2009,7 @@ _EWMA_H = 32
     "trend_ewma32_daily_revenue",
     oracle=f"""
         WITH daily AS MATERIALIZED (
-            SELECT o_orderdate AS day,
+            SELECT CAST(o_orderdate AS DATE) AS day,
                    CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
             FROM orders GROUP BY day),
         j AS (
@@ -2042,7 +2042,7 @@ _EWMA_H = 32
 def trend_ewma32_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     daily = (
-        o.groupBy(F.col("o_orderdate").alias("day"))
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y"))
         .transform(pin)
     )
@@ -2051,7 +2051,7 @@ def trend_ewma32_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = daily.select(F.col("day").alias("pday"), F.col("y"))
     j = (
         cur.crossJoin(F.broadcast(lags))
-        .join(prev, F.expr("pday = day - make_interval(0, 0, 0, k)"))
+        .join(prev, F.expr("pday = date_sub(day, k)"))
         .groupBy("day")
         .agg(
             F.sum(F.expr("y * shiftleft(1L, {0} - 1 - k)".format(_EWMA_H))).alias("wsum"),

@@ -1395,3 +1395,153 @@ def test_kendall_tau_matches_python(spark, sf_smoke):
         conc, disc, tx, ty
     )
     assert abs(got["tau_b"] - ref) < 1e-12
+
+
+def test_anova_f_matches_textbook(spark, sf_smoke):
+    """stat_anova_f_price_by_priority vs numpy group moments: SSB, SSW and
+    F must match to float tolerance (the query's op order differs from
+    numpy's internals, so exact-bit equality is not expected here — the
+    DuckDB gate pins the bits; this pins the MATH)."""
+    groups = collections.defaultdict(list)
+    for pr, x in _cols(sf_smoke, "orders", ["o_orderpriority", "o_totalprice"]):
+        groups[pr].append(_r(x))
+    arrs = [np.array(v, float) for v in groups.values()]
+    allv = np.concatenate(arrs)
+    ssb = sum(len(a) * (a.mean() - allv.mean()) ** 2 for a in arrs)
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in arrs)
+    f_ref = (ssb / (len(arrs) - 1)) / (ssw / (len(allv) - len(arrs)))
+    got = _rows(spark, sf_smoke, "stat_anova_f_price_by_priority")[0]
+    assert got["n_total"] == len(allv)
+    assert abs(got["ss_between"] - ssb) / ssb < 1e-9
+    assert abs(got["ss_within"] - ssw) / ssw < 1e-9
+    assert abs(got["f_stat"] - f_ref) / f_ref < 1e-9
+
+
+def test_kruskal_wallis_matches_textbook(spark, sf_smoke):
+    """stat_kruskal_wallis_price_by_priority vs scipy-free midranks: H with
+    tie correction must match the textbook formulation."""
+    data = [
+        (pr, _r(x))
+        for pr, x in _cols(sf_smoke, "orders", ["o_orderpriority", "o_totalprice"])
+    ]
+    vals = sorted(v for _, v in data)
+    n = len(vals)
+    # midrank per value
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        rank[vals[i]] = (i + 1 + j) / 2.0
+        i = j
+    rsums = collections.defaultdict(float)
+    counts = collections.defaultdict(int)
+    for pr, v in data:
+        rsums[pr] += rank[v]
+        counts[pr] += 1
+    h = 12.0 / (n * (n + 1)) * sum(
+        rsums[p] ** 2 / counts[p] for p in rsums
+    ) - 3.0 * (n + 1)
+    ties = collections.Counter(v for _, v in data)
+    c = 1.0 - sum(t**3 - t for t in ties.values()) / (n**3 - n)
+    got = _rows(spark, sf_smoke, "stat_kruskal_wallis_price_by_priority")[0]
+    assert got["n_total"] == n
+    assert abs(got["h_stat"] - h) < 1e-7
+    assert abs(got["h_corrected"] - h / c) < 1e-7
+
+
+def test_chow_break_matches_numpy_ols(spark, sf_smoke):
+    """stat_chow_break_daily_revenue vs numpy lstsq residual sums: SSRs and
+    the Chow F must match the two-regression formulation."""
+    daily = collections.defaultdict(int)
+    for d, x in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        daily[d.date()] += _r(x)
+    import datetime
+
+    t0 = datetime.date(1995, 1, 1)
+    brk = datetime.date(1998, 7, 1)
+
+    def ssr(pairs):
+        t = np.array([(d - t0).days for d, _ in pairs], float)
+        y = np.array([y for _, y in pairs], float)
+        A = np.vstack([np.ones_like(t), t]).T
+        res = y - A @ np.linalg.lstsq(A, y, rcond=None)[0]
+        return float((res**2).sum())
+
+    items = sorted(daily.items())
+    pre = [(d, y) for d, y in items if d < brk]
+    post = [(d, y) for d, y in items if d >= brk]
+    ssr1, ssr2, ssrp = ssr(pre), ssr(post), ssr(items)
+    f_ref = ((ssrp - ssr1 - ssr2) / 2.0) / ((ssr1 + ssr2) / (len(items) - 4))
+    got = _rows(spark, sf_smoke, "stat_chow_break_daily_revenue")[0]
+    assert got["n_pre"] == len(pre) and got["n_post"] == len(post)
+    assert abs(got["ssr_split"] - (ssr1 + ssr2)) / (ssr1 + ssr2) < 1e-7
+    assert abs(got["ssr_pool"] - ssrp) / ssrp < 1e-7
+    assert abs(got["chow_f"] - f_ref) / abs(f_ref) < 1e-7
+
+
+def test_brown_forsythe_matches_textbook(spark, sf_smoke):
+    """stat_levene_brown_forsythe vs a direct median-deviation ANOVA. The
+    query uses the LOWER median (first value whose doubled cumulative
+    count reaches n) — the reference replicates that selection."""
+    groups = collections.defaultdict(list)
+    for st, x in _cols(sf_smoke, "orders", ["o_orderstatus", "o_totalprice"]):
+        groups[st].append(_r(x))
+    zs = []
+    for st, v in groups.items():
+        v = sorted(v)
+        med = v[(len(v) - 1) // 2]  # lower median: cum*2 >= n selection
+        zs.append(np.array([abs(x - med) for x in v], float))
+    allz = np.concatenate(zs)
+    ssb = sum(len(a) * (a.mean() - allz.mean()) ** 2 for a in zs)
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in zs)
+    f_ref = (ssb / (len(zs) - 1)) / (ssw / (len(allz) - len(zs)))
+    got = _rows(spark, sf_smoke, "stat_levene_brown_forsythe")[0]
+    assert got["n_total"] == len(allz)
+    assert abs(got["bf_stat"] - f_ref) / f_ref < 1e-9
+
+
+def test_hodges_lehmann_matches_numpy(spark, sf_smoke):
+    """stat_hodges_lehmann_yoy_shift vs the brute-force median of all
+    pairwise 1997−1996 daily differences."""
+    daily = collections.defaultdict(int)
+    for d, x in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        daily[d.date()] += _r(x * 100)
+    d96 = [v for d, v in daily.items() if d.year == 1996]
+    d97 = [v for d, v in daily.items() if d.year == 1997]
+    diffs = np.array(sorted(b - a for a in d96 for b in d97), dtype=np.int64)
+    n = len(diffs)
+    lo, hi = diffs[(n + 1) // 2 - 1], diffs[(n + 2) // 2 - 1]
+    got = _rows(spark, sf_smoke, "stat_hodges_lehmann_yoy_shift")[0]
+    assert got["n_pairs"] == n
+    if n % 2 == 0:
+        assert got["mid_sum_cents"] == int(lo) + int(hi)
+        assert got["hl_shift"] == (int(lo) + int(hi)) / 2 / 100.0
+    else:  # lo == hi: the two rank selections collapse to one row
+        assert got["mid_sum_cents"] == int(lo)
+        assert got["hl_shift"] == int(lo) / 1 / 100.0
+
+
+def test_ewma_matches_python_loop(spark, sf_smoke):
+    """trend_ewma32_daily_revenue vs a literal Python weight loop over the
+    trailing 32 calendar days."""
+    daily = collections.defaultdict(int)
+    for d, x in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        daily[d.date()] += _r(x)
+    import datetime
+
+    got = {r["day"]: r for r in _rows(spark, sf_smoke, "trend_ewma32_daily_revenue")}
+    assert len(got) == len(daily)
+    for day in sorted(daily)[:50]:  # spot-check a prefix
+        wsum = wtot = nd = 0
+        for k in range(32):
+            p = day - datetime.timedelta(days=k)
+            if p in daily:
+                w = 1 << (31 - k)
+                wsum += daily[p] * w
+                wtot += w
+                nd += 1
+        r = got[day]
+        assert (r["wsum"], r["wtot"], r["n_days"]) == (wsum, wtot, nd)
+        assert r["ewma"] == wsum / wtot
