@@ -139,6 +139,18 @@ EXTENSION_SUITE = (
     "mm_image_contrast_stats",
     "emb_isotropy_mean_cosine",
     "profit_nation_year_q9",
+    # round-6 additions: the adapted TPC-H skeletons' heaviest members
+    # (correlated-MIN offers build, late-blame double rollup), the wedge-join
+    # link predictor, the block-dedup corpus pass, the mutual-kNN probe, the
+    # whole-value-frame rank test, and the interval-cover concurrency sweep
+    "part_min_cost_supplier_q2",
+    "supplier_late_blame_q21",
+    "graph_jaccard_link_prediction",
+    "docs_block_dedup_by_source",
+    "emb_knn_graph_reciprocity",
+    "stat_kruskal_wallis_price_by_priority",
+    "ev_concurrent_sessions_peak",
+    "part_pair_association_topk",
 )
 
 

@@ -71,6 +71,18 @@ PROBES = [
     # message-passing loop and the per-step-deadline funnel
     "graph_label_propagation",
     "ev_funnel_time_window",
+    # round-6 additions: the wedge-join link predictor (candidate space
+    # grows with wedge count), the corpus block-dedup pass, the interval-
+    # cover concurrency sweep, the offers-build Q2 skeleton, and the
+    # order-keyed association miner. emb_knn_graph_reciprocity is OMITTED:
+    # its node stratum is vec_id%10, and shifted replica ids land in the
+    # same stratum, growing the quadratic probe itself — a probe-design
+    # artifact, not an operator cost.
+    "graph_jaccard_link_prediction",
+    "docs_block_dedup_by_source",
+    "ev_concurrent_sessions_peak",
+    "part_min_cost_supplier_q2",
+    "part_pair_association_topk",
 ]
 
 
