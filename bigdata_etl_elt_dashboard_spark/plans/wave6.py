@@ -1419,8 +1419,14 @@ def mm_image_downsample2x_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Graph link prediction, drift monitoring, codec roundtrip
 # ---------------------------------------------------------------------------
 
-#: Link-prediction candidates kept in the readout.
+#: Link-prediction candidates kept in the readout, and the strongest-edge
+#: subgraph size the wedge join runs on (the full co-purchase graph is
+#: near-complete at larger SFs — avg degree ~600 of 2000 parts at sf0.1 —
+#: so unrestricted wedge counting is O(n*deg^2); the top-M edge subgraph
+#: bounds the wedge space at every scale while keeping the semantics
+#: "predict links among the strongest co-purchase relationships").
 _LP_K = 20
+_LP_EDGES = 20000
 
 
 @register(
@@ -1428,9 +1434,13 @@ _LP_K = 20
     oracle=f"""
         WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                     FROM lineitem),
+        pc AS (
+            SELECT a.p AS x, b.p AS y, CAST(COUNT(*) AS BIGINT) AS w
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            GROUP BY x, y),
         e AS MATERIALIZED (
-            SELECT DISTINCT a.p AS x, b.p AS y
-            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+            SELECT x, y FROM pc
+            ORDER BY w DESC, x, y LIMIT {{_LP_EDGES}}),
         deg AS MATERIALIZED (
             SELECT node, CAST(COUNT(*) AS BIGINT) AS d
             FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
@@ -1453,23 +1463,40 @@ _LP_K = 20
         SELECT u, v, common, deg_u, deg_v, jaccard_ppm
         FROM cand
         ORDER BY jaccard_ppm DESC, u, v
-        LIMIT {_LP_K}
-    """,
-    doc=f"Jaccard link prediction on the co-purchase graph: for part "
-    "pairs NOT yet bought together, score |N(u)∩N(v)| / |N(u)∪N(v)| "
-    f"and keep the top {_LP_K} — the classic recommend-next-link "
-    "baseline. Candidates generate by the wedge join (two hops through "
-    "a shared neighbor — never all-pairs), common-neighbor counts are "
-    "one keyed aggregate, existing edges drop by a hash anti join, and "
-    "the score is integer ppm via floor division (no float ordering "
-    "anywhere; u,v tie-breaks give a total order). Edge/degree/neighbor "
-    "frames all derive from one pinned edge list — lineitem is scanned "
-    "once.",
+        LIMIT {{_LP_K}}
+    """.format(_LP_EDGES=_LP_EDGES, _LP_K=_LP_K),
+    doc=f"Jaccard link prediction on the strongest-co-purchase subgraph: "
+    f"rank part pairs by pair frequency, keep the top {_LP_EDGES} edges "
+    "(total order via the (weight, x, y) tie-break — deterministic at "
+    "every SF), and among parts NOT linked in that subgraph score "
+    f"|N(u)∩N(v)| / |N(u)∪N(v)|, keeping the top {_LP_K}. Candidates "
+    "generate by the wedge join through shared neighbors — the edge cap "
+    "bounds the wedge space at every scale (the FULL co-purchase graph "
+    "goes near-complete as orders grow, where unrestricted "
+    "common-neighbor counting is O(n·deg²) — measured 13.6 s at sf0.1 "
+    "before the cap, 0.1 s after). Scores are integer ppm; existing "
+    "edges drop by hash anti join; one lineitem scan feeds the pinned "
+    "edge frame.",
 )
 def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .iterative import _copurchase_edges
-
-    e = _copurchase_edges(spark, sf_dir)  # pinned (x < y) distinct edges
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a0 = li.select("o", F.col("p").alias("x"))
+    b0 = li.select(F.col("o").alias("o2"), F.col("p").alias("y"))
+    pc = (
+        a0.join(b0, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("w"))
+    )
+    e = (
+        pc.orderBy(F.desc("w"), "x", "y")
+        .limit(_LP_EDGES)
+        .select("x", "y")
+        .transform(pin)
+    )
     nbr = e.select(F.col("x").alias("w"), F.col("y").alias("n")).unionAll(
         e.select(F.col("y").alias("w"), F.col("x").alias("n"))
     )
@@ -2205,3 +2232,251 @@ def ev_longest_error_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak").alias("longest_streak"), F.count("*").alias("n_streaks")
     )
     return best.orderBy(F.desc("longest_streak"), "user_id").limit(_STREAK_K)
+
+
+# ---------------------------------------------------------------------------
+# Approx-sketch contract, trend decomposition, grouped quantiles
+# ---------------------------------------------------------------------------
+
+#: Rank-error budget for the approx-percentile contract, in rank units:
+#: approx_percentile(accuracy=A) guarantees rank error <= n/A.
+_APPROX_ACC = 10000
+
+
+@register(
+    "stat_approx_percentile_contract",
+    oracle="""
+        WITH g AS (
+            SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS v, COUNT(*) AS cnt
+            FROM orders GROUP BY v),
+        cum AS (
+            SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c,
+                   SUM(cnt) OVER () AS n
+            FROM g)
+        SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+               CAST(MIN(CASE WHEN c >= (n * 50 + 99) // 100 THEN v END)
+                    AS BIGINT) AS exact_p50,
+               CAST(MIN(CASE WHEN c >= (n * 90 + 99) // 100 THEN v END)
+                    AS BIGINT) AS exact_p90,
+               CAST(MIN(CASE WHEN c >= (n * 99 + 99) // 100 THEN v END)
+                    AS BIGINT) AS exact_p99,
+               TRUE AS p50_within_bound,
+               TRUE AS p90_within_bound,
+               TRUE AS p99_within_bound
+        FROM cum
+    """,
+    doc="Accuracy CONTRACT for the approx_percentile sketch (the "
+    "GK/KLL-style summary a 100 TB pipeline uses instead of exact "
+    "sorts): the exact p50/p90/p99 come from the bounded value-"
+    "cumulative selection, the sketch values from approx_percentile("
+    f"accuracy={_APPROX_ACC}), and the gated columns assert IN-PLAN "
+    "that each sketch answer's RANK sits within the documented n/"
+    f"{_APPROX_ACC} rank-error bound of its target rank (the sketch "
+    "value itself is implementation-defined, so the contract booleans — "
+    "not the raw sketch output — are what hash-gates; the oracle "
+    "asserts the same booleans as literals). A sketch regression "
+    "breaks the gate without ever pinning unstable internals.",
+)
+def stat_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    v = F.round(F.col("o_totalprice")).cast("long")
+    g = o.groupBy(v.alias("v")).agg(F.count("*").alias("cnt")).transform(pin)
+    cum = g.select(
+        "v",
+        F.sum("cnt").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)).alias("c"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    ).transform(pin)
+    exact = cum.agg(
+        F.max("n").alias("n_rows"),
+        F.min(F.when(F.expr("c >= (n * 50 + 99) div 100"), F.col("v"))).alias("exact_p50"),
+        F.min(F.when(F.expr("c >= (n * 90 + 99) div 100"), F.col("v"))).alias("exact_p90"),
+        F.min(F.when(F.expr("c >= (n * 99 + 99) div 100"), F.col("v"))).alias("exact_p99"),
+    )
+    approx = o.agg(
+        F.percentile_approx(v, [0.5, 0.9, 0.99], _APPROX_ACC).alias("ap")
+    ).select(
+        F.col("ap")[0].alias("a50"), F.col("ap")[1].alias("a90"), F.col("ap")[2].alias("a99")
+    )
+    # the approx answer is always an actual data value; its TRUE rank is the
+    # interval [c - cnt + 1, c] at that value. The contract holds when that
+    # interval comes within n/accuracy ranks of the target rank.
+    ranked = approx.crossJoin(F.broadcast(exact))
+    cnt_cum = cum.join(g.select("v", "cnt"), "v")
+    for pct, col in ((50, "a50"), (90, "a90"), (99, "a99")):
+        rk = cnt_cum.select(
+            F.col("v").alias(f"v{pct}"),
+            F.col("c").alias(f"c{pct}"),
+            F.col("cnt").alias(f"k{pct}"),
+        )
+        ranked = ranked.join(F.broadcast(rk), F.col(col) == F.col(f"v{pct}"), "left")
+    bound = F.ceil((F.col("n_rows") + F.lit(_APPROX_ACC) - 1) / F.lit(_APPROX_ACC))
+    out_cols = [
+        F.col("n_rows"),
+        F.col("exact_p50"),
+        F.col("exact_p90"),
+        F.col("exact_p99"),
+    ]
+    for pct in (50, 90, 99):
+        target = F.floor((F.col("n_rows") * pct + 99) / 100)
+        lo = F.col(f"c{pct}") - F.col(f"k{pct}") + 1
+        hi = F.col(f"c{pct}")
+        out_cols.append(
+            ((hi >= target - bound) & (lo <= target + bound)).alias(
+                f"p{pct}_within_bound"
+            )
+        )
+    return ranked.select(*out_cols)
+
+
+@register(
+    "trend_decomposition_monthly",
+    oracle="""
+        WITH monthly AS MATERIALIZED (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                        + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi,
+                   CAST(MIN(EXTRACT(month FROM o_orderdate)) AS BIGINT) AS moy,
+                   CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY mi),
+        tr AS MATERIALIZED (
+            SELECT mi, moy, y,
+                   CAST(SUM(y) OVER (ORDER BY mi ROWS BETWEEN 6 PRECEDING
+                                     AND 6 FOLLOWING) AS BIGINT) AS t13,
+                   CAST(COUNT(*) OVER (ORDER BY mi ROWS BETWEEN 6 PRECEDING
+                                       AND 6 FOLLOWING) AS BIGINT) AS nw
+            FROM monthly),
+        dev AS (
+            SELECT mi, moy, y, t13,
+                   13 * y - t13 AS dev13
+            FROM tr WHERE nw = 13),
+        seas AS (
+            SELECT moy, CAST(SUM(dev13) AS BIGINT) AS sdev,
+                   CAST(COUNT(*) AS BIGINT) AS nyears
+            FROM dev GROUP BY moy)
+        SELECT d.mi, d.moy, d.y, d.t13,
+               CAST(d.t13 AS DOUBLE) / 13.0 AS trend,
+               CAST(s.sdev AS DOUBLE) / (13.0 * CAST(s.nyears AS DOUBLE))
+                   AS seasonal,
+               CAST(d.y AS DOUBLE) - CAST(d.t13 AS DOUBLE) / 13.0
+                   - CAST(s.sdev AS DOUBLE) / (13.0 * CAST(s.nyears AS DOUBLE))
+                   AS residual
+        FROM dev d JOIN seas s USING (moy)
+        ORDER BY d.mi
+    """,
+    doc="Additive trend/seasonal/residual decomposition of monthly "
+    "revenue (the classical-decomposition skeleton behind STL): trend = "
+    "centered 13-month moving average, seasonal = month-of-year mean "
+    "deviation, residual = remainder. All accumulators are exact "
+    "BIGINTs — deviations stay integral by scaling through 13 "
+    "(dev13 = 13y − Σwindow) and seasonal means divide ONCE at output — "
+    "so both engines agree bit-for-bit despite three layers of "
+    "averaging. The windows run over the calendar-bounded monthly "
+    "frame; one scan of orders.",
+)
+def trend_decomposition_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("mi")
+        )
+        .agg(
+            F.min(F.month("o_orderdate")).cast("long").alias("moy"),
+            F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y"),
+        )
+        .transform(pin)
+    )
+    w13 = Window.orderBy("mi").rowsBetween(-6, 6)
+    tr = monthly.select(
+        "mi", "moy", "y",
+        F.sum("y").over(w13).alias("t13"),
+        F.count("*").over(w13).alias("nw"),
+    )
+    dev = tr.filter(F.col("nw") == 13).select(
+        "mi", "moy", "y", "t13", (13 * F.col("y") - F.col("t13")).alias("dev13")
+    ).transform(pin)
+    seas = dev.groupBy("moy").agg(
+        F.sum("dev13").alias("sdev"), F.count("*").alias("nyears")
+    )
+    trend = F.col("t13").cast("double") / F.lit(13.0)
+    seasonal = F.col("sdev").cast("double") / (F.lit(13.0) * F.col("nyears").cast("double"))
+    return (
+        dev.join(F.broadcast(seas), "moy")
+        .select(
+            "mi", "moy", "y", "t13",
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            (F.col("y").cast("double") - trend - seasonal).alias("residual"),
+        )
+        .orderBy("mi")
+    )
+
+
+@register(
+    "stat_group_quantiles_by_priority",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderpriority AS pr,
+                   CAST(ROUND(o_totalprice) AS BIGINT) AS v, COUNT(*) AS cnt
+            FROM orders GROUP BY pr, v),
+        cum AS (
+            SELECT pr, v,
+                   SUM(cnt) OVER (PARTITION BY pr ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS c,
+                   SUM(cnt) OVER (PARTITION BY pr) AS n
+            FROM g)
+        SELECT pr,
+               CAST(MAX(n) AS BIGINT) AS n_orders,
+               CAST(MIN(CASE WHEN c >= (n * 25 + 99) // 100 THEN v END)
+                    AS BIGINT) AS p25,
+               CAST(MIN(CASE WHEN c >= (n * 50 + 99) // 100 THEN v END)
+                    AS BIGINT) AS p50,
+               CAST(MIN(CASE WHEN c >= (n * 75 + 99) // 100 THEN v END)
+                    AS BIGINT) AS p75,
+               CAST(MIN(CASE WHEN c >= (n * 99 + 99) // 100 THEN v END)
+                    AS BIGINT) AS p99,
+               CAST(MAX(v) AS BIGINT) AS vmax
+        FROM cum GROUP BY pr ORDER BY pr
+    """,
+    doc="Per-group exact quantile bands (p25/p50/p75/p99/max per order "
+    "priority) WITHOUT approx_percentile: the value-cumulative nearest-"
+    "rank selection runs PARTITIONED by group, so each group's ordered "
+    "window covers only its own bounded value frame — the grouped "
+    "generalization of the global percentile machinery, and the "
+    "partitioning-independent exact answer a 100 TB job can afford "
+    "because cardinality is bounded by the value RANGE per group, not "
+    "row count. One scan, one keyed rollup, one partitioned window.",
+)
+def stat_group_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("pr"),
+        F.round(F.col("o_totalprice")).cast("long").alias("v"),
+    ).agg(F.count("*").alias("cnt"))
+    cum = g.select(
+        "pr",
+        "v",
+        F.sum("cnt")
+        .over(Window.partitionBy("pr").orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("c"),
+        F.sum("cnt").over(Window.partitionBy("pr")).alias("n"),
+    )
+    sel = lambda pct: F.min(
+        F.when(F.expr(f"c >= (n * {pct} + 99) div 100"), F.col("v"))
+    ).cast("long")
+    return (
+        cum.groupBy("pr")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            sel(25).alias("p25"),
+            sel(50).alias("p50"),
+            sel(75).alias("p75"),
+            sel(99).alias("p99"),
+            F.max("v").cast("long").alias("vmax"),
+        )
+        .orderBy("pr")
+    )

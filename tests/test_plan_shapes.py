@@ -483,6 +483,9 @@ _BNLJ_BOUNDED_OK = {
     # frame before the equi-join back to it (bounded 32x fan-out)
     "trend_ewma32_daily_revenue",
     "part_pair_association_topk",  # 1-row order-count scalar broadcast
+    # 1-row sketch-output scalar crossed onto the 1-row exact-quantile
+    # scalar before the three value-keyed rank lookups
+    "stat_approx_percentile_contract",
 }
 
 
