@@ -2480,3 +2480,223 @@ def stat_group_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("pr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch mergeability and experiment-analysis guardrails
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stat_hll_monthly_merge",
+    oracle="""
+        WITH h AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) * 12
+                        + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi,
+                   ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                       AS hv
+            FROM orders),
+        rho AS (
+            SELECT mi, hv % 64 AS bucket,
+                   CASE WHEN hv // 64 = 0 THEN 55
+                        ELSE 55 - length(bin(hv // 64)) END AS r
+            FROM h),
+        monthly AS MATERIALIZED (
+            SELECT mi, bucket, MAX(r) AS m_j FROM rho GROUP BY mi, bucket),
+        merged AS (
+            SELECT t.b AS bucket, COALESCE(MAX(monthly.m_j), 0) AS m_j
+            FROM UNNEST(range(64)) AS t(b)
+            LEFT JOIN monthly ON monthly.bucket = t.b
+            GROUP BY t.b),
+        single AS (
+            SELECT t.b AS bucket, COALESCE(MAX(rho.r), 0) AS m_j
+            FROM UNNEST(range(64)) AS t(b)
+            LEFT JOIN rho ON rho.bucket = t.b
+            GROUP BY t.b),
+        sm AS (SELECT CAST(SUM(1::BIGINT << (55 - m_j)) AS BIGINT) AS s
+               FROM merged),
+        ss AS (SELECT CAST(SUM(1::BIGINT << (55 - m_j)) AS BIGINT) AS s
+               FROM single),
+        nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly
+               WHERE bucket IS NOT NULL)
+        SELECT sm.s AS sum_scaled_merged, ss.s AS sum_scaled_single,
+               (sm.s = ss.s) AS merge_lossless,
+               (SELECT COUNT(DISTINCT mi) FROM monthly) AS n_sketches
+        FROM sm, ss
+    """,
+    doc="HLL sketch MERGEABILITY gate — the property that makes HLL the "
+    "100 TB distinct-count workhorse: build one 64-register sketch per "
+    "month, merge them by per-register MAX, and assert the merged "
+    "register sum equals the single-pass sketch's exactly (the gated "
+    "boolean). This is how distinct counts compose across partitions, "
+    "days, and streams without reprocessing; a partial-aggregation or "
+    "register-layout regression flips the boolean. Same md5-based "
+    "engine-exact register algebra as stat_hll_distinct_custkeys; one "
+    "scan feeds the pinned per-month register table.",
+)
+def stat_hll_monthly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("mi")
+    rho = (
+        orders.select(mi, hv)
+        .select(
+            "mi",
+            F.pmod(F.col("hv"), F.lit(64)).alias("bucket"),
+            F.when(F.expr("hv div 64") == 0, F.lit(55))
+            .otherwise(F.lit(55) - F.length(F.conv(F.expr("hv div 64"), 10, 2)))
+            .alias("r"),
+        )
+        .transform(pin)
+    )
+    monthly = rho.groupBy("mi", "bucket").agg(F.max("r").alias("m_j")).transform(pin)
+    base = spark.range(64).withColumnRenamed("id", "bucket")
+    merged = (
+        base.join(monthly.groupBy("bucket").agg(F.max("m_j").alias("mx")), "bucket", "left")
+        .select(F.coalesce(F.col("mx"), F.lit(0)).alias("m_j"))
+        .agg(F.sum(F.expr("shiftleft(1L, 55 - m_j)")).alias("sum_scaled_merged"))
+    )
+    single = (
+        base.join(rho.groupBy("bucket").agg(F.max("r").alias("mx")), "bucket", "left")
+        .select(F.coalesce(F.col("mx"), F.lit(0)).alias("m_j"))
+        .agg(F.sum(F.expr("shiftleft(1L, 55 - m_j)")).alias("sum_scaled_single"))
+    )
+    nsk = monthly.agg(F.countDistinct("mi").alias("n_sketches"))
+    return (
+        merged.crossJoin(single)
+        .crossJoin(F.broadcast(nsk))
+        .select(
+            "sum_scaled_merged",
+            "sum_scaled_single",
+            (F.col("sum_scaled_merged") == F.col("sum_scaled_single")).alias(
+                "merge_lossless"
+            ),
+            "n_sketches",
+        )
+    )
+
+
+#: Activity-tier thresholds for the Simpson's-paradox segmentation.
+_SIMPSON_TIERS = ((0, 49), (50, 79), (80, 1 << 60))
+
+
+@register(
+    "ev_simpsons_paradox_check",
+    oracle="""
+        WITH per_user AS MATERIALIZED (
+            SELECT user_id,
+                   (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 2) AS variant,
+                   COUNT(*) AS n_ev,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY user_id),
+        tiered AS (
+            SELECT CASE WHEN n_ev <= 49 THEN 'low'
+                        WHEN n_ev <= 79 THEN 'mid'
+                        ELSE 'high' END AS segment,
+                   variant, converted
+            FROM per_user),
+        seg AS (
+            SELECT segment,
+                   CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+                   CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b
+            FROM tiered GROUP BY segment),
+        pooled AS (
+            SELECT 'pooled' AS segment,
+                   CAST(SUM(n_a) AS BIGINT) AS n_a, CAST(SUM(c_a) AS BIGINT) AS c_a,
+                   CAST(SUM(n_b) AS BIGINT) AS n_b, CAST(SUM(c_b) AS BIGINT) AS c_b
+            FROM seg),
+        allrows AS (SELECT * FROM seg UNION ALL SELECT * FROM pooled)
+        SELECT a.segment, a.n_a, a.c_a, a.n_b, a.c_b,
+               CASE WHEN a.c_a * a.n_b > a.c_b * a.n_a THEN 1
+                    WHEN a.c_a * a.n_b < a.c_b * a.n_a THEN -1
+                    ELSE 0 END AS winner_sign,
+               (CASE WHEN a.c_a * a.n_b > a.c_b * a.n_a THEN 1
+                     WHEN a.c_a * a.n_b < a.c_b * a.n_a THEN -1
+                     ELSE 0 END)
+               <> (CASE WHEN p.c_a * p.n_b > p.c_b * p.n_a THEN 1
+                        WHEN p.c_a * p.n_b < p.c_b * p.n_a THEN -1
+                        ELSE 0 END) AS reverses_pooled
+        FROM allrows a CROSS JOIN pooled p
+        ORDER BY a.segment
+    """,
+    doc="Simpson's-paradox guardrail for A/B readouts: users hash-split "
+    "into variants (deterministic md5 parity — retry-safe, engine-"
+    "identical), conversion compared per activity tier AND pooled, with "
+    "the per-segment winner decided by integer cross-multiplication "
+    "(c_a·n_b vs c_b·n_a — no rate division) and a flag when a "
+    "segment's winner REVERSES the pooled conclusion — the aggregation "
+    "trap every experimentation platform warns about. One user-keyed "
+    "rollup of events; everything downstream runs on the ≤4-row "
+    "segment frame.",
+)
+def ev_simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    variant = (
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+            F.lit(2),
+        )
+    ).alias("variant")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_ev"),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "converted"
+            ),
+        )
+        .select(variant, "n_ev", "converted")
+    )
+    segment = (
+        F.when(F.col("n_ev") <= 49, "low").when(F.col("n_ev") <= 79, "mid").otherwise("high")
+    ).alias("segment")
+    seg = (
+        per_user.select(segment, "variant", "converted")
+        .groupBy("segment")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)).alias("c_a"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)).alias("c_b"),
+        )
+        .transform(pin)
+    )
+    pooled = seg.agg(
+        F.lit("pooled").alias("segment"),
+        F.sum("n_a").alias("n_a"),
+        F.sum("c_a").alias("c_a"),
+        F.sum("n_b").alias("n_b"),
+        F.sum("c_b").alias("c_b"),
+    ).transform(pin)
+    allrows = seg.unionByName(pooled)
+    sign = lambda ca, nb, cb, na: (
+        F.when(ca * nb > cb * na, 1).when(ca * nb < cb * na, -1).otherwise(0)
+    )
+    p = pooled.select(
+        F.col("n_a").alias("p_na"), F.col("c_a").alias("p_ca"),
+        F.col("n_b").alias("p_nb"), F.col("c_b").alias("p_cb"),
+    )
+    return (
+        allrows.crossJoin(F.broadcast(p))
+        .select(
+            "segment", "n_a", "c_a", "n_b", "c_b",
+            sign(F.col("c_a"), F.col("n_b"), F.col("c_b"), F.col("n_a")).alias(
+                "winner_sign"
+            ),
+            (
+                sign(F.col("c_a"), F.col("n_b"), F.col("c_b"), F.col("n_a"))
+                != sign(F.col("p_ca"), F.col("p_nb"), F.col("p_cb"), F.col("p_na"))
+            ).alias("reverses_pooled"),
+        )
+        .orderBy("segment")
+    )

@@ -486,6 +486,8 @@ _BNLJ_BOUNDED_OK = {
     # 1-row sketch-output scalar crossed onto the 1-row exact-quantile
     # scalar before the three value-keyed rank lookups
     "stat_approx_percentile_contract",
+    "stat_hll_monthly_merge",  # three 1-row register-sum scalars crossed
+    "ev_simpsons_paradox_check",  # 1-row pooled scalar onto the 4-row frame
 }
 
 
