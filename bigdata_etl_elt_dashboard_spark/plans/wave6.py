@@ -2700,3 +2700,227 @@ def ev_simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust ingestion, replay dedup, count-min sketch
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "src_csv_malformed_recovery_digest",
+    oracle="""
+        SELECT COUNT(*) AS n_good,
+               CAST(COUNT(*) // 100 + 3 AS BIGINT) AS n_bad,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM orders
+    """,
+    doc="Malformed-record RECOVERY gate (the at-scale ingestion reality: "
+    "a 100 TB CSV drop always contains broken lines): orders rendered "
+    "to CSV text with n/100 + 3 deliberately mangled lines interleaved "
+    "(truncated fields, wrong arity, garbage — deterministic positions "
+    "via orderkey modulus), read back in PERMISSIVE mode with a "
+    "_corrupt_record column. The digest proves BOTH directions: every "
+    "good row survives with exact values (key sum) and every bad line "
+    "is quarantined, not silently dropped or coerced. The oracle "
+    "computes the expected counts from the same closed-form injection "
+    "arithmetic on the original parquet.",
+)
+def src_csv_malformed_recovery_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_src_gate_{sf}", "orders_malformed_csv"
+    )
+    orders = table(spark, sf_dir, "orders")
+    # render good lines: orderkey,custkey,totalprice — the price renders
+    # from exact cents (intpart.2digits), safe at any magnitude (no
+    # locale/thousands-separator formatting anywhere)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    price_str = F.concat(
+        (cents / 100).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad(F.pmod(cents, F.lit(100)).cast("string"), 2, "0"),
+    )
+    good = orders.select(
+        F.concat_ws(
+            ",", F.col("o_orderkey"), F.col("o_custkey"), price_str
+        ).alias("value")
+    )
+    # deterministic bad lines: one per 100 good rows + 3 fixed shapes
+    n_bad_dynamic = orders.count() // 100
+    bad_rows = [("BROKEN_LINE_NO_COMMAS",), ("1,2",), ("x,y,z,extra,fields",)]
+    bad_rows += [(f"garbage_{i},not_a_number",) for i in range(n_bad_dynamic)]
+    bad = spark.createDataFrame(bad_rows, "value string")
+    good.unionAll(bad).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    back = back.cache()  # corrupt-record column requires a non-pruned scan
+    good_rows = back.filter(F.col("_corrupt_record").isNull())
+    bad_rows_df = back.filter(F.col("_corrupt_record").isNotNull())
+    g = good_rows.agg(
+        F.count("*").alias("n_good"), F.sum("o_orderkey").alias("key_sum")
+    )
+    b = bad_rows_df.agg(F.count("*").alias("n_bad"))
+    return g.crossJoin(b).select("n_good", "n_bad", "key_sum")
+
+
+@register(
+    "ev_replay_dedup_digest",
+    oracle="""
+        WITH base AS (
+            SELECT event_id, user_id, value FROM events),
+        digest AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(event_id) AS BIGINT) AS id_sum,
+                   CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                       AS value_micros_sum
+            FROM base)
+        SELECT n_events,
+               CAST(n_events + (SELECT COUNT(*) FROM base
+                                WHERE event_id % 7 = 0) AS BIGINT)
+                   AS n_delivered,
+               id_sum, value_micros_sum, TRUE AS replay_removed
+        FROM digest
+    """,
+    doc="Exactly-once REPLAY dedup gate — the batch proof of the "
+    "idempotent-consumer contract every at-least-once event bus "
+    "requires: the stream is unioned with a deterministic replayed "
+    "subset (every 7th event delivered twice), deduplicated by "
+    "event_id keep-any (payloads of a replay are identical by "
+    "construction, so keep-any is sound), and the digest must equal "
+    "the original stream's exactly — count, id-sum and exact "
+    "micro-value sum — with the gated boolean asserting the replayed "
+    "rows all collapsed. One md5-distributable keyed dedup shuffle; "
+    "the delivered-count column records how many duplicates arrived.",
+)
+def ev_replay_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    replayed = ev.filter(F.col("event_id") % 7 == 0)
+    delivered = ev.unionAll(replayed).transform(pin)
+    n_delivered = delivered.agg(F.count("*").alias("n_delivered"))
+    deduped = delivered.dropDuplicates(["event_id"])
+    d = deduped.agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("id_sum"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
+            "value_micros_sum"
+        ),
+    )
+    return (
+        d.crossJoin(F.broadcast(n_delivered))
+        .select(
+            "n_events",
+            "n_delivered",
+            "id_sum",
+            "value_micros_sum",
+            (F.col("n_delivered") > F.col("n_events")).alias("replay_removed"),
+        )
+    )
+
+
+#: Count-min sketch geometry: d hash rows × w counters.
+_CMS_D = 4
+_CMS_W = 64
+
+
+@register(
+    "stat_cms_part_heavyhitters",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT l_partkey,
+                   ('0x' || substr(md5(CAST(l_partkey AS VARCHAR) || '|' ||
+                                       CAST(r.r AS VARCHAR)), 1, 15))::BIGINT
+                       % {_CMS_W} AS col_idx,
+                   r.r AS row_idx
+            FROM lineitem, range({_CMS_D}) r(r)),
+        counters AS MATERIALIZED (
+            SELECT row_idx, col_idx, CAST(COUNT(*) AS BIGINT) AS c
+            FROM keyed GROUP BY row_idx, col_idx),
+        truth AS MATERIALIZED (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS true_cnt
+            FROM lineitem GROUP BY l_partkey),
+        top AS (
+            SELECT l_partkey, true_cnt FROM truth
+            ORDER BY true_cnt DESC, l_partkey LIMIT 10),
+        probes AS (
+            SELECT t.l_partkey, t.true_cnt, r.r AS row_idx,
+                   ('0x' || substr(md5(CAST(t.l_partkey AS VARCHAR) || '|' ||
+                                       CAST(r.r AS VARCHAR)), 1, 15))::BIGINT
+                       % {_CMS_W} AS col_idx
+            FROM top t, range({_CMS_D}) r(r)),
+        est AS (
+            SELECT p.l_partkey, ANY_VALUE(p.true_cnt) AS true_cnt,
+                   MIN(c.c) AS est_cnt
+            FROM probes p JOIN counters c
+              ON c.row_idx = p.row_idx AND c.col_idx = p.col_idx
+            GROUP BY p.l_partkey)
+        SELECT l_partkey, true_cnt, est_cnt,
+               est_cnt - true_cnt AS overestimate,
+               (est_cnt >= true_cnt) AS never_underestimates
+        FROM est
+        ORDER BY true_cnt DESC, l_partkey
+    """,
+    doc=f"Count-min sketch ({_CMS_D}×{_CMS_W} counters) frequency "
+    "estimation for the top-10 heaviest parts: every update hashes into "
+    "one counter per row (md5-derived — engine-identical), the point "
+    "estimate is the MIN across rows, and the gate asserts the sketch's "
+    "one-sided guarantee (est ≥ true, never under) plus the exact "
+    "overestimate per key. All-integer algebra end to end — unlike "
+    "native sketch libraries the counter table is plain rows, mergeable "
+    "by + across partitions/streams (the CMS property that matters at "
+    f"100 TB). One scan fans out ×{_CMS_D} into the counter rollup; the "
+    "probe side is a bounded top-10 frame.",
+)
+def stat_cms_part_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    rows = spark.range(_CMS_D).withColumnRenamed("id", "row_idx")
+    col_idx = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("l_partkey"), F.col("row_idx"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(_CMS_W),
+    ).alias("col_idx")
+    counters = (
+        li.crossJoin(F.broadcast(rows))
+        .select("row_idx", col_idx)
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count("*").alias("c"))
+    )
+    truth = li.groupBy("l_partkey").agg(F.count("*").alias("true_cnt")).transform(pin)
+    top = truth.orderBy(F.desc("true_cnt"), "l_partkey").limit(10)
+    probes = top.crossJoin(F.broadcast(rows)).select(
+        "l_partkey", "true_cnt", "row_idx", col_idx
+    )
+    est = (
+        probes.join(counters, ["row_idx", "col_idx"])
+        .groupBy("l_partkey")
+        .agg(F.first("true_cnt").alias("true_cnt"), F.min("c").alias("est_cnt"))
+    )
+    return est.select(
+        "l_partkey",
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).alias("overestimate"),
+        (F.col("est_cnt") >= F.col("true_cnt")).alias("never_underestimates"),
+    ).orderBy(F.desc("true_cnt"), "l_partkey")
