@@ -2924,3 +2924,256 @@ def stat_cms_part_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est_cnt") - F.col("true_cnt")).alias("overestimate"),
         (F.col("est_cnt") >= F.col("true_cnt")).alias("never_underestimates"),
     ).orderBy(F.desc("true_cnt"), "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations, rolling MAU, any-order funnel, order cohorts
+# ---------------------------------------------------------------------------
+
+_KMVI_K = 256
+
+
+@register(
+    "stat_kmv_intersection_years",
+    oracle=f"""
+        WITH cy AS (
+            SELECT DISTINCT o_custkey,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr
+            FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)),
+        flags AS MATERIALIZED (
+            SELECT o_custkey,
+                   MAX(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS in96,
+                   MAX(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS in97
+            FROM cy GROUP BY o_custkey),
+        hashed AS (
+            SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                       AS hv,
+                   in96, in97
+            FROM flags),
+        sketch AS (
+            SELECT hv, in96, in97 FROM hashed ORDER BY hv LIMIT {_KMVI_K}),
+        s AS (
+            SELECT CAST(MAX(hv) AS BIGINT) AS kth_min,
+                   CAST(SUM(in96 * in97) AS BIGINT) AS n_both,
+                   CAST(COUNT(*) AS BIGINT) AS k_used
+            FROM sketch),
+        t AS (
+            SELECT CAST(SUM(in96 * in97) AS BIGINT) AS true_inter,
+                   CAST(COUNT(*) AS BIGINT) AS true_union
+            FROM flags)
+        SELECT k_used, kth_min, n_both,
+               n_both * 1000000 // k_used AS sketch_jaccard_ppm,
+               true_inter, true_union,
+               true_inter * 1000000 // true_union AS true_jaccard_ppm
+        FROM s, t
+    """,
+    doc=f"KMV (theta-sketch-style) SET-OPERATION estimation: the "
+    f"{_KMVI_K} smallest distinct md5 hashes of customers active in "
+    "1996 OR 1997 form the union sketch; the Jaccard estimate is the "
+    "fraction of sketch members active in BOTH years, compared against "
+    "the exact Jaccard from the same pinned year-flag frame. This is "
+    "the sketch algebra that answers intersection/overlap questions "
+    "(audience overlap, split contamination) at 100 TB without holding "
+    "either set: sketches union by keeping the k smallest of a merged "
+    "hash stream. Everything is integer (hash values, flags, ppm floor "
+    "divisions); one scan of orders feeds flags AND truth.",
+)
+def stat_kmv_intersection_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.year("o_orderdate").isin(1996, 1997))
+    cy = o.select(
+        "o_custkey", F.year("o_orderdate").cast("long").alias("yr")
+    ).distinct()
+    flags = (
+        cy.groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("in96"),
+            F.max(F.when(F.col("yr") == 1997, 1).otherwise(0)).alias("in97"),
+        )
+        .transform(pin)
+    )
+    hashed = flags.select(
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+        "in96",
+        "in97",
+    )
+    sketch = hashed.orderBy("hv").limit(_KMVI_K)
+    s = sketch.agg(
+        F.max("hv").alias("kth_min"),
+        F.sum(F.col("in96") * F.col("in97")).alias("n_both"),
+        F.count("*").alias("k_used"),
+    )
+    t = flags.agg(
+        F.sum(F.col("in96") * F.col("in97")).alias("true_inter"),
+        F.count("*").alias("true_union"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "k_used",
+        "kth_min",
+        "n_both",
+        F.expr("n_both * 1000000 div k_used").alias("sketch_jaccard_ppm"),
+        "true_inter",
+        "true_union",
+        F.expr("true_inter * 1000000 div true_union").alias("true_jaccard_ppm"),
+    )
+
+
+@register(
+    "ev_rolling28_mau",
+    oracle="""
+        WITH du AS MATERIALIZED (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        days AS (SELECT DISTINCT day FROM du),
+        win AS (
+            SELECT d.day, du.user_id
+            FROM days d
+            JOIN range(28) k(k) ON TRUE
+            JOIN du ON du.day = d.day - INTERVAL (k.k) DAY)
+        SELECT day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau28,
+               CAST(COUNT(*) AS BIGINT) AS active_user_days
+        FROM win
+        GROUP BY day
+        ORDER BY day
+    """,
+    doc="Rolling 28-day MAU per day — the engagement denominator behind "
+    "DAU/MAU stickiness — computed exactly: the distinct (day, user) "
+    "frame (bounded by users x calendar, the only fact-sized reduction) "
+    "joins a broadcast 28-lag offset frame, and each day counts "
+    "distinct users across its trailing window. The 28x fan-out is "
+    "calendar-bounded and the distinct is map-side partial — no "
+    "sliding-window distinct state, no approximation. Truncated "
+    "leading windows report over the days available (standard).",
+)
+def ev_rolling28_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct().transform(pin)
+    days = du.select("day").distinct()
+    lags = ev.sparkSession.range(28).select(F.col("id").cast("int").alias("k"))
+    win = (
+        days.crossJoin(F.broadcast(lags))
+        .join(
+            du.select(F.col("day").alias("pday"), "user_id"),
+            F.expr("pday = date_sub(day, k)"),
+        )
+    )
+    return (
+        win.groupBy("day")
+        .agg(
+            F.countDistinct("user_id").alias("mau28"),
+            F.count("*").alias("active_user_days"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "ev_funnel_anyorder",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view'
+                       THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click'
+                       THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase'
+                       THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_buy
+            FROM events GROUP BY user_id),
+        conv AS (
+            SELECT user_id,
+                   (GREATEST(t_view, t_click, t_buy)
+                    - LEAST(t_view, t_click, t_buy)) // 86400 AS span_days
+            FROM firsts
+            WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+              AND t_buy IS NOT NULL)
+        SELECT span_days,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM conv
+        GROUP BY span_days
+        ORDER BY span_days
+    """,
+    doc="ANY-order funnel (the strict and per-step-deadline funnels' "
+    "third sibling): a user completes when all three touchpoints "
+    "(view, click, purchase) have occurred in ANY order; the readout "
+    "histograms the completion span — whole days between the earliest "
+    "and latest FIRST-touch — one conditional-MIN rollup per user "
+    "(single keyed shuffle, no joins, no ordering state), then a "
+    "calendar-bounded histogram. Epoch-second floors keep the span "
+    "arithmetic integer-exact on both engines.",
+)
+def ev_funnel_anyorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    es = F.floor(F.col("ts").cast("long"))
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, es))
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_buy"),
+    )
+    conv = firsts.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_buy").isNotNull()
+    ).select(
+        F.floor(
+            (
+                F.greatest("t_view", "t_click", "t_buy")
+                - F.least("t_view", "t_click", "t_buy")
+            )
+            / 86400
+        ).alias("span_days")
+    )
+    return (
+        conv.groupBy("span_days").agg(F.count("*").alias("n_users")).orderBy("span_days")
+    )
+
+
+@register(
+    "cust_order_cohort_revenue",
+    oracle="""
+        WITH firsts AS MATERIALIZED (
+            SELECT o_custkey,
+                   CAST(MIN(EXTRACT(year FROM o_orderdate)) AS BIGINT)
+                       AS cohort_year
+            FROM orders GROUP BY o_custkey)
+        SELECT f.cohort_year,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        GROUP BY f.cohort_year, order_year
+        ORDER BY f.cohort_year, order_year
+    """,
+    doc="Acquisition-cohort revenue triangle over ORDERS (the purchase-"
+    "ledger sibling of the event-stream cohort retention): customers "
+    "cohorted by first-order year, revenue and repeat-buyer counts per "
+    "(cohort, order year). Two keyed shuffles — the per-customer first-"
+    "year rollup (pinned) and the cohort matrix — with the firsts frame "
+    "joined back customer-keyed (at 100 TB it shuffles on the same key "
+    "as the fact aggregation, so AQE co-locates). Exact cents.",
+)
+def cust_order_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    firsts = (
+        o.groupBy("o_custkey")
+        .agg(F.min(F.year("o_orderdate")).cast("long").alias("cohort_year"))
+        .transform(pin)
+    )
+    return (
+        o.join(firsts.withColumnRenamed("o_custkey", "ck"), o.o_custkey == F.col("ck"))
+        .groupBy("cohort_year", F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy("cohort_year", "order_year")
+    )
