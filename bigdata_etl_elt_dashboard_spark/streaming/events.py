@@ -187,3 +187,18 @@ def stream_click_view_join(
         & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
         & (F.col("view_ts") < F.col("click_ts")),
     ).select("click_id", "user_id", "click_ts", "view_ts", "view_value")
+
+
+def stream_dedup(
+    events_stream: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exactly-once DEDUPLICATION over an at-least-once delivery:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival of each
+    event_id and drops replays that arrive within the watermark horizon —
+    the state store evicts ids once the watermark passes them, so state is
+    bounded by (arrival rate × watermark), never by stream length. The
+    batch twin is a plain ``dropDuplicates`` (gated in the registry as
+    ``ev_replay_dedup_digest``)."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -290,3 +290,45 @@ def test_stream_static_enrich_join(spark, event_dir):
     q.awaitTermination(120)
     got = {r["user_name"]: r["count"] for r in spark.sql("SELECT * FROM enrich_eq").collect()}
     assert got == {"alice": 2, "bob": 2}
+
+
+def test_stream_dedup_within_watermark_equals_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark collapses replayed event_ids to the
+    same row set a batch dropDuplicates produces: duplicates delivered
+    within the watermark horizon are dropped, and per-id state is evicted
+    after the horizon (bounded state — the streaming exactly-once dedup
+    contract the batch twin ev_replay_dedup_digest gates)."""
+    from bigdata_etl_elt_dashboard_spark.streaming.events import stream_dedup
+
+    path = str(tmp_path / "events_dup")
+    _write_events(
+        spark,
+        path,
+        [
+            (1, _ts(10, 0), 1, "view", 1.0),
+            (1, _ts(10, 1), 1, "view", 1.0),  # replay of id 1 (1 min later)
+            (2, _ts(10, 2), 1, "click", 2.0),
+            (2, _ts(10, 2), 1, "click", 2.0),  # exact duplicate delivery
+            (3, _ts(10, 30), 2, "view", 3.0),
+        ],
+    )
+    batch_ids = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(path).dropDuplicates(["event_id"]).collect()
+    )
+    assert batch_ids == [1, 2, 3]
+
+    stream = stream_events_from_parquet(spark, path, EVENT_SCHEMA)
+    q = (
+        stream_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_eq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM dedup_eq").collect()
+    )
+    assert got == batch_ids
