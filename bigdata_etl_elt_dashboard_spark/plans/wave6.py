@@ -3177,3 +3177,55 @@ def cust_order_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_year", "order_year")
     )
+
+
+@register(
+    "trend_range7d_revenue",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(datediff('day', DATE '1995-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT) AS dnum,
+                   CAST(MIN(CAST(o_orderdate AS DATE)) AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY dnum)
+        SELECT day, y,
+               CAST(SUM(y) OVER (ORDER BY dnum
+                                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sum_7d,
+               CAST(COUNT(*) OVER (ORDER BY dnum
+                                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS days_present_7d
+        FROM daily
+        ORDER BY day
+    """,
+    doc="Trailing-7-CALENDAR-day revenue via a RANGE window frame — the "
+    "frame that differs from ROWS exactly when days are missing: RANGE "
+    "bounds by the day-number VALUE, so a gap in the calendar shrinks "
+    "the window instead of silently reaching further back (the "
+    "days_present_7d column exposes the difference). Integer day "
+    "numbers anchor the frame identically on both engines; sums are "
+    "exact whole-unit BIGINTs; the ordered window runs over the "
+    "calendar-bounded daily frame.",
+)
+def trend_range7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("dnum")
+    ).agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("day"),
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y"),
+    )
+    w = Window.orderBy("dnum").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            "y",
+            F.sum("y").over(w).alias("sum_7d"),
+            F.count("*").over(w).alias("days_present_7d"),
+        )
+        .orderBy("day")
+    )

@@ -342,3 +342,58 @@ def test_emb_exact_dup_sizes_all_unique_on_corpus(spark, sf_smoke):
 
     rows = REGISTRY["emb_exact_dup_sizes"].fn(spark, sf_smoke).collect()
     assert [r["group_size"] for r in rows] == [1]
+
+
+def test_pandas_udf_cosine_equals_jvm_kernel(spark, sf_smoke):
+    """API-surface proof for the vectorized-UDF path (SURVEY §2.11): an
+    Arrow-batched @pandas_udf dot product must agree with the JVM-side
+    zip_with/aggregate kernel bit-for-bit on the micro-quantized integer
+    embeddings. The engine's parity surface deliberately uses ONLY the
+    JVM kernel (UDFs are the slow path); this pins that the pandas_udf
+    route — the sanctioned escape hatch when built-ins can't express an
+    op — produces identical numbers, so swapping it in can never change
+    results, only speed."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from bigdata_etl_elt_dashboard_spark.plans.iterative import _to_fixed
+
+    emb = (
+        spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+        .limit(64)
+        .select("vec_id", _to_fixed(F.col("embedding")).alias("q"))
+    )
+    paired = emb.alias("a").join(
+        emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id")
+    ).select(
+        F.col("a.vec_id").alias("u"),
+        F.col("b.vec_id").alias("v"),
+        F.col("a.q").alias("qa"),
+        F.col("b.q").alias("qb"),
+    )
+    jvm = paired.select(
+        "u",
+        "v",
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+
+    # NOTE: `from __future__ import annotations` stringifies hints, which
+    # pandas_udf's hint inference rejects — bind real types via a local
+    # function whose annotations are evaluated eagerly
+    def _dot(a, b):
+        return pd.Series(
+            [sum(int(x) * int(y) for x, y in zip(av, bv)) for av, bv in zip(a, b)]
+        )
+
+    _dot.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    pd_dot = pandas_udf(_dot, "long")
+
+    py = paired.select("u", "v", pd_dot("qa", "qb").alias("dot"))
+    jvm_rows = {(r["u"], r["v"]): r["dot"] for r in jvm.collect()}
+    py_rows = {(r["u"], r["v"]): r["dot"] for r in py.collect()}
+    assert jvm_rows == py_rows and len(jvm_rows) > 100

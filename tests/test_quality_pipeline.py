@@ -72,3 +72,30 @@ def test_pipeline_end_to_end(spark, tmp_path):
     }
     assert set(mrows) == {"transform", "quality", "warehouse", "write"}
     assert mrows["transform"]["rows"] == 11 and mrows["transform"]["seconds"] > 0
+
+
+def test_observe_metrics_ride_the_main_pass(spark, sf_smoke):
+    """df.observe() data-quality counters (SURVEY §2.9 at scale): the DQ
+    rollup must be collectible from the SAME pass that computes the
+    business aggregate — no second scan of the fact table. The observation
+    reports rows seen, null keys, and negative totals while the query
+    itself computes revenue per priority."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    obs = Observation("dq")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_keys"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("neg_totals"),
+    )
+    result = (
+        observed.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    m = obs.get
+    assert m["rows_seen"] == sum(r["n"] for r in result)
+    assert m["null_keys"] == 0 and m["neg_totals"] == 0
