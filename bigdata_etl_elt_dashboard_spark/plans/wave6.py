@@ -3229,3 +3229,138 @@ def trend_range7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "src_dynamic_partition_overwrite_digest",
+    oracle="""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+               COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2
+                        ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END)
+                    AS BIGINT) AS price_cents_sum
+        FROM orders
+        GROUP BY order_year
+        ORDER BY order_year
+    """,
+    doc="Dynamic partition OVERWRITE gate (partitionOverwriteMode="
+    "dynamic — the warehouse primitive behind partition-scoped "
+    "backfills at 100 TB, where static overwrite would truncate the "
+    "whole table): orders land partitioned by year, then ONLY the 1997 "
+    "partition is rewritten with doubled prices through a second "
+    "overwrite-mode write that touches no other partition. The "
+    "year-keyed digest proves both halves — 1997 carries exactly the "
+    "restated values, every other year is byte-untouched (same counts, "
+    "key sums, original cents). The conf flips inside the query and "
+    "restores after (runtime-settable, session-scoped).",
+)
+def src_dynamic_partition_overwrite_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_src_gate_{sf}", "orders_dynpart"
+    )
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    # full load, partitioned by year (static overwrite resets the table)
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "STATIC")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        restated = orders.filter(F.col("order_year") == 1997).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        restated.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    finally:
+        spark.conf.set(conf_key, prev)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("order_year")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "price_cents_sum"
+            ),
+        )
+        .orderBy("order_year")
+    )
+
+
+@register(
+    "nation_revenue_rank_migration",
+    oracle="""
+        WITH yr AS MATERIALIZED (
+            SELECT n.n_name,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS yr,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE EXTRACT(year FROM o.o_orderdate) IN (1996, 1997)
+            GROUP BY n.n_name, yr),
+        ranked AS (
+            SELECT n_name, yr, rev_cents,
+                   ROW_NUMBER() OVER (PARTITION BY yr
+                                      ORDER BY rev_cents DESC, n_name) AS rk
+            FROM yr)
+        SELECT a.n_name,
+               a.rev_cents AS rev_1996, b.rev_cents AS rev_1997,
+               a.rk AS rank_1996, b.rk AS rank_1997,
+               a.rk - b.rk AS rank_gain
+        FROM ranked a
+        JOIN ranked b ON b.n_name = a.n_name AND b.yr = 1997
+        WHERE a.yr = 1996
+        ORDER BY rank_gain DESC, a.n_name
+    """,
+    doc="Year-over-year revenue RANK MIGRATION by customer nation — the "
+    "league-table movement readout (who climbed, who slid): nation "
+    "revenue per year in one fact shuffle (dims broadcast), per-year "
+    "dense ranking with a name tie-break for a total order, and the "
+    "two years self-joined on the pinned 25-nation frame. Movement is "
+    "exact integer rank arithmetic; ordering by gain with a name "
+    "tie-break.",
+)
+def nation_revenue_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.year("o_orderdate").isin(1996, 1997))
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation")
+    yr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev_cents"))
+        .transform(pin)
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("yr").orderBy(F.desc("rev_cents"), "n_name")
+    )
+    ranked = yr.select("n_name", "yr", "rev_cents", rk.alias("rk"))
+    a = ranked.filter(F.col("yr") == 1996).select(
+        "n_name", F.col("rev_cents").alias("rev_1996"), F.col("rk").alias("rank_1996")
+    )
+    b = ranked.filter(F.col("yr") == 1997).select(
+        F.col("n_name").alias("nb"),
+        F.col("rev_cents").alias("rev_1997"),
+        F.col("rk").alias("rank_1997"),
+    )
+    return (
+        a.join(b, a.n_name == b.nb)
+        .select(
+            "n_name", "rev_1996", "rev_1997", "rank_1996", "rank_1997",
+            (F.col("rank_1996") - F.col("rank_1997")).alias("rank_gain"),
+        )
+        .orderBy(F.desc("rank_gain"), "n_name")
+    )
