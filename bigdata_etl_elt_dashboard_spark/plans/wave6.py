@@ -3364,3 +3364,180 @@ def nation_revenue_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.desc("rank_gain"), "n_name")
     )
+
+
+@register(
+    "li_pareto_cum_share",
+    oracle="""
+        WITH pr AS MATERIALIZED (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM lineitem GROUP BY l_partkey),
+        ranked AS (
+            SELECT rev,
+                   ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS rk,
+                   SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(rev) OVER () AS total,
+                   COUNT(*) OVER () AS n_parts
+            FROM pr)
+        SELECT CAST(MAX(n_parts) AS BIGINT) AS n_parts,
+               CAST(MAX(total) AS BIGINT) AS total_cents,
+               CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN rk END) AS BIGINT)
+                   AS k80,
+               CAST(MIN(CASE WHEN cum * 2 >= total THEN rk END) AS BIGINT)
+                   AS k50,
+               CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN rk END) * 1000000
+                    // MAX(n_parts) AS BIGINT) AS k80_share_ppm
+        FROM ranked
+    """,
+    doc="Pareto concentration of part revenue (the 80/20 readout): parts "
+    "rank by revenue under a total order (revenue DESC, key tie-break), "
+    "and the smallest prefix covering 80% / 50% of total revenue is "
+    "selected by integer cross-multiplied cumulative comparisons (cum·5 "
+    "≥ total·4 — no percentage floats). One fact shuffle to part "
+    "revenues; the ordered window runs over the part-dim-sized frame "
+    "(catalog-bounded). k80 as a ppm share of the catalog closes the "
+    "'how concentrated is the business' question exactly.",
+)
+def li_pareto_cum_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    pr = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev"))
+        .transform(pin)
+    )
+    wo = Window.orderBy(F.desc("rev"), "l_partkey")
+    ranked = pr.select(
+        "rev",
+        F.row_number().over(wo).alias("rk"),
+        F.sum("rev").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+        F.count("*").over(Window.partitionBy()).alias("n_parts"),
+    )
+    return ranked.agg(
+        F.max("n_parts").cast("long").alias("n_parts"),
+        F.max("total").cast("long").alias("total_cents"),
+        F.min(F.when(F.col("cum") * 5 >= F.col("total") * 4, F.col("rk")))
+        .cast("long")
+        .alias("k80"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("rk")))
+        .cast("long")
+        .alias("k50"),
+        F.expr(
+            "CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN rk END) * 1000000"
+            " div MAX(n_parts) AS BIGINT)"
+        ).alias("k80_share_ppm"),
+    )
+
+
+@register(
+    "agg_hist2d_qty_price",
+    oracle="""
+        SELECT LEAST(CAST(ROUND(l_quantity) AS BIGINT) // 10, 4) AS qty_bin,
+               LEAST(CAST(ROUND(l_extendedprice) AS BIGINT) // 20000, 4)
+                   AS price_bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+                   AS discount_pct_sum
+        FROM lineitem
+        GROUP BY qty_bin, price_bin
+        ORDER BY qty_bin, price_bin
+    """,
+    doc="2-D histogram (quantity × price, 5×5 bins with top-capped "
+    "overflow bins) — the joint-distribution readout behind every "
+    "density heat map: one map-side-combined shuffle onto ≤25 bin "
+    "pairs, integer floor-division binning identical on both engines, "
+    "and an exact discount-mass column per cell so the heat map can "
+    "color by a second measure. At 100 TB this is the canonical "
+    "constant-output full-scan aggregate.",
+)
+def agg_hist2d_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    qty_bin = F.least(
+        F.floor(F.round(F.col("l_quantity")).cast("long") / 10), F.lit(4)
+    ).cast("long")
+    price_bin = F.least(
+        F.floor(F.round(F.col("l_extendedprice")).cast("long") / 20000), F.lit(4)
+    ).cast("long")
+    return (
+        li.groupBy(qty_bin.alias("qty_bin"), price_bin.alias("price_bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("l_discount") * 100).cast("long")).alias(
+                "discount_pct_sum"
+            ),
+        )
+        .orderBy("qty_bin", "price_bin")
+    )
+
+
+@register(
+    "dq_column_profile_wide",
+    oracle="""
+        WITH prof AS (
+            SELECT 'o_orderstatus' AS col_name,
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   CAST(MIN(LENGTH(CAST(o_orderstatus AS VARCHAR))) AS BIGINT)
+                       AS min_len,
+                   CAST(MAX(LENGTH(CAST(o_orderstatus AS VARCHAR))) AS BIGINT)
+                       AS max_len
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority',
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(MIN(LENGTH(CAST(o_orderpriority AS VARCHAR))) AS BIGINT),
+                   CAST(MAX(LENGTH(CAST(o_orderpriority AS VARCHAR))) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey',
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(MIN(LENGTH(CAST(o_custkey AS VARCHAR))) AS BIGINT),
+                   CAST(MAX(LENGTH(CAST(o_custkey AS VARCHAR))) AS BIGINT)
+            FROM orders)
+        SELECT * FROM prof ORDER BY col_name
+    """,
+    doc="Wide column-profiling pass (the schema-drift early-warning "
+    "every ingestion runs): per column — distinct cardinality, null "
+    "count, and rendered min/max length — computed for three probe "
+    "columns in ONE scan via simultaneous conditional aggregates, then "
+    "unpivoted to a (column, metrics) long frame. The Spark side "
+    "computes all metrics in a single agg row and stack()s it; the "
+    "oracle spells the same numbers as three UNION'd aggregates. "
+    "Integer-only metrics (no avg-length float).",
+)
+def dq_column_profile_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cols = ("o_orderstatus", "o_orderpriority", "o_custkey")
+    aggs = []
+    for c in cols:
+        aggs.extend(
+            [
+                F.countDistinct(c).alias(f"{c}__nd"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nn"),
+                F.min(F.length(F.col(c).cast("string"))).cast("long").alias(f"{c}__mn"),
+                F.max(F.length(F.col(c).cast("string"))).cast("long").alias(f"{c}__mx"),
+            ]
+        )
+    one = o.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nd, {c}__nn, {c}__mn, {c}__mx" for c in cols
+    )
+    return (
+        one.select(
+            F.expr(
+                f"stack({len(cols)}, {stack_expr}) AS "
+                "(col_name, n_distinct, n_null, min_len, max_len)"
+            )
+        )
+        .orderBy("col_name")
+    )
