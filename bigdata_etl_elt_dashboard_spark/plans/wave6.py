@@ -3541,3 +3541,183 @@ def dq_column_profile_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH: recall gain from probing Hamming-1 buckets
+# ---------------------------------------------------------------------------
+
+
+def _multiprobe_oracle() -> str:
+    from .similarity_gate import _ANN_K, _NQ, _PLANES_VALUES_SQL, _SIGS_SQL
+
+    bits = 6  # _ANN_BITS: probe the exact bucket + each Hamming-1 bucket
+    sigs_sql = _SIGS_SQL.replace("{PLANES}", _PLANES_VALUES_SQL)
+    return f"""
+        WITH {sigs_sql},
+        qsig AS (SELECT vec_id AS qid, table_id, sig FROM sigs
+                 WHERE vec_id < {_NQ}),
+        probes AS (
+            SELECT qid, table_id,
+                   CASE WHEN j.j = {bits} THEN sig
+                        ELSE xor(sig, CAST(1 AS BIGINT) << j.j) END AS sig,
+                   (j.j = {bits}) AS exact_probe
+            FROM qsig, range({bits} + 1) j(j)),
+        cand_multi AS MATERIALIZED (
+            SELECT DISTINCT p.qid, c.vec_id
+            FROM probes p JOIN sigs c
+              ON c.table_id = p.table_id AND c.sig = p.sig
+             AND c.vec_id <> p.qid),
+        cand_single AS MATERIALIZED (
+            SELECT DISTINCT p.qid, c.vec_id
+            FROM probes p JOIN sigs c
+              ON c.table_id = p.table_id AND c.sig = p.sig
+             AND c.vec_id <> p.qid
+            WHERE p.exact_probe),
+        qp AS (SELECT vec_id AS qid, pos, xi AS qi FROM pts
+               WHERE vec_id < {_NQ}),
+        d2 AS (
+            SELECT p.vec_id, q.qid, SUM((p.xi - q.qi) * (p.xi - q.qi)) AS d2
+            FROM pts p JOIN qp q USING (pos)
+            WHERE p.vec_id <> q.qid
+            GROUP BY 1, 2),
+        topk AS (
+            SELECT qid, vec_id FROM d2
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY d2, vec_id) <= {_ANN_K}),
+        per_q AS (
+            SELECT t.qid,
+                   COUNT(CASE WHEN s.vec_id IS NOT NULL THEN 1 END) AS hit_s,
+                   COUNT(CASE WHEN m.vec_id IS NOT NULL THEN 1 END) AS hit_m
+            FROM topk t
+            LEFT JOIN cand_single s ON s.qid = t.qid AND s.vec_id = t.vec_id
+            LEFT JOIN cand_multi m ON m.qid = t.qid AND m.vec_id = t.vec_id
+            GROUP BY t.qid),
+        ns AS (SELECT qid, COUNT(*) AS n FROM cand_single GROUP BY qid),
+        nm AS (SELECT qid, COUNT(*) AS n FROM cand_multi GROUP BY qid),
+        miss AS (
+            SELECT s.qid, COUNT(*) AS n_missing
+            FROM cand_single s
+            LEFT JOIN cand_multi m ON m.qid = s.qid AND m.vec_id = s.vec_id
+            WHERE m.vec_id IS NULL GROUP BY s.qid)
+        SELECT p.qid AS query_id,
+               CAST(COALESCE(ns.n, 0) AS BIGINT) AS n_cand_single,
+               CAST(COALESCE(nm.n, 0) AS BIGINT) AS n_cand_multi,
+               CAST(p.hit_s AS BIGINT) AS hits_single,
+               CAST(p.hit_m AS BIGINT) AS hits_multi,
+               (p.hit_m >= p.hit_s) AS recall_never_drops,
+               (COALESCE(miss.n_missing, 0) = 0) AS superset_ok
+        FROM per_q p
+        LEFT JOIN ns USING (qid)
+        LEFT JOIN nm USING (qid)
+        LEFT JOIN miss ON miss.qid = p.qid
+        ORDER BY query_id
+    """
+
+
+@register(
+    "sim_ann_multiprobe_gain",
+    oracle=_multiprobe_oracle(),
+    doc="MULTI-PROBE LSH gain digest (Lv et al.'s multi-probe idea over "
+    "the existing 16-table 6-bit hyperplane scheme): each query probes "
+    "its exact bucket PLUS every Hamming-1 bucket (one flipped "
+    "signature bit) per table — 7 probes instead of 1 — trading probe "
+    "fan-out for recall without adding tables or signature bits. The "
+    "gate compares candidate mass and exact-integer-L2 top-5 capture "
+    "between single-probe and multi-probe per query, and asserts two "
+    "invariants in-plan: the multi-probe candidate set is a SUPERSET "
+    "of single-probe, and recall never drops. Same micro-quantized "
+    "integer signature algebra as the ANN digest family (planes as "
+    "broadcast data, signature-keyed equi-joins, never all-pairs); "
+    "embeddings scanned twice (signatures + truth kernel), both "
+    "pinned.",
+)
+def sim_ann_multiprobe_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .iterative import _to_fixed
+    from .similarity_gate import _ANN_BITS, _ANN_K, _NQ, _int_signatures
+
+    emb = table(spark, sf_dir, "embeddings")
+    sigs = _int_signatures(spark, emb)  # pinned (vec_id, table_id, sig)
+    qsig = sigs.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"), "table_id", "sig"
+    )
+    js = spark.range(_ANN_BITS + 1).select(F.col("id").cast("int").alias("j"))
+    probes = qsig.crossJoin(F.broadcast(js)).select(
+        "qid",
+        "table_id",
+        F.when(F.col("j") == _ANN_BITS, F.col("sig"))
+        .otherwise(F.expr("sig ^ shiftleft(1L, j)"))
+        .alias("sig"),
+        (F.col("j") == _ANN_BITS).alias("exact_probe"),
+    )
+    csigs = sigs.select(F.col("vec_id"), F.col("table_id").alias("t2"), F.col("sig").alias("s2"))
+    joined = probes.join(
+        csigs,
+        (F.col("t2") == F.col("table_id"))
+        & (F.col("s2") == F.col("sig"))
+        & (F.col("vec_id") != F.col("qid")),
+    )
+    cand_multi = joined.select("qid", "vec_id").distinct().transform(pin)
+    cand_single = (
+        joined.filter(F.col("exact_probe")).select("qid", "vec_id").distinct().transform(pin)
+    )
+    pts = emb.select(
+        "vec_id", F.posexplode(_to_fixed(F.col("embedding")))
+    ).withColumnsRenamed({"col": "xi"})
+    qp = pts.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("xi").alias("qi")
+    )
+    d2 = (
+        pts.join(qp, "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum((F.col("xi") - F.col("qi")) * (F.col("xi") - F.col("qi"))).alias("d2"))
+    )
+    topk = (
+        d2.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("qid").orderBy("d2", "vec_id"))
+        )
+        .filter(F.col("_rn") <= _ANN_K)
+        .select("qid", "vec_id")
+    )
+    per_q = (
+        topk.join(
+            cand_single.select(F.col("qid").alias("sq"), F.col("vec_id").alias("sv")),
+            (F.col("sq") == F.col("qid")) & (F.col("sv") == F.col("vec_id")),
+            "left",
+        )
+        .join(
+            cand_multi.select(F.col("qid").alias("mq"), F.col("vec_id").alias("mv")),
+            (F.col("mq") == F.col("qid")) & (F.col("mv") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.when(F.col("sv").isNotNull(), 1)).alias("hit_s"),
+            F.count(F.when(F.col("mv").isNotNull(), 1)).alias("hit_m"),
+        )
+    )
+    ns = cand_single.groupBy("qid").agg(F.count("*").alias("n_s"))
+    nm = cand_multi.groupBy("qid").agg(F.count("*").alias("n_m"))
+    miss = (
+        cand_single.join(cand_multi, ["qid", "vec_id"], "left_anti")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_missing"))
+    )
+    return (
+        per_q.join(ns, "qid", "left")
+        .join(nm, "qid", "left")
+        .join(miss, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("n_s"), F.lit(0)).alias("n_cand_single"),
+            F.coalesce(F.col("n_m"), F.lit(0)).alias("n_cand_multi"),
+            F.col("hit_s").alias("hits_single"),
+            F.col("hit_m").alias("hits_multi"),
+            (F.col("hit_m") >= F.col("hit_s")).alias("recall_never_drops"),
+            (F.coalesce(F.col("n_missing"), F.lit(0)) == 0).alias("superset_ok"),
+        )
+        .orderBy("query_id")
+    )
