@@ -3721,3 +3721,163 @@ def sim_ann_multiprobe_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish, experiment power analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wh_write_audit_publish_digest",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS price_cents_sum,
+               TRUE AS audit_passed,
+               TRUE AS dirty_stage_rejected
+        FROM orders
+    """,
+    doc="Write-Audit-Publish (WAP) gate — the Iceberg-era publish "
+    "discipline: data lands in a STAGING location, an audit pass runs "
+    "the DQ contract (no null keys, no negative totals, exact expected "
+    "row count), and only a passing stage swaps into the published "
+    "location. The query exercises BOTH paths: a deliberately dirty "
+    "stage (one negative-total row injected) must fail its audit and "
+    "never publish, then the clean stage audits green and publishes; "
+    "the digest reads the PUBLISHED table and asserts both booleans. "
+    "The swap is the same tmp-dir + atomic-rename idiom as "
+    "compact_parquet. A green row proves bad data cannot reach "
+    "consumers through this path.",
+)
+def wh_write_audit_publish_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_src_gate_{sf}")
+    stage, published = os.path.join(base, "wap_stage"), os.path.join(base, "wap_published")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_expected = orders.count()
+
+    def audit(path: str, expected: int) -> bool:
+        df = spark.read.parquet(path)
+        bad = df.filter(
+            F.col("o_orderkey").isNull() | (F.col("o_totalprice") < 0)
+        ).count()
+        return bad == 0 and df.count() == expected
+
+    def publish(src_path: str) -> None:
+        tmp = published + "_swap"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(src_path, tmp)
+        shutil.rmtree(published, ignore_errors=True)
+        os.replace(tmp, published)
+
+    # path 1: dirty stage (one poisoned row) — audit must reject
+    dirty = orders.unionAll(
+        spark.createDataFrame(
+            [(999999999, 1, -1.0)], "o_orderkey long, o_custkey long, o_totalprice double"
+        )
+    )
+    dirty.write.mode("overwrite").parquet(stage)
+    dirty_rejected = not audit(stage, n_expected)
+
+    # path 2: clean stage — audit passes, publish swaps it in
+    orders.write.mode("overwrite").parquet(stage)
+    audit_passed = audit(stage, n_expected)
+    if audit_passed:
+        publish(stage)
+
+    back = spark.read.parquet(published)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "price_cents_sum"
+        ),
+        F.lit(bool(audit_passed)).alias("audit_passed"),
+        F.lit(bool(dirty_rejected)).alias("dirty_stage_rejected"),
+    )
+
+
+#: two-sided alpha=0.05 and power=0.80 normal quantiles, precomputed — libm
+#: never runs at query time on either engine
+_Z_ALPHA = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+
+
+@register(
+    "ev_ab_power_mde",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                    % 2) AS variant,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) >= 14
+                        THEN 1 ELSE 0 END AS converted
+            FROM events GROUP BY user_id),
+        arms AS (
+            SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_a,
+                   CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_b,
+                   CAST(SUM(converted) AS BIGINT) AS c_all,
+                   CAST(COUNT(*) AS BIGINT) AS n_all
+            FROM per_user)
+        SELECT n_a, n_b, c_all, n_all,
+               ({_Z_ALPHA!r} + {_Z_BETA!r})
+               * sqrt((CAST(c_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+                      * (1.0 - CAST(c_all AS DOUBLE) / CAST(n_all AS DOUBLE))
+                      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                   AS mde_abs
+        FROM arms
+    """,
+    doc="A/B test POWER analysis: the minimum detectable effect (absolute "
+    "conversion-rate lift, two-sided α=0.05, power 0.80) the current "
+    "hash-split sample sizes can resolve — the number that tells an "
+    "experimenter whether to keep collecting (conversion = heavy "
+    "purchaser, >= 14 purchases — a median split with real variance). "
+    "mde = (z_α+z_β)·"
+    "√(p̄(1−p̄)(1/n_a+1/n_b)) with the normal quantiles PRECOMPUTED as "
+    "literals (no libm at query time), exact integer arm counts from "
+    "one user-keyed rollup, and one fixed IEEE op sequence — "
+    "bit-identical cross-engine. Completes the experiment toolkit "
+    "(z-test, SRM check, Simpson's guardrail, power).",
+)
+def ev_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    variant = F.pmod(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(2),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14, 1
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(variant.alias("variant"), "converted")
+    arms = per_user.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum("converted").alias("c_all"),
+        F.count("*").alias("n_all"),
+    )
+    p = F.col("c_all").cast("double") / F.col("n_all").cast("double")
+    mde = (F.lit(_Z_ALPHA) + F.lit(_Z_BETA)) * F.sqrt(
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return arms.select("n_a", "n_b", "c_all", "n_all", mde.alias("mde_abs"))
