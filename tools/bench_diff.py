@@ -43,17 +43,27 @@ def load(path: str) -> dict:
 
 
 def latest_baseline() -> str:
-    """Newest BENCH_r*.json (by round number) that load() can parse."""
+    """Newest parseable baseline by round number. Prefers the builder's
+    full record (bench_full_r{N}.json — carries extension_queries, so the
+    extension suite gets tripwires too) over the driver's BENCH_r{N}.json
+    wrapper (whose 2000-byte tail truncates the extension record)."""
     import glob
+    import re
 
     root = os.path.join(os.path.dirname(__file__), "..")
-    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json")), reverse=True):
+    candidates = []
+    for pattern, pref in (("bench_full_r*.json", 1), ("BENCH_r*.json", 0)):
+        for p in glob.glob(os.path.join(root, pattern)):
+            m = re.search(r"r(\d+)", os.path.basename(p))
+            if m:
+                candidates.append((int(m.group(1)), pref, p))
+    for _, _, path in sorted(candidates, reverse=True):
         try:
             load(path)
             return path
         except SystemExit:
             continue  # unparseable wrapper (e.g. the r03 emission bug)
-    raise SystemExit("no parseable BENCH_r*.json baseline found")
+    raise SystemExit("no parseable bench baseline found")
 
 
 def main() -> None:
