@@ -3881,3 +3881,198 @@ def ev_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return arms.select("n_a", "n_b", "c_all", "n_all", mde.alias("mde_abs"))
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (integer path counts), Matryoshka prefix-dim recall
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_katz_centrality_3step",
+    oracle="""
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        e AS MATERIALIZED (
+            SELECT DISTINCT a.p AS x, b.p AS y
+            FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+        w1 AS MATERIALIZED (
+            SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY x),
+        w2 AS MATERIALIZED (
+            SELECT e.x AS node, CAST(SUM(w1.c) AS BIGINT) AS c
+            FROM e JOIN w1 ON w1.node = e.y GROUP BY e.x),
+        w3 AS (
+            SELECT e.x AS node, CAST(SUM(w2.c) AS BIGINT) AS c
+            FROM e JOIN w2 ON w2.node = e.y GROUP BY e.x)
+        SELECT w1.node AS part,
+               w1.c AS paths_1, w2.c AS paths_2, w3.c AS paths_3,
+               64 * w1.c + 8 * w2.c + w3.c AS katz_scaled
+        FROM w1 JOIN w2 USING (node) JOIN w3 USING (node)
+        ORDER BY katz_scaled DESC, part
+        LIMIT 25
+    """,
+    doc="Truncated Katz centrality on the co-purchase graph (k ≤ 3, "
+    "attenuation α = 1/8): centrality = Σ αᵏ·(walks of length k from "
+    "the node), held EXACT by scaling through α⁻³ — katz_scaled = "
+    "64·w₁ + 8·w₂ + w₃ with every walk count an exact BIGINT from "
+    "iterated edge-keyed aggregations (the PageRank integer-mass "
+    "discipline applied to walk counting; two sparse matrix-vector "
+    "products, each one keyed shuffle over the pinned directed edge "
+    "list). Top-25 with a node tie-break. No damping-float anywhere.",
+)
+def graph_katz_centrality_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = li.select("o", F.col("p").alias("x"))
+    b = li.select(F.col("o").alias("o2"), F.col("p").alias("y"))
+    e = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("x") != F.col("y")))
+        .select("x", "y")
+        .distinct()
+        .transform(pin)
+    )
+    w1 = e.groupBy(F.col("x").alias("node")).agg(F.count("*").alias("c")).transform(pin)
+    w2 = (
+        e.join(w1.withColumnRenamed("node", "y1"), F.col("y1") == e.y)
+        .groupBy(F.col("x").alias("node"))
+        .agg(F.sum("c").alias("c"))
+        .transform(pin)
+    )
+    w3 = (
+        e.join(
+            w2.select(F.col("node").alias("y2"), F.col("c").alias("c2")),
+            F.col("y2") == e.y,
+        )
+        .groupBy(F.col("x").alias("node"))
+        .agg(F.sum("c2").alias("c"))
+    )
+    return (
+        w1.select("node", F.col("c").alias("paths_1"))
+        .join(w2.select("node", F.col("c").alias("paths_2")), "node")
+        .join(w3.select("node", F.col("c").alias("paths_3")), "node")
+        .select(
+            F.col("node").alias("part"),
+            "paths_1",
+            "paths_2",
+            "paths_3",
+            (64 * F.col("paths_1") + 8 * F.col("paths_2") + F.col("paths_3")).alias(
+                "katz_scaled"
+            ),
+        )
+        .orderBy(F.desc("katz_scaled"), "part")
+        .limit(25)
+    )
+
+
+#: Matryoshka probe: prefix dimensionality whose recall is compared to the
+#: full 64-dim exact top-k (first _MRL_PREFIX of 64 dims).
+_MRL_PREFIX = 16
+_MRL_NQ = 10
+_MRL_K = 5
+
+
+@register(
+    "emb_prefix_dim_recall",
+    oracle=f"""
+        WITH pts AS MATERIALIZED (
+            SELECT vec_id, i - 1 AS pos,
+                   CAST(ROUND(emb[i] * 1000000) AS BIGINT) AS xi
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+                 UNNEST(range(1, len(emb) + 1)) AS t(i)),
+        qp AS (SELECT vec_id AS qid, pos, xi AS qi FROM pts
+               WHERE vec_id < {_MRL_NQ}),
+        d2 AS MATERIALIZED (
+            SELECT p.vec_id, q.qid,
+                   SUM((p.xi - q.qi) * (p.xi - q.qi)) AS d_full,
+                   SUM(CASE WHEN p.pos < {_MRL_PREFIX}
+                            THEN (p.xi - q.qi) * (p.xi - q.qi) ELSE 0 END)
+                       AS d_prefix
+            FROM pts p JOIN qp q USING (pos)
+            WHERE p.vec_id <> q.qid
+            GROUP BY 1, 2),
+        top_full AS (
+            SELECT qid, vec_id FROM d2
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY d_full, vec_id) <= {_MRL_K}),
+        top_prefix AS (
+            SELECT qid, vec_id FROM d2
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY d_prefix, vec_id) <= {_MRL_K})
+        SELECT f.qid AS query_id,
+               CAST(COUNT(p.vec_id) AS BIGINT) AS prefix_hits,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(COUNT(p.vec_id) AS DOUBLE) / COUNT(*) AS prefix_recall
+        FROM top_full f
+        LEFT JOIN top_prefix p ON p.qid = f.qid AND p.vec_id = f.vec_id
+        GROUP BY f.qid
+        ORDER BY query_id
+    """,
+    doc=f"Matryoshka-style PREFIX-dimension retrieval probe: how much of "
+    f"the exact 64-dim top-{_MRL_K} does a {_MRL_PREFIX}-dim prefix "
+    "search recover? (The MRL question — can the index store a short "
+    "prefix and re-rank with full vectors — answered per query as "
+    "exact-integer prefix recall.) Both distance fields compute in ONE "
+    "dimension-keyed pass (the prefix sum is a CASE inside the same "
+    "aggregate — no second join), both top-k selections run on the "
+    "pinned distance frame with deterministic tie-breaks, and recall "
+    "is a count ratio. Bounded query set; corpus-linear. On THIS "
+    "synthetic corpus the vectors are near-isotropic random, so prefix "
+    "recall sits near the random baseline (~0-2 of 5) — the honest "
+    "readout that this space is NOT matryoshka-trained; the probe's "
+    "value is the measurement, which would light up on MRL-trained "
+    "embeddings.",
+)
+def emb_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .iterative import _to_fixed
+
+    emb = table(spark, sf_dir, "embeddings")
+    pts = (
+        emb.select("vec_id", F.posexplode(_to_fixed(F.col("embedding"))))
+        .withColumnsRenamed({"col": "xi"})
+        .transform(pin)
+    )
+    qp = pts.filter(F.col("vec_id") < _MRL_NQ).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("xi").alias("qi")
+    )
+    diff2 = (F.col("xi") - F.col("qi")) * (F.col("xi") - F.col("qi"))
+    d2 = (
+        pts.join(qp, "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum(diff2).alias("d_full"),
+            F.sum(F.when(F.col("pos") < _MRL_PREFIX, diff2).otherwise(F.lit(0))).alias(
+                "d_prefix"
+            ),
+        )
+        .transform(pin)
+    )
+    sel = lambda col: F.row_number().over(Window.partitionBy("qid").orderBy(col, "vec_id"))
+    top_full = d2.withColumn("_r", sel(F.col("d_full"))).filter(F.col("_r") <= _MRL_K)
+    top_prefix = (
+        d2.withColumn("_r", sel(F.col("d_prefix")))
+        .filter(F.col("_r") <= _MRL_K)
+        .select(F.col("qid").alias("pq"), F.col("vec_id").alias("pv"))
+    )
+    return (
+        top_full.join(
+            top_prefix,
+            (F.col("pq") == F.col("qid")) & (F.col("pv") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count(F.when(F.col("pv").isNotNull(), 1)).alias("prefix_hits"),
+            F.count("*").alias("k"),
+            (
+                F.count(F.when(F.col("pv").isNotNull(), 1)).cast("double") / F.count("*")
+            ).alias("prefix_recall"),
+        )
+        .orderBy("query_id")
+    )
