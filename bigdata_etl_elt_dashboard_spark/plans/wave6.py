@@ -4076,3 +4076,111 @@ def emb_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "trend_max_drawdown_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY day),
+        dd AS (
+            SELECT day, y,
+                   CAST(MAX(y) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS peak,
+                   CAST(MAX(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                        - y AS BIGINT) AS drawdown
+            FROM daily)
+        SELECT CAST(MAX(drawdown) AS BIGINT) AS max_drawdown,
+               CAST(MIN(CASE WHEN drawdown = mx THEN day END) AS DATE)
+                   AS trough_day,
+               CAST(MAX(peak) AS BIGINT) AS peak_value,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM (SELECT *, MAX(drawdown) OVER () AS mx FROM dd)
+    """,
+    doc="Maximum drawdown of the daily-revenue series (the running-"
+    "max-minus-current readout finance monitors live on): an ordered "
+    "running MAX over the calendar-bounded daily frame, drawdown per "
+    "day as exact integer subtraction, and the deepest trough selected "
+    "with an earliest-day tie-break. Every value BIGINT; one fact "
+    "shuffle, one bounded window.",
+)
+def trend_max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y")
+    )
+    runmax = F.max("y").over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
+    dd = daily.select(
+        "day", "y", runmax.alias("peak"), (runmax - F.col("y")).alias("drawdown")
+    )
+    dd = dd.withColumn("mx", F.max("drawdown").over(Window.partitionBy()))
+    return dd.agg(
+        F.max("drawdown").alias("max_drawdown"),
+        F.min(F.when(F.col("drawdown") == F.col("mx"), F.col("day"))).alias(
+            "trough_day"
+        ),
+        F.max("peak").alias("peak_value"),
+        F.count("*").alias("n_days"),
+    )
+
+
+@register(
+    "li_vwap_part_month",
+    oracle="""
+        WITH v AS (
+            SELECT l_partkey,
+                   CAST(EXTRACT(year FROM l_shipdate) * 12
+                        + EXTRACT(month FROM l_shipdate) AS BIGINT) AS mi,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS value_cents,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS qty
+            FROM lineitem GROUP BY l_partkey, mi)
+        SELECT l_partkey, mi, value_cents, qty,
+               CAST(value_cents AS DOUBLE) / CAST(qty AS DOUBLE) / 100.0
+                   AS vwap
+        FROM v
+        WHERE l_partkey < 20
+        ORDER BY l_partkey, mi
+    """,
+    doc="Volume-weighted average price per (part, ship-month) — the "
+    "price-integrity monitor's unit economics: exact integer value and "
+    "quantity sums from ONE map-side-combined shuffle, the division "
+    "deferred to output (two IEEE ops, engine-identical). The gated "
+    "slice keeps the first 20 parts (bounded output); the full frame "
+    "is what a pricing dashboard would consume. Note the denominator "
+    "can never be 0 (quantities are >= 1 by schema), so the division "
+    "needs no guard — documented rather than assumed.",
+)
+def li_vwap_part_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    v = (
+        li.groupBy(
+            "l_partkey",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("long").alias("mi"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "value_cents"
+            ),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+        )
+    )
+    return (
+        v.filter(F.col("l_partkey") < 20)
+        .select(
+            "l_partkey",
+            "mi",
+            "value_cents",
+            "qty",
+            (
+                F.col("value_cents").cast("double") / F.col("qty").cast("double") / 100.0
+            ).alias("vwap"),
+        )
+        .orderBy("l_partkey", "mi")
+    )
