@@ -4184,3 +4184,48 @@ def li_vwap_part_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey", "mi")
     )
+
+
+@register(
+    "wh_merge_delete_branch_digest",
+    oracle="""
+        WITH merged AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2
+                        ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END
+                       AS cents
+            FROM orders
+            WHERE o_orderkey % 20 <> 0)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(cents) AS BIGINT) AS price_cents_sum
+        FROM merged
+    """,
+    doc="MERGE WHEN MATCHED DELETE branch gate (the half of full MERGE "
+    "semantics wh_merge_upsert_orders doesn't exercise): the update "
+    "batch restates every 10th order at double price but flags every "
+    "20th for DELETION — operators/warehouse.merge_upsert applies "
+    "update/delete/insert in one keyed window pass (union + row_number, "
+    "single merge-key shuffle). The digest proves all three outcomes at "
+    "once: deleted keys absent from the sums, restated keys carry the "
+    "doubled cents, untouched rows intact. Oracle recomputes the "
+    "post-merge state closed-form from the source parquet.",
+)
+def wh_merge_delete_branch_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.warehouse import merge_upsert
+
+    orders = table(spark, sf_dir, "orders")
+    batch = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("_delete", F.col("o_orderkey") % 20 == 0)
+    )
+    merged = merge_upsert(orders, batch, keys=["o_orderkey"], delete_col="_delete")
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "price_cents_sum"
+        ),
+    )
