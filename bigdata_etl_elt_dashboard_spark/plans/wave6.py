@@ -4229,3 +4229,133 @@ def wh_merge_delete_branch_digest(spark: SparkSession, sf_dir: str) -> DataFrame
             "price_cents_sum"
         ),
     )
+
+
+@register(
+    "stat_weekly_block_maxima",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+                       AS wk,
+                   CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY wk, day),
+        maxima AS MATERIALIZED (
+            SELECT wk, CAST(MAX(y) AS BIGINT) AS block_max
+            FROM daily GROUP BY wk),
+        g AS (SELECT block_max AS v, COUNT(*) AS cnt FROM maxima GROUP BY v),
+        cum AS (
+            SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c,
+                   SUM(cnt) OVER () AS n
+            FROM g)
+        SELECT CAST(MAX(n) AS BIGINT) AS n_weeks,
+               CAST(MIN(CASE WHEN c >= (n * 50 + 99) // 100 THEN v END)
+                    AS BIGINT) AS median_weekly_max,
+               CAST(MIN(CASE WHEN c >= (n * 90 + 99) // 100 THEN v END)
+                    AS BIGINT) AS p90_weekly_max,
+               CAST(MIN(CASE WHEN c >= (n * 98 + 99) // 100 THEN v END)
+                    AS BIGINT) AS p98_weekly_max,
+               CAST(MAX(v) AS BIGINT) AS record_weekly_max
+        FROM cum
+    """,
+    doc="Extreme-value BLOCK MAXIMA analysis of daily revenue (the "
+    "model-free half of a GEV study — the empirical return levels "
+    "capacity planning reads before any distribution fit): the maximum "
+    "daily total per ISO week, then exact nearest-rank quantiles of "
+    "those maxima via the value-cumulative selection (p90 ≈ the "
+    "10-week return level, p98 ≈ the yearly). All integers; two "
+    "calendar-bounded rollups; no libm, no fitted parameters — the "
+    "numbers a GEV fit would have to reproduce.",
+)
+def stat_weekly_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date")).cast("date").alias("wk"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y"))
+    maxima = daily.groupBy("wk").agg(F.max("y").alias("block_max")).transform(pin)
+    g = maxima.groupBy(F.col("block_max").alias("v")).agg(F.count("*").alias("cnt"))
+    cum = g.select(
+        "v",
+        F.sum("cnt").over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)).alias("c"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    sel = lambda pct: F.min(
+        F.when(F.expr(f"c >= (n * {pct} + 99) div 100"), F.col("v"))
+    ).cast("long")
+    return cum.agg(
+        F.max("n").cast("long").alias("n_weeks"),
+        sel(50).alias("median_weekly_max"),
+        sel(90).alias("p90_weekly_max"),
+        sel(98).alias("p98_weekly_max"),
+        F.max("v").cast("long").alias("record_weekly_max"),
+    )
+
+
+@register(
+    "graph_ktruss_edge_support",
+    oracle=f"""
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        pc AS (
+            SELECT a.p AS x, b.p AS y, CAST(COUNT(*) AS BIGINT) AS w
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            GROUP BY x, y),
+        e AS MATERIALIZED (
+            SELECT x, y FROM pc ORDER BY w DESC, x, y LIMIT 20000),
+        support AS (
+            SELECT e1.x, e1.y, CAST(COUNT(*) AS BIGINT) AS sup
+            FROM e e1
+            JOIN e e2 ON e2.x = e1.x AND e2.y <> e1.y
+            JOIN e e3 ON e3.x = LEAST(e1.y, e2.y)
+                     AND e3.y = GREATEST(e1.y, e2.y)
+            GROUP BY e1.x, e1.y)
+        SELECT x, y, sup,
+               (sup >= 2) AS in_4truss
+        FROM support
+        ORDER BY sup DESC, x, y
+        LIMIT 20
+    """,
+    doc="k-truss edge support on the strongest-co-purchase subgraph "
+    "(same top-20k-edge cap as the link predictor — the wedge-space "
+    "bound): an edge's support is the number of triangles containing "
+    "it, the quantity truss decomposition peels on (an edge in the "
+    "k-truss needs support ≥ k−2; the gated boolean marks the 4-truss). "
+    "Triangles close through the oriented (x < y) edge list with "
+    "LEAST/GREATEST normalization — each triangle counted once per "
+    "edge, no direction double-count — via two edge-keyed equi-joins. "
+    "Top-20 with full tie-breaks.",
+)
+def graph_ktruss_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a0 = li.select("o", F.col("p").alias("x"))
+    b0 = li.select(F.col("o").alias("o2"), F.col("p").alias("y"))
+    pc = (
+        a0.join(b0, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("w"))
+    )
+    e = pc.orderBy(F.desc("w"), "x", "y").limit(20000).select("x", "y").transform(pin)
+    e2 = e.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    e3 = e.select(F.col("x").alias("x3"), F.col("y").alias("y3"))
+    support = (
+        e.join(e2, (F.col("x2") == F.col("x")) & (F.col("y2") != F.col("y")))
+        .join(
+            e3,
+            (F.col("x3") == F.least(F.col("y"), F.col("y2")))
+            & (F.col("y3") == F.greatest(F.col("y"), F.col("y2"))),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("sup"))
+    )
+    return (
+        support.select("x", "y", "sup", (F.col("sup") >= 2).alias("in_4truss"))
+        .orderBy(F.desc("sup"), "x", "y")
+        .limit(20)
+    )
