@@ -49,10 +49,12 @@ from .registry import REGISTRY, register
 # `python tools/gate_rotation.py` (run it at each round start and paste its
 # output here).
 #
-# ROUND-7 ROTATION PLAN: every query newly registered in round 6 — re-run
-# tools/gate_rotation.py at the r07 round start; it computes the window from
-# CORRECTNESS_r*.json history. Queries added this round are appended to the
-# registry (registration order), so the tool picks them up automatically.
+# ROUND-7 ROTATION PLAN: round 6 grew the registry 300 → 357 (all new
+# entries in plans/wave6.py, imported last → appended in registration
+# order). After the driver gates this round's window, the never-gated set
+# is the 57 round-6 additions (+ the 3 rows-only originals): re-run
+# tools/gate_rotation.py at the r07 round start and paste its window here —
+# it computes everything from CORRECTNESS_r*.json history automatically.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
     # round-6 window: the 50 round-5 additions, registration order
