@@ -3270,7 +3270,10 @@ def src_dynamic_partition_overwrite_digest(spark: SparkSession, sf_dir: str) -> 
     # full load, partitioned by year (static overwrite resets the table)
     orders.write.mode("overwrite").partitionBy("order_year").parquet(path)
     conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "STATIC")
+    # get(key, None) is None iff the key was never explicitly set — restore
+    # by UNSET in that case (re-setting the internal default would leave the
+    # key explicitly set and leak session state to later readers)
+    prev = spark.conf.get(conf_key, None)
     spark.conf.set(conf_key, "dynamic")
     try:
         restated = orders.filter(F.col("order_year") == 1997).withColumn(
@@ -3278,7 +3281,10 @@ def src_dynamic_partition_overwrite_digest(spark: SparkSession, sf_dir: str) -> 
         )
         restated.write.mode("overwrite").partitionBy("order_year").parquet(path)
     finally:
-        spark.conf.set(conf_key, prev)
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     back = spark.read.parquet(path)
     return (
         back.groupBy("order_year")
