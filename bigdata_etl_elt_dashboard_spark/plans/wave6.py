@@ -4365,3 +4365,155 @@ def graph_ktruss_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sup"), "x", "y")
         .limit(20)
     )
+
+
+@register(
+    "stat_turning_points_test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS y
+            FROM orders GROUP BY day),
+        lagged AS (
+            SELECT y,
+                   lag(y) OVER (ORDER BY day) AS prev,
+                   lead(y) OVER (ORDER BY day) AS next
+            FROM daily),
+        tp AS (
+            SELECT CAST(SUM(CASE WHEN (y > prev AND y > next)
+                                   OR (y < prev AND y < next)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) + 2 AS n
+            FROM lagged WHERE prev IS NOT NULL AND next IS NOT NULL)
+        SELECT n AS n_days, t AS turning_points,
+               CAST(2 * (n - 2) AS DOUBLE) / 3.0 AS expected_tp,
+               (CAST(16 * n AS DOUBLE) - 29.0) / 90.0 AS var_tp,
+               (CAST(t AS DOUBLE) - CAST(2 * (n - 2) AS DOUBLE) / 3.0)
+                   / sqrt((CAST(16 * n AS DOUBLE) - 29.0) / 90.0) AS z_score
+        FROM tp
+    """,
+    doc="Turning-points randomness test on daily revenue (the peaks-and-"
+    "troughs companion of the runs test: a random series has E[T] = "
+    "2(n−2)/3 local extrema; too few means trend, too many means "
+    "oscillation): one lag/lead window over the calendar-bounded daily "
+    "frame, exact integer extremum counts (strict inequalities — "
+    "plateau days count as non-turning, documented), and the classical "
+    "z-score evaluated in one fixed IEEE sequence with variance "
+    "(16n−29)/90. Exact cents keep day comparisons tie-exact on both "
+    "engines.",
+)
+def stat_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y", F.lag("y").over(w).alias("prev"), F.lead("y").over(w).alias("next")
+    )
+    tp = lagged.filter(F.col("prev").isNotNull() & F.col("next").isNotNull()).agg(
+        F.sum(
+            F.when(
+                ((F.col("y") > F.col("prev")) & (F.col("y") > F.col("next")))
+                | ((F.col("y") < F.col("prev")) & (F.col("y") < F.col("next"))),
+                1,
+            ).otherwise(0)
+        ).alias("t"),
+        (F.count("*") + 2).alias("n"),
+    )
+    exp = (2 * (F.col("n") - 2)).cast("double") / F.lit(3.0)
+    var = ((16 * F.col("n")).cast("double") - F.lit(29.0)) / F.lit(90.0)
+    return tp.select(
+        F.col("n").alias("n_days"),
+        F.col("t").alias("turning_points"),
+        exp.alias("expected_tp"),
+        var.alias("var_tp"),
+        ((F.col("t").cast("double") - exp) / F.sqrt(var)).alias("z_score"),
+    )
+
+
+#: Rich-club threshold: the top-RC nodes by degree on the capped subgraph.
+_RC_TOP = 50
+#: C(_RC_TOP, 2) as an integer literal: DuckDB's `/` yields DOUBLE and a
+#: float divisor turns `//` into plain division whose BIGINT cast ROUNDS
+#: (642448.98 -> 642449) instead of flooring — integer divisor only
+_RC_POSSIBLE = _RC_TOP * (_RC_TOP - 1) // 2
+
+
+@register(
+    "graph_rich_club_coefficient",
+    oracle=f"""
+        WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        pc AS (
+            SELECT a.p AS x, b.p AS y, CAST(COUNT(*) AS BIGINT) AS w
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            GROUP BY x, y),
+        e AS MATERIALIZED (
+            SELECT x, y FROM pc ORDER BY w DESC, x, y LIMIT 20000),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT x AS node FROM e UNION ALL SELECT y FROM e)
+            GROUP BY node),
+        rich AS MATERIALIZED (
+            SELECT node FROM deg ORDER BY d DESC, node LIMIT {_RC_TOP}),
+        inner_e AS (
+            SELECT COUNT(*) AS m_rich
+            FROM e
+            JOIN rich rx ON rx.node = e.x
+            JOIN rich ry ON ry.node = e.y)
+        SELECT CAST({_RC_TOP} AS BIGINT) AS n_rich,
+               CAST(m_rich AS BIGINT) AS edges_among_rich,
+               CAST({_RC_POSSIBLE} AS BIGINT) AS possible,
+               CAST(m_rich * 1000000 // {_RC_POSSIBLE} AS BIGINT)
+                   AS rich_club_ppm
+        FROM inner_e
+    """,
+    doc=f"Rich-club coefficient of the strongest-co-purchase subgraph: "
+    f"how densely the {_RC_TOP} highest-degree parts interconnect "
+    "(edges among them over C(n,2) possible, as integer ppm) — the "
+    "hub-interconnection diagnostic behind assortativity readings. "
+    "Rich-node selection is a total-ordered top-k on the degree frame "
+    "(degree DESC, node tie-break), membership tests are two broadcast "
+    "semi-joins against the 50-row rich set, and the capped edge "
+    "subgraph bounds everything (the link-predictor scale argument). "
+    "All integers.",
+)
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a0 = li.select("o", F.col("p").alias("x"))
+    b0 = li.select(F.col("o").alias("o2"), F.col("p").alias("y"))
+    pc = (
+        a0.join(b0, (F.col("o") == F.col("o2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("w"))
+    )
+    e = pc.orderBy(F.desc("w"), "x", "y").limit(20000).select("x", "y").transform(pin)
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    rich = deg.orderBy(F.desc("d"), "node").limit(_RC_TOP).select("node")
+    inner = (
+        e.join(F.broadcast(rich.withColumnRenamed("node", "rx")), F.col("rx") == e.x)
+        .join(F.broadcast(rich.withColumnRenamed("node", "ry")), F.col("ry") == e.y)
+        .agg(F.count("*").alias("m_rich"))
+    )
+    possible = _RC_TOP * (_RC_TOP - 1) // 2
+    return inner.select(
+        F.lit(_RC_TOP).cast("long").alias("n_rich"),
+        F.col("m_rich").alias("edges_among_rich"),
+        F.lit(possible).cast("long").alias("possible"),
+        F.expr(f"CAST(m_rich * 1000000 div {possible} AS BIGINT)").alias(
+            "rich_club_ppm"
+        ),
+    )
