@@ -4517,3 +4517,149 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rich_club_ppm"
         ),
     )
+
+
+@register(
+    "stat_sign_test_paired_months",
+    oracle="""
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS y
+            FROM orders GROUP BY day),
+        paired AS (
+            SELECT cur.y AS yc, prev.y AS yp
+            FROM daily cur
+            JOIN daily prev ON prev.day = cur.day - INTERVAL 28 DAY),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN yc > yp THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                   CAST(SUM(CASE WHEN yc <> yp THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_eff
+            FROM paired)
+        SELECT n_pos, n_eff,
+               (2.0 * CAST(n_pos AS DOUBLE) - CAST(n_eff AS DOUBLE)
+                - CASE WHEN 2 * n_pos > n_eff THEN 1.0
+                       WHEN 2 * n_pos < n_eff THEN -1.0 ELSE 0.0 END)
+               / sqrt(CAST(n_eff AS DOUBLE)) AS z_score
+        FROM s
+    """,
+    doc="Paired SIGN test of 28-day-over-28-day revenue growth (the "
+    "median-shift test with no symmetry assumption — the nonparametric "
+    "family's third member beside Mann-Whitney and the runs test): each "
+    "day pairs with the day exactly 4 weeks earlier by a calendar-keyed "
+    "self-join (same weekday — removes the dominant weekly cycle), "
+    "positives and non-ties count exactly in integer cents, and the "
+    "continuity-corrected normal z evaluates in one fixed IEEE "
+    "sequence. One scan; the pair join runs on the pinned calendar-"
+    "bounded daily frame.",
+)
+def stat_sign_test_paired_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
+        .transform(pin)
+    )
+    prev = daily.select(F.col("day").alias("pday"), F.col("y").alias("yp"))
+    paired = daily.join(prev, F.expr("pday = date_sub(day, 28)"))
+    s = paired.agg(
+        F.sum(F.when(F.col("y") > F.col("yp"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("y") != F.col("yp"), 1).otherwise(0)).alias("n_eff"),
+    )
+    npos_d = F.col("n_pos").cast("double")
+    neff_d = F.col("n_eff").cast("double")
+    cc = (
+        F.when(2 * F.col("n_pos") > F.col("n_eff"), F.lit(1.0))
+        .when(2 * F.col("n_pos") < F.col("n_eff"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return s.select(
+        "n_pos",
+        "n_eff",
+        ((2.0 * npos_d - neff_d - cc) / F.sqrt(neff_d)).alias("z_score"),
+    )
+
+
+_PURITY_CELLS = 8
+
+
+@register(
+    "emb_ivf_cell_purity",
+    oracle=f"""
+        WITH pts AS MATERIALIZED (
+            SELECT vec_id, i - 1 AS pos,
+                   CAST(ROUND(emb[i] * 1000000) AS BIGINT) AS xi
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+                 UNNEST(range(1, len(emb) + 1)) AS t(i)),
+        labels AS (SELECT vec_id, label FROM embeddings),
+        cents AS (SELECT vec_id AS cell, pos, xi AS mi FROM pts
+                  WHERE vec_id < {_PURITY_CELLS}),
+        dists AS (
+            SELECT p.vec_id, c.cell, SUM((p.xi - c.mi) * (p.xi - c.mi)) AS d2
+            FROM pts p JOIN cents c USING (pos)
+            GROUP BY p.vec_id, c.cell),
+        assign AS MATERIALIZED (
+            SELECT vec_id, cell FROM dists
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cell) = 1),
+        cl AS (
+            SELECT a.cell, l.label, CAST(COUNT(*) AS BIGINT) AS c
+            FROM assign a JOIN labels l USING (vec_id)
+            GROUP BY a.cell, l.label),
+        per_cell AS (
+            SELECT cell, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(MAX(c) AS BIGINT) AS top
+            FROM cl GROUP BY cell)
+        SELECT cell, n AS n_members, top AS top_label_count,
+               top * 1000000 // n AS purity_ppm
+        FROM per_cell
+        ORDER BY cell
+    """,
+    doc=f"Cluster PURITY of the {_PURITY_CELLS}-cell IVF coarse quantizer "
+    "against the true labels — the external-validity companion of the "
+    "internal silhouette score: every vector assigns to its nearest "
+    "lowest-id centroid by exact integer L2 (the sim_ivf_cell_digest "
+    "assignment, deterministic cell tie-break), and each cell reports "
+    "the share of its dominant label as integer ppm. Low purity with "
+    "good silhouette means the quantizer's cells cut across semantic "
+    "labels — the readout that sizes nprobe. One dimension-keyed "
+    "distance pass; embeddings scanned twice (points + labels), both "
+    "cheap projections.",
+)
+def emb_ivf_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .iterative import _to_fixed
+
+    emb = table(spark, sf_dir, "embeddings")
+    pts = (
+        emb.select("vec_id", F.posexplode(_to_fixed(F.col("embedding"))))
+        .withColumnsRenamed({"col": "xi"})
+        .transform(pin)
+    )
+    cents = pts.filter(F.col("vec_id") < _PURITY_CELLS).select(
+        F.col("vec_id").alias("cell"), "pos", F.col("xi").alias("mi")
+    )
+    dists = (
+        pts.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum((F.col("xi") - F.col("mi")) * (F.col("xi") - F.col("mi"))).alias("d2"))
+    )
+    assign = (
+        dists.withColumn(
+            "_r", F.row_number().over(Window.partitionBy("vec_id").orderBy("d2", "cell"))
+        )
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "cell")
+    )
+    labels = emb.select("vec_id", "label")
+    cl = assign.join(labels, "vec_id").groupBy("cell", "label").agg(F.count("*").alias("c"))
+    per_cell = cl.groupBy("cell").agg(F.sum("c").alias("n"), F.max("c").alias("top"))
+    return per_cell.select(
+        "cell",
+        F.col("n").alias("n_members"),
+        F.col("top").alias("top_label_count"),
+        F.expr("top * 1000000 div n").alias("purity_ppm"),
+    ).orderBy("cell")
