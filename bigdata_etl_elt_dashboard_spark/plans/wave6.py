@@ -4663,3 +4663,139 @@ def emb_ivf_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top").alias("top_label_count"),
         F.expr("top * 1000000 div n").alias("purity_ppm"),
     ).orderBy("cell")
+
+
+@register(
+    "src_nested_json_roundtrip_digest",
+    oracle="""
+        WITH li AS (
+            SELECT l_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS qty
+            FROM lineitem GROUP BY l_orderkey)
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+               CAST(SUM(n_items) AS BIGINT) AS item_sum,
+               CAST(SUM(cents) AS BIGINT) AS cents_sum,
+               CAST(SUM(qty) AS BIGINT) AS qty_sum
+        FROM li
+    """,
+    doc="Nested semi-structured ROUNDTRIP gate: each order's line items "
+    "roll up into a STRUCT(n_items, cents, qty) nested under the order "
+    "key, serialize through to_json, re-parse with from_json against an "
+    "explicit nested schema, and the digest over the RE-PARSED structs "
+    "must equal the closed-form rollup on the source parquet — proving "
+    "the JSON write→read path is lossless for nested types (the "
+    "event-envelope pattern every Kafka topic uses). JVM-side "
+    "to_json/from_json only; integers end to end so JSON number "
+    "formatting can't drift.",
+)
+def src_nested_json_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    li = table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.struct(
+            F.count("*").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+        ).alias("payload")
+    )
+    as_json = nested.select("l_orderkey", F.to_json("payload").alias("js"))
+    schema = T.StructType(
+        [
+            T.StructField("n_items", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("qty", T.LongType()),
+        ]
+    )
+    back = as_json.select(
+        "l_orderkey", F.from_json("js", schema).alias("payload")
+    )
+    return back.agg(
+        F.count("*").alias("n_orders"),
+        F.sum("l_orderkey").alias("key_sum"),
+        F.sum("payload.n_items").alias("item_sum"),
+        F.sum("payload.cents").alias("cents_sum"),
+        F.sum("payload.qty").alias("qty_sum"),
+    )
+
+
+@register(
+    "stat_mad_robust_outlier_days",
+    oracle="""
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY day),
+        med AS (
+            SELECT MIN(CASE WHEN c * 2 >= n THEN v END) AS m
+            FROM (SELECT y AS v,
+                         SUM(1) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS c,
+                         COUNT(*) OVER () AS n
+                  FROM daily)),
+        dev AS MATERIALIZED (
+            SELECT day, y, ABS(y - m) AS ad FROM daily, med),
+        mad AS (
+            SELECT MIN(CASE WHEN c * 2 >= n THEN v END) AS mad
+            FROM (SELECT ad AS v,
+                         SUM(1) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) AS c,
+                         COUNT(*) OVER () AS n
+                  FROM dev))
+        SELECT day, y, ad AS abs_dev,
+               ad * 1000000 // NULLIF(mad, 0) AS robust_z_ppm
+        FROM dev, mad
+        ORDER BY ad DESC, day
+        LIMIT 10
+    """,
+    doc="MAD-based robust outlier days (median absolute deviation — the "
+    "outlier detector a heavy-tailed revenue series needs where "
+    "mean/sigma breaks down): lower-median of the daily totals, "
+    "lower-median of the absolute deviations, and each day's robust "
+    "z as integer ppm of the MAD (NULLIF-guarded). Both medians select "
+    "on ordered cumulative counts over the calendar-bounded daily "
+    "frame — exact, partitioning-independent; top-10 by deviation with "
+    "a day tie-break. The conventional 1.4826 consistency constant is "
+    "deliberately NOT baked in (it assumes normality); consumers scale "
+    "the ppm as their model warrants.",
+)
+def stat_mad_robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y"))
+        .transform(pin)
+    )
+
+    def lower_median(df, col):
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            df.select(
+                F.col(col).alias("v"),
+                F.sum(F.lit(1)).over(w).alias("c"),
+                F.count("*").over(Window.partitionBy()).alias("n"),
+            )
+            .agg(F.min(F.when(F.col("c") * 2 >= F.col("n"), F.col("v"))).alias("m"))
+        )
+
+    med = lower_median(daily, "y")
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day", "y", F.abs(F.col("y") - F.col("m")).alias("ad")
+    ).transform(pin)
+    mad = lower_median(dev, "ad").withColumnRenamed("m", "mad")
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "y",
+            F.col("ad").alias("abs_dev"),
+            F.expr("ad * 1000000 div NULLIF(mad, 0)").alias("robust_z_ppm"),
+        )
+        .orderBy(F.desc("abs_dev"), "day")
+        .limit(10)
+    )

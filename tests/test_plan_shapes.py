@@ -494,6 +494,7 @@ _BNLJ_BOUNDED_OK = {
     # (bounded 4x fan-out), plus the bounded top-10 probe side
     "stat_cms_part_heavyhitters",
     "stat_kmv_intersection_years",  # 1-row truth scalar crossed onto sketch
+    "stat_mad_robust_outlier_days",  # two 1-row median scalars broadcast
     # 28-row lag frame crossed onto the calendar-bounded day frame before
     # the equi-join back to the (day, user) frame (the EWMA pattern)
     "ev_rolling28_mau",
