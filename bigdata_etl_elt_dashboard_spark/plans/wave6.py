@@ -4799,3 +4799,67 @@ def stat_mad_robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("abs_dev"), "day")
         .limit(10)
     )
+
+
+@register(
+    "trend_backtest_snaive_mase",
+    oracle="""
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY day),
+        f AS (
+            SELECT cur.day, cur.y, prev.y AS yhat,
+                   ABS(cur.y - prev.y) AS ae
+            FROM daily cur JOIN daily prev
+              ON prev.day = cur.day - INTERVAL 7 DAY),
+        n AS (
+            SELECT naive.day, ABS(naive.y - lag1.y) AS ae1
+            FROM daily naive JOIN daily lag1
+              ON lag1.day = naive.day - INTERVAL 1 DAY)
+        SELECT CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS n_forecasts,
+               CAST((SELECT SUM(ae) FROM f) AS BIGINT) AS sae_snaive,
+               CAST((SELECT COUNT(*) FROM n) AS BIGINT) AS n_naive,
+               CAST((SELECT SUM(ae1) FROM n) AS BIGINT) AS sae_naive1,
+               (CAST((SELECT SUM(ae) FROM f) AS DOUBLE)
+                / CAST((SELECT COUNT(*) FROM f) AS DOUBLE))
+               / ((CAST((SELECT SUM(ae1) FROM n) AS DOUBLE)
+                   / CAST((SELECT COUNT(*) FROM n) AS DOUBLE)))
+                   AS mase
+    """,
+    doc="Seasonal-naive (lag-7) forecast backtest with MASE — THE "
+    "baseline every revenue forecaster must beat, scored against the "
+    "lag-1 naive denominator (textbook MASE): same-weekday forecasts "
+    "via a calendar-keyed self-join on the pinned daily frame, absolute "
+    "errors exact in whole units, and the final ratio two divisions in "
+    "fixed order. MASE < 1 means weekly seasonality carries real "
+    "signal over naive persistence — the go/no-go for any fancier "
+    "model. One scan; calendar-bounded joins.",
+)
+def trend_backtest_snaive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y"))
+        .transform(pin)
+    )
+    prev7 = daily.select(F.col("day").alias("p7"), F.col("y").alias("y7"))
+    f = daily.join(prev7, F.expr("p7 = date_sub(day, 7)")).select(
+        F.abs(F.col("y") - F.col("y7")).alias("ae")
+    )
+    prev1 = daily.select(F.col("day").alias("p1"), F.col("y").alias("y1"))
+    n1 = daily.join(prev1, F.expr("p1 = date_sub(day, 1)")).select(
+        F.abs(F.col("y") - F.col("y1")).alias("ae1")
+    )
+    fa = f.agg(F.count("*").alias("n_forecasts"), F.sum("ae").alias("sae_snaive"))
+    na = n1.agg(F.count("*").alias("n_naive"), F.sum("ae1").alias("sae_naive1"))
+    return fa.crossJoin(F.broadcast(na)).select(
+        "n_forecasts",
+        "sae_snaive",
+        "n_naive",
+        "sae_naive1",
+        (
+            (F.col("sae_snaive").cast("double") / F.col("n_forecasts").cast("double"))
+            / (F.col("sae_naive1").cast("double") / F.col("n_naive").cast("double"))
+        ).alias("mase"),
+    )

@@ -495,6 +495,7 @@ _BNLJ_BOUNDED_OK = {
     "stat_cms_part_heavyhitters",
     "stat_kmv_intersection_years",  # 1-row truth scalar crossed onto sketch
     "stat_mad_robust_outlier_days",  # two 1-row median scalars broadcast
+    "trend_backtest_snaive_mase",  # two 1-row error-sum scalars crossed
     # 28-row lag frame crossed onto the calendar-bounded day frame before
     # the equi-join back to the (day, user) frame (the EWMA pattern)
     "ev_rolling28_mau",
