@@ -4863,3 +4863,135 @@ def trend_backtest_snaive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("sae_naive1").cast("double") / F.col("n_naive").cast("double"))
         ).alias("mase"),
     )
+
+
+#: Ljung-Box portmanteau horizon (weekly: lags 1..7).
+_LB_LAGS = 7
+
+
+def _lb_oracle() -> str:
+    ks = list(range(1, _LB_LAGS + 1))
+    pivot = ",\n                   ".join(
+        f"MAX(CASE WHEN k = {k} THEN sxy END) AS sxy{k},\n"
+        f"                   MAX(CASE WHEN k = {k} THEN a END) AS a{k},\n"
+        f"                   MAX(CASE WHEN k = {k} THEN b END) AS b{k},\n"
+        f"                   MAX(CASE WHEN k = {k} THEN m END) AS m{k}"
+        for k in ks
+    )
+    rho = "\n               ".join(
+        f"(CAST(sxy{k} AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" * (CAST(a{k} AS DOUBLE) + CAST(b{k} AS DOUBLE))"
+        f" + CAST(m{k} AS DOUBLE)"
+        f" * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / den AS rho{k},"
+        for k in ks
+    )
+    qsum = " + ".join(
+        f"rho{k} * rho{k} / (CAST(n AS DOUBLE) - {k}.0)" for k in ks
+    )
+    return f"""
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY day),
+        base AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS s,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM daily),
+        lagged AS (
+            SELECT k.k,
+                   CAST(SUM(cur.y * prev.y) AS BIGINT) AS sxy,
+                   CAST(SUM(cur.y) AS BIGINT) AS a,
+                   CAST(SUM(prev.y) AS BIGINT) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM range(1, {_LB_LAGS} + 1) k(k)
+            JOIN daily cur ON TRUE
+            JOIN daily prev ON prev.day = cur.day - INTERVAL (k.k) DAY
+            GROUP BY k.k),
+        piv AS (
+            SELECT {pivot}
+            FROM lagged),
+        rhos AS (
+            SELECT n, s,
+               {rho}
+               1 AS _dummy
+            FROM base, piv,
+                 (SELECT CAST(syy AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE) AS den
+                  FROM base))
+        SELECT n AS n_days,
+               {", ".join(f"rho{k}" for k in ks)},
+               CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * ({qsum})
+                   AS lb_q
+        FROM rhos
+    """
+
+
+@register(
+    "stat_ljung_box_weekly",
+    oracle=_lb_oracle(),
+    doc=f"Ljung-Box portmanteau test over lags 1..{_LB_LAGS} of daily "
+    "revenue — the is-there-ANY-weekly-autocorrelation gate run before "
+    "fitting seasonal models: each lag's autocovariance assembles from "
+    "exact BIGINT moment sums (Σy·y_lag, partial sums, counts via the "
+    "calendar-keyed lag joins — n²-scaled integer forms would overflow, "
+    "so the mean-centering runs in double over a FIXED op sequence, the "
+    "Welch-t discipline), lags pivot by literal into one row, and "
+    "Q = n(n+2)·Σρ̂²/(n−k) evaluates left-to-right. The per-lag ρ̂ "
+    "columns double as the correlogram readout. One scan; 7-lag "
+    "calendar-bounded fan-out.",
+)
+def stat_ljung_box_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y"))
+        .transform(pin)
+    )
+    base = daily.agg(
+        F.count("*").alias("n"), F.sum("y").alias("s"), F.sum(F.col("y") * F.col("y")).alias("syy")
+    )
+    lags = daily.sparkSession.range(1, _LB_LAGS + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    prev = daily.select(F.col("day").alias("pday"), F.col("y").alias("py"))
+    lagged = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(prev, F.expr("pday = date_sub(day, k)"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("y") * F.col("py")).alias("sxy"),
+            F.sum("y").alias("a"),
+            F.sum("py").alias("b"),
+            F.count("*").alias("m"),
+        )
+    )
+    pivots = []
+    for k in range(1, _LB_LAGS + 1):
+        for c in ("sxy", "a", "b", "m"):
+            pivots.append(F.max(F.when(F.col("k") == k, F.col(c))).alias(f"{c}{k}"))
+    piv = lagged.agg(*pivots)
+    j = base.crossJoin(F.broadcast(piv))
+
+    def d(c):
+        return c.cast("double")
+
+    mean = d(F.col("s")) / d(F.col("n"))
+    den = d(F.col("syy")) - d(F.col("s")) * d(F.col("s")) / d(F.col("n"))
+    out = [F.col("n").alias("n_days")]
+    rhos = []
+    for k in range(1, _LB_LAGS + 1):
+        rho = (
+            d(F.col(f"sxy{k}"))
+            - mean * (d(F.col(f"a{k}")) + d(F.col(f"b{k}")))
+            + d(F.col(f"m{k}")) * mean * mean
+        ) / den
+        rhos.append((k, rho))
+        out.append(rho.alias(f"rho{k}"))
+    q = rhos[0][1] * rhos[0][1] / (d(F.col("n")) - F.lit(1.0))
+    for k, rho in rhos[1:]:
+        q = q + rho * rho / (d(F.col("n")) - F.lit(float(k)))
+    out.append((d(F.col("n")) * (d(F.col("n")) + 2.0) * q).alias("lb_q"))
+    return j.select(*out)

@@ -496,6 +496,9 @@ _BNLJ_BOUNDED_OK = {
     "stat_kmv_intersection_years",  # 1-row truth scalar crossed onto sketch
     "stat_mad_robust_outlier_days",  # two 1-row median scalars broadcast
     "trend_backtest_snaive_mase",  # two 1-row error-sum scalars crossed
+    # 7-row lag frame crossed onto the calendar-bounded daily frame plus a
+    # 1-row moment scalar crossed with the 1-row lag pivot
+    "stat_ljung_box_weekly",
     # 28-row lag frame crossed onto the calendar-bounded day frame before
     # the equi-join back to the (day, user) frame (the EWMA pattern)
     "ev_rolling28_mau",
