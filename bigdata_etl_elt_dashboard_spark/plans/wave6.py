@@ -4311,13 +4311,17 @@ def stat_weekly_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY x, y),
         e AS MATERIALIZED (
             SELECT x, y FROM pc ORDER BY w DESC, x, y LIMIT 20000),
-        support AS (
-            SELECT e1.x, e1.y, CAST(COUNT(*) AS BIGINT) AS sup
+        tri AS (
+            SELECT e1.x AS a, e1.y AS b, e2.y AS c
             FROM e e1
-            JOIN e e2 ON e2.x = e1.x AND e2.y <> e1.y
-            JOIN e e3 ON e3.x = LEAST(e1.y, e2.y)
-                     AND e3.y = GREATEST(e1.y, e2.y)
-            GROUP BY e1.x, e1.y)
+            JOIN e e2 ON e2.x = e1.y
+            JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        support AS (
+            SELECT x, y, CAST(COUNT(*) AS BIGINT) AS sup
+            FROM (SELECT a AS x, b AS y FROM tri
+                  UNION ALL SELECT b AS x, c AS y FROM tri
+                  UNION ALL SELECT a AS x, c AS y FROM tri)
+            GROUP BY x, y)
         SELECT x, y, sup,
                (sup >= 2) AS in_4truss
         FROM support
@@ -4329,10 +4333,12 @@ def stat_weekly_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bound): an edge's support is the number of triangles containing "
     "it, the quantity truss decomposition peels on (an edge in the "
     "k-truss needs support ≥ k−2; the gated boolean marks the 4-truss). "
-    "Triangles close through the oriented (x < y) edge list with "
-    "LEAST/GREATEST normalization — each triangle counted once per "
-    "edge, no direction double-count — via two edge-keyed equi-joins. "
-    "Top-20 with full tie-breaks.",
+    "Triangles enumerate ONCE each as oriented a<b<c chains (the "
+    "compact-forward pattern triangles/k-core share), then each "
+    "triangle credits all THREE of its edges via a 3-way projection "
+    "union — true per-edge support (an apex-wedge shortcut here would "
+    "silently drop triangles whose third vertex precedes the edge, "
+    "caught by the brute-force audit). Top-20 with full tie-breaks.",
 )
 def graph_ktruss_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
@@ -4350,13 +4356,15 @@ def graph_ktruss_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = pc.orderBy(F.desc("w"), "x", "y").limit(20000).select("x", "y").transform(pin)
     e2 = e.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
     e3 = e.select(F.col("x").alias("x3"), F.col("y").alias("y3"))
+    tri = (
+        e.join(e2, F.col("x2") == F.col("y"))
+        .join(e3, (F.col("x3") == F.col("x")) & (F.col("y3") == F.col("y2")))
+        .select(F.col("x").alias("a"), F.col("y").alias("b"), F.col("y2").alias("c"))
+    )
     support = (
-        e.join(e2, (F.col("x2") == F.col("x")) & (F.col("y2") != F.col("y")))
-        .join(
-            e3,
-            (F.col("x3") == F.least(F.col("y"), F.col("y2")))
-            & (F.col("y3") == F.greatest(F.col("y"), F.col("y2"))),
-        )
+        tri.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionAll(tri.select(F.col("b").alias("x"), F.col("c").alias("y")))
+        .unionAll(tri.select(F.col("a").alias("x"), F.col("c").alias("y")))
         .groupBy("x", "y")
         .agg(F.count("*").alias("sup"))
     )

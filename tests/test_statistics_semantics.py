@@ -1545,3 +1545,224 @@ def test_ewma_matches_python_loop(spark, sf_smoke):
         r = got[day]
         assert (r["wsum"], r["wtot"], r["n_days"]) == (wsum, wtot, nd)
         assert r["ewma"] == wsum / wtot
+
+
+# ---------------------------------------------------------------------------
+# Round-6 tail additions: turning points, sign test, MASE, Ljung-Box, MAD,
+# block maxima, rich club, k-truss, Katz. Same discipline as above — a third,
+# structurally different implementation (plain Python over the raw parquet)
+# must agree with the Spark/DuckDB pair.
+
+
+def _daily_revenue(sf, cents=True):
+    """day -> exact integer daily revenue (cents or whole units)."""
+    daily = collections.defaultdict(int)
+    for ts, price in _cols(sf, "orders", ["o_orderdate", "o_totalprice"]):
+        daily[ts.date()] += _r(float(price) * 100) if cents else _r(float(price))
+    return dict(daily)
+
+
+def test_turning_points_matches_python(spark, sf_smoke):
+    daily = _daily_revenue(sf_smoke, cents=True)
+    c = [daily[d] for d in sorted(daily)]
+    n = len(c)
+    t = sum(
+        1
+        for i in range(1, n - 1)
+        if (c[i] > c[i - 1] and c[i] > c[i + 1])
+        or (c[i] < c[i - 1] and c[i] < c[i + 1])
+    )
+    exp = 2 * (n - 2) / 3.0
+    var = (16 * n - 29.0) / 90.0
+    got = _rows(spark, sf_smoke, "stat_turning_points_test")[0]
+    assert got["n_days"] == n
+    assert got["turning_points"] == t
+    assert abs(got["expected_tp"] - exp) < 1e-9
+    assert abs(got["var_tp"] - var) < 1e-9
+    assert abs(got["z_score"] - (t - exp) / math.sqrt(var)) < 1e-9
+
+
+def test_sign_test_matches_python(spark, sf_smoke):
+    import datetime
+
+    daily = _daily_revenue(sf_smoke, cents=True)
+    n_pos = n_eff = 0
+    for d, y in daily.items():
+        p = d - datetime.timedelta(days=28)
+        if p in daily:
+            if y > daily[p]:
+                n_pos += 1
+            if y != daily[p]:
+                n_eff += 1
+    cc = 1.0 if 2 * n_pos > n_eff else -1.0 if 2 * n_pos < n_eff else 0.0
+    z = (2.0 * n_pos - n_eff - cc) / math.sqrt(n_eff)
+    got = _rows(spark, sf_smoke, "stat_sign_test_paired_months")[0]
+    assert (got["n_pos"], got["n_eff"]) == (n_pos, n_eff)
+    assert abs(got["z_score"] - z) < 1e-12
+
+
+def test_snaive_mase_matches_python(spark, sf_smoke):
+    import datetime
+
+    daily = _daily_revenue(sf_smoke, cents=False)
+    sae = [0, 0]
+    cnt = [0, 0]
+    for i, lag in enumerate((7, 1)):
+        for d, y in daily.items():
+            p = d - datetime.timedelta(days=lag)
+            if p in daily:
+                sae[i] += abs(y - daily[p])
+                cnt[i] += 1
+    got = _rows(spark, sf_smoke, "trend_backtest_snaive_mase")[0]
+    assert (got["n_forecasts"], got["sae_snaive"]) == (cnt[0], sae[0])
+    assert (got["n_naive"], got["sae_naive1"]) == (cnt[1], sae[1])
+    mase = (sae[0] / cnt[0]) / (sae[1] / cnt[1])
+    assert abs(got["mase"] - mase) < 1e-12
+
+
+def test_ljung_box_matches_python(spark, sf_smoke):
+    import datetime
+
+    daily = _daily_revenue(sf_smoke, cents=False)
+    vals = list(daily.values())
+    n, s, syy = len(vals), sum(vals), sum(v * v for v in vals)
+    mean = s / n
+    den = syy - s * s / n
+    got = _rows(spark, sf_smoke, "stat_ljung_box_weekly")[0]
+    assert got["n_days"] == n
+    q = 0.0
+    for k in range(1, 8):
+        sxy = a = b = m = 0
+        for d, y in daily.items():
+            p = d - datetime.timedelta(days=k)
+            if p in daily:
+                sxy += y * daily[p]
+                a += y
+                b += daily[p]
+                m += 1
+        rho = (sxy - mean * (a + b) + m * mean * mean) / den
+        assert math.isclose(got[f"rho{k}"], rho, rel_tol=1e-9, abs_tol=1e-12)
+        q += rho * rho / (n - k)
+    assert math.isclose(got["lb_q"], n * (n + 2.0) * q, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def _lower_median(vals):
+    """Smallest v whose cumulative count c satisfies 2c >= n."""
+    sv = sorted(vals)
+    return sv[(len(sv) - 1) // 2]
+
+
+def test_mad_outliers_match_python(spark, sf_smoke):
+    daily = _daily_revenue(sf_smoke, cents=False)
+    med = _lower_median(daily.values())
+    dev = {d: abs(y - med) for d, y in daily.items()}
+    mad = _lower_median(dev.values())
+    top = sorted(daily, key=lambda d: (-dev[d], d))[:10]
+    got = _rows(spark, sf_smoke, "stat_mad_robust_outlier_days")
+    assert len(got) == 10
+    for r, d in zip(got, top):
+        assert r["day"] == d
+        assert r["y"] == daily[d]
+        assert r["abs_dev"] == dev[d]
+        want = dev[d] * 1000000 // mad if mad else None
+        assert r["robust_z_ppm"] == want
+
+
+def test_weekly_block_maxima_matches_python(spark, sf_smoke):
+    import datetime
+
+    daily = _daily_revenue(sf_smoke, cents=False)
+    wk = collections.defaultdict(int)
+    for d, y in daily.items():
+        monday = d - datetime.timedelta(days=d.weekday())
+        wk[monday] = max(wk[monday], y)
+    maxima = sorted(wk.values())
+    n = len(maxima)
+
+    def sel(pct):
+        return maxima[(n * pct + 99) // 100 - 1]
+
+    got = _rows(spark, sf_smoke, "stat_weekly_block_maxima")[0]
+    assert got["n_weeks"] == n
+    assert got["median_weekly_max"] == sel(50)
+    assert got["p90_weekly_max"] == sel(90)
+    assert got["p98_weekly_max"] == sel(98)
+    assert got["record_weekly_max"] == maxima[-1]
+
+
+def _capped_copurchase_edges(sf, cap=20000):
+    """Top-`cap` weighted co-purchase edges by (weight DESC, x, y) — the
+    shared subgraph of the rich-club / k-truss / link-prediction family."""
+    li = {(o, p) for o, p in _cols(sf, "lineitem", ["l_orderkey", "l_partkey"])}
+    baskets = collections.defaultdict(set)
+    for o, p in li:
+        baskets[o].add(p)
+    w = collections.Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                w[(ps[i], ps[j])] += 1
+    ranked = sorted(w, key=lambda e: (-w[e], e))
+    return ranked[:cap]
+
+
+def test_rich_club_matches_python(spark, sf_smoke):
+    edges = _capped_copurchase_edges(sf_smoke)
+    deg = collections.Counter()
+    for x, y in edges:
+        deg[x] += 1
+        deg[y] += 1
+    rich = set(sorted(deg, key=lambda v: (-deg[v], v))[:50])
+    m = sum(1 for x, y in edges if x in rich and y in rich)
+    got = _rows(spark, sf_smoke, "graph_rich_club_coefficient")[0]
+    assert got["n_rich"] == 50
+    assert got["edges_among_rich"] == m
+    assert got["possible"] == 1225
+    assert got["rich_club_ppm"] == m * 1000000 // 1225
+
+
+def test_ktruss_support_matches_bruteforce(spark, sf_smoke):
+    """True k-truss edge support: |N(x) ∩ N(y)| over the capped subgraph.
+    This brute-force audit is what caught the original apex-wedge
+    formulation silently dropping triangles whose third vertex precedes
+    the edge's lower endpoint (fixed to the 3-way projection union)."""
+    edges = _capped_copurchase_edges(sf_smoke)
+    adj = collections.defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    sup = {(x, y): len(adj[x] & adj[y]) for x, y in edges}
+    ranked = sorted(
+        ((x, y, s) for (x, y), s in sup.items() if s > 0),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:20]
+    got = _rows(spark, sf_smoke, "graph_ktruss_edge_support")
+    assert [(r["x"], r["y"], r["sup"], r["in_4truss"]) for r in got] == [
+        (x, y, s, s >= 2) for x, y, s in ranked
+    ]
+
+
+def test_katz_3step_matches_python(spark, sf_smoke):
+    li = {(o, p) for o, p in _cols(sf_smoke, "lineitem", ["l_orderkey", "l_partkey"])}
+    baskets = collections.defaultdict(set)
+    for o, p in li:
+        baskets[o].add(p)
+    adj = collections.defaultdict(set)
+    for parts in baskets.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    p1 = {v: len(nb) for v, nb in adj.items()}
+    p2 = {v: sum(p1[u] for u in nb) for v, nb in adj.items()}
+    p3 = {v: sum(p2[u] for u in nb) for v, nb in adj.items()}
+    ranked = sorted(
+        ((v, p1[v], p2[v], p3[v], 64 * p1[v] + 8 * p2[v] + p3[v]) for v in adj),
+        key=lambda r: (-r[4], r[0]),
+    )[:25]
+    got = _rows(spark, sf_smoke, "graph_katz_centrality_3step")
+    assert [
+        (r["part"], r["paths_1"], r["paths_2"], r["paths_3"], r["katz_scaled"])
+        for r in got
+    ] == ranked
