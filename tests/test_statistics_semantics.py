@@ -1766,3 +1766,253 @@ def test_katz_3step_matches_python(spark, sf_smoke):
         (r["part"], r["paths_1"], r["paths_2"], r["paths_3"], r["katz_scaled"])
         for r in got
     ] == ranked
+
+
+def test_max_drawdown_matches_python(spark, sf_smoke):
+    daily = _daily_revenue(sf_smoke, cents=False)
+    days = sorted(daily)
+    peak = dd_max = -1
+    trough = None
+    for d in days:
+        peak = max(peak, daily[d])
+        dd = peak - daily[d]
+        if dd > dd_max:
+            dd_max, trough = dd, d
+    got = _rows(spark, sf_smoke, "trend_max_drawdown_daily")[0]
+    assert got["max_drawdown"] == dd_max
+    assert got["trough_day"] == trough
+    assert got["peak_value"] == max(daily.values())
+    assert got["n_days"] == len(days)
+
+
+def test_vwap_matches_python(spark, sf_smoke):
+    agg = collections.defaultdict(lambda: [0, 0])
+    for pk, sd, px, qty in _cols(
+        sf_smoke, "lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"]
+    ):
+        if pk < 20:
+            a = agg[(pk, sd.year * 12 + sd.month)]
+            a[0] += _r(float(px) * 100)
+            a[1] += _r(float(qty))
+    got = _rows(spark, sf_smoke, "li_vwap_part_month")
+    assert len(got) == len(agg)
+    for r in got:
+        vc, q = agg[(r["l_partkey"], r["mi"])]
+        assert (r["value_cents"], r["qty"]) == (vc, q)
+        assert r["vwap"] == vc / q / 100.0
+
+
+def test_rolling28_anomaly_matches_python(spark, sf_smoke):
+    import datetime
+
+    daily = _daily_revenue(sf_smoke, cents=False)
+    days = sorted(daily)
+    scored = []
+    for i in range(28, len(days)):
+        win = [daily[d] for d in days[i - 28 : i]]
+        s, q, x = sum(win), sum(v * v for v in win), daily[days[i]]
+        dev = 28 * x - s
+        score = dev * dev - 9 * (28 * q - s * s)
+        scored.append((days[i], x, score, dev * dev > 9 * (28 * q - s * s)))
+    top = sorted(scored, key=lambda r: (-r[2], r[0]))[:10]
+    got = _rows(spark, sf_smoke, "trend_rolling28_anomaly_topdays")
+    norm = [
+        (
+            r["day"].date() if isinstance(r["day"], datetime.datetime) else r["day"],
+            r["x"],
+            r["score"],
+            r["is_anomaly"],
+        )
+        for r in got
+    ]
+    assert norm == top
+
+
+def _events_ns(sf, cols):
+    """Events with timestamps as int64 MICROSECONDS (the arrow-side view
+    of the nanos parquet; Spark's cast-to-long seconds == us // 1e6)."""
+    t = pq.read_table(f"{sf}/events.parquet", columns=cols)
+    out = []
+    for c in cols:
+        col = t[c]
+        if str(col.type).startswith("timestamp"):
+            col = col.cast("timestamp[us]").cast("int64")
+        out.append(col.to_pylist())
+    return list(zip(*out))
+
+
+def test_concurrent_sessions_peak_matches_python(spark, sf_smoke):
+    import datetime
+
+    byu = collections.defaultdict(list)
+    for uid, ns in _events_ns(sf_smoke, ["user_id", "ts"]):
+        byu[uid].append(ns)
+    per_minute = collections.Counter()
+    for tss in byu.values():
+        tss.sort()
+        start = prev = tss[0]
+        spans = []
+        for us in tss[1:]:
+            if us - prev >= 600_000_000:
+                spans.append((start, prev))
+                start = us
+            prev = us
+        spans.append((start, prev))
+        for s0, s1 in spans:
+            m0 = (s0 // 1_000_000) // 60
+            m1 = (s1 // 1_000_000) // 60
+            for m in range(m0, m1 + 1):
+                per_minute[m] += 1
+    daily = collections.defaultdict(lambda: [0, 0])
+    for m, c in per_minute.items():
+        day = datetime.datetime.fromtimestamp(
+            (m // 1440) * 86400, tz=datetime.timezone.utc
+        ).date()
+        daily[day][0] = max(daily[day][0], c)
+        daily[day][1] += 1
+    got = _rows(spark, sf_smoke, "ev_concurrent_sessions_peak")
+    assert len(got) == len(daily)
+    for r in got:
+        peak, active = daily[r["day"]]
+        assert (r["peak_concurrency"], r["active_minutes"]) == (peak, active)
+
+
+def test_error_streak_matches_python(spark, sf_smoke):
+    byu = collections.defaultdict(list)
+    for uid, ns, eid, et in _events_ns(
+        sf_smoke, ["user_id", "ts", "event_id", "event_type"]
+    ):
+        byu[uid].append((ns, eid, et))
+    best = {}
+    for uid, evs in byu.items():
+        evs.sort()
+        longest = cur = n_streaks = 0
+        prev_err = False
+        for _, _, et in evs:
+            if et == "error":
+                if not prev_err:
+                    n_streaks += 1
+                    cur = 0
+                cur += 1
+                longest = max(longest, cur)
+                prev_err = True
+            else:
+                prev_err = False
+        if n_streaks:
+            best[uid] = (longest, n_streaks)
+    top = sorted(best.items(), key=lambda kv: (-kv[1][0], kv[0]))[:10]
+    got = _rows(spark, sf_smoke, "ev_longest_error_streak")
+    assert [(r["user_id"], r["longest_streak"], r["n_streaks"]) for r in got] == [
+        (u, ls, ns_) for u, (ls, ns_) in top
+    ]
+
+
+def test_jaccard_link_prediction_matches_python(spark, sf_smoke):
+    edges = _capped_copurchase_edges(sf_smoke)
+    eset = set(edges)
+    adj = collections.defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    cand = {}
+    for w, nb in adj.items():
+        ns = sorted(nb)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                u, v = ns[i], ns[j]
+                if (u, v) not in eset:
+                    cand[(u, v)] = cand.get((u, v), 0) + 1
+    rows = []
+    for (u, v), common in cand.items():
+        du, dv = len(adj[u]), len(adj[v])
+        rows.append((u, v, common, du, dv, common * 1000000 // (du + dv - common)))
+    top = sorted(rows, key=lambda r: (-r[5], r[0], r[1]))[:20]
+    got = _rows(spark, sf_smoke, "graph_jaccard_link_prediction")
+    assert [
+        (r["u"], r["v"], r["common"], r["deg_u"], r["deg_v"], r["jaccard_ppm"])
+        for r in got
+    ] == top
+
+
+def _fixed_embeddings(sf, mod=None):
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "label", "embedding"])
+    out = {}
+    labels = {}
+    for vid, lab, emb in zip(
+        t["vec_id"].to_pylist(), t["label"].to_pylist(), t["embedding"].to_pylist()
+    ):
+        if mod is None or vid % mod == 0:
+            out[vid] = [_r(float(e) * 1000000) for e in emb]
+            labels[vid] = lab
+    return out, labels
+
+
+def test_knn_reciprocity_matches_python(spark, sf_smoke):
+    vecs, labels = _fixed_embeddings(sf_smoke, mod=10)
+    ids = sorted(vecs)
+    edges = set()
+    for src in ids:
+        d2 = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(vecs[src], vecs[dst])), dst)
+            for dst in ids
+            if dst != src
+        )[:5]
+        for _, dst in d2:
+            edges.add((src, dst))
+    stats = collections.defaultdict(lambda: [set(), 0, 0])
+    for src, dst in edges:
+        st = stats[labels[src]]
+        st[0].add(src)
+        st[1] += 1
+        st[2] += (dst, src) in edges
+    got = _rows(spark, sf_smoke, "emb_knn_graph_reciprocity")
+    assert len(got) == len(stats)
+    for r in got:
+        nodes, ne, nm = stats[r["label"]]
+        assert (r["n_nodes"], r["n_edges"], r["n_mutual"]) == (len(nodes), ne, nm)
+        assert r["reciprocity"] == nm / ne
+
+
+def test_trend_decomposition_matches_python(spark, sf_smoke):
+    monthly = collections.defaultdict(int)
+    for ts, price in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        monthly[ts.year * 12 + ts.month] += _r(float(price))
+    mis = sorted(monthly)
+    y = [monthly[m] for m in mis]
+    rows = []
+    for i in range(6, len(mis) - 6):
+        t13 = sum(y[i - 6 : i + 7])
+        rows.append((mis[i], mis[i] % 12 or 12, y[i], t13, 13 * y[i] - t13))
+    seas = collections.defaultdict(lambda: [0, 0])
+    for _, moy, _, _, dev in rows:
+        seas[moy][0] += dev
+        seas[moy][1] += 1
+    got = _rows(spark, sf_smoke, "trend_decomposition_monthly")
+    assert len(got) == len(rows)
+    for r, (mi, moy, yy, t13, _) in zip(got, rows):
+        assert (r["mi"], r["moy"], r["y"], r["t13"]) == (mi, moy, yy, t13)
+        trend = t13 / 13.0
+        seasonal = seas[moy][0] / (13.0 * seas[moy][1])
+        assert r["trend"] == trend
+        assert math.isclose(r["seasonal"], seasonal, rel_tol=1e-12, abs_tol=1e-12)
+        assert math.isclose(
+            r["residual"], yy - trend - seasonal, rel_tol=1e-9, abs_tol=1e-9
+        )
+
+
+def test_histogram_drift_matches_python(spark, sf_smoke):
+    hist = collections.defaultdict(lambda: collections.Counter())
+    for ts, price in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        b = min(_r(float(price)) // 40000, 15)
+        hist[ts.year * 12 + ts.month][b] += 1
+    tot = {mi: sum(c.values()) for mi, c in hist.items()}
+    got = _rows(spark, sf_smoke, "dq_histogram_drift_l1")
+    expect = []
+    for mi in sorted(hist):
+        if mi - 1 in hist:
+            np_, nc = tot[mi - 1], tot[mi]
+            l1 = sum(
+                abs(hist[mi - 1][b] * nc - hist[mi][b] * np_) for b in range(16)
+            )
+            expect.append((mi, np_, nc, l1 * 1000000 // (np_ * nc)))
+    assert [(r["mi"], r["n_prev"], r["n_cur"], r["l1_drift_ppm"]) for r in got] == expect
