@@ -2016,3 +2016,137 @@ def test_histogram_drift_matches_python(spark, sf_smoke):
             )
             expect.append((mi, np_, nc, l1 * 1000000 // (np_ * nc)))
     assert [(r["mi"], r["n_prev"], r["n_cur"], r["l1_drift_ppm"]) for r in got] == expect
+
+
+def test_ab_power_mde_matches_python(spark, sf_smoke):
+    import hashlib
+
+    per_user = collections.Counter()
+    users = set()
+    for uid, et in _events_ns(sf_smoke, ["user_id", "event_type"]):
+        users.add(uid)
+        if et == "purchase":
+            per_user[uid] += 1
+    n_a = n_b = c_all = 0
+    for uid in users:
+        v = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 2
+        if v == 0:
+            n_a += 1
+        else:
+            n_b += 1
+        c_all += per_user[uid] >= 14
+    n_all = len(users)
+    p = c_all / n_all
+    mde = (1.959963984540054 + 0.8416212335729143) * math.sqrt(
+        p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)
+    )
+    got = _rows(spark, sf_smoke, "ev_ab_power_mde")[0]
+    assert (got["n_a"], got["n_b"], got["c_all"], got["n_all"]) == (
+        n_a, n_b, c_all, n_all,
+    )
+    assert math.isclose(got["mde_abs"], mde, rel_tol=1e-12)
+
+
+def test_sliding_window_peak_matches_python(spark, sf_smoke):
+    import datetime
+
+    per_win = collections.Counter()
+    for (us,) in _events_ns(sf_smoke, ["ts"]):
+        es = us // 1_000_000
+        for j in range(4):
+            per_win[(es // 900) * 900 - j * 900] += 1
+    daily = collections.defaultdict(list)
+    for w0, c in per_win.items():
+        day = datetime.datetime.fromtimestamp(
+            (w0 // 86400) * 86400, tz=datetime.timezone.utc
+        ).date()
+        daily[day].append((c, w0))
+    got = _rows(spark, sf_smoke, "ev_sliding_1h15m_peak")
+    assert len(got) == len(daily)
+    for r in got:
+        wins = daily[r["day"]]
+        peak = max(c for c, _ in wins)
+        assert r["peak_events"] == peak
+        assert r["peak_window_epoch"] == min(w for c, w in wins if c == peak)
+
+
+def test_funnel_anyorder_matches_python(spark, sf_smoke):
+    firsts = collections.defaultdict(dict)
+    for uid, us, et in _events_ns(sf_smoke, ["user_id", "ts", "event_type"]):
+        if et in ("view", "click", "purchase"):
+            es = us // 1_000_000
+            if et not in firsts[uid] or es < firsts[uid][et]:
+                firsts[uid][et] = es
+    hist = collections.Counter()
+    for t in firsts.values():
+        if len(t) == 3:
+            hist[(max(t.values()) - min(t.values())) // 86400] += 1
+    got = _rows(spark, sf_smoke, "ev_funnel_anyorder")
+    assert [(r["span_days"], r["n_users"]) for r in got] == sorted(hist.items())
+
+
+def test_group_quantiles_match_python(spark, sf_smoke):
+    groups = collections.defaultdict(list)
+    for pr, x in _cols(sf_smoke, "orders", ["o_orderpriority", "o_totalprice"]):
+        groups[pr].append(_r(float(x)))
+    got = _rows(spark, sf_smoke, "stat_group_quantiles_by_priority")
+    assert len(got) == len(groups)
+    for r in got:
+        vals = sorted(groups[r["pr"]])
+        n = len(vals)
+        assert r["n_orders"] == n
+        for pct, col in ((25, "p25"), (50, "p50"), (75, "p75"), (99, "p99")):
+            assert r[col] == vals[(n * pct + 99) // 100 - 1]
+        assert r["vmax"] == vals[-1]
+
+
+def test_pareto_share_matches_python(spark, sf_smoke):
+    rev = collections.defaultdict(int)
+    for pk, px in _cols(sf_smoke, "lineitem", ["l_partkey", "l_extendedprice"]):
+        rev[pk] += _r(float(px) * 100)
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(rev.values())
+    cum = k80 = k50 = 0
+    for rk, (_, rv) in enumerate(ranked, 1):
+        cum += rv
+        if not k80 and cum * 5 >= total * 4:
+            k80 = rk
+        if not k50 and cum * 2 >= total:
+            k50 = rk
+    got = _rows(spark, sf_smoke, "li_pareto_cum_share")[0]
+    assert got["n_parts"] == len(ranked)
+    assert got["total_cents"] == total
+    assert (got["k80"], got["k50"]) == (k80, k50)
+    assert got["k80_share_ppm"] == k80 * 1000000 // len(ranked)
+
+
+def test_hist2d_matches_python(spark, sf_smoke):
+    cells = collections.defaultdict(lambda: [0, 0])
+    for q, px, disc in _cols(
+        sf_smoke, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"]
+    ):
+        cell = cells[(min(_r(float(q)) // 10, 4), min(_r(float(px)) // 20000, 4))]
+        cell[0] += 1
+        cell[1] += _r(float(disc) * 100)
+    got = _rows(spark, sf_smoke, "agg_hist2d_qty_price")
+    assert [(r["qty_bin"], r["price_bin"], r["n"], r["discount_pct_sum"]) for r in got] == [
+        (qb, pb, n, d) for (qb, pb), (n, d) in sorted(cells.items())
+    ]
+
+
+def test_stopword_coverage_matches_python(spark, sf_smoke):
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for lang, text in _cols(sf_smoke, "documents", ["lang", "text"]):
+        toks = text.split(" ")
+        n_stop = sum(1 for t in toks if t in ("a", "the"))
+        a = agg[lang]
+        a[0] += len(toks)
+        a[1] += n_stop
+        a[2] += n_stop == 0
+    got = _rows(spark, sf_smoke, "docs_stopword_coverage_by_lang")
+    assert len(got) == len(agg)
+    for r in got:
+        nt, ns_, nz = agg[r["lang"]]
+        assert (r["n_tokens"], r["n_stopwords"]) == (nt, ns_)
+        assert r["stop_ppm"] == ns_ * 1000000 // nt
+        assert r["n_docs_no_stopwords"] == nz
