@@ -2150,3 +2150,129 @@ def test_stopword_coverage_matches_python(spark, sf_smoke):
         assert (r["n_tokens"], r["n_stopwords"]) == (nt, ns_)
         assert r["stop_ppm"] == ns_ * 1000000 // nt
         assert r["n_docs_no_stopwords"] == nz
+
+
+def test_ivf_cell_purity_matches_python(spark, sf_smoke):
+    vecs, labels = _fixed_embeddings(sf_smoke)
+    cents = {c: vecs[c] for c in range(8)}
+    per_cell = collections.defaultdict(collections.Counter)
+    for vid, x in vecs.items():
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(x, cents[c])), c) for c in cents
+        )[1]
+        per_cell[best][labels[vid]] += 1
+    got = _rows(spark, sf_smoke, "emb_ivf_cell_purity")
+    assert len(got) == len(per_cell)
+    for r in got:
+        cnt = per_cell[r["cell"]]
+        n, top = sum(cnt.values()), max(cnt.values())
+        assert (r["n_members"], r["top_label_count"]) == (n, top)
+        assert r["purity_ppm"] == top * 1000000 // n
+
+
+def test_simplified_silhouette_matches_python(spark, sf_smoke):
+    vecs, labels = _fixed_embeddings(sf_smoke)
+    dims = len(next(iter(vecs.values())))
+    sums = collections.defaultdict(lambda: [0] * dims)
+    counts = collections.Counter()
+    for vid, x in vecs.items():
+        counts[labels[vid]] += 1
+        s = sums[labels[vid]]
+        for i, v in enumerate(x):
+            s[i] += v
+    cents = {
+        lab: [_r(s[i] / counts[lab]) for i in range(dims)] for lab, s in sums.items()
+    }
+    agg = collections.defaultdict(lambda: [0, 0])
+    for vid, x in vecs.items():
+        lab = labels[vid]
+        d2 = {
+            cl: sum((a - b) * (a - b) for a, b in zip(x, m))
+            for cl, m in cents.items()
+        }
+        sa = math.sqrt(d2[lab])
+        sb = math.sqrt(min(v for cl, v in d2.items() if cl != lab))
+        agg[lab][0] += 1
+        if max(sa, sb) != 0.0:
+            agg[lab][1] += _r((sb - sa) / max(sa, sb) * 1000000)
+    got = _rows(spark, sf_smoke, "emb_simplified_silhouette")
+    assert len(got) == len(agg)
+    for r in got:
+        n, ssum = agg[r["label"]]
+        assert (r["n"], r["s_micro_sum"]) == (n, ssum)
+        assert r["mean_silhouette"] == ssum / (1000000.0 * n)
+
+
+def test_prefix_dim_recall_matches_python(spark, sf_smoke):
+    vecs, _ = _fixed_embeddings(sf_smoke)
+    got = _rows(spark, sf_smoke, "emb_prefix_dim_recall")
+    assert len(got) == 10
+    for r in got:
+        q = r["query_id"]
+        full, prefix = [], []
+        for vid, x in vecs.items():
+            if vid == q:
+                continue
+            df_ = sum((a - b) * (a - b) for a, b in zip(x, vecs[q]))
+            dp = sum((a - b) * (a - b) for a, b in zip(x[:16], vecs[q][:16]))
+            full.append((df_, vid))
+            prefix.append((dp, vid))
+        top_full = {v for _, v in sorted(full)[:5]}
+        top_prefix = {v for _, v in sorted(prefix)[:5]}
+        hits = len(top_full & top_prefix)
+        assert (r["prefix_hits"], r["k"]) == (hits, 5)
+        assert r["prefix_recall"] == hits / 5
+
+
+def test_user_lifecycle_matches_python(spark, sf_smoke):
+    import datetime
+
+    uw = collections.defaultdict(set)
+    for uid, us in _events_ns(sf_smoke, ["user_id", "ts"]):
+        day = datetime.datetime.fromtimestamp(
+            us // 1_000_000, tz=datetime.timezone.utc
+        ).date()
+        uw[uid].add(day - datetime.timedelta(days=day.weekday()))
+    weekly = collections.defaultdict(lambda: [0, 0, 0, 0])  # active/new/ret/res
+    for wks in uw.values():
+        prev = None
+        for wk in sorted(wks):
+            w = weekly[wk]
+            w[0] += 1
+            if prev is None:
+                w[1] += 1
+            elif (wk - prev).days == 7:
+                w[2] += 1
+            else:
+                w[3] += 1
+            prev = wk
+    got = _rows(spark, sf_smoke, "ev_user_lifecycle_weekly")
+    assert [r["wk"] for r in got] == sorted(weekly)
+    prev_active = 0
+    for r in got:
+        act, new, ret, res = weekly[r["wk"]]
+        assert (r["n_active"], r["n_new"], r["n_retained"], r["n_resurrected"]) == (
+            act, new, ret, res,
+        )
+        assert r["n_churned_from_prev"] == prev_active - ret
+        prev_active = act
+
+
+def test_block_dedup_matches_python(spark, sf_smoke):
+    blocks = []
+    for src, text in _cols(sf_smoke, "documents", ["source", "text"]):
+        tk = text.split(" ")
+        for b in range(len(tk) // 8):
+            blocks.append((src, " ".join(tk[b * 8 : b * 8 + 8])))
+    freq = collections.Counter(blk for _, blk in blocks)
+    agg = collections.defaultdict(lambda: [0, 0])
+    for src, blk in blocks:
+        a = agg[src]
+        a[0] += 1
+        a[1] += freq[blk] > 1
+    got = _rows(spark, sf_smoke, "docs_block_dedup_by_source")
+    assert len(got) == len(agg)
+    for r in got:
+        nb, nd = agg[r["source"]]
+        assert (r["n_blocks"], r["n_dup_blocks"]) == (nb, nd)
+        assert r["dup_ppm"] == nd * 1000000 // nb
