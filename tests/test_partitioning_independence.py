@@ -49,6 +49,17 @@ _QUERIES = [
     "stat_mann_kendall_daily_revenue",  # sign-pair sum + tie rollup
     "emb_jl_projection_distortion",  # 128-bit bucket floor-division
     "supplier_revenue_rank_profile",  # percent_rank/cume_dist total order
+    # round 6: capped-subgraph top-k tie-breaks, pivoted-lag IEEE order,
+    # native session/sliding window bucketing, and partitioned cumulative
+    # quantile selection — the new idioms this posture must not perturb
+    "graph_jaccard_link_prediction",  # (w,x,y) edge cap + jaccard top-k
+    "graph_ktruss_edge_support",  # triangle projection union + top-k
+    "stat_ljung_box_weekly",  # 7-lag pivot, fixed double sequence
+    "trend_decomposition_monthly",  # 13-month window + integer dev13
+    "ev_concurrent_sessions_peak",  # session_window + interval cover
+    "stat_group_quantiles_by_priority",  # per-group cumulative selection
+    "dq_histogram_drift_l1",  # dense-grid month pairing + ppm div
+    "li_pareto_cum_share",  # ordered cumulative vs window totals
 ]
 
 
