@@ -151,6 +151,18 @@ EXTENSION_SUITE = (
     "stat_kruskal_wallis_price_by_priority",
     "ev_concurrent_sessions_peak",
     "part_pair_association_topk",
+    # round-6 tail additions: true-support k-truss and 3-step Katz (the
+    # capped/integer graph family's newest members), the 7-lag Ljung-Box
+    # pivot, classical decomposition, the VWAP rollup, IVF purity, the
+    # multi-probe LSH recall sweep, and the dense-grid drift monitor
+    "graph_ktruss_edge_support",
+    "graph_katz_centrality_3step",
+    "stat_ljung_box_weekly",
+    "trend_decomposition_monthly",
+    "li_vwap_part_month",
+    "emb_ivf_cell_purity",
+    "sim_ann_multiprobe_gain",
+    "dq_histogram_drift_l1",
 )
 
 

@@ -83,6 +83,16 @@ PROBES = [
     "ev_concurrent_sessions_peak",
     "part_min_cost_supplier_q2",
     "part_pair_association_topk",
+    # round-6 tail: the three additions whose fact scans grow with volume
+    # (VWAP's part×month rollup, the constant-output 2-D histogram scan,
+    # the Pareto rank over part-dim windows). The rest of the tail is
+    # calendar-/value-/cap-bounded downstream of one daily rollup (Ljung-
+    # Box, decomposition, drift, block maxima, rolling-28, group
+    # quantiles) or shares the capped-subgraph bound jaccard represents
+    # (k-truss, rich club, Katz) — probing them re-measures the same scan.
+    "li_vwap_part_month",
+    "agg_hist2d_qty_price",
+    "li_pareto_cum_share",
 ]
 
 
