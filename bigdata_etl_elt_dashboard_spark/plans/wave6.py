@@ -3417,9 +3417,12 @@ def li_pareto_cum_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .transform(pin)
     )
     wo = Window.orderBy(F.desc("rev"), "l_partkey")
+    # row_number() is IntegerType; the ppm share multiplies rk by 1e6, which
+    # overflows INT under ANSI once the catalog passes ~2147 parts (caught
+    # by the 8x probe at sf0.1) — widen at the source
     ranked = pr.select(
         "rev",
-        F.row_number().over(wo).alias("rk"),
+        F.row_number().over(wo).cast("long").alias("rk"),
         F.sum("rev").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
         F.sum("rev").over(Window.partitionBy()).alias("total"),
         F.count("*").over(Window.partitionBy()).alias("n_parts"),
