@@ -5006,3 +5006,112 @@ def stat_ljung_box_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = q + rho * rho / (d(F.col("n")) - F.lit(float(k)))
     out.append((d(F.col("n")) * (d(F.col("n")) + 2.0) * q).alias("lb_q"))
     return j.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# Single-frequency spectral power (the weekly DFT bin)
+# ---------------------------------------------------------------------------
+
+#: micro-quantized cos/sin weights for the period-7 DFT bin, indexed by
+#: (day - epoch) % 7 — computed ONCE here and embedded as literals in BOTH
+#: engines' plans, so the quantization is identical by construction
+import math as _math
+
+_DFT_COS = tuple(
+    int(_math.floor(_math.cos(2.0 * _math.pi * k / 7.0) * 1000000 + 0.5))
+    for k in range(7)
+)
+_DFT_SIN = tuple(
+    int(_math.floor(_math.sin(2.0 * _math.pi * k / 7.0) * 1000000 + 0.5))
+    for k in range(7)
+)
+
+
+def _dft_oracle() -> str:
+    cw = " ".join(f"WHEN {k} THEN {_DFT_COS[k]}" for k in range(7))
+    sw = " ".join(f"WHEN {k} THEN {_DFT_SIN[k]}" for k in range(7))
+    return f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+            FROM orders GROUP BY day),
+        w AS (
+            SELECT y,
+                   CASE (day - DATE '1970-01-01') % 7 {cw} END AS cw,
+                   CASE (day - DATE '1970-01-01') % 7 {sw} END AS sw
+            FROM daily),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS s,
+                   CAST(SUM(y * cw) AS BIGINT) AS c_micro,
+                   CAST(SUM(y * sw) AS BIGINT) AS s_micro,
+                   CAST(SUM(cw) AS BIGINT) AS wc,
+                   CAST(SUM(sw) AS BIGINT) AS ws
+            FROM w)
+        SELECT n AS n_days, c_micro, s_micro,
+               (CAST(c_micro AS DOUBLE) / 1000000.0
+                - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(wc AS DOUBLE) / 1000000.0))
+               * (CAST(c_micro AS DOUBLE) / 1000000.0
+                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(wc AS DOUBLE) / 1000000.0))
+               + (CAST(s_micro AS DOUBLE) / 1000000.0
+                  - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(ws AS DOUBLE) / 1000000.0))
+                 * (CAST(s_micro AS DOUBLE) / 1000000.0
+                    - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(ws AS DOUBLE) / 1000000.0))
+                   AS weekly_power
+        FROM agg
+    """
+
+
+@register(
+    "stat_weekly_dft_power",
+    oracle=_dft_oracle(),
+    doc="Single-frequency DFT power at the weekly period — the spectral "
+    "readout that complements Ljung-Box (is there autocorrelation?) and "
+    "the seasonal index (what shape?) with HOW MUCH of the signal sits "
+    "at exactly 1/7 cycles/day: cos/sin weights at the period-7 bin are "
+    "micro-quantized INTEGER literals indexed by (day − epoch) mod 7 "
+    "(the same literal table on both engines by construction — no "
+    "per-row libm), so the Goertzel-style projections Σy·cos and Σy·sin "
+    "accumulate as exact BIGINTs in one pass over the calendar-bounded "
+    "daily frame. Mean-centering folds in at output — C−ȳ·Σcos, "
+    "S−ȳ·Σsin — and the power |C|²+|S|² evaluates in one fixed IEEE "
+    "sequence. One scan, one bounded rollup; the readout a capacity "
+    "planner squints at before committing to weekly autoscaling.",
+)
+def stat_weekly_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y")
+    )
+    dow = F.pmod(F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01"))), F.lit(7))
+    cw = F.element_at(F.array(*[F.lit(c) for c in _DFT_COS]), dow + 1).cast("long")
+    sw = F.element_at(F.array(*[F.lit(s) for s in _DFT_SIN]), dow + 1).cast("long")
+    agg = daily.select("y", cw.alias("cw"), sw.alias("sw")).agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("cw")).alias("c_micro"),
+        F.sum(F.col("y") * F.col("sw")).alias("s_micro"),
+        F.sum("cw").alias("wc"),
+        F.sum("sw").alias("ws"),
+    )
+
+    def d(c):
+        return c.cast("double")
+
+    mean = d(F.col("s")) / d(F.col("n"))
+    cc = d(F.col("c_micro")) / F.lit(1000000.0) - mean * (
+        d(F.col("wc")) / F.lit(1000000.0)
+    )
+    sc = d(F.col("s_micro")) / F.lit(1000000.0) - mean * (
+        d(F.col("ws")) / F.lit(1000000.0)
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        "c_micro",
+        "s_micro",
+        (cc * cc + sc * sc).alias("weekly_power"),
+    )
