@@ -35,14 +35,22 @@ def _moments(x: Column, y: Column) -> list[Column]:
     ]
 
 
+# moment products n*Σxy etc. overflow BIGINT once group sizes pass ~1e5 at
+# real price magnitudes (the sf0.1 sweep caught the Cohen's d sibling) —
+# widen to HUGEINT / DECIMAL(38,0) BEFORE multiplying; the exact integer
+# then converts to the same nearest double on both engines
 _CORR_SQL = """
-    (CAST(n * sxy - sx * sy AS DOUBLE))
-    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+    (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE))
+    / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+           * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
 """
+
+_D38 = "decimal(38,0)"
 
 
 def _corr_col() -> Column:
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    n = F.col("n").cast(_D38)
+    sx, sy = F.col("sx").cast(_D38), F.col("sy").cast(_D38)
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     num = (n * sxy - sx * sy).cast("double")
     den = F.sqrt(
@@ -108,11 +116,15 @@ def stat_corr_discount_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY o.o_orderpriority
         )
         SELECT o_orderpriority, n,
-               (CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0 AS slope,
+               (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                     AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                       AS DOUBLE)) / 100.0 AS slope,
                (CAST(sy AS DOUBLE) / 100.0
-                - (CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0
+                - (CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                        AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                          AS DOUBLE)) / 100.0
                   * CAST(sx AS DOUBLE))
                / CAST(n AS DOUBLE) AS intercept
         FROM m ORDER BY o_orderpriority
@@ -143,7 +155,8 @@ def stat_ols_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(x * y).alias("sxy"),
         )
     )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    n = F.col("n").cast(_D38)
+    sx, sy = F.col("sx").cast(_D38), F.col("sy")
     sxx, sxy = F.col("sxx"), F.col("sxy")
     slope_cents = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast(
         "double"
@@ -2251,13 +2264,17 @@ def stat_mann_kendall_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         )
         SELECT n1 AS n_open, n2 AS n_filled,
                (CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
-                   / sqrt((CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / n1
-                           + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / n2)
+                   / sqrt((CAST(CAST(n1 AS HUGEINT) * sxx1
+                                - CAST(sx1 AS HUGEINT) * sx1 AS DOUBLE) / n1
+                           + CAST(CAST(n2 AS HUGEINT) * sxx2
+                                  - CAST(sx2 AS HUGEINT) * sx2 AS DOUBLE) / n2)
                           / (n1 + n2 - 2)) AS cohens_d,
                ((CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
-                   / sqrt((CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / n1
-                           + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / n2)
-                          / (n1 + n2 - 2)))
+                   / sqrt((CAST(CAST(n1 AS HUGEINT) * sxx1
+                                - CAST(sx1 AS HUGEINT) * sx1 AS DOUBLE) / n1
+                           + CAST(CAST(n2 AS HUGEINT) * sxx2
+                                  - CAST(sx2 AS HUGEINT) * sx2 AS DOUBLE) / n2)
+                          / (n1 + n2 - 2)) )
                    * (1.0 - 3.0 / (4.0 * (n1 + n2 - 2) - 1.0)) AS hedges_g
         FROM w
     """,
@@ -2298,11 +2315,15 @@ def stat_cohens_d_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     pooled = F.sqrt(
         (
-            (F.col("n1") * F.col("sxx1") - F.col("sx1") * F.col("sx1")).cast("double")
+            (
+                F.col("n1").cast(_D38) * F.col("sxx1")
+                - F.col("sx1").cast(_D38) * F.col("sx1")
+            ).cast("double")
             / F.col("n1")
-            + (F.col("n2") * F.col("sxx2") - F.col("sx2") * F.col("sx2")).cast(
-                "double"
-            )
+            + (
+                F.col("n2").cast(_D38) * F.col("sxx2")
+                - F.col("sx2").cast(_D38) * F.col("sx2")
+            ).cast("double")
             / F.col("n2")
         )
         / (F.col("n1") + F.col("n2") - 2)
