@@ -2303,3 +2303,199 @@ def test_weekly_dft_power_matches_python(spark, sf_smoke):
     # sanity: the synthetic series should carry SOME weekly structure or
     # none — either way the power is finite and non-negative
     assert got["weekly_power"] >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: the round-5 gate window's formula-heavy members (these hold this
+# round's driver rows — a shared misconception here would gate green, so the
+# third implementation matters most exactly here).
+
+
+def test_bootstrap_ci_matches_python(spark, sf_smoke):
+    import hashlib
+
+    daily = _daily_revenue(sf_smoke, cents=True)
+    c = [daily[d] for d in sorted(daily)]
+    n = len(c)
+    reps = []
+    for r in range(100):
+        s = 0
+        for j in range(n):
+            h = hashlib.md5(f"{r}_{j}".encode()).hexdigest()[:15]
+            s += c[int(h, 16) % n]
+        reps.append((s, r))
+    ranked = sorted(reps)
+    got = _rows(spark, sf_smoke, "stat_bootstrap_ci_daily_revenue")[0]
+    assert (got["n_days"], got["n_reps"]) == (n, 100)
+    assert got["obs_sum_cents"] == sum(c)
+    assert got["lo_sum_cents"] == ranked[2][0]
+    assert got["hi_sum_cents"] == ranked[97][0]
+    assert got["lo_daily_mean"] == ranked[2][0] / n / 100.0
+    assert got["hi_daily_mean"] == ranked[97][0] / n / 100.0
+
+
+def test_markov_3step_matches_python(spark, sf_smoke):
+    byu = collections.defaultdict(list)
+    for uid, us, eid, et in _events_ns(
+        sf_smoke, ["user_id", "ts", "event_id", "event_type"]
+    ):
+        byu[uid].append((us, eid, et))
+    pairs = collections.Counter()
+    for evs in byu.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] += 1
+    n_src = collections.Counter()
+    for (a, _), cnt in pairs.items():
+        n_src[a] += cnt
+    m = {s: 1000000000 // len(n_src) for s in n_src}
+    for _ in range(3):
+        nxt = collections.defaultdict(int)
+        for (a, b), cnt in pairs.items():
+            if a in m:
+                nxt[b] += (m[a] * cnt) // n_src[a]
+        m = dict(nxt)
+    got = _rows(spark, sf_smoke, "ev_markov_3step_mass")
+    assert {(r["event_type"], r["mass_units"]) for r in got} == set(m.items())
+    for r in got:
+        assert r["mass_share"] == m[r["event_type"]] / 1000000000.0
+
+
+def test_poisson_dispersion_matches_python(spark, sf_smoke):
+    daily = collections.Counter()
+    for (ts,) in _cols(sf_smoke, "orders", ["o_orderdate"]):
+        daily[ts.date()] += 1
+    k = list(daily.values())
+    n, sk, skk = len(k), sum(k), sum(v * v for v in k)
+    mean = sk / n
+    var = (n * skk - sk * sk) / n / (n - 1)
+    got = _rows(spark, sf_smoke, "stat_poisson_dispersion_daily_orders")[0]
+    assert (got["n_days"], got["n_orders"]) == (n, sk)
+    assert got["mean_per_day"] == mean
+    assert got["var_per_day"] == var
+    assert got["dispersion_index"] == var / mean
+
+
+def _session_spans_us(sf):
+    byu = collections.defaultdict(list)
+    for uid, us in _events_ns(sf, ["user_id", "ts"]):
+        byu[uid].append(us)
+    spans = []
+    for tss in byu.values():
+        tss.sort()
+        start = prev = tss[0]
+        for us in tss[1:]:
+            if us - prev >= 600_000_000:
+                spans.append((start, prev))
+                start = us
+            prev = us
+        spans.append((start, prev))
+    return spans
+
+
+def test_session_duration_percentiles_match_python(spark, sf_smoke):
+    durs = sorted(
+        s1 // 1_000_000 - s0 // 1_000_000 for s0, s1 in _session_spans_us(sf_smoke)
+    )
+    n = len(durs)
+    got = _rows(spark, sf_smoke, "ev_session_duration_percentiles")[0]
+    assert got["n_sessions"] == n
+    for pct, col in ((50, "p50_s"), (90, "p90_s"), (99, "p99_s")):
+        assert got[col] == durs[(n * pct + 99) // 100 - 1]
+    assert got["max_s"] == durs[-1]
+
+
+def test_stickiness_dau_mau_matches_python(spark, sf_smoke):
+    import datetime
+
+    dau = collections.defaultdict(set)
+    mau = collections.defaultdict(set)
+    for uid, us in _events_ns(sf_smoke, ["user_id", "ts"]):
+        day = datetime.datetime.fromtimestamp(
+            us // 1_000_000, tz=datetime.timezone.utc
+        ).date()
+        dau[day].add(uid)
+        mau[(day.year, day.month)].add(uid)
+    got = _rows(spark, sf_smoke, "ev_stickiness_dau_mau")
+    assert len(got) == len(dau)
+    for r in got:
+        day = datetime.date.fromisoformat(r["day"])
+        d, m = len(dau[day]), len(mau[(day.year, day.month)])
+        assert (r["dau"], r["mau"]) == (d, m)
+        assert r["stickiness"] == d / m
+
+
+def test_seasonal_index_matches_python(spark, sf_smoke):
+    monthly = collections.defaultdict(int)
+    for ts, price in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        monthly[(ts.year, ts.month)] += _r(float(price) * 100)
+    g = collections.defaultdict(lambda: [0, 0])
+    for (_, moy), cents in monthly.items():
+        g[moy][0] += 1
+        g[moy][1] += cents
+    tot_n = sum(v[0] for v in g.values())
+    tot_s = sum(v[1] for v in g.values())
+    got = _rows(spark, sf_smoke, "trend_seasonal_index_monthly")
+    assert [r["moy"] for r in got] == sorted(g)
+    for r in got:
+        nm, sc = g[r["moy"]]
+        assert (r["n_months"], r["sum_cents"]) == (nm, sc)
+        assert r["mean_revenue"] == sc / nm / 100.0
+        assert r["seasonal_ratio"] == (sc * float(tot_n)) / (float(tot_s) * nm)
+
+
+def test_ma3_backtest_matches_python(spark, sf_smoke):
+    monthly = collections.defaultdict(int)
+    for ts, price in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        monthly[(ts.year, ts.month)] += _r(float(price) * 100)
+    c = [monthly[m] for m in sorted(monthly)]
+    n_sc = e3 = e1 = 0
+    for i in range(3, len(c)):
+        n_sc += 1
+        e3 += abs(3 * c[i] - sum(c[i - 3 : i]))
+        e1 += abs(c[i] - c[i - 1])
+    got = _rows(spark, sf_smoke, "trend_backtest_ma3_mae")[0]
+    assert (got["n_scored"], got["sum_abs_err3"], got["sum_abs_err_naive"]) == (
+        n_sc, e3, e1,
+    )
+    assert got["mae_dollars"] == e3 / (3.0 * n_sc) / 100.0
+    assert got["mase"] == e3 / (3.0 * e1)
+
+
+def test_srm_check_matches_python(spark, sf_smoke):
+    import hashlib
+
+    users = {uid for uid, in _events_ns(sf_smoke, ["user_id"])}
+    n_a = n_b = 0
+    for uid in users:
+        if ord(hashlib.md5(str(uid).encode()).hexdigest()[0]) % 2 == 0:
+            n_a += 1
+        else:
+            n_b += 1
+    chi2 = (n_a - n_b) ** 2 / (n_a + n_b)
+    got = _rows(spark, sf_smoke, "ev_ab_srm_check")[0]
+    assert (got["n_a"], got["n_b"], got["n_users"]) == (n_a, n_b, n_a + n_b)
+    assert got["chi2"] == chi2
+    assert got["srm_flag"] == (chi2 > 3.841)
+
+
+def test_cohens_d_matches_python(spark, sf_smoke):
+    xs = {"O": [], "F": []}
+    for st, x in _cols(sf_smoke, "orders", ["o_orderstatus", "o_totalprice"]):
+        if st in xs:
+            xs[st].append(_r(float(x)))
+    n1, n2 = len(xs["O"]), len(xs["F"])
+    sx1, sx2 = sum(xs["O"]), sum(xs["F"])
+    sxx1 = sum(v * v for v in xs["O"])
+    sxx2 = sum(v * v for v in xs["F"])
+    mean_diff = sx1 / n1 - sx2 / n2
+    pooled = math.sqrt(
+        ((n1 * sxx1 - sx1 * sx1) / n1 + (n2 * sxx2 - sx2 * sx2) / n2)
+        / (n1 + n2 - 2)
+    )
+    d = mean_diff / pooled
+    g = d * (1.0 - 3.0 / (4.0 * (n1 + n2 - 2) - 1.0))
+    got = _rows(spark, sf_smoke, "stat_cohens_d_price_by_status")[0]
+    assert (got["n_open"], got["n_filled"]) == (n1, n2)
+    assert math.isclose(got["cohens_d"], d, rel_tol=1e-12)
+    assert math.isclose(got["hedges_g"], g, rel_tol=1e-12)
