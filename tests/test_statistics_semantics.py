@@ -2499,3 +2499,185 @@ def test_cohens_d_matches_python(spark, sf_smoke):
     assert (got["n_open"], got["n_filled"]) == (n1, n2)
     assert math.isclose(got["cohens_d"], d, rel_tol=1e-12)
     assert math.isclose(got["hedges_g"], g, rel_tol=1e-12)
+
+
+def test_inter_event_gap_hist_matches_python(spark, sf_smoke):
+    byu = collections.defaultdict(list)
+    for uid, us, eid in _events_ns(sf_smoke, ["user_id", "ts", "event_id"]):
+        byu[uid].append((us // 1_000_000, eid))
+    hist = collections.Counter()
+    for evs in byu.values():
+        evs.sort()
+        for (a, _), (b, _) in zip(evs, evs[1:]):
+            gap = b - a
+            hist[0 if gap == 0 else gap.bit_length()] += 1
+    total = sum(hist.values())
+    got = _rows(spark, sf_smoke, "ev_inter_event_gap_hist")
+    assert [(r["log2_bucket"], r["n_gaps"]) for r in got] == sorted(hist.items())
+    for r in got:
+        assert r["share"] == hist[r["log2_bucket"]] / total
+
+
+def test_bot_rate_matches_python(spark, sf_smoke):
+    byu = collections.defaultdict(list)
+    for uid, us in _events_ns(sf_smoke, ["user_id", "ts"]):
+        byu[uid].append(us // 1_000_000)
+    n_users = len(byu)
+    n_flagged = flagged_events = total_events = 0
+    for tss in byu.values():
+        n, span = len(tss), max(tss) - min(tss)
+        total_events += n
+        if n >= 50 and n * 10 > span:
+            n_flagged += 1
+            flagged_events += n
+    got = _rows(spark, sf_smoke, "ev_bot_rate_heuristic")[0]
+    assert (got["n_users"], got["n_flagged"], got["flagged_events"]) == (
+        n_users, n_flagged, flagged_events,
+    )
+    assert got["flagged_event_share"] == flagged_events / total_events
+
+
+def test_readability_matches_python(spark, sf_smoke):
+    import re
+
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for lang, text in _cols(sf_smoke, "documents", ["lang", "text"]):
+        w = 0 if text.strip() == "" else len(re.split(r"\s+", text.strip().lower()))
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        y = len(re.findall(r"[aeiouy]+", text.lower()))
+        a = agg[lang]
+        a[0] += 1
+        a[1] += w
+        a[2] += s
+        a[3] += y
+    got = _rows(spark, sf_smoke, "text_readability_by_lang")
+    assert len(got) == len(agg)
+    for r in got:
+        nd, w, s, y = agg[r["lang"]]
+        assert (r["n_docs"], r["words"], r["sentences"], r["syllables"]) == (
+            nd, w, s, y,
+        )
+        assert r["flesch_ease"] == 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+
+
+def test_bounce_rate_matches_python(spark, sf_smoke):
+    import datetime
+
+    daily = collections.defaultdict(lambda: [0, 0])
+    byu = collections.defaultdict(list)
+    for uid, us in _events_ns(sf_smoke, ["user_id", "ts"]):
+        byu[uid].append(us)
+    for tss in byu.values():
+        tss.sort()
+        start, cnt, prev = tss[0], 1, tss[0]
+        sessions = []
+        for us in tss[1:]:
+            if us - prev >= 600_000_000:
+                sessions.append((start, cnt))
+                start, cnt = us, 0
+            cnt += 1
+            prev = us
+        sessions.append((start, cnt))
+        for s0, n in sessions:
+            day = datetime.datetime.fromtimestamp(
+                s0 // 1_000_000, tz=datetime.timezone.utc
+            ).strftime("%Y-%m-%d")
+            daily[day][0] += 1
+            daily[day][1] += n == 1
+    got = _rows(spark, sf_smoke, "ev_bounce_rate_daily")
+    assert [r["day"] for r in got] == sorted(daily)
+    for r in got:
+        ns_, nb = daily[r["day"]]
+        assert (r["n_sessions"], r["n_bounces"]) == (ns_, nb)
+        assert r["bounce_rate"] == nb / ns_
+
+
+def test_heatmap_hour_dow_matches_python(spark, sf_smoke):
+    import datetime
+
+    cells = collections.defaultdict(lambda: [0, set()])
+    for uid, us in _events_ns(sf_smoke, ["user_id", "ts"]):
+        dt = datetime.datetime.fromtimestamp(
+            us // 1_000_000, tz=datetime.timezone.utc
+        )
+        c = cells[(dt.weekday() + 1, dt.hour)]
+        c[0] += 1
+        c[1].add(uid)
+    got = _rows(spark, sf_smoke, "ev_heatmap_hour_dow")
+    assert [(r["iso_dow"], r["hour"]) for r in got] == sorted(cells)
+    for r in got:
+        n, users = cells[(r["iso_dow"], r["hour"])]
+        assert (r["n_events"], r["n_users"]) == (n, len(users))
+
+
+def test_ttr_matches_python(spark, sf_smoke):
+    import re
+
+    tt = collections.defaultdict(collections.Counter)
+    for src, text in _cols(sf_smoke, "documents", ["source", "text"]):
+        if text.strip() == "":
+            continue
+        for tok in re.split(r"\s+", text.strip().lower()):
+            if tok:
+                tt[src][tok] += 1
+    got = _rows(spark, sf_smoke, "docs_ttr_by_source")
+    assert len(got) == len(tt)
+    for r in got:
+        cnt = tt[r["source"]]
+        n_tok, n_typ = sum(cnt.values()), len(cnt)
+        n_hapax = sum(1 for v in cnt.values() if v == 1)
+        assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (n_tok, n_typ, n_hapax)
+        assert r["ttr"] == n_typ / n_tok
+        assert r["hapax_share"] == n_hapax / n_typ
+
+
+def test_freshness_lag_matches_python(spark, sf_smoke):
+    import datetime
+
+    mx = {}
+    mx["orders"] = max(ts.date() for ts, in _cols(sf_smoke, "orders", ["o_orderdate"]))
+    mx["lineitem"] = max(
+        ts.date() for ts, in _cols(sf_smoke, "lineitem", ["l_shipdate"])
+    )
+    mx["events"] = max(
+        datetime.datetime.fromtimestamp(
+            us // 1_000_000, tz=datetime.timezone.utc
+        ).date()
+        for (us,) in _events_ns(sf_smoke, ["ts"])
+    )
+    freshest = max(mx.values())
+    got = _rows(spark, sf_smoke, "dq_freshness_lag")
+    assert [(r["table_name"], r["max_day"], r["lag_days"]) for r in got] == [
+        (t, mx[t].isoformat(), (freshest - mx[t]).days) for t in sorted(mx)
+    ]
+
+
+def test_degree_distribution_matches_python(spark, sf_smoke):
+    edges, adj = _copurchase_py(sf_smoke)
+    buckets = collections.defaultdict(lambda: [0, 10**18, 0])
+    for node, nb in adj.items():
+        d = len(nb)
+        b = buckets[d.bit_length()]
+        b[0] += 1
+        b[1] = min(b[1], d)
+        b[2] = max(b[2], d)
+    got = _rows(spark, sf_smoke, "graph_degree_distribution")
+    assert [(r["log2_bucket"], r["n_nodes"], r["min_degree"], r["max_degree"]) for r in got] == [
+        (k, v[0], v[1], v[2]) for k, v in sorted(buckets.items())
+    ]
+
+
+def test_exact_dup_sizes_matches_python(spark, sf_smoke):
+    vecs, _ = _fixed_embeddings(sf_smoke)
+    groups = collections.defaultdict(list)
+    for vid, x in vecs.items():
+        groups[tuple(x)].append(vid)
+    sizes = collections.defaultdict(lambda: [0, 0])
+    for ids in groups.values():
+        s = sizes[len(ids)]
+        s[0] += 1
+        s[1] += min(ids)
+    got = _rows(spark, sf_smoke, "emb_exact_dup_sizes")
+    assert [(r["group_size"], r["n_groups"], r["keeper_id_sum"]) for r in got] == [
+        (k, v[0], v[1]) for k, v in sorted(sizes.items())
+    ]
