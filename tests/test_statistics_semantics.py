@@ -2681,3 +2681,101 @@ def test_exact_dup_sizes_matches_python(spark, sf_smoke):
     assert [(r["group_size"], r["n_groups"], r["keeper_id_sum"]) for r in got] == [
         (k, v[0], v[1]) for k, v in sorted(sizes.items())
     ]
+
+
+def test_trigram_entropy_matches_python(spark, sf_smoke):
+    c = collections.defaultdict(collections.Counter)
+    for lang, text in _cols(sf_smoke, "documents", ["lang", "text"]):
+        if len(text) >= 3:
+            low = text.lower()
+            for i in range(len(low) - 2):
+                c[lang][low[i : i + 3]] += 1
+    got = _rows(spark, sf_smoke, "text_char_trigram_entropy_by_lang")
+    assert len(got) == len(c)
+    for r in got:
+        cnt = c[r["lang"]]
+        n = sum(cnt.values())
+        sum_clogc = sum(v * _r(math.log2(v) * 1000000) for v in cnt.values())
+        assert (r["n_trigrams"], r["n_distinct"]) == (n, len(cnt))
+        want = (n * _r(math.log2(n) * 1000000) - sum_clogc) / (n * 1000000)
+        assert r["entropy_bits"] == want
+
+
+def test_token_fertility_matches_python(spark, sf_smoke):
+    import re
+
+    pat = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for lang, text in _cols(sf_smoke, "documents", ["lang", "text"]):
+        a = agg[lang]
+        a[0] += 1
+        a[1] += 0 if text.strip() == "" else len(
+            re.split(r"\s+", text.strip().lower())
+        )
+        a[2] += len(pat.findall(text))
+    got = _rows(spark, sf_smoke, "text_token_fertility_by_lang")
+    assert len(got) == len(agg)
+    for r in got:
+        nd, nw, nb = agg[r["lang"]]
+        assert (r["n_docs"], r["n_words"], r["n_bpe_tokens"]) == (nd, nw, nb)
+        assert r["fertility"] == (nb / nw if nw else None)
+
+
+def _shingles3(text):
+    import re
+
+    toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+
+def test_contamination_by_split_matches_python(spark, sf_smoke):
+    import hashlib
+
+    docs = dict(_cols(sf_smoke, "documents", ["doc_id", "text"]))
+    bench_sh = set()
+    for did, text in docs.items():
+        if did % 97 == 0:
+            bench_sh |= _shingles3(text)
+    agg = collections.defaultdict(lambda: [0, 0])
+    for did, text in docs.items():
+        if did % 97 == 0:
+            continue
+        p = int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16) % 100
+        split = "val" if p < 5 else "test" if p < 10 else "train"
+        a = agg[split]
+        a[0] += 1
+        a[1] += bool(_shingles3(text) & bench_sh)
+    got = _rows(spark, sf_smoke, "docs_contamination_by_split")
+    assert len(got) == len(agg)
+    for r in got:
+        nd, nc = agg[r["split"]]
+        assert (r["n_docs"], r["n_contaminated"]) == (nd, nc)
+        assert r["contamination_rate"] == nc / nd
+
+
+def test_packing_fill_stats_matches_python(spark, sf_smoke):
+    import re
+
+    rows = sorted(
+        _cols(sf_smoke, "documents", ["doc_id", "lang", "text"]),
+        key=lambda r: r[0],
+    )
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])  # docs, toks, straddle, off
+    for did, lang, text in rows:
+        nt = 0 if text.strip() == "" else len(re.split(r"\s+", text.strip().lower()))
+        a = agg[lang]
+        off = a[3]
+        a[0] += 1
+        a[1] += nt
+        if nt > 0 and off // 2048 != (off + nt - 1) // 2048:
+            a[2] += 1
+        a[3] += nt
+    got = _rows(spark, sf_smoke, "docs_packing_fill_stats")
+    assert len(got) == len(agg)
+    for r in got:
+        nd, tt, st, _ = agg[r["lang"]]
+        packs = (tt + 2047) // 2048
+        assert (r["n_docs"], r["total_tokens"], r["n_packs"], r["n_straddling"]) == (
+            nd, tt, packs, st,
+        )
+        assert r["utilization"] == tt / (2048.0 * packs)
