@@ -5080,7 +5080,11 @@ def _dft_oracle() -> str:
     "daily frame. Mean-centering folds in at output — C−ȳ·Σcos, "
     "S−ȳ·Σsin — and the power |C|²+|S|² evaluates in one fixed IEEE "
     "sequence. One scan, one bounded rollup; the readout a capacity "
-    "planner squints at before committing to weekly autoscaling.",
+    "planner squints at before committing to weekly autoscaling. "
+    "Width headroom: Σy·w stays in BIGINT to ~9e12 whole units/day "
+    "(micro-weights × 2.4k days); beyond that promote the projections "
+    "to DECIMAL(38,0)/HUGEINT on both engines (the rolling-28 scan's "
+    "documented convention).",
 )
 def stat_weekly_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
