@@ -2779,3 +2779,194 @@ def test_packing_fill_stats_matches_python(spark, sf_smoke):
             nd, tt, packs, st,
         )
         assert r["utilization"] == tt / (2048.0 * packs)
+
+
+def test_wilson_lower_matches_python(spark, sf_smoke):
+    parts = dict(_cols(sf_smoke, "part", ["p_partkey", "p_brand"]))
+    agg = collections.defaultdict(lambda: [0, 0])
+    for pk, rf in _cols(sf_smoke, "lineitem", ["l_partkey", "l_returnflag"]):
+        a = agg[parts[pk]]
+        a[0] += 1
+        a[1] += rf == "R"
+    got = _rows(spark, sf_smoke, "li_return_rate_wilson")
+    assert [r["p_brand"] for r in got] == sorted(agg)
+    z2 = 1.96 * 1.96
+    for row in got:
+        n, r = agg[row["p_brand"]]
+        p = r / n
+        wilson = (p + z2 / (2.0 * n) - 1.96 * math.sqrt(
+            (p * (1.0 - p)) / n + z2 / (4.0 * n * n)
+        )) / (1.0 + z2 / n)
+        assert (row["n"], row["r"]) == (n, r)
+        assert row["rate"] == p
+        assert math.isclose(row["wilson_lower"], wilson, rel_tol=1e-12)
+
+
+def test_herfindahl_matches_python(spark, sf_smoke):
+    sup_nat = dict(_cols(sf_smoke, "supplier", ["s_suppkey", "s_nationkey"]))
+    nat = dict(_cols(sf_smoke, "nation", ["n_nationkey", "n_name"]))
+    per = collections.defaultdict(int)
+    for sk, px, disc in _cols(
+        sf_smoke, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"]
+    ):
+        per[(nat[sup_nat[sk]], sk)] += _r(float(px) * (1 - float(disc)))
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for (nation, _), u in per.items():
+        a = agg[nation]
+        a[0] += 1
+        a[1] += u
+        a[2] += u * u
+    got = _rows(spark, sf_smoke, "supplier_nation_herfindahl")
+    assert [r["nation"] for r in got] == sorted(agg)
+    for r in got:
+        ns, tu, sq = agg[r["nation"]]
+        assert (r["n_suppliers"], r["total_units"], r["sum_sq_units"]) == (ns, tu, sq)
+        assert r["hhi"] == sq / (float(tu) * float(tu))
+
+
+def test_daily_zscore_anomaly_matches_python(spark, sf_smoke):
+    import datetime
+
+    d = collections.Counter()
+    for us, et in _events_ns(sf_smoke, ["ts", "event_type"]):
+        day = datetime.datetime.fromtimestamp(
+            us // 1_000_000, tz=datetime.timezone.utc
+        ).date()
+        d[(et, day)] += 1
+    m = collections.defaultdict(lambda: [0, 0, 0])
+    for (et, _), n in d.items():
+        mm = m[et]
+        mm[0] += 1
+        mm[1] += n
+        mm[2] += n * n
+    got = _rows(spark, sf_smoke, "stat_daily_zscore_anomaly")
+    assert len(got) == len(d)
+    for r in got:
+        day = datetime.date.fromisoformat(r["day"])
+        n = d[(r["event_type"], day)]
+        nd, s, q = m[r["event_type"]]
+        num, den2 = n * nd - s, nd * q - s * s
+        assert r["n"] == n
+        if den2 > 0:
+            assert r["z"] == num / math.sqrt(den2)
+        else:
+            assert r["z"] is None
+        assert r["is_anomaly"] == (num * num > 4 * den2)
+
+
+def test_chi2_cells_match_python(spark, sf_smoke):
+    obs = collections.Counter()
+    for pr, st in _cols(sf_smoke, "orders", ["o_orderpriority", "o_orderstatus"]):
+        obs[(pr, st)] += 1
+    row_tot = collections.Counter()
+    col_tot = collections.Counter()
+    for (pr, st), n in obs.items():
+        row_tot[pr] += n
+        col_tot[st] += n
+    n_all = sum(obs.values())
+    got = _rows(spark, sf_smoke, "stat_chi2_priority_status")
+    assert len(got) == len(obs)
+    for r in got:
+        o = obs[(r["priority"], r["status"])]
+        rt, ct = row_tot[r["priority"]], col_tot[r["status"]]
+        num = float(n_all * o - rt * ct)
+        assert r["observed"] == o
+        assert r["expected"] == (rt * ct) / n_all
+        assert math.isclose(
+            r["chi2_term"], num * num / n_all / rt / ct, rel_tol=1e-12
+        )
+
+
+def test_k_anonymity_matches_python(spark, sf_smoke):
+    classes = collections.Counter()
+    for nk, seg, bal in _cols(
+        sf_smoke, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    ):
+        classes[(nk, seg, math.floor(float(bal) / 1000.0))] += 1
+    hist = collections.defaultdict(lambda: [0, 0])
+    for size in classes.values():
+        h = hist[size]
+        h[0] += 1
+        h[1] += size
+    got = _rows(spark, sf_smoke, "dq_k_anonymity_customer")
+    assert [(r["class_size"], r["n_classes"], r["n_rows"], r["at_risk"]) for r in got] == [
+        (k, v[0], v[1], int(k < 5)) for k, v in sorted(hist.items())
+    ]
+
+
+def test_dau_wau_stickiness_matches_python(spark, sf_smoke):
+    import datetime
+
+    ud = set()
+    for uid, us in _events_ns(sf_smoke, ["user_id", "ts"]):
+        ud.add(
+            (
+                uid,
+                datetime.datetime.fromtimestamp(
+                    us // 1_000_000, tz=datetime.timezone.utc
+                ).date(),
+            )
+        )
+    dau = collections.defaultdict(set)
+    wau = collections.defaultdict(set)
+    for uid, d in ud:
+        dau[d].add(uid)
+        for o in range(7):
+            wau[d + datetime.timedelta(days=o)].add(uid)
+    got = _rows(spark, sf_smoke, "ev_dau_wau_stickiness")
+    assert [r["d"] for r in got] == sorted(dau)
+    for r in got:
+        dn, wn = len(dau[r["d"]]), len(wau[r["d"]])
+        assert (r["dau"], r["wau"]) == (dn, wn)
+        assert r["stickiness"] == dn / wn
+
+
+def _loglog_fit(pts):
+    """Mirror the engine's op order: each exact-int moment converts to
+    double BEFORE the closed-form products (sxyd*nd - sxd*syd)."""
+    n = float(len(pts))
+    sx = float(sum(x for x, _ in pts))
+    sy = float(sum(y for _, y in pts))
+    sxx = float(sum(x * x for x, _ in pts))
+    sxy = float(sum(x * y for x, y in pts))
+    slope = (sxy * n - sx * sy) / (sxx * n - sx * sx)
+    return len(pts), slope, (sy - slope * sx) / n / 1000000.0
+
+
+def test_zipf_fit_matches_python(spark, sf_smoke):
+    import re
+
+    freq = collections.Counter()
+    for (text,) in _cols(sf_smoke, "documents", ["text"]):
+        for tok in re.split(r"\s+", text.strip().lower()):
+            freq[tok] += 1
+    head = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    pts = [
+        (_r(math.log2(rk) * 1000000), _r(math.log2(c) * 1000000))
+        for rk, (_, c) in enumerate(head, 1)
+    ]
+    n, slope, intercept = _loglog_fit(pts)
+    got = _rows(spark, sf_smoke, "docs_zipf_fit")[0]
+    assert got["n_points"] == n
+    assert got["zipf_slope"] == slope
+    assert math.isclose(got["log2_c_at_rank1"], intercept, rel_tol=1e-12)
+
+
+def test_heaps_fit_matches_python(spark, sf_smoke):
+    import re
+
+    pts = []
+    for (text,) in _cols(sf_smoke, "documents", ["text"]):
+        if text.strip() == "":
+            continue
+        toks = re.split(r"\s+", text.strip().lower())
+        nt, ny = len(toks), len(set(toks))
+        if nt > 0 and ny > 0:
+            pts.append(
+                (_r(math.log2(nt) * 1000000), _r(math.log2(ny) * 1000000))
+            )
+    n, beta, log2k = _loglog_fit(pts)
+    got = _rows(spark, sf_smoke, "docs_heaps_law_fit")[0]
+    assert got["n_docs"] == n
+    assert got["heaps_beta"] == beta
+    assert math.isclose(got["log2_k"], log2k, rel_tol=1e-12)
