@@ -2970,3 +2970,143 @@ def test_heaps_fit_matches_python(spark, sf_smoke):
     assert got["n_docs"] == n
     assert got["heaps_beta"] == beta
     assert math.isclose(got["log2_k"], log2k, rel_tol=1e-12)
+
+
+def _pctl(sorted_vals, p):
+    """Spark `percentile` continuous interpolation."""
+    idx = p * (len(sorted_vals) - 1)
+    lo = int(math.floor(idx))
+    hi = int(math.ceil(idx))
+    if lo == hi:
+        return float(sorted_vals[lo])
+    return sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * (idx - lo)
+
+
+def test_ma3_revenue_matches_python(spark, sf_smoke):
+    monthly = collections.defaultdict(int)
+    for ts, price in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        monthly[(ts.year, ts.month)] += _r(float(price) * 100)
+    months = sorted(monthly)
+    c = [monthly[m] for m in months]
+    got = _rows(spark, sf_smoke, "trend_ma3_revenue")
+    assert len(got) == len(months)
+    for i, r in enumerate(got):
+        assert (r["month"].year, r["month"].month) == months[i]
+        assert r["revenue"] == c[i] / 100.0
+        win = c[max(i - 2, 0) : i + 1]
+        assert r["ma3_revenue"] == sum(win) / 100.0 / len(win)
+
+
+def test_ema12_revenue_matches_python(spark, sf_smoke):
+    monthly = collections.defaultdict(int)
+    for ts, price in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        monthly[(ts.year, ts.month)] += _r(float(price) * 100)
+    months = sorted(monthly)
+    c = [monthly[m] for m in months]
+    got = _rows(spark, sf_smoke, "trend_ema12_revenue")
+    assert len(got) == max(len(months) - 11, 0)
+    for k, r in enumerate(got):
+        i = k + 11  # 0-based index of the month (idx >= 12, 1-based)
+        u = sum(
+            c[i - off] * (1 if off == 11 else 1 << (10 - off)) for off in range(12)
+        )
+        assert (r["month"].year, r["month"].month) == months[i]
+        assert r["revenue"] == c[i] / 100.0
+        assert r["ema12_revenue"] == u / 2048.0 / 100.0
+
+
+def test_weighted_avg_unit_price_matches_python(spark, sf_smoke):
+    ptype = dict(_cols(sf_smoke, "part", ["p_partkey", "p_type"]))
+    agg = collections.defaultdict(lambda: [0, 0])
+    for pk, px, q in _cols(
+        sf_smoke, "lineitem", ["l_partkey", "l_extendedprice", "l_quantity"]
+    ):
+        a = agg[ptype[pk]]
+        a[0] += _r(float(px) * 100)
+        a[1] += int(float(q))
+    got = _rows(spark, sf_smoke, "agg_weighted_avg_unit_price")
+    assert [r["p_type"] for r in got] == sorted(agg)
+    for r in got:
+        cents, units = agg[r["p_type"]]
+        assert r["total_units"] == units
+        assert r["weighted_avg_unit_price"] == cents / 100.0 / units
+
+
+def test_median_price_per_status_matches_python(spark, sf_smoke):
+    groups = collections.defaultdict(list)
+    for st, x in _cols(sf_smoke, "orders", ["o_orderstatus", "o_totalprice"]):
+        groups[st].append(_r(float(x) * 100))
+    got = _rows(spark, sf_smoke, "agg_median_price_per_status")
+    assert [r["o_orderstatus"] for r in got] == sorted(groups)
+    for r in got:
+        sv = sorted(groups[r["o_orderstatus"]])
+        assert math.isclose(r["median_price"], _pctl(sv, 0.5) / 100.0, rel_tol=1e-12)
+        assert math.isclose(r["p90_price"], _pctl(sv, 0.9) / 100.0, rel_tol=1e-12)
+
+
+def test_purchase_intervals_match_python(spark, sf_smoke):
+    byu = collections.defaultdict(list)
+    for uid, us, eid, et in _events_ns(
+        sf_smoke, ["user_id", "ts", "event_id", "event_type"]
+    ):
+        if et == "purchase":
+            byu[uid].append((us, eid))
+    gaps = []
+    for evs in byu.values():
+        evs.sort()
+        gaps.extend(b - a for (a, _), (b, _) in zip(evs, evs[1:]))
+    sv = sorted(gaps)
+    got = _rows(spark, sf_smoke, "ev_purchase_intervals")[0]
+    assert got["n_gaps"] == len(gaps)
+    assert math.isclose(got["median_gap_s"], _pctl(sv, 0.5) / 1e6, rel_tol=1e-12)
+    assert math.isclose(got["p90_gap_s"], _pctl(sv, 0.9) / 1e6, rel_tol=1e-12)
+    assert got["min_gap_s"] == sv[0] / 1e6
+    assert got["max_gap_s"] == sv[-1] / 1e6
+
+
+def test_new_vs_returning_matches_python(spark, sf_smoke):
+    import datetime
+
+    ud = collections.defaultdict(set)
+    for uid, us in _events_ns(sf_smoke, ["user_id", "ts"]):
+        day = datetime.datetime.fromtimestamp(
+            us // 1_000_000, tz=datetime.timezone.utc
+        ).date()
+        ud[uid].add(day)
+    daily = collections.defaultdict(lambda: [0, 0, 0])
+    for uid, days in ud.items():
+        first = min(days)
+        for d in days:
+            a = daily[d]
+            a[0] += 1
+            a[1] += d == first
+            a[2] += d > first
+    got = _rows(spark, sf_smoke, "ev_new_vs_returning_daily")
+    assert [r["d"] for r in got] == sorted(daily)
+    for r in got:
+        act, new, ret = daily[r["d"]]
+        assert (r["active_users"], r["new_users"], r["returning_users"]) == (
+            act, new, ret,
+        )
+
+
+def test_daily_volume_anomaly_matches_python(spark, sf_smoke):
+    import datetime
+
+    daily = collections.Counter()
+    for us, et in _events_ns(sf_smoke, ["ts", "event_type"]):
+        day = datetime.datetime.fromtimestamp(
+            us // 1_000_000, tz=datetime.timezone.utc
+        ).date()
+        daily[(et, day)] += 1
+    typ = collections.defaultdict(lambda: [0, 0])
+    for (et, _), n in daily.items():
+        typ[et][0] += n
+        typ[et][1] += 1
+    got = _rows(spark, sf_smoke, "ev_daily_volume_anomaly")
+    assert len(got) == len(daily)
+    for r in got:
+        n = daily[(r["event_type"], r["day"])]
+        total, n_days = typ[r["event_type"]]
+        assert r["n"] == n
+        assert r["is_spike"] == (n * n_days > 2 * total)
