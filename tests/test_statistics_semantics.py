@@ -3110,3 +3110,129 @@ def test_daily_volume_anomaly_matches_python(spark, sf_smoke):
         total, n_days = typ[r["event_type"]]
         assert r["n"] == n
         assert r["is_spike"] == (n * n_days > 2 * total)
+
+
+def test_l2_norm_stats_match_python(spark, sf_smoke):
+    t = pq.read_table(
+        f"{sf_smoke}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    agg = collections.defaultdict(list)
+    for lab, emb in zip(t["label"].to_pylist(), t["embedding"].to_pylist()):
+        sq = sum(_r(float(x) * float(x) * 1e9) for x in emb)
+        agg[lab].append(_r(math.sqrt(sq / 1e9) * 1e6))
+    got = _rows(spark, sf_smoke, "emb_l2_norm_stats")
+    assert [r["label"] for r in got] == sorted(agg)
+    for r in got:
+        nus = agg[r["label"]]
+        assert r["n_vecs"] == len(nus)
+        assert r["min_norm"] == min(nus) / 1e6
+        assert r["max_norm"] == max(nus) / 1e6
+        assert r["mean_norm"] == sum(nus) / (len(nus) * 1e6)
+
+
+def test_quantize_error_matches_python(spark, sf_smoke):
+    t = pq.read_table(
+        f"{sf_smoke}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    rows = list(zip(t["label"].to_pylist(), t["embedding"].to_pylist()))
+    dims = len(rows[0][1])
+    mn = [min(float(e[i]) for _, e in rows) for i in range(dims)]
+    mx = [max(float(e[i]) for _, e in rows) for i in range(dims)]
+    agg = collections.defaultdict(lambda: [0, 0.0, 0])
+    for lab, emb in rows:
+        for i in range(dims):
+            x = float(emb[i])
+            if mx[i] > mn[i]:
+                qv = min(
+                    max(math.floor((x - mn[i]) * 255.0 / (mx[i] - mn[i]) + 0.5), 0),
+                    255,
+                )
+            else:
+                qv = 0
+            err = abs(x - (mn[i] + qv * (mx[i] - mn[i]) / 255.0))
+            a = agg[lab]
+            a[0] += 1
+            a[1] = max(a[1], err)
+            a[2] += math.floor(err * 1e9)
+    got = _rows(spark, sf_smoke, "emb_quantize_error")
+    assert [r["label"] for r in got] == sorted(agg)
+    for r in got:
+        n, mxe, sq = agg[r["label"]]
+        assert r["n_vals"] == n
+        assert math.isclose(r["max_err"], mxe, rel_tol=1e-9, abs_tol=1e-15)
+        assert math.isclose(r["mean_err_q"], sq / (1e9 * n), rel_tol=1e-9)
+
+
+def test_supplier_pareto_cumshare_matches_python(spark, sf_smoke):
+    names = dict(_cols(sf_smoke, "supplier", ["s_suppkey", "s_name"]))
+    per = collections.defaultdict(int)
+    for sk, px, disc in _cols(
+        sf_smoke, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"]
+    ):
+        per[sk] += _r(float(px) * (1.0 - float(disc)) * 10000)
+    ranked = sorted(per.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(per.values())
+    cum = 0
+    expect = []
+    for sk, u in ranked:
+        cum += u
+        expect.append(
+            (sk, names[sk], u / 10000.0, cum / total, cum * 5 <= total * 4)
+        )
+    got = _rows(spark, sf_smoke, "supplier_pareto_cumshare")
+    assert [
+        (r["s_suppkey"], r["s_name"], r["revenue"], r["cum_share"], r["in_top80"])
+        for r in got
+    ] == expect
+
+
+def test_len_percentiles_match_python(spark, sf_smoke):
+    groups = collections.defaultdict(list)
+    for lang, nc in _cols(sf_smoke, "documents", ["lang", "n_chars"]):
+        groups[lang].append(nc)
+    got = _rows(spark, sf_smoke, "text_len_percentiles_by_lang")
+    assert [r["lang"] for r in got] == sorted(groups)
+    for r in got:
+        sv = sorted(groups[r["lang"]])
+        assert r["n_docs"] == len(sv)
+        for p, col in ((0.25, "p25_chars"), (0.5, "p50_chars"), (0.95, "p95_chars")):
+            assert math.isclose(r[col], _pctl(sv, p), rel_tol=1e-12)
+        assert r["max_chars"] == sv[-1]
+
+
+def test_quality_by_lang_source_matches_python(spark, sf_smoke):
+    import re
+
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for lang, src, text, nc in _cols(
+        sf_smoke, "documents", ["lang", "source", "text", "n_chars"]
+    ):
+        a = agg[(lang, src)]
+        a[0] += 1
+        a[1] += nc >= 100
+        a[2] += text.strip() != "" and len(
+            re.split(r"\s+", text.strip().lower())
+        ) >= 5
+    got = _rows(spark, sf_smoke, "docs_quality_by_lang_source")
+    assert [(r["lang"], r["source"]) for r in got] == sorted(agg)
+    for r in got:
+        nd, le, tr = agg[(r["lang"], r["source"])]
+        assert (r["n_docs"], r["long_enough"], r["token_rich"]) == (nd, le, tr)
+
+
+def test_kmv_matches_python(spark, sf_smoke):
+    import hashlib
+
+    keys = {k for k, in _cols(sf_smoke, "orders", ["o_custkey"])}
+    hs = sorted(
+        int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) for k in keys
+    )
+    k_used = min(256, len(hs))
+    kth = hs[k_used - 1]
+    est = (k_used - 1) * 4294967296.0 / kth
+    got = _rows(spark, sf_smoke, "stat_kmv_distinct_custkeys")[0]
+    assert (got["k_used"], got["kth_min_hash"], got["true_distinct"]) == (
+        k_used, kth, len(keys),
+    )
+    assert math.isclose(got["est_distinct"], est, rel_tol=1e-12)
+    assert math.isclose(got["rel_err"], est / len(keys) - 1.0, rel_tol=1e-9)
