@@ -3236,3 +3236,103 @@ def test_kmv_matches_python(spark, sf_smoke):
     )
     assert math.isclose(got["est_distinct"], est, rel_tol=1e-12)
     assert math.isclose(got["rel_err"], est / len(keys) - 1.0, rel_tol=1e-9)
+
+
+def test_countmin_matches_python(spark, sf_smoke):
+    import hashlib
+
+    counts = collections.Counter(
+        k for k, in _cols(sf_smoke, "orders", ["o_custkey"])
+    )
+    counters = collections.Counter()
+    bucket = {}
+    for k, n in counts.items():
+        for r in range(3):
+            b = int(hashlib.md5(f"{r}:{k}".encode()).hexdigest()[:8], 16) % 256
+            bucket[(r, k)] = b
+            counters[(r, b)] += n
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = []
+    for k, n in top:
+        est = min(counters[(r, bucket[(r, k)])] for r in range(3))
+        expect.append((k, n, est, est - n))
+    got = _rows(spark, sf_smoke, "stat_countmin_heavy_hitters")
+    assert [
+        (r["o_custkey"], r["true_n"], r["cm_estimate"], r["overestimate"])
+        for r in got
+    ] == expect
+
+
+def test_oov_rate_matches_python(spark, sf_smoke):
+    import re
+
+    toks = []
+    for src, text in _cols(sf_smoke, "documents", ["source", "text"]):
+        for tok in re.split(r"\s+", text.strip().lower()):
+            toks.append((src, tok))
+    freq = collections.Counter(t for _, t in toks)
+    vocab = {
+        t for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    }
+    agg = collections.defaultdict(lambda: [0, 0])
+    for src, t in toks:
+        a = agg[src]
+        a[0] += 1
+        a[1] += t not in vocab
+    got = _rows(spark, sf_smoke, "docs_oov_rate")
+    assert [r["source"] for r in got] == sorted(agg)
+    for r in got:
+        nt, no = agg[r["source"]]
+        assert (r["n_tokens"], r["n_oov"]) == (nt, no)
+        assert r["oov_rate"] == no / nt
+
+
+def test_out_of_order_profile_matches_python(spark, sf_smoke):
+    byu = collections.defaultdict(list)
+    for uid, us, eid, et in _events_ns(
+        sf_smoke, ["user_id", "ts", "event_id", "event_type"]
+    ):
+        byu[uid].append((eid, us, et))
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for evs in byu.values():
+        evs.sort()
+        hwm = None
+        for _, us, et in evs:
+            a = agg[et]
+            a[0] += 1
+            if hwm is not None:
+                if us < hwm:
+                    a[1] += 1
+                    a[3] = max(a[3], hwm - us)
+                if hwm - us > 1800 * 1000000:
+                    a[2] += 1
+            hwm = us if hwm is None else max(hwm, us)
+    got = _rows(spark, sf_smoke, "ev_out_of_order_profile")
+    assert [r["event_type"] for r in got] == sorted(agg)
+    for r in got:
+        n, ooo, late30, mx = agg[r["event_type"]]
+        assert (
+            r["n_events"], r["n_out_of_order"], r["n_late_30m"], r["max_lateness_us"]
+        ) == (n, ooo, late30, mx)
+
+
+def test_markov_transitions_match_python(spark, sf_smoke):
+    byu = collections.defaultdict(list)
+    for uid, us, eid, et in _events_ns(
+        sf_smoke, ["user_id", "ts", "event_id", "event_type"]
+    ):
+        byu[uid].append((us, eid, et))
+    pairs = collections.Counter()
+    for evs in byu.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] += 1
+    n_src = collections.Counter()
+    for (a, _), n in pairs.items():
+        n_src[a] += n
+    got = _rows(spark, sf_smoke, "stat_markov_transitions")
+    assert [(r["src"], r["dst"]) for r in got] == sorted(pairs)
+    for r in got:
+        n = pairs[(r["src"], r["dst"])]
+        assert r["n"] == n
+        assert r["p"] == n / n_src[r["src"]]
