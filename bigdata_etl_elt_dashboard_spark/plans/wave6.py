@@ -5119,3 +5119,144 @@ def stat_weekly_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_micro",
         (cc * cc + sc * sc).alias("weekly_power"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: file-skipping effectiveness of interleaved-bit clustering
+# ---------------------------------------------------------------------------
+
+#: files the layout probe packs each ordering into (ntile buckets = the
+#: per-file min/max zone map a lakehouse scan consults)
+_ZORD_FILES = 32
+
+
+def _spread16_sql(v: str) -> str:
+    """Bit-spread a 16-bit value into even bit positions (SQL, BIGINT).
+
+    Every sub-expression is FULLY parenthesized: DuckDB gives `|`, `&`,
+    and `<<` equal precedence with left associativity (the PostgreSQL
+    rule), so `a | b << 8` parses as `(a | b) << 8` — silently wrong
+    bits, caught by the parity gate on first run."""
+    s = f"(({v}) & 65535)"
+    s = f"((({s}) | (({s}) << 8)) & 16711935)"       # 0x00FF00FF
+    s = f"((({s}) | (({s}) << 4)) & 252645135)"      # 0x0F0F0F0F
+    s = f"((({s}) | (({s}) << 2)) & 858993459)"      # 0x33333333
+    s = f"((({s}) | (({s}) << 1)) & 1431655765)"     # 0x55555555
+    return s
+
+
+@register(
+    "scale_zorder_file_skipping",
+    oracle=f"""
+        WITH base AS MATERIALIZED (
+            SELECT o_orderkey,
+                   CAST(o_custkey & 65535 AS BIGINT) AS ck,
+                   CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') & 65535
+                        AS BIGINT) AS di
+            FROM orders),
+        z AS (
+            SELECT o_orderkey, ck, di,
+                   CAST({_spread16_sql('ck')}
+                        | ({_spread16_sql('di')} << 1) AS BIGINT) AS zval
+            FROM base),
+        bucketed AS (
+            SELECT ck, di,
+                   NTILE({_ZORD_FILES}) OVER (ORDER BY zval, o_orderkey)
+                       AS zfile,
+                   NTILE({_ZORD_FILES}) OVER (ORDER BY di, o_orderkey)
+                       AS dfile
+            FROM z),
+        zstats AS (
+            SELECT 'zorder' AS layout,
+                   CAST(SUM(w_ck) AS BIGINT) AS sum_ck_width,
+                   CAST(SUM(w_di) AS BIGINT) AS sum_di_width
+            FROM (SELECT MAX(ck) - MIN(ck) + 1 AS w_ck,
+                         MAX(di) - MIN(di) + 1 AS w_di
+                  FROM bucketed GROUP BY zfile)),
+        dstats AS (
+            SELECT 'date_sorted' AS layout,
+                   CAST(SUM(w_ck) AS BIGINT) AS sum_ck_width,
+                   CAST(SUM(w_di) AS BIGINT) AS sum_di_width
+            FROM (SELECT MAX(ck) - MIN(ck) + 1 AS w_ck,
+                         MAX(di) - MIN(di) + 1 AS w_di
+                  FROM bucketed GROUP BY dfile))
+        SELECT layout, CAST({_ZORD_FILES} AS BIGINT) AS n_files,
+               sum_ck_width, sum_di_width,
+               CAST(sum_ck_width AS DOUBLE) / {_ZORD_FILES}.0 AS avg_ck_width,
+               CAST(sum_di_width AS DOUBLE) / {_ZORD_FILES}.0 AS avg_di_width
+        FROM (SELECT * FROM zstats UNION ALL SELECT * FROM dstats)
+        ORDER BY layout
+    """,
+    doc=f"Z-ORDER layout effectiveness — the file-skipping readout behind "
+    "every lakehouse OPTIMIZE ZORDER decision: interleave the low 16 "
+    "bits of customer key and day index (pure shift/mask arithmetic — "
+    "the classic even-bit spread, identical BIGINT ops on both "
+    f"engines), pack rows into {_ZORD_FILES} equal files under (a) "
+    "z-value order and (b) plain date order, and compare the per-file "
+    "min/max ZONE-MAP widths on BOTH dimensions. Date-sorted files are "
+    "narrow on date and full-width on customer (customer-key predicates "
+    "prune nothing); z-ordered files are moderately narrow on BOTH — "
+    "exactly the trade a two-dimensional scan workload wants, now as an "
+    "exact-integer number instead of folklore. NTILE with an orderkey "
+    "tie-break is a total order, so file assignment is deterministic; "
+    "one scan, two bounded windows over the pinned z frame.",
+)
+def scale_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    def spread16(col):
+        v = col.bitwiseAND(F.lit(65535))
+        for shift, mask in ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)):
+            v = (
+                v.bitwiseOR(F.shiftleft(v, shift))
+            ).bitwiseAND(F.lit(mask))
+        return v
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_custkey").bitwiseAND(F.lit(65535)).cast("long").alias("ck"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01")))
+        .bitwiseAND(F.lit(65535))
+        .cast("long")
+        .alias("di"),
+    )
+    z = base.select(
+        "o_orderkey",
+        "ck",
+        "di",
+        (
+            spread16(F.col("ck")).bitwiseOR(F.shiftleft(spread16(F.col("di")), 1))
+        ).alias("zval"),
+    ).transform(pin)
+    bucketed = z.select(
+        "ck",
+        "di",
+        F.ntile(_ZORD_FILES).over(Window.orderBy("zval", "o_orderkey")).alias("zfile"),
+        F.ntile(_ZORD_FILES).over(Window.orderBy("di", "o_orderkey")).alias("dfile"),
+    ).transform(pin)
+
+    def stats(file_col, name):
+        per = bucketed.groupBy(file_col).agg(
+            (F.max("ck") - F.min("ck") + 1).alias("w_ck"),
+            (F.max("di") - F.min("di") + 1).alias("w_di"),
+        )
+        return per.agg(
+            F.lit(name).alias("layout"),
+            F.sum("w_ck").alias("sum_ck_width"),
+            F.sum("w_di").alias("sum_di_width"),
+        )
+
+    out = stats("zfile", "zorder").unionAll(stats("dfile", "date_sorted"))
+    return out.select(
+        "layout",
+        F.lit(_ZORD_FILES).cast("long").alias("n_files"),
+        "sum_ck_width",
+        "sum_di_width",
+        (F.col("sum_ck_width").cast("double") / F.lit(float(_ZORD_FILES))).alias(
+            "avg_ck_width"
+        ),
+        (F.col("sum_di_width").cast("double") / F.lit(float(_ZORD_FILES))).alias(
+            "avg_di_width"
+        ),
+    ).orderBy("layout")

@@ -3336,3 +3336,60 @@ def test_markov_transitions_match_python(spark, sf_smoke):
         n = pairs[(r["src"], r["dst"])]
         assert r["n"] == n
         assert r["p"] == n / n_src[r["src"]]
+
+
+def _spread16_py(v):
+    v &= 65535
+    v = (v | (v << 8)) & 16711935
+    v = (v | (v << 4)) & 252645135
+    v = (v | (v << 2)) & 858993459
+    v = (v | (v << 1)) & 1431655765
+    return v
+
+
+def test_zorder_file_skipping_matches_python(spark, sf_smoke):
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    rows = []
+    for ok, ck, ts in _cols(
+        sf_smoke, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ):
+        c = ck & 65535
+        d = (ts.date() - epoch).days & 65535
+        rows.append((ok, c, d, _spread16_py(c) | (_spread16_py(d) << 1)))
+    # sanity: interleave is invertible on the sample
+    assert len({z for *_, z in rows}) == len({(c, d) for _, c, d, _ in rows})
+
+    def widths(order_key):
+        ranked = sorted(rows, key=order_key)
+        n = len(ranked)
+        sums = [0, 0]
+        # NTILE: first n % k buckets get ceil(n/k), rest floor(n/k)
+        k = 32
+        big, small = divmod(n, k)
+        pos = 0
+        for f in range(k):
+            size = big + (1 if f < small else 0)
+            chunk = ranked[pos : pos + size]
+            pos += size
+            cks = [c for _, c, _, _ in chunk]
+            dis = [d for _, _, d, _ in chunk]
+            sums[0] += max(cks) - min(cks) + 1
+            sums[1] += max(dis) - min(dis) + 1
+        return sums
+
+    zw = widths(lambda r: (r[3], r[0]))
+    dw = widths(lambda r: (r[2], r[0]))
+    got = {r["layout"]: r for r in _rows(spark, sf_smoke, "scale_zorder_file_skipping")}
+    assert got["zorder"]["sum_ck_width"] == zw[0]
+    assert got["zorder"]["sum_di_width"] == zw[1]
+    assert got["date_sorted"]["sum_ck_width"] == dw[0]
+    assert got["date_sorted"]["sum_di_width"] == dw[1]
+    for name, w in (("zorder", zw), ("date_sorted", dw)):
+        assert got[name]["n_files"] == 32
+        assert got[name]["avg_ck_width"] == w[0] / 32.0
+        assert got[name]["avg_di_width"] == w[1] / 32.0
+    # the layout claim itself: z-order narrows the customer dimension vs
+    # date-sorted while keeping date ranges bounded (not full-width)
+    assert got["zorder"]["sum_ck_width"] < got["date_sorted"]["sum_ck_width"]
