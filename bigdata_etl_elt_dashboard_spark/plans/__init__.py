@@ -49,10 +49,10 @@ from .registry import REGISTRY, register
 # `python tools/gate_rotation.py` (run it at each round start and paste its
 # output here).
 #
-# ROUND-7 ROTATION PLAN: round 6 grew the registry 300 → 366 (all new
+# ROUND-7 ROTATION PLAN: round 6 grew the registry 300 → 367 (all new
 # entries in plans/wave6.py, imported last → appended in registration
 # order). After the driver gates this round's window, the never-gated set
-# is the 66 round-6 additions (+ the 3 rows-only originals). Re-run
+# is the 67 round-6 additions (+ the 3 rows-only originals). Re-run
 # tools/gate_rotation.py at the r07 round start and paste its window here —
 # it computes everything from CORRECTNESS_r*.json history automatically.
 # ---------------------------------------------------------------------------
