@@ -5198,8 +5198,13 @@ def _spread16_sql(v: str) -> str:
     "prune nothing); z-ordered files are moderately narrow on BOTH — "
     "exactly the trade a two-dimensional scan workload wants, now as an "
     "exact-integer number instead of folklore. NTILE with an orderkey "
-    "tie-break is a total order, so file assignment is deterministic; "
-    "one scan, two bounded windows over the pinned z frame.",
+    "tie-break is a total order, so file assignment is deterministic. "
+    "Scale posture, honestly: the two NTILE windows are GLOBAL sorts of "
+    "the fact (fine at diagnostic scale; the gate runs them exactly) — "
+    "at 100 TB the same assignment comes from repartitionByRange(32, "
+    "zval, orderkey) whose per-partition min/max ARE the zone maps, one "
+    "range shuffle and no single-partition stage; this query is the "
+    "exact-arithmetic twin a layout job validates against on a sample.",
 )
 def scale_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
