@@ -60,6 +60,8 @@ _QUERIES = [
     "stat_group_quantiles_by_priority",  # per-group cumulative selection
     "dq_histogram_drift_l1",  # dense-grid month pairing + ppm div
     "li_pareto_cum_share",  # ordered cumulative vs window totals
+    "stat_weekly_dft_power",  # literal weight table + exact projections
+    "scale_zorder_file_skipping",  # global NTILE total orders, bit ops
 ]
 
 
