@@ -163,6 +163,9 @@ EXTENSION_SUITE = (
     "emb_ivf_cell_purity",
     "sim_ann_multiprobe_gain",
     "dq_histogram_drift_l1",
+    # session-close additions: the spectral readout and the layout probe
+    "stat_weekly_dft_power",
+    "scale_zorder_file_skipping",
 )
 
 
