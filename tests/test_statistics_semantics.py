@@ -3393,3 +3393,120 @@ def test_zorder_file_skipping_matches_python(spark, sf_smoke):
     # the layout claim itself: z-order narrows the customer dimension vs
     # date-sorted while keeping date ranges bounded (not full-width)
     assert got["zorder"]["sum_ck_width"] < got["date_sorted"]["sum_ck_width"]
+
+
+def test_unigram_logprob_matches_python(spark, sf_smoke):
+    import re
+
+    tok = []
+    for did, text in _cols(sf_smoke, "documents", ["doc_id", "text"]):
+        for t in re.split(r"\s+", text.strip().lower()):
+            tok.append((did, t))
+    freq = collections.Counter(t for _, t in tok)
+    n_total = sum(freq.values())
+    q = {
+        t: _r((math.log2(n_total) - math.log2(c)) * 1000000)
+        for t, c in freq.items()
+    }
+    agg = collections.defaultdict(lambda: [0, 0])
+    for did, t in tok:
+        a = agg[did]
+        a[0] += 1
+        a[1] += q[t]
+    got = _rows(spark, sf_smoke, "text_unigram_logprob")
+    assert [r["doc_id"] for r in got] == sorted(agg)
+    for r in got:
+        n, sq = agg[r["doc_id"]]
+        assert r["n_tokens"] == n
+        assert r["mean_bits"] == sq / (n * 1000000)
+
+
+def test_token_rarity_matches_python(spark, sf_smoke):
+    import re
+
+    tok = []
+    for src, text in _cols(sf_smoke, "documents", ["source", "text"]):
+        for t in re.split(r"\s+", text.strip().lower()):
+            tok.append((src, t))
+    freq = collections.Counter(t for _, t in tok)
+    agg = collections.defaultdict(lambda: [0, 0, 10**18, 0])
+    for src, t in tok:
+        a = agg[src]
+        c = freq[t]
+        a[0] += 1
+        a[1] += c
+        a[2] = min(a[2], c)
+        a[3] += c <= 2
+    got = _rows(spark, sf_smoke, "docs_token_rarity")
+    assert [r["source"] for r in got] == sorted(agg)
+    for r in got:
+        n, sf_, mn, nr = agg[r["source"]]
+        assert (r["n_tokens"], r["sum_freq"], r["min_freq"], r["n_rare"]) == (
+            n, sf_, mn, nr,
+        )
+        assert r["mean_token_freq"] == sf_ / n
+        assert r["rare_ratio"] == nr / n
+
+
+def test_price_percentile_bands_match_python(spark, sf_smoke):
+    groups = collections.defaultdict(list)
+    for ts, price in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        groups[f"{ts.year:04d}-{ts.month:02d}"].append(_r(float(price) * 100))
+    got = _rows(spark, sf_smoke, "trend_price_percentile_bands")
+    assert [r["month"] for r in got] == sorted(groups)
+    for r in got:
+        sv = sorted(groups[r["month"]])
+        assert r["n_orders"] == len(sv)
+        for p, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")):
+            assert math.isclose(r[col], _pctl(sv, p) / 100.0, rel_tol=1e-12)
+
+
+def test_wow_growth_matches_python(spark, sf_smoke):
+    import datetime
+
+    weekly = collections.defaultdict(lambda: [0, 0])
+    for ts, price in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        d = ts.date()
+        wk = (d - datetime.timedelta(days=d.weekday())).isoformat()
+        weekly[wk][0] += _r(float(price) * 100)
+        weekly[wk][1] += 1
+    got = _rows(spark, sf_smoke, "trend_wow_revenue_growth")
+    assert [r["week_start"] for r in got] == sorted(weekly)
+    prev = None
+    for r in got:
+        cents, n = weekly[r["week_start"]]
+        assert (r["cents"], r["n_orders"]) == (cents, n)
+        assert r["prev_cents"] == prev
+        if prev:
+            assert r["wow_growth"] == (cents - prev) / prev
+        else:
+            assert r["wow_growth"] is None
+        prev = cents
+
+
+def test_top_session_paths_match_python(spark, sf_smoke):
+    byu = collections.defaultdict(list)
+    for uid, us, eid, et in _events_ns(
+        sf_smoke, ["user_id", "ts", "event_id", "event_type"]
+    ):
+        byu[uid].append((us, eid, et))
+    paths = collections.Counter()
+    for evs in byu.values():
+        evs.sort()
+        cur = [evs[0]]
+        prev = evs[0][0]
+        sessions = []
+        for e in evs[1:]:
+            if e[0] - prev >= 600_000_000:
+                sessions.append(cur)
+                cur = []
+            cur.append(e)
+            prev = e[0]
+        sessions.append(cur)
+        for s in sessions:
+            paths[">".join(et for _, _, et in s[:3])] += 1
+    top = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = _rows(spark, sf_smoke, "ev_top_session_paths")
+    assert [(r["path"], r["n_sessions"], r["rank"]) for r in got] == [
+        (p, n, i) for i, (p, n) in enumerate(top, 1)
+    ]
