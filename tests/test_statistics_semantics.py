@@ -3510,3 +3510,52 @@ def test_top_session_paths_match_python(spark, sf_smoke):
     assert [(r["path"], r["n_sessions"], r["rank"]) for r in got] == [
         (p, n, i) for i, (p, n) in enumerate(top, 1)
     ]
+
+
+def _minhash_py(shingle_set, coeffs):
+    import hashlib
+
+    P = (1 << 31) - 1
+    sig = []
+    hs = [
+        int(hashlib.md5(sh.encode()).hexdigest()[:15], 16) % P
+        for sh in shingle_set
+    ]
+    for a, b in coeffs:
+        sig.append(min((a * h + b) % P for h in hs))
+    return sig
+
+
+def test_minhash_lsh_pipeline_matches_python(spark, sf_smoke):
+    """Flagship dedup audit: the FULL MinHash->banding->candidate pipeline
+    replicated from scratch (shingles, md5 base hash, LCG-derived
+    universal-hash family, band signatures, bucket self-join) — the
+    third implementation of the repo's headline near-dup machinery."""
+    import hashlib
+
+    from bigdata_etl_elt_dashboard_spark.operators.dedup import minhash_coeffs
+
+    coeffs = minhash_coeffs(8)
+    sigs = {}
+    for did, text in _cols(sf_smoke, "documents", ["doc_id", "text"]):
+        sigs[did] = _minhash_py(_shingles3(text), coeffs)
+    got_sigs = _rows(spark, sf_smoke, "dedup_minhash_signatures")
+    assert len(got_sigs) == len(sigs)
+    for r in got_sigs:
+        assert [r[f"h{i}"] for i in range(8)] == sigs[r["doc_id"]]
+
+    buckets = collections.defaultdict(set)
+    for did, sig in sigs.items():
+        for b in range(4):
+            band_sig = hashlib.md5(
+                "|".join(str(v) for v in sig[b * 2 : b * 2 + 2]).encode()
+            ).hexdigest()
+            buckets[(b, band_sig)].add(did)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.add((ms[i], ms[j]))
+    got = _rows(spark, sf_smoke, "dedup_lsh_candidates")
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == pairs
