@@ -49,65 +49,76 @@ from .registry import REGISTRY, register
 # `python tools/gate_rotation.py` (run it at each round start and paste its
 # output here).
 #
-# ROUND-7 ROTATION PLAN: round 6 grew the registry 300 → 367 (all new
-# entries in plans/wave6.py, imported last → appended in registration
-# order). After the driver gates this round's window, the never-gated set
-# is the 67 round-6 additions (+ the 3 rows-only originals). Re-run
-# tools/gate_rotation.py at the r07 round start and paste its window here —
-# it computes everything from CORRECTNESS_r*.json history automatically.
+# ROUND-7 WINDOW (this round): per the r06 verdict task 1 —
+# `ev_rolling_7d_activity` (the single query whose only driver row is the
+# r02 red; fixed in r03, locally green, never re-gated) + 49 of the 67
+# round-6 wave6 additions, prioritizing the formula-heavy ones. Base list
+# from `tools/gate_rotation.py` (never-gated, registration order) with 5
+# formula-heavy remainder entries swapped in (stat_weekly_dft_power,
+# stat_ljung_box_weekly, graph_ktruss_edge_support,
+# graph_katz_centrality_3step, scale_zorder_file_skipping) and 6 deferred
+# to r08 (nation_revenue_rank_migration, agg_hist2d_qty_price,
+# dq_column_profile_wide, sim_ann_multiprobe_gain,
+# wh_write_audit_publish_digest, ev_ab_power_mde).
+#
+# ROUND-8 ROTATION PLAN: the never-gated remainder after this round is the
+# 12 tool-computed tail entries plus the 6 deferred above (~18 rows; plus
+# any round-7 additions appended after — TPC-H Q5/Q12/Q15/Q18/Q22 land in
+# plans/wave7.py, imported last). Re-run tools/gate_rotation.py at the r08
+# round start and paste its window here.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # round-6 window: the 50 round-5 additions, registration order
-    "trend_wow_revenue_growth",
-    "supplier_revenue_rank_profile",
-    "trend_seasonal_index_monthly",
-    "ev_ab_test_conversion",
-    "ev_funnel_time_window",
-    "text_token_fertility_by_lang",
-    "ev_inter_event_gap_hist",
-    "ev_stickiness_dau_mau",
-    "wh_scd2_asof_resolve",
-    "trend_backtest_ma3_mae",
-    "ev_ab_srm_check",
-    "ev_heatmap_hour_dow",
-    "stat_poisson_dispersion_daily_orders",
-    "docs_packing_fill_stats",
-    "mm_audio_silence_windows",
-    "mm_image_brightness_hist",
-    "ev_bot_rate_heuristic",
-    "text_readability_by_lang",
-    "ev_bounce_rate_daily",
-    "dq_freshness_lag",
-    "wh_retention_policy_digest",
-    "mm_image_contrast_stats",
-    "docs_ttr_by_source",
-    "text_char_trigram_entropy_by_lang",
-    "wh_gdpr_erasure_digest",
-    "docs_contamination_by_split",
-    "emb_isotropy_mean_cosine",
-    "emb_exact_dup_sizes",
-    "graph_label_propagation",
-    "graph_degree_distribution",
-    "graph_clustering_coeff_hist",
-    "graph_degree_assortativity",
-    "graph_bfs_layers",
-    "supplier_return_blame",
-    "cust_returned_revenue_top",
-    "part_supplier_cnt_q16",
-    "mkt_share_nation_q8",
-    "profit_nation_year_q9",
-    "li_ship_latency_by_priority",
-    "emb_jl_projection_distortion",
-    "src_schema_evolution_digest",
-    "wh_late_arriving_dim",
-    "stat_hll_distinct_custkeys",
-    "stat_mann_kendall_daily_revenue",
-    "stat_cohens_d_price_by_status",
-    "stat_theilsen_monthly_revenue",
-    "stat_kendall_tau_revenue_orders",
-    "ev_markov_3step_mass",
-    "ev_session_duration_percentiles",
-    "stat_bootstrap_ci_daily_revenue",
+    # round-7 window
+    "ev_rolling_7d_activity",
+    "part_min_cost_supplier_q2",
+    "supplier_important_share_q11",
+    "supplier_excess_ship_q20",
+    "stat_anova_f_price_by_priority",
+    "stat_kruskal_wallis_price_by_priority",
+    "stat_chow_break_daily_revenue",
+    "stat_hodges_lehmann_yoy_shift",
+    "stat_weekly_dft_power",
+    "stat_ljung_box_weekly",
+    "graph_ktruss_edge_support",
+    "graph_katz_centrality_3step",
+    "scale_zorder_file_skipping",
+    "ev_concurrent_sessions_peak",
+    "ev_user_lifecycle_weekly",
+    "ev_campaign_window_join",
+    "trend_rolling28_anomaly_topdays",
+    "docs_block_dedup_by_source",
+    "docs_stopword_coverage_by_lang",
+    "docs_tfidf_top_terms",
+    "emb_knn_graph_reciprocity",
+    "emb_simplified_silhouette",
+    "mm_audio_zero_crossings",
+    "mm_image_downsample2x_digest",
+    "graph_jaccard_link_prediction",
+    "dq_histogram_drift_l1",
+    "src_codec_roundtrip_digest",
+    "supplier_late_blame_q21",
+    "elt_pivot_priority_year_sql",
+    "elt_lateral_explode_sql",
+    "ev_sliding_1h15m_peak",
+    "stat_levene_brown_forsythe",
+    "trend_ewma32_daily_revenue",
+    "part_pair_association_topk",
+    "ev_longest_error_streak",
+    "stat_approx_percentile_contract",
+    "trend_decomposition_monthly",
+    "stat_group_quantiles_by_priority",
+    "stat_hll_monthly_merge",
+    "ev_simpsons_paradox_check",
+    "src_csv_malformed_recovery_digest",
+    "ev_replay_dedup_digest",
+    "stat_cms_part_heavyhitters",
+    "stat_kmv_intersection_years",
+    "ev_rolling28_mau",
+    "ev_funnel_anyorder",
+    "cust_order_cohort_revenue",
+    "trend_range7d_revenue",
+    "src_dynamic_partition_overwrite_digest",
+    "li_pareto_cum_share",
 ]
 
 
