@@ -22,6 +22,7 @@ from . import (  # noqa: F401  (import for registration side effects)
 from . import wave6  # noqa: F401  (round-6 additions; imported LAST so new
 # queries append to the registry after every already-gated name — keeps
 # gate-window rotation order stable)
+from . import wave7  # noqa: F401  (round-7 TPC-H completions; after wave6)
 from .registry import REGISTRY, register
 
 # ---------------------------------------------------------------------------

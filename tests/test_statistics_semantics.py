@@ -3559,3 +3559,133 @@ def test_minhash_lsh_pipeline_matches_python(spark, sf_smoke):
                 pairs.add((ms[i], ms[j]))
     got = _rows(spark, sf_smoke, "dedup_lsh_candidates")
     assert {(r["doc_a"], r["doc_b"]) for r in got} == pairs
+
+
+# --- round-7 TPC-H completions (plans/wave7.py) --------------------------
+
+
+def _li_money(sf):
+    """(cents, disc_pct, tax_pct, qty, flag, status, shipdate) per line."""
+    cols = [
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_quantity",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+        "l_orderkey",
+        "l_suppkey",
+    ]
+    for ep, d, t, q, fl, st, sd, ok, sk in _cols(sf, "lineitem", cols):
+        yield _r(ep * 100), _r(d * 100), _r(t * 100), _r(q), fl, st, sd, ok, sk
+
+
+def test_pricing_summary_q1_matches_python(spark, sf_smoke):
+    import datetime
+
+    cutoff = datetime.date(1998, 9, 2)
+    acc = collections.defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for cents, d, t, q, fl, st, sd, _ok, _sk in _li_money(sf_smoke):
+        if sd.date() > cutoff:
+            continue
+        a = acc[(fl, st)]
+        a[0] += q
+        a[1] += cents
+        a[2] += cents * (100 - d)
+        a[3] += cents * (100 - d) * (100 + t)
+        a[4] += d
+        a[5] += 1
+    got = _rows(spark, sf_smoke, "pricing_summary_q1")
+    assert len(got) == len(acc)
+    for r in got:
+        a = acc[(r["l_returnflag"], r["l_linestatus"])]
+        assert (
+            r["sum_qty"],
+            r["sum_base_cents"],
+            r["sum_disc_price_micropct"],
+            r["sum_charge_micro"],
+            r["count_order"],
+        ) == (a[0], a[1], a[2], a[3], a[5])
+        assert abs(r["avg_qty"] - a[0] / a[5]) < 1e-9
+        assert abs(r["avg_price"] - a[1] / (a[5] * 100)) < 1e-9
+        assert abs(r["avg_disc"] - a[4] / (a[5] * 100)) < 1e-9
+
+
+def test_unshipped_topk_q3_matches_python(spark, sf_smoke):
+    import datetime
+
+    cut = datetime.date(1998, 3, 15)
+    bld = {
+        c
+        for c, seg in _cols(sf_smoke, "customer", ["c_custkey", "c_mktsegment"])
+        if seg == "BUILDING"
+    }
+    omap = {
+        ok: (od.date(), op)
+        for ok, oc, od, op in _cols(
+            sf_smoke, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+        )
+        if oc in bld and od.date() < cut
+    }
+    rev = collections.defaultdict(int)
+    for cents, d, _t, _q, _fl, _st, sd, ok, _sk in _li_money(sf_smoke):
+        if ok in omap and sd.date() > cut:
+            rev[ok] += cents * (100 - d)
+    ranked = sorted(
+        ((ok, r, *omap[ok]) for ok, r in rev.items()),
+        key=lambda x: (-x[1], x[2], x[0]),
+    )[:10]
+    got = _rows(spark, sf_smoke, "unshipped_topk_q3")
+    assert [
+        (r["l_orderkey"], r["revenue_micropct"], r["o_orderdate"], r["o_orderpriority"])
+        for r in got
+    ] == ranked
+
+
+def test_local_supplier_volume_q5_matches_python(spark, sf_smoke):
+    import datetime
+
+    reg = {r: k for k, r in _cols(sf_smoke, "region", ["r_regionkey", "r_name"])}
+    asia = {
+        nk: nm
+        for nk, nm, rk in _cols(
+            sf_smoke, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+        )
+        if rk == reg["ASIA"]
+    }
+    cnat = dict(_cols(sf_smoke, "customer", ["c_custkey", "c_nationkey"]))
+    snat = dict(_cols(sf_smoke, "supplier", ["s_suppkey", "s_nationkey"]))
+    lo, hi = datetime.date(1996, 1, 1), datetime.date(1997, 1, 1)
+    omap = {
+        ok: cnat[oc]
+        for ok, oc, od in _cols(
+            sf_smoke, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+        )
+        if lo <= od.date() < hi and cnat[oc] in asia
+    }
+    rev = collections.defaultdict(int)
+    for cents, d, _t, _q, _fl, _st, _sd, ok, sk in _li_money(sf_smoke):
+        nk = omap.get(ok)
+        if nk is not None and snat[sk] == nk:
+            rev[asia[nk]] += cents * (100 - d)
+    got = _rows(spark, sf_smoke, "local_supplier_volume_q5")
+    assert sorted(((r["n_name"], r["revenue_micropct"]) for r in got)) == sorted(
+        rev.items()
+    )
+    assert [r["n_name"] for r in got] == [
+        n for n, _v in sorted(rev.items(), key=lambda x: (-x[1], x[0]))
+    ]
+
+
+def test_forecast_revenue_change_q6_matches_python(spark, sf_smoke):
+    import datetime
+
+    lo, hi = datetime.date(1996, 1, 1), datetime.date(1997, 1, 1)
+    tot = n = 0
+    for cents, d, _t, q, _fl, _st, sd, _ok, _sk in _li_money(sf_smoke):
+        if lo <= sd.date() < hi and 5 <= d <= 7 and q < 24:
+            tot += cents * d
+            n += 1
+    got = _rows(spark, sf_smoke, "forecast_revenue_change_q6")[0]
+    assert (got["revenue_cents_pct"], got["n_lines"]) == (tot, n)
