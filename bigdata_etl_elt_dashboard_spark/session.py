@@ -44,6 +44,14 @@ def get_spark(
     local[N] for tests/bench; the same config block is what we would ship in
     ``spark-defaults.conf`` on a 1000-executor cluster (minus ``master``).
     """
+    # Export the vendored google.protobuf shim onto PYTHONPATH while the
+    # JVM (which hands that env to its Python workers) can still inherit
+    # it — required for transformWithStateInPandas when no real protobuf
+    # install exists. No-op when one does. Must precede getOrCreate().
+    from .vendor import ensure_protobuf
+
+    ensure_protobuf()
+
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)

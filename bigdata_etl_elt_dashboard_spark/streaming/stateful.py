@@ -87,14 +87,17 @@ def running_user_totals(events_stream: DataFrame) -> DataFrame:
 
 def _protobuf_available() -> bool:
     """transformWithState's Python worker speaks protobuf to the JVM state
-    server; without the `protobuf` package the driver-side schema worker
-    crashes before the first batch. Gate the v2 API on it."""
-    try:
-        import google.protobuf  # noqa: F401
+    server; without a `google.protobuf` runtime the driver-side schema
+    worker crashes before the first batch. Prefer a real install, fall
+    back to the vendored pure-Python shim (vendor/google/protobuf — a
+    clean-room wire-format subset sufficient for StateMessage_pb2).
 
-        return True
-    except ImportError:
-        return False
+    NOTE: the shim reaches JVM-spawned Python workers via PYTHONPATH, so
+    ensure_protobuf() must run before the SparkSession's JVM launches
+    (the session factory and tests/conftest.py both do)."""
+    from ..vendor import ensure_protobuf
+
+    return ensure_protobuf()
 
 
 TYPE_COUNTS_SCHEMA = "user_id long, event_type string, n long"
