@@ -231,6 +231,92 @@ def test_stream_gold_upsert_incremental_backfill(spark, tmp_path):
     assert day1_mtimes == [os.path.getmtime(f) for f in day1_files]
 
 
+def test_stream_gold_upsert_crash_recovery(spark, tmp_path, monkeypatch):
+    """Failure injection for the gold upsert's exactly-once claim: the
+    first run CRASHES MID-SINK-WRITE (one partition written, the other
+    not, foreachBatch raises before the commit log records the batch) —
+    the worst torn-write state. A restart from the same checkpoint must
+    replay the uncommitted batch and converge the gold table to exactly
+    the single-clean-run result; a subsequent incremental run must keep
+    working off the recovered checkpoint."""
+    from bigdata_etl_elt_dashboard_spark.sources import sinks
+    from bigdata_etl_elt_dashboard_spark.streaming.events import (
+        stream_events_from_parquet,
+        stream_upsert_daily_gold,
+    )
+
+    src = str(tmp_path / "src")
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+    d1, d2 = dt.datetime(2024, 3, 1, 10), dt.datetime(2024, 3, 2, 10)
+    _write_events(
+        spark,
+        src,
+        [(1, d1, 1, "view", 1.0), (2, d1, 2, "view", 2.0), (3, d2, 1, "click", 3.0)],
+    )
+
+    real_overwrite = sinks.overwrite_partitions
+    crashed = {"n": 0}
+
+    def torn_write(df, path, partition_by):
+        # persist ONE of the two touched partitions, then die — the torn
+        # state a mid-write executor/driver loss leaves behind
+        crashed["n"] += 1
+        real_overwrite(df.filter(F.col("event_type") == "click"), path, partition_by)
+        raise RuntimeError("injected sink crash")
+
+    monkeypatch.setattr(sinks, "overwrite_partitions", torn_write)
+
+    def run():
+        q = (
+            stream_upsert_daily_gold(
+                stream_events_from_parquet(spark, src, EVENT_SCHEMA), gold, ckpt
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="injected sink crash"):
+        run()
+    assert crashed["n"] == 1
+    # torn: only the click partition landed
+    torn = {
+        (str(r["event_date"]), r["event_type"])
+        for r in spark.read.parquet(gold).collect()
+    }
+    assert torn == {("2024-03-02", "click")}
+
+    # recovery: same checkpoint, healthy sink — the uncommitted batch
+    # replays (its offsets were logged but never committed) and the
+    # dynamic-partition overwrite makes the replayed write idempotent
+    monkeypatch.setattr(sinks, "overwrite_partitions", real_overwrite)
+    run()
+    recovered = {
+        (str(r["event_date"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(gold).collect()
+    }
+    expected_single_run = {
+        ("2024-03-01", "view"): (2, 3.0),
+        ("2024-03-02", "click"): (1, 3.0),
+    }
+    assert recovered == expected_single_run
+
+    # and the recovered checkpoint keeps serving incremental batches
+    _write_events(spark, src, [(4, d2, 3, "click", 5.0)])
+    run()
+    after = {
+        (str(r["event_date"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(gold).collect()
+    }
+    assert after == {
+        ("2024-03-01", "view"): (2, 3.0),
+        ("2024-03-02", "click"): (2, 8.0),
+    }
+
+
 def test_stream_stream_range_join(spark, tmp_path):
     """Watermarked stream-stream join: clicks pair with the same user's
     views from the preceding 10 minutes — matches the batch range-join
