@@ -166,6 +166,15 @@ EXTENSION_SUITE = (
     # session-close additions: the spectral readout and the layout probe
     "stat_weekly_dft_power",
     "scale_zorder_file_skipping",
+    # round-7 additions: the four TPC-H completions (Q1's 8-aggregate
+    # single-scan rollup is the classic scan-throughput benchmark; Q3/Q5
+    # are the fact⋈fact join chains; Q6 the pure pushdown scan) and the
+    # composed dedup pipeline (candidates → verify → CC → keepers)
+    "pricing_summary_q1",
+    "unshipped_topk_q3",
+    "local_supplier_volume_q5",
+    "forecast_revenue_change_q6",
+    "dedup_verified_keepers",
 )
 
 

@@ -208,6 +208,52 @@ def jaccard_pairs(
     )
 
 
+def verify_candidates(
+    shingles_df: DataFrame,
+    candidates: DataFrame,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification RESTRICTED to LSH candidate pairs — the
+    production middle stage of the dedup pipeline (candidates → verify →
+    clusters → keepers).
+
+    ``jaccard_pairs`` intersects every co-shingled pair (any shared n-gram
+    makes two docs meet), which is near-quadratic on a corpus with common
+    boilerplate — exactly the blow-up LSH banding exists to avoid. This
+    form starts FROM the candidate pairs instead: join each pair to doc_a's
+    shingles, keep the ones doc_b also has (equi-join on (doc_b, sh)),
+    count. Work is Σ_candidates |shingles(doc_a)| — linear in candidate
+    volume, never in co-shingled-pair volume. Candidate pairs whose docs
+    share no shingle (band-signature hash collisions) drop out naturally.
+
+    Inputs: ``shingles_df`` (doc_id, sh), distinct per doc (share the
+    pinned frame with the signature build); ``candidates`` (doc_a, doc_b)
+    with doc_a < doc_b. The threshold filter uses the UNROUNDED ratio (the
+    ``jaccard_pairs`` boundary-fix convention); the returned ``jaccard``
+    column is display-rounded to 6 dp."""
+    sizes = shingles_df.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = shingles_df.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = shingles_df.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    raw = F.col("n_common") / F.nullif(
+        (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(raw >= F.lit(min_jaccard))
+        .select("doc_a", "doc_b", "n_common", F.round(raw, 6).alias("jaccard"))
+    )
+
+
 def near_dup_clusters(
     docs: DataFrame,
     text_col: str = "text",

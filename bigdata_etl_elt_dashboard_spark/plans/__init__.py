@@ -63,10 +63,12 @@ from .registry import REGISTRY, register
 # wh_write_audit_publish_digest, ev_ab_power_mde).
 #
 # ROUND-8 ROTATION PLAN: the never-gated remainder after this round is the
-# 12 tool-computed tail entries plus the 6 deferred above (~18 rows; plus
-# any round-7 additions appended after — TPC-H Q5/Q12/Q15/Q18/Q22 land in
-# plans/wave7.py, imported last). Re-run tools/gate_rotation.py at the r08
-# round start and paste its window here.
+# 12 tool-computed tail entries plus the 6 deferred above (~18 rows) plus
+# the round-7 additions in plans/wave7.py (imported last, appended after
+# every gated name): pricing_summary_q1, unshipped_topk_q3,
+# local_supplier_volume_q5, forecast_revenue_change_q6,
+# dedup_verified_keepers. Re-run tools/gate_rotation.py at the r08 round
+# start and paste its window here.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
     # round-7 window

@@ -32,7 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import dedup as D
+from ..operators.scale import pin
 from ..sources.catalog import table
+from .extensions import _BANDED_SQL, _BANDS, _HBASE_SQL, _MINHASH_AGGS_SQL, _NUM_HASHES, _SHINGLES_SQL
 from .registry import register
 
 
@@ -312,4 +315,86 @@ def forecast_revenue_change_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents() * dpct).alias("revenue_cents_pct"),
             F.count("*").alias("n_lines"),
         )
+    )
+
+
+@register(
+    "dedup_verified_keepers",
+    oracle=f"""
+        WITH RECURSIVE sh AS MATERIALIZED ({_SHINGLES_SQL}),
+        sig AS (
+            SELECT doc_id, {_MINHASH_AGGS_SQL}
+            FROM (SELECT doc_id, {_HBASE_SQL} AS hsh FROM sh)
+            GROUP BY doc_id
+        ),
+        banded AS ({_BANDED_SQL}),
+        pairs AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a
+            JOIN banded b ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+                          AND a.doc_id < b.doc_id
+        ),
+        sizes AS MATERIALIZED (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ),
+        common AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.doc_a
+            JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+            GROUP BY p.doc_a, p.doc_b
+        ),
+        verified AS MATERIALIZED (
+            SELECT c.doc_a, c.doc_b
+            FROM common c
+            JOIN sizes sa ON c.doc_a = sa.doc_id
+            JOIN sizes sb ON c.doc_b = sb.doc_id
+            WHERE c.n_common
+                  / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM verified
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM verified
+        ),
+        cc(doc_id, reach) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, cc.reach FROM edges e JOIN cc ON cc.doc_id = e.dst
+        ),
+        labels AS (SELECT doc_id, MIN(reach) AS cluster_id FROM cc GROUP BY doc_id)
+        SELECT cluster_id AS keeper_doc_id, COUNT(*) AS n_members
+        FROM labels GROUP BY cluster_id ORDER BY keeper_doc_id
+    """,
+    doc="END-TO-END verified dedup (the 100 TB money pipeline): MinHash "
+    "signatures → LSH banding candidates → EXACT-Jaccard verification "
+    "restricted to the candidates (operators/dedup.verify_candidates — "
+    "work scales with candidate volume, never with co-shingled-pair "
+    "volume) → connected components over the VERIFIED edges → one "
+    "keeper per cluster with its member count. This composes what the "
+    "per-stage queries (dedup_lsh_candidates, dedup_jaccard_pairs, "
+    "dedup_clusters) gate in isolation, with the shingle stream pinned "
+    "once and shared by the signature build, the size table, and both "
+    "verify probes — the corpus is scanned and shingled exactly once. "
+    "Verification prunes band-collision false positives BEFORE the "
+    "iterative CC, so cluster state is bounded by true near-dups. "
+    "Oracle: the same pipeline as one recursive-CTE program.",
+)
+def dedup_verified_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = D._doc_shingles(docs, "text", 3).transform(pin)
+    sigs = D.minhash_signatures(docs, num_hashes=_NUM_HASHES, shingles_df=sh)
+    cand = D.lsh_candidate_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, signatures_df=sigs
+    ).transform(pin)
+    verified = D.verify_candidates(sh, cand, min_jaccard=0.5)
+    edges = verified.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = D.connected_components_minlabel(edges, docs.select("doc_id"))
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .select(F.col("cluster_id").alias("keeper_doc_id"), "n_members")
+        .orderBy("keeper_doc_id")
     )

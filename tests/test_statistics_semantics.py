@@ -3689,3 +3689,62 @@ def test_forecast_revenue_change_q6_matches_python(spark, sf_smoke):
             n += 1
     got = _rows(spark, sf_smoke, "forecast_revenue_change_q6")[0]
     assert (got["revenue_cents_pct"], got["n_lines"]) == (tot, n)
+
+
+def test_dedup_verified_keepers_matches_python(spark, sf_smoke):
+    """Composed-pipeline audit: candidates -> exact-Jaccard verify ->
+    union-find CC -> keeper sizes, all replicated from scratch in plain
+    Python (third implementation; the per-stage audits cover candidates)."""
+    import hashlib
+
+    from bigdata_etl_elt_dashboard_spark.operators.dedup import minhash_coeffs
+
+    coeffs = minhash_coeffs(8)
+    shingle_sets = {}
+    for did, text in _cols(sf_smoke, "documents", ["doc_id", "text"]):
+        shingle_sets[did] = _shingles3(text)
+
+    buckets = collections.defaultdict(set)
+    for did, sset in shingle_sets.items():
+        sig = _minhash_py(sset, coeffs)
+        for b in range(4):
+            band_sig = hashlib.md5(
+                "|".join(str(v) for v in sig[b * 2 : b * 2 + 2]).encode()
+            ).hexdigest()
+            buckets[(b, band_sig)].add(did)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cand.add((ms[i], ms[j]))
+
+    # exact-Jaccard verify on the candidate pairs only
+    verified = []
+    for a, b in cand:
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if union and inter / union >= 0.5:
+            verified.append((a, b))
+
+    # union-find connected components over verified edges
+    parent = {d: d for d in shingle_sets}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    sizes = collections.Counter(find(d) for d in shingle_sets)
+
+    got = _rows(spark, sf_smoke, "dedup_verified_keepers")
+    assert {(r["keeper_doc_id"], r["n_members"]) for r in got} == set(
+        sizes.items()
+    )
+    assert [r["keeper_doc_id"] for r in got] == sorted(sizes)

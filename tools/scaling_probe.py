@@ -93,6 +93,13 @@ PROBES = [
     "li_vwap_part_month",
     "agg_hist2d_qty_price",
     "li_pareto_cum_share",
+    # round-7: the COMPOSED dedup pipeline (candidates → exact-Jaccard
+    # verify → connected components → keepers). dedup_lsh_candidates'
+    # quadratic candidate growth on a replicated (100%-duplicate) corpus
+    # is adjudicated-correct; this measures what a 100 TB corpus actually
+    # pays END TO END — the verify + CC stages collapse those candidates
+    # back to one keeper per content cluster.
+    "dedup_verified_keepers",
 ]
 
 
@@ -171,14 +178,18 @@ def build_skewed(spark, base_dir: str, out_dir: str) -> int:
 
 
 def main() -> None:
+    """``scaling_probe.py [K] [query ...]`` — optional query names restrict
+    the probe to that subset (and skip the hot-key events probe)."""
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    subset = sys.argv[2:]
+    probes = [n for n in PROBES if n in subset] if subset else PROBES
     spark = get_spark(app_name="scaling_probe", shuffle_partitions=32)
     out_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_scaled_{k}x")
     build_scaled(spark, out_dir, k)
 
     print(f"| query | 1x warm s | {k}x warm s | ratio | 1x build s | {k}x build s |")
     print("|---|---|---|---|---|---|")
-    for name in PROBES:
+    for name in probes:
         b1, w1 = timed(spark, SF_DIR, name)
         bk, wk = timed(spark, out_dir, name)
         ratio = wk / w1 if w1 > 0 else float("nan")
@@ -186,6 +197,11 @@ def main() -> None:
             f"| `{name}` | {w1:.3f} | {wk:.3f} | {ratio:.1f}x "
             f"| {b1:.2f} | {bk:.2f} |"
         )
+
+    if subset:
+        spark.stop()
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return
 
     # hot-key probe: same K× row count, ~(K-1)/K of events on ONE user —
     # proves the session window's keyed shuffle degrades gracefully under
