@@ -3748,3 +3748,105 @@ def test_dedup_verified_keepers_matches_python(spark, sf_smoke):
         sizes.items()
     )
     assert [r["keeper_doc_id"] for r in got] == sorted(sizes)
+
+
+# --- round-7 sketch-family audits (the four formula-heavy r07-window
+# queries that had no plain-Python replicate) -----------------------------
+
+
+def _md5_15(x) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(x).encode()).hexdigest()[:15], 16)
+
+
+def test_approx_percentile_contract_exact_side_matches_python(spark, sf_smoke):
+    vals = sorted(_r(x) for x in _col(sf_smoke, "orders", "o_totalprice"))
+    n = len(vals)
+    got = _rows(spark, sf_smoke, "stat_approx_percentile_contract")[0]
+    assert got["n_rows"] == n
+    for pct, col in ((50, "exact_p50"), (90, "exact_p90"), (99, "exact_p99")):
+        target = (n * pct + 99) // 100
+        assert got[col] == vals[target - 1], (pct, target)
+        assert got[f"p{pct}_within_bound"] is True
+
+
+def test_hll_monthly_merge_matches_python(spark, sf_smoke):
+    regs_by_month = collections.defaultdict(lambda: [0] * 64)
+    regs_global = [0] * 64
+    months = set()
+    for ck, od in _cols(sf_smoke, "orders", ["o_custkey", "o_orderdate"]):
+        hv = _md5_15(ck)
+        bucket, q = hv % 64, hv // 64
+        r = 55 if q == 0 else 55 - q.bit_length()
+        mi = od.year * 12 + od.month
+        months.add(mi)
+        regs_by_month[mi][bucket] = max(regs_by_month[mi][bucket], r)
+        regs_global[bucket] = max(regs_global[bucket], r)
+    merged = [max(m[b] for m in regs_by_month.values()) for b in range(64)]
+    sum_merged = sum(1 << (55 - m) for m in merged)
+    sum_single = sum(1 << (55 - m) for m in regs_global)
+    got = _rows(spark, sf_smoke, "stat_hll_monthly_merge")[0]
+    assert got["sum_scaled_merged"] == sum_merged
+    assert got["sum_scaled_single"] == sum_single
+    assert got["merge_lossless"] is True
+    assert got["n_sketches"] == len(months)
+
+
+def test_cms_heavyhitters_matches_python(spark, sf_smoke):
+    D, W = 4, 64
+    counters = collections.Counter()
+    truth = collections.Counter()
+    for (pk,) in _cols(sf_smoke, "lineitem", ["l_partkey"]):
+        truth[pk] += 1
+        for r in range(D):
+            counters[(r, _md5_15(f"{pk}|{r}") % W)] += 1
+    top = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = []
+    for pk, cnt in top:
+        est = min(counters[(r, _md5_15(f"{pk}|{r}") % W)] for r in range(D))
+        expect.append((pk, cnt, est, est - cnt, est >= cnt))
+    got = _rows(spark, sf_smoke, "stat_cms_part_heavyhitters")
+    assert [
+        (
+            r["l_partkey"],
+            r["true_cnt"],
+            r["est_cnt"],
+            r["overestimate"],
+            r["never_underestimates"],
+        )
+        for r in got
+    ] == expect
+
+
+def test_kmv_intersection_matches_python(spark, sf_smoke):
+    flags = {}
+    for ck, od in _cols(sf_smoke, "orders", ["o_custkey", "o_orderdate"]):
+        if od.year in (1996, 1997):
+            a, b = flags.get(ck, (0, 0))
+            flags[ck] = (a or od.year == 1996, b or od.year == 1997)
+    hashed = sorted((_md5_15(ck), int(a), int(b)) for ck, (a, b) in flags.items())
+    sketch = hashed[:256]
+    k_used = len(sketch)
+    kth_min = max(h for h, _a, _b in sketch)
+    n_both = sum(a * b for _h, a, b in sketch)
+    true_inter = sum(a * b for a, b in (map(int, v) for v in flags.values()))
+    true_union = len(flags)
+    got = _rows(spark, sf_smoke, "stat_kmv_intersection_years")[0]
+    assert (
+        got["k_used"],
+        got["kth_min"],
+        got["n_both"],
+        got["sketch_jaccard_ppm"],
+        got["true_inter"],
+        got["true_union"],
+        got["true_jaccard_ppm"],
+    ) == (
+        k_used,
+        kth_min,
+        n_both,
+        n_both * 1000000 // k_used,
+        true_inter,
+        true_union,
+        true_inter * 1000000 // true_union,
+    )
