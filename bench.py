@@ -175,6 +175,11 @@ EXTENSION_SUITE = (
     "local_supplier_volume_q5",
     "forecast_revenue_change_q6",
     "dedup_verified_keepers",
+    # round-7 widening: the two whose work scales with the fact stream
+    # (two-pass global shuffle ranking; the distinct-reduce retention
+    # triangle) — the rest are dim-/k-bounded downstream of one rollup
+    "docs_shuffle_order_digest",
+    "ev_retention_triangle",
 )
 
 

@@ -67,8 +67,11 @@ from .registry import REGISTRY, register
 # the round-7 additions in plans/wave7.py (imported last, appended after
 # every gated name): pricing_summary_q1, unshipped_topk_q3,
 # local_supplier_volume_q5, forecast_revenue_change_q6,
-# dedup_verified_keepers. Re-run tools/gate_rotation.py at the r08 round
-# start and paste its window here.
+# dedup_verified_keepers, docs_hash_sample_smallest_k,
+# docs_shuffle_order_digest, docs_rrf_rank_fusion, docs_curriculum_stages,
+# ev_retention_triangle, li_proportional_allocation (registry closes round
+# 7 at 378). Re-run tools/gate_rotation.py at the r08 round start and
+# paste its window here.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
     # round-7 window

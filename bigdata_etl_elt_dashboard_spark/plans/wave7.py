@@ -398,3 +398,321 @@ def dedup_verified_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cluster_id").alias("keeper_doc_id"), "n_members")
         .orderBy("keeper_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 widening: data-selection operators a training pipeline runs
+# between dedup and packing — deterministic sampling, global shuffle
+# order, rank fusion, curriculum staging, proportional allocation — plus
+# the classic weekly retention triangle on events. All exact-integer (the
+# one float, the RRF score, is two IEEE divisions of exact ints summed in
+# fixed order on both engines).
+# ---------------------------------------------------------------------------
+
+#: hash-sample size / RRF damping constant / curriculum stage count /
+#: proportional-allocation budget
+_HS_K = 64
+_RRF_K = 60
+_CURR_STAGES = 4
+_ALLOC_BUDGET = 1000
+
+_HV_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@register(
+    "docs_hash_sample_smallest_k",
+    oracle=f"""
+        SELECT doc_id, lang, source, {_HV_SQL} AS hv
+        FROM documents
+        ORDER BY hv, doc_id
+        LIMIT {_HS_K}
+    """,
+    doc=f"Deterministic uniform sample: the {_HS_K} documents with the "
+    "smallest md5(doc_id) hashes — the coordination-free distributed "
+    "sampling idiom (hash order is a uniform random order, fixed across "
+    "runs/engines/partitionings). At 100 TB this is a TakeOrdered: each "
+    "partition keeps its local k smallest, the driver merges k·n_part "
+    "candidates — no shuffle, no RNG state, and the sample is MERGEABLE "
+    "(the union of two tables' samples re-truncated to k is exactly the "
+    "sample of the union — same algebra as the KMV sketch).",
+)
+def docs_hash_sample_smallest_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    return (
+        docs.select("doc_id", "lang", "source", hv)
+        .orderBy("hv", "doc_id")
+        .limit(_HS_K)
+    )
+
+
+@register(
+    "docs_shuffle_order_digest",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY {_HV_SQL}, doc_id) AS rn
+            FROM documents)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(rn * (doc_id % 997)) AS BIGINT) AS order_digest,
+               CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+                   AS first_doc,
+               CAST(MIN(CASE WHEN rn = (SELECT COUNT(*) FROM documents)
+                             THEN doc_id END) AS BIGINT) AS last_doc
+        FROM pos
+    """,
+    doc="Deterministic global training-order shuffle, hash-gated: every "
+    "document gets a reproducible shuffle position (rank in md5-hash "
+    "order) and the gate pins the FULL permutation via a "
+    "position-weighted digest Σ rn·(doc_id mod 997) — any swap of two "
+    "positions changes the sum. The ranking runs through "
+    "operators/scale.global_rank (range-partitioned two-pass "
+    "row_number), NOT a bare unpartitioned window: at 100 TB the order "
+    "assignment stays fully parallel, which is exactly what a training "
+    "job needs to write shuffled shards without a single-task sort.",
+)
+def docs_shuffle_order_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import global_rank
+
+    docs = table(spark, sf_dir, "documents")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    pos = global_rank(
+        docs.select("doc_id", hv), ["hv", "doc_id"], out_col="rn"
+    ).transform(pin)
+    n = pos.agg(F.max("rn").alias("n")).collect()[0]["n"]
+    return pos.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("rn") * (F.col("doc_id") % 997)).alias("order_digest"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("first_doc"),
+        F.min(F.when(F.col("rn") == n, F.col("doc_id"))).alias("last_doc"),
+    )
+
+
+@register(
+    "docs_rrf_rank_fusion",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r1,
+                   ROW_NUMBER() OVER (ORDER BY {_HV_SQL}, doc_id) AS r2
+            FROM documents)
+        SELECT doc_id, lang, r1, r2,
+               1.0 / ({_RRF_K} + r1) + 1.0 / ({_RRF_K} + r2) AS rrf_score
+        FROM ranked
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 20
+    """,
+    doc=f"Reciprocal-rank fusion (k={_RRF_K}) of two retrieval orderings "
+    "— the standard training-data/result-merging combiner for rankings "
+    "on incomparable scales: a content-length prior (n_chars DESC) "
+    "fused with a hash-randomized exploration ranking. Ranks are exact "
+    "integers from totally-ordered windows (doc_id tie-breaks); the RRF "
+    "score is two IEEE divisions of exact integers summed left-to-right "
+    "— bit-identical on both engines, so the float ORDER BY is "
+    "gate-stable. Head is a TakeOrdered top-20. At scale the two "
+    "rankings route through scale.global_rank; the fusion itself is a "
+    "doc-keyed join of two rank columns.",
+)
+def docs_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+        .cast("long")
+        .alias("r1"),
+        F.row_number().over(Window.orderBy(hv.asc(), F.col("doc_id"))).cast("long").alias("r2"),
+    )
+    score = (
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r1")).cast("double")
+        + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r2")).cast("double")
+    ).alias("rrf_score")
+    return (
+        ranked.select("doc_id", "lang", "r1", "r2", score)
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "docs_curriculum_stages",
+    oracle=f"""
+        WITH pos AS (
+            SELECT n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+                   (SELECT COUNT(*) FROM documents) AS n
+            FROM documents)
+        SELECT CAST((rn - 1) * {_CURR_STAGES} // n + 1 AS BIGINT) AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM pos
+        GROUP BY stage
+        ORDER BY stage
+    """,
+    doc=f"Curriculum staging: split the corpus into {_CURR_STAGES} "
+    "equal-count difficulty stages (short → long documents) with the "
+    "EXACT rank formula stage = (rn−1)·S div n + 1 — the closed form of "
+    "NTILE that composes with the two-pass scale.global_rank instead of "
+    "an unpartitioned NTILE window (the single-task sort trap). Stage "
+    "boundaries are deterministic (doc_id tie-break), stage populations "
+    "differ by at most 1, and the per-stage char totals a data-mixture "
+    "planner consumes are exact BIGINTs.",
+)
+def docs_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import global_rank
+
+    docs = table(spark, sf_dir, "documents")
+    pos = global_rank(
+        docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"], out_col="rn"
+    ).transform(pin)
+    n = pos.agg(F.count("*").alias("n"))
+    # integer `div`, not true-division-then-cast: / routes through DOUBLE,
+    # which stops being exact past 2^53 — rank products get there at scale
+    stage = (F.expr(f"(rn - 1) * {_CURR_STAGES} div n") + 1).alias("stage")
+    return (
+        pos.join(F.broadcast(n))
+        .select(stage, "n_chars")
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("stage")
+    )
+
+
+@register(
+    "ev_retention_triangle",
+    oracle="""
+        WITH uw AS MATERIALIZED (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+            FROM events),
+        cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id)
+        SELECT c.cohort_wk,
+               CAST(datediff('day', c.cohort_wk, uw.wk) // 7 AS BIGINT) AS k,
+               CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_active
+        FROM uw JOIN cohort c ON uw.user_id = c.user_id
+        WHERE datediff('day', c.cohort_wk, uw.wk) // 7 <= 5
+        GROUP BY c.cohort_wk, k
+        ORDER BY c.cohort_wk, k
+    """,
+    doc="Weekly retention triangle: users cohorted by first-active week; "
+    "for offsets k=0..5, how many of each cohort were active in "
+    "cohort_week+k. The product-analytics matrix behind every retention "
+    "curve. Exact: distinct (user, week) reduces the fact stream first "
+    "(bounded by users × calendar), the cohort frame is one keyed MIN, "
+    "and k is integer day-difference floor-divided by 7 on both engines "
+    "(both week-truncations are ISO-Monday). k=0 is the cohort size, so "
+    "retention ratios are derivable without a second query.",
+)
+def ev_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    uw = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("wk"),
+        )
+        .distinct()
+        .transform(pin)
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    k = F.expr("datediff(wk, cohort_wk) div 7").alias("k")
+    return (
+        uw.join(cohort, "user_id")
+        .select("cohort_wk", k, "user_id")
+        .filter(F.col("k") <= 5)
+        .groupBy("cohort_wk", "k")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .orderBy("cohort_wk", "k")
+    )
+
+
+@register(
+    "li_proportional_allocation",
+    oracle=f"""
+        WITH strata AS MATERIALIZED (
+            SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_h
+            FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        tot AS (SELECT CAST(SUM(n_h) AS BIGINT) AS n FROM strata),
+        quota AS (
+            SELECT l_returnflag, l_linestatus, n_h,
+                   n_h * {_ALLOC_BUDGET} // n AS base,
+                   (n_h * {_ALLOC_BUDGET}) % n AS rem
+            FROM strata, tot),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (ORDER BY rem DESC, l_returnflag,
+                                      l_linestatus) AS rr,
+                   (SELECT SUM(base) FROM quota) AS base_sum
+            FROM quota)
+        SELECT l_returnflag, l_linestatus, n_h,
+               CAST(base + CASE WHEN rr <= {_ALLOC_BUDGET} - base_sum
+                                THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM ranked
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc=f"Proportional stratified-sample allocation with largest-"
+    f"remainder rounding: a budget of {_ALLOC_BUDGET} sample slots "
+    "split across (returnflag, linestatus) strata so that every "
+    "stratum gets floor(B·N_h/N) and the leftover slots go to the "
+    "largest remainders (deterministic stratum-key tie-break). "
+    "Σ alloc = B exactly — the property naive per-stratum rounding "
+    "loses. All integer arithmetic (scaled floor division, modular "
+    "remainders, rank over a ≤6-row frame); the stratum frame is one "
+    "partial-aggregatable rollup, everything downstream is "
+    "dim-bounded.",
+)
+def li_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    strata = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_h"))
+        .transform(pin)
+    )
+    tot = strata.agg(F.sum("n_h").alias("n"))
+    quota = strata.join(F.broadcast(tot)).select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_h",
+        F.expr(f"n_h * {_ALLOC_BUDGET} div n").alias("base"),
+        ((F.col("n_h") * _ALLOC_BUDGET) % F.col("n")).alias("rem"),
+    )
+    w = Window.orderBy(F.desc("rem"), "l_returnflag", "l_linestatus")
+    ranked = quota.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("rr"),
+        F.sum("base").over(Window.partitionBy()).alias("base_sum"),
+    )
+    return ranked.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_h",
+        (
+            F.col("base")
+            + F.when(
+                F.col("rr") <= F.lit(_ALLOC_BUDGET) - F.col("base_sum"), 1
+            ).otherwise(0)
+        ).alias("alloc"),
+    ).orderBy("l_returnflag", "l_linestatus")

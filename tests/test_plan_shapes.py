@@ -496,6 +496,11 @@ _BNLJ_BOUNDED_OK = {
     "stat_kmv_intersection_years",  # 1-row truth scalar crossed onto sketch
     "stat_mad_robust_outlier_days",  # two 1-row median scalars broadcast
     "trend_backtest_snaive_mase",  # two 1-row error-sum scalars crossed
+    # round-7: 1-row corpus-count scalar broadcast onto the ranked frame
+    # (the NTILE closed form needs n next to every rank)
+    "docs_curriculum_stages",
+    # 1-row stratum-total scalar onto the ≤6-row stratum frame
+    "li_proportional_allocation",
     # 7-row lag frame crossed onto the calendar-bounded daily frame plus a
     # 1-row moment scalar crossed with the 1-row lag pivot
     "stat_ljung_box_weekly",

@@ -3850,3 +3850,117 @@ def test_kmv_intersection_matches_python(spark, sf_smoke):
         true_union,
         true_inter * 1000000 // true_union,
     )
+
+
+# --- round-7 widening audits (sampling / ordering / staging / retention /
+# allocation, plans/wave7.py) ----------------------------------------------
+
+
+def test_hash_sample_and_shuffle_order_match_python(spark, sf_smoke):
+    docs = _cols(sf_smoke, "documents", ["doc_id", "lang", "source"])
+    hv = {d: _md5_15(d) for d, _l, _s in docs}
+    by_hash = sorted(docs, key=lambda r: (hv[r[0]], r[0]))
+    got = _rows(spark, sf_smoke, "docs_hash_sample_smallest_k")
+    assert [(r["doc_id"], r["lang"], r["source"], r["hv"]) for r in got] == [
+        (d, lg, s, hv[d]) for d, lg, s in by_hash[:64]
+    ]
+
+    n = len(by_hash)
+    digest = sum((i + 1) * (d % 997) for i, (d, _l, _s) in enumerate(by_hash))
+    row = _rows(spark, sf_smoke, "docs_shuffle_order_digest")[0]
+    assert (
+        row["n_docs"],
+        row["order_digest"],
+        row["first_doc"],
+        row["last_doc"],
+    ) == (n, digest, by_hash[0][0], by_hash[-1][0])
+
+
+def test_rrf_rank_fusion_matches_python(spark, sf_smoke):
+    docs = _cols(sf_smoke, "documents", ["doc_id", "lang", "n_chars"])
+    r1 = {
+        d: i + 1
+        for i, (d, _l, _c) in enumerate(
+            sorted(docs, key=lambda r: (-r[2], r[0]))
+        )
+    }
+    r2 = {
+        d: i + 1
+        for i, (d, _l, _c) in enumerate(
+            sorted(docs, key=lambda r: (_md5_15(r[0]), r[0]))
+        )
+    }
+    scored = sorted(
+        ((d, lg, r1[d], r2[d], 1.0 / (60 + r1[d]) + 1.0 / (60 + r2[d])) for d, lg, _c in docs),
+        key=lambda t: (-t[4], t[0]),
+    )[:20]
+    got = _rows(spark, sf_smoke, "docs_rrf_rank_fusion")
+    assert [
+        (r["doc_id"], r["lang"], r["r1"], r["r2"], r["rrf_score"]) for r in got
+    ] == scored
+
+
+def test_curriculum_stages_matches_python(spark, sf_smoke):
+    docs = sorted(
+        _cols(sf_smoke, "documents", ["doc_id", "n_chars"]),
+        key=lambda r: (r[1], r[0]),
+    )
+    n = len(docs)
+    stages = collections.defaultdict(list)
+    for i, (_d, c) in enumerate(docs):
+        stages[i * 4 // n + 1].append(c)
+    got = _rows(spark, sf_smoke, "docs_curriculum_stages")
+    assert [
+        (r["stage"], r["n_docs"], r["min_chars"], r["max_chars"], r["sum_chars"])
+        for r in got
+    ] == [
+        (s, len(cs), min(cs), max(cs), sum(cs)) for s, cs in sorted(stages.items())
+    ]
+    # equal-count property: populations differ by at most 1
+    sizes = [len(cs) for cs in stages.values()]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_retention_triangle_matches_python(spark, sf_smoke):
+    import datetime
+
+    uw = set()
+    for uid, ts in _cols(sf_smoke, "events", ["user_id", "ts"]):
+        day = ts.date() if hasattr(ts, "date") else ts
+        wk = day - datetime.timedelta(days=day.weekday())  # ISO Monday
+        uw.add((uid, wk))
+    cohort = {}
+    for uid, wk in uw:
+        cohort[uid] = min(cohort.get(uid, wk), wk)
+    tri = collections.Counter()
+    for uid, wk in uw:
+        k = (wk - cohort[uid]).days // 7
+        if k <= 5:
+            tri[(cohort[uid], k)] += 1
+    got = _rows(spark, sf_smoke, "ev_retention_triangle")
+    assert [(r["cohort_wk"], r["k"], r["n_active"]) for r in got] == [
+        (cw, k, n) for (cw, k), n in sorted(tri.items())
+    ]
+
+
+def test_proportional_allocation_matches_python(spark, sf_smoke):
+    strata = collections.Counter(
+        (rf, ls)
+        for rf, ls in _cols(sf_smoke, "lineitem", ["l_returnflag", "l_linestatus"])
+    )
+    n = sum(strata.values())
+    B = 1000
+    rows = []
+    for (rf, ls), n_h in strata.items():
+        rows.append([rf, ls, n_h, n_h * B // n, (n_h * B) % n])
+    base_sum = sum(r[3] for r in rows)
+    leftover = B - base_sum
+    for i, r in enumerate(sorted(rows, key=lambda r: (-r[4], r[0], r[1]))):
+        if i < leftover:
+            r[3] += 1
+    expect = sorted(((rf, ls, n_h, a) for rf, ls, n_h, a, _rem in rows))
+    got = _rows(spark, sf_smoke, "li_proportional_allocation")
+    assert [
+        (r["l_returnflag"], r["l_linestatus"], r["n_h"], r["alloc"]) for r in got
+    ] == expect
+    assert sum(r["alloc"] for r in got) == B
