@@ -62,6 +62,18 @@ _QUERIES = [
     "li_pareto_cum_share",  # ordered cumulative vs window totals
     "stat_weekly_dft_power",  # literal weight table + exact projections
     "scale_zorder_file_skipping",  # global NTILE total orders, bit ops
+    # round 7: the composed verify->CC pipeline (pinned shingle stream,
+    # iterative min-label loop), the two-pass shuffle-order digest whose
+    # permutation must not depend on partitioning, the NTILE closed form
+    # over global_rank, the fixed-order IEEE RRF score, the q1 8-aggregate
+    # single-shuffle rollup, and the largest-remainder allocation whose
+    # leftover ranking is a total order
+    "dedup_verified_keepers",
+    "docs_shuffle_order_digest",
+    "docs_curriculum_stages",
+    "docs_rrf_rank_fusion",
+    "pricing_summary_q1",
+    "li_proportional_allocation",
 ]
 
 

@@ -817,6 +817,77 @@ def test_running_type_counts_v2_plan_and_exec(spark, tmp_path):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_running_type_counts_v2_state_survives_restart(spark, tmp_path):
+    """transformWithStateInPandas checkpoint recovery: MapState must carry
+    per-(user, type) counts ACROSS query restarts — a second availableNow
+    run over newly-arrived files resumes from the RocksDB checkpoint and
+    emits cumulative totals, not batch-local ones. This is the lifetime-
+    aggregate semantics the v2 processor exists for (and what the shim's
+    wire protocol must get right across sessions of state-server calls)."""
+    from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
+        _protobuf_available,
+        running_type_counts,
+    )
+
+    if not _protobuf_available():
+        pytest.xfail("no protobuf runtime (real or vendored shim)")
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(qname):
+        # foreachBatch, not the memory sink: memory-sink queries refuse to
+        # RESTART from an existing checkpoint (not fault-tolerant); the
+        # recovery semantics under test need a recoverable sink
+        emitted: dict = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                emitted[(r["user_id"], r["event_type"])] = r["n"]
+
+        stream = spark.readStream.schema(ev_schema).parquet(src)
+        q = (
+            running_type_counts(stream)
+            .writeStream.foreachBatch(sink)
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return emitted
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        write([(1, t0, "view"), (1, t0, "click"), (2, t0, "view")])
+        first = run("tc_v2_run1")
+        assert first == {(1, "view"): 1, (1, "click"): 1, (2, "view"): 1}
+
+        # restart over new arrivals: counts must ACCUMULATE from state
+        write([(1, t0, "view"), (2, t0, "view"), (2, t0, "purchase")])
+        second = run("tc_v2_run2")
+        assert second == {(1, "view"): 2, (2, "view"): 2, (2, "purchase"): 1}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_binary_file_ingestion_to_decode(spark, tmp_path):
     """binaryFile landing → multimodal decode end-to-end from DISK: the
     object-store ingestion path for media. Glob filtering prunes at the
