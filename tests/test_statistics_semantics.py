@@ -3964,3 +3964,75 @@ def test_proportional_allocation_matches_python(spark, sf_smoke):
         (r["l_returnflag"], r["l_linestatus"], r["n_h"], r["alloc"]) for r in got
     ] == expect
     assert sum(r["alloc"] for r in got) == B
+
+
+def test_rank_migration_matches_python(spark, sf_smoke):
+    rev = collections.defaultdict(int)
+    omap = {}
+    cnat = dict(_cols(sf_smoke, "customer", ["c_custkey", "c_nationkey"]))
+    nname = dict(_cols(sf_smoke, "nation", ["n_nationkey", "n_name"]))
+    for ok, oc, od in _cols(sf_smoke, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]):
+        if od.year in (1996, 1997):
+            omap[ok] = (nname[cnat[oc]], od.year)
+    for ok, ep in _cols(sf_smoke, "lineitem", ["l_orderkey", "l_extendedprice"]):
+        if ok in omap:
+            rev[omap[ok]] += _r(ep * 100)
+    ranks = {}
+    for yr in (1996, 1997):
+        ordered = sorted(
+            ((n, v) for (n, y), v in rev.items() if y == yr),
+            key=lambda t: (-t[1], t[0]),
+        )
+        for i, (n, v) in enumerate(ordered):
+            ranks[(n, yr)] = (i + 1, v)
+    expect = sorted(
+        (
+            (
+                n,
+                ranks[(n, 1996)][1],
+                ranks[(n, 1997)][1],
+                ranks[(n, 1996)][0],
+                ranks[(n, 1997)][0],
+                ranks[(n, 1996)][0] - ranks[(n, 1997)][0],
+            )
+            for (n, y) in ranks
+            if y == 1996 and (n, 1997) in ranks
+        ),
+        key=lambda t: (-t[5], t[0]),
+    )
+    got = _rows(spark, sf_smoke, "nation_revenue_rank_migration")
+    assert [
+        (
+            r["n_name"],
+            r["rev_1996"],
+            r["rev_1997"],
+            r["rank_1996"],
+            r["rank_1997"],
+            r["rank_gain"],
+        )
+        for r in got
+    ] == expect
+
+
+def test_column_profile_wide_matches_python(spark, sf_smoke):
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    data = _cols(sf_smoke, "orders", cols)
+    expect = []
+    for i, cname in enumerate(cols):
+        vals = [row[i] for row in data]
+        nonnull = [v for v in vals if v is not None]
+        lens = [len(str(v)) for v in nonnull]
+        expect.append(
+            (
+                cname,
+                len(set(nonnull)),
+                sum(1 for v in vals if v is None),
+                min(lens),
+                max(lens),
+            )
+        )
+    got = _rows(spark, sf_smoke, "dq_column_profile_wide")
+    assert [
+        (r["col_name"], r["n_distinct"], r["n_null"], r["min_len"], r["max_len"])
+        for r in got
+    ] == sorted(expect)
