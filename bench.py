@@ -180,6 +180,7 @@ EXTENSION_SUITE = (
     # triangle) — the rest are dim-/k-bounded downstream of one rollup
     "docs_shuffle_order_digest",
     "ev_retention_triangle",
+    "stat_cross_correlation_lags",
 )
 
 

@@ -69,8 +69,9 @@ from .registry import REGISTRY, register
 # local_supplier_volume_q5, forecast_revenue_change_q6,
 # dedup_verified_keepers, docs_hash_sample_smallest_k,
 # docs_shuffle_order_digest, docs_rrf_rank_fusion, docs_curriculum_stages,
-# ev_retention_triangle, li_proportional_allocation (registry closes round
-# 7 at 378). Re-run tools/gate_rotation.py at the r08 round start and
+# ev_retention_triangle, li_proportional_allocation,
+# stat_cross_correlation_lags (registry closes round 7 at 379). Re-run
+# tools/gate_rotation.py at the r08 round start and
 # paste its window here.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [

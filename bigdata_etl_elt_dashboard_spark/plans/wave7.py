@@ -716,3 +716,86 @@ def li_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("alloc"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+@register(
+    "stat_cross_correlation_lags",
+    oracle="""
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS y
+            FROM orders GROUP BY day),
+        pairs AS (
+            SELECT k.k, a.x, b.y
+            FROM range(4) k(k)
+            JOIN daily a ON TRUE
+            JOIN daily b ON b.day = a.day + INTERVAL (k.k) DAY),
+        m AS (
+            SELECT k,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                   CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                   CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+            FROM pairs GROUP BY k)
+        SELECT CAST(k AS BIGINT) AS lag, n AS n_days,
+               (CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE))
+               / sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                      * CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))
+                   AS ccf
+        FROM m ORDER BY lag
+    """,
+    doc="Lead-lag CROSS-correlation function: Pearson r between today's "
+    "order VOLUME and the total order VALUE k days later, for lags "
+    "k=0..3 — the time-series diagnostic behind 'does demand volume "
+    "lead revenue?'. Each lag's moments (n, Σx, Σy, Σxx, Σyy, Σxy) are "
+    "exact integers promoted to DECIMAL(38,0)/HUGEINT BEFORE any "
+    "product (the statistics-module overflow convention — daily cents "
+    "squared passes 2^63 near sf1), and each correlation is the "
+    "closed-form ratio evaluated in ONE fixed double sequence. The "
+    "daily frame is pinned and scanned once; the ≤4-row lag frame "
+    "broadcasts (bounded fan-out); pair alignment is a date-keyed "
+    "equi-join, so the whole CCF costs one rollup + one bounded join "
+    "regardless of SF.",
+)
+def stat_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"),
+        )
+        .transform(pin)
+    )
+    lags = spark.range(4).select(F.col("id").cast("int").alias("k"))
+    a = daily.select("day", "x")
+    b = daily.select(F.col("day").alias("day2"), "y")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("date_add(day, k)") == F.col("day2"))
+        .select("k", F.col("x").cast(dec).alias("x"), F.col("y").cast(dec).alias("y"))
+    )
+    m = pairs.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast(dec)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        F.col("k").cast("long").alias("lag"),
+        F.col("n").alias("n_days"),
+        (num / den).alias("ccf"),
+    ).orderBy("lag")

@@ -74,6 +74,7 @@ _QUERIES = [
     "docs_rrf_rank_fusion",
     "pricing_summary_q1",
     "li_proportional_allocation",
+    "stat_cross_correlation_lags",  # D38 moments, fixed-order terminal doubles
 ]
 
 

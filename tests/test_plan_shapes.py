@@ -501,6 +501,9 @@ _BNLJ_BOUNDED_OK = {
     "docs_curriculum_stages",
     # 1-row stratum-total scalar onto the ≤6-row stratum frame
     "li_proportional_allocation",
+    # 4-row lag frame crossed onto the calendar-bounded daily frame
+    # before the date-keyed equi-join back (bounded 4x fan-out)
+    "stat_cross_correlation_lags",
     # 7-row lag frame crossed onto the calendar-bounded daily frame plus a
     # 1-row moment scalar crossed with the 1-row lag pivot
     "stat_ljung_box_weekly",

@@ -4036,3 +4036,34 @@ def test_column_profile_wide_matches_python(spark, sf_smoke):
         (r["col_name"], r["n_distinct"], r["n_null"], r["min_len"], r["max_len"])
         for r in got
     ] == sorted(expect)
+
+
+def test_cross_correlation_lags_matches_python(spark, sf_smoke):
+    import math
+
+    daily = collections.defaultdict(lambda: [0, 0])
+    for od, tp in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        d = daily[od.date()]
+        d[0] += 1
+        d[1] += _r(tp * 100)
+    got = _rows(spark, sf_smoke, "stat_cross_correlation_lags")
+    import datetime
+
+    for row in got:
+        k = row["lag"]
+        xs, ys = [], []
+        for day, (x, _y) in daily.items():
+            nxt = daily.get(day + datetime.timedelta(days=k))
+            if nxt is not None:
+                xs.append(x)
+                ys.append(nxt[1])
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        ref = (n * sxy - sx * sy) / math.sqrt(
+            float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+        )
+        assert row["n_days"] == n
+        assert abs(row["ccf"] - ref) < 1e-9, k
