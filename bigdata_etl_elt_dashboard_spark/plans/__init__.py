@@ -70,7 +70,8 @@ from .registry import REGISTRY, register
 # dedup_verified_keepers, docs_hash_sample_smallest_k,
 # docs_shuffle_order_digest, docs_rrf_rank_fusion, docs_curriculum_stages,
 # ev_retention_triangle, li_proportional_allocation,
-# stat_cross_correlation_lags (registry closes round 7 at 379). Re-run
+# stat_cross_correlation_lags, trend_haar_wavelet_energy,
+# stat_weighted_quartiles_unit_price (registry closes round 7 at 381). Re-run
 # tools/gate_rotation.py at the r08 round start and
 # paste its window here.
 # ---------------------------------------------------------------------------

@@ -799,3 +799,170 @@ def stat_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         (num / den).alias("ccf"),
     ).orderBy("lag")
+
+
+def _haar_oracle() -> str:
+    """Build the 6-level Haar pyramid as explicit CTE levels (standard SQL
+    forbids aggregation inside a recursive term, so the pyramid unrolls)."""
+    parts = [
+        """
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders GROUP BY day),
+        l0 AS MATERIALIZED (
+            SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS i, v AS a
+            FROM daily ORDER BY day LIMIT 64)
+        """
+    ]
+    for lvl in range(1, 7):
+        prev = f"l{lvl - 1}"
+        parts.append(
+            f""",
+        l{lvl} AS MATERIALIZED (
+            SELECT i // 2 AS i,
+                   CAST(SUM(a) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN i % 2 = 0 THEN a ELSE -a END)
+                        AS BIGINT) AS d
+            FROM {prev} GROUP BY i // 2)
+            """
+        )
+    energies = "\n            UNION ALL\n".join(
+        f"""
+            SELECT CAST({lvl} AS BIGINT) AS level,
+                   CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+                   CAST(CAST(SUM(CAST(d AS HUGEINT) * d) AS HUGEINT)
+                        AS DOUBLE) AS detail_energy
+            FROM l{lvl}"""
+        for lvl in range(1, 7)
+    )
+    return "".join(parts) + f"\n        SELECT * FROM ({energies}) ORDER BY level"
+
+
+@register(
+    "trend_haar_wavelet_energy",
+    oracle=_haar_oracle(),
+    doc="Haar wavelet MULTI-RESOLUTION energy decomposition of the first "
+    "64 order days' revenue: six pyramid levels of unnormalized pairwise "
+    "sums (approximation) and differences (detail), with the per-level "
+    "detail energy Σd² — where the series' variance lives by time scale "
+    "(2-day churn vs 64-day regime), the multi-scale complement to the "
+    "single-frequency DFT readout. Unnormalized Haar keeps EVERY "
+    "coefficient an exact integer (sums/differences of daily cents — no "
+    "√2 normalization, the per-level scale factor is documented 2^l); "
+    "energies promote to DECIMAL(38,0)/HUGEINT before squaring (daily "
+    "cents squared passes 2^63 already at sf0.1) and the exact integer "
+    "converts ONCE to the same nearest double on both engines. Spark builds the pyramid as 6 "
+    "keyed pair-reductions over pinned ≤64-row frames — the bounded "
+    "iterative-frame shape; at a 100 TB series the same loop runs over "
+    "the day-keyed rollup, whose size is calendar-bounded.",
+)
+def trend_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
+    )
+    base = (
+        daily.orderBy("day")
+        .limit(64)
+        .select(
+            (F.row_number().over(Window.orderBy("day")) - 1).alias("i"),
+            F.col("v").alias("a"),
+        )
+        .transform(pin)
+    )
+    cur = base
+    outs = []
+    for lvl in range(1, 7):
+        nxt = (
+            cur.groupBy(F.expr("i div 2").alias("i"))
+            .agg(
+                F.sum("a").alias("a"),
+                F.sum(
+                    F.when(F.col("i") % 2 == 0, F.col("a")).otherwise(-F.col("a"))
+                ).alias("d"),
+            )
+            .transform(pin)
+        )
+        outs.append(
+            nxt.agg(
+                F.lit(lvl).cast("long").alias("level"),
+                F.count("*").alias("n_coeffs"),
+                F.sum(F.col("d").cast(dec) * F.col("d"))
+                .cast("double")
+                .alias("detail_energy"),
+            )
+        )
+        cur = nxt.select("i", "a")
+    res = outs[0]
+    for f in outs[1:]:
+        res = res.unionAll(f)
+    return res.orderBy("level")
+
+
+@register(
+    "stat_weighted_quartiles_unit_price",
+    oracle="""
+        WITH vals AS MATERIALIZED (
+            SELECT CAST(ROUND(l_extendedprice * 100 / l_quantity) AS BIGINT)
+                       AS v,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS w
+            FROM lineitem GROUP BY v),
+        cum AS (
+            SELECT v, w,
+                   SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c,
+                   SUM(w) OVER () AS tot
+            FROM vals)
+        SELECT CAST(MAX(tot) AS BIGINT) AS total_weight,
+               CAST(MIN(CASE WHEN c * 4 >= tot THEN v END) AS BIGINT)
+                   AS wq25_cents,
+               CAST(MIN(CASE WHEN c * 2 >= tot THEN v END) AS BIGINT)
+                   AS wmedian_cents,
+               CAST(MIN(CASE WHEN c * 4 >= tot * 3 THEN v END) AS BIGINT)
+                   AS wq75_cents
+        FROM cum
+    """,
+    doc="QUANTITY-WEIGHTED quartiles of the observed unit price: each "
+    "distinct unit price carries its total shipped quantity as weight, "
+    "and the weighted q-quantile is the smallest price whose cumulative "
+    "weight reaches q of the total — selected by exact integer "
+    "cross-multiplication (c·4 ≥ tot, never a float fraction). The "
+    "difference from the unweighted group quantiles: a price shipped in "
+    "bulk pulls the quantiles toward it, the inventory-weighted 'typical "
+    "unit price' a pricing dashboard actually wants. One "
+    "partial-aggregatable rollup to the value-bounded (price, weight) "
+    "grid, then a cumulative window over that bounded frame — the fact "
+    "stream is never sorted.",
+)
+def stat_weighted_quartiles_unit_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    v = F.round(F.col("l_extendedprice") * 100 / F.col("l_quantity")).cast("long")
+    vals = (
+        li.groupBy(v.alias("v"))
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("w"))
+        .transform(pin)
+    )
+    cum = vals.select(
+        "v",
+        F.sum("w")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("c"),
+        F.sum("w").over(Window.partitionBy()).alias("tot"),
+    )
+    return cum.agg(
+        F.max("tot").alias("total_weight"),
+        F.min(F.when(F.col("c") * 4 >= F.col("tot"), F.col("v"))).alias("wq25_cents"),
+        F.min(F.when(F.col("c") * 2 >= F.col("tot"), F.col("v"))).alias(
+            "wmedian_cents"
+        ),
+        F.min(F.when(F.col("c") * 4 >= F.col("tot") * 3, F.col("v"))).alias(
+            "wq75_cents"
+        ),
+    )

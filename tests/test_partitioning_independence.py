@@ -75,6 +75,8 @@ _QUERIES = [
     "pricing_summary_q1",
     "li_proportional_allocation",
     "stat_cross_correlation_lags",  # D38 moments, fixed-order terminal doubles
+    "trend_haar_wavelet_energy",  # 6 pinned pair-reduction levels
+    "stat_weighted_quartiles_unit_price",  # cumulative-weight selection
 ]
 
 

@@ -4067,3 +4067,45 @@ def test_cross_correlation_lags_matches_python(spark, sf_smoke):
         )
         assert row["n_days"] == n
         assert abs(row["ccf"] - ref) < 1e-9, k
+
+
+def test_haar_wavelet_energy_matches_python(spark, sf_smoke):
+    daily = collections.defaultdict(int)
+    for od, tp in _cols(sf_smoke, "orders", ["o_orderdate", "o_totalprice"]):
+        daily[od.date()] += _r(tp * 100)
+    series = [daily[d] for d in sorted(daily)][:64]
+    assert len(series) == 64
+    got = _rows(spark, sf_smoke, "trend_haar_wavelet_energy")
+    cur = series
+    for lvl in range(1, 7):
+        nxt = [cur[2 * i] + cur[2 * i + 1] for i in range(len(cur) // 2)]
+        det = [cur[2 * i] - cur[2 * i + 1] for i in range(len(cur) // 2)]
+        row = got[lvl - 1]
+        assert row["level"] == lvl
+        assert row["n_coeffs"] == len(det) == 64 >> lvl
+        assert row["detail_energy"] == float(sum(d * d for d in det))
+        cur = nxt
+
+
+def test_weighted_quartiles_matches_python(spark, sf_smoke):
+    w = collections.Counter()
+    for ep, q in _cols(sf_smoke, "lineitem", ["l_extendedprice", "l_quantity"]):
+        w[_r(ep * 100 / q)] += _r(q)
+    tot = sum(w.values())
+    qs = {}
+    c = 0
+    for v in sorted(w):
+        c += w[v]
+        if "q25" not in qs and c * 4 >= tot:
+            qs["q25"] = v
+        if "q50" not in qs and c * 2 >= tot:
+            qs["q50"] = v
+        if "q75" not in qs and c * 4 >= tot * 3:
+            qs["q75"] = v
+    got = _rows(spark, sf_smoke, "stat_weighted_quartiles_unit_price")[0]
+    assert (
+        got["total_weight"],
+        got["wq25_cents"],
+        got["wmedian_cents"],
+        got["wq75_cents"],
+    ) == (tot, qs["q25"], qs["q50"], qs["q75"])
