@@ -160,3 +160,71 @@ def running_type_counts(events_stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+LAST_K_SCHEMA = "user_id long, n_events long, last_values array<double>"
+
+
+def running_last_k_values(events_stream: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user lifetime event count + the LAST ``k`` event values in
+    arrival order — the bounded-recency feature ("most recent purchases")
+    behind RFM-style scoring and next-event models, carried across
+    micro-batches.
+
+    Arbitrary-state-v2 form using BOTH typed state kinds the MapState twin
+    (``running_type_counts``) does not: a ValueState for the lifetime
+    counter and a ListState holding at most ``k`` (ts-ordered within each
+    batch's arrival order) values — the list is truncated on every update,
+    so state per user is O(k) regardless of stream length. Exercises the
+    protocol surface ListState rides on (list-get iterators with paged
+    fetches, put-with-truncation) on top of ValueState get/update.
+
+    ``outputMode("update")``: each batch emits one changelog row per user
+    it touched. Batch twin: per user — COUNT(*) plus the k latest values
+    by (ts, event_id) — asserted by the recovery test."""
+
+    def build(k_cap: int):
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class LastK(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._n = handle.getValueState("n", "n long")
+                self._vals = handle.getListState("vals", "v double")
+
+            def handleInputRows(
+                self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+            ) -> Iterator[pd.DataFrame]:
+                incoming: list[tuple] = []
+                n_new = 0
+                for pdf in rows:
+                    ordered = pdf.sort_values(["ts", "event_id"])
+                    n_new += len(ordered)
+                    incoming.extend((float(v),) for v in ordered["value"])
+                prev = self._n.get()
+                n = (prev[0] if prev else 0) + n_new
+                self._n.update((n,))
+                kept = list(self._vals.get()) + incoming
+                kept = kept[-k_cap:]
+                self._vals.put(kept)  # overwrite: state stays O(k)
+                yield pd.DataFrame(
+                    {
+                        "user_id": pd.Series([key[0]], dtype="int64"),
+                        "n_events": pd.Series([n], dtype="int64"),
+                        "last_values": pd.Series([[v[0] for v in kept]]),
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return LastK()
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=build(k),
+        outputStructType=LAST_K_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -888,6 +888,77 @@ def test_running_type_counts_v2_state_survives_restart(spark, tmp_path):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+def test_running_last_k_v2_list_and_value_state(spark, tmp_path):
+    """transformWithStateInPandas with ValueState + ListState (the two
+    typed state kinds the MapState twin doesn't touch): per-user lifetime
+    count and the last-3 values, truncated in state (O(k) per user), must
+    accumulate across TWO availableNow runs of one checkpoint and match
+    the batch twin (count + 3 latest values by (ts, event_id))."""
+    from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
+        _protobuf_available,
+        running_last_k_values,
+    )
+
+    if not _protobuf_available():
+        pytest.xfail("no protobuf runtime (real or vendored shim)")
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(qname):
+        emitted: dict = {}
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                emitted[r["user_id"]] = (r["n_events"], list(r["last_values"]))
+
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+        q = (
+            running_last_k_values(stream, k=3)
+            .writeStream.foreachBatch(sink)
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return emitted
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        write(
+            [
+                (1, t0, 1, 1.0),
+                (2, t0 + dt.timedelta(minutes=1), 1, 2.0),
+                (3, t0 + dt.timedelta(minutes=2), 2, 9.0),
+            ]
+        )
+        first = run("lastk_run1")
+        assert first == {1: (2, [1.0, 2.0]), 2: (1, [9.0])}
+
+        # restart: list state must truncate to the 3 NEWEST values
+        write(
+            [
+                (4, t0 + dt.timedelta(minutes=3), 1, 3.0),
+                (5, t0 + dt.timedelta(minutes=4), 1, 4.0),
+            ]
+        )
+        second = run("lastk_run2")
+        assert second == {1: (4, [2.0, 3.0, 4.0])}  # 1.0 aged out; user 2 untouched
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_binary_file_ingestion_to_decode(spark, tmp_path):
     """binaryFile landing → multimodal decode end-to-end from DISK: the
     object-store ingestion path for media. Glob filtering prunes at the
