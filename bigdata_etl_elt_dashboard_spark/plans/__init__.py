@@ -62,71 +62,75 @@ from .registry import REGISTRY, register
 # dq_column_profile_wide, sim_ann_multiprobe_gain,
 # wh_write_audit_publish_digest, ev_ab_power_mde).
 #
-# ROUND-8 ROTATION PLAN: the never-gated remainder after this round is the
-# 12 tool-computed tail entries plus the 6 deferred above (~18 rows) plus
-# the round-7 additions in plans/wave7.py (imported last, appended after
-# every gated name): pricing_summary_q1, unshipped_topk_q3,
-# local_supplier_volume_q5, forecast_revenue_change_q6,
-# dedup_verified_keepers, docs_hash_sample_smallest_k,
-# docs_shuffle_order_digest, docs_rrf_rank_fusion, docs_curriculum_stages,
-# ev_retention_triangle, li_proportional_allocation,
-# stat_cross_correlation_lags, trend_haar_wavelet_energy,
-# stat_weighted_quartiles_unit_price (registry closes round 7 at 381). Re-run
-# tools/gate_rotation.py at the r08 round start and
-# paste its window here.
+# ROUND-8 WINDOW (this round): per the r07 verdict task 1 — close the gate
+# backlog for good. Entries 1-32 are the full never-gated oracle-backed
+# remainder from `tools/gate_rotation.py` (18 wave6 tail incl. the 6
+# r07-deferred + the 14 wave7 additions). Entries 33-50 are re-gates of the
+# oldest formula-heavy green rows whose last driver word is r01/r02 (5+
+# refactor rounds old): the MinHash/LSH/Jaccard/SimHash/embedding dedup
+# chain, cosine similarity pair/top-k, TF-IDF/fingerprint/lang-id/quality
+# text family, RFM/deciles/IQR/histogram/cohort statistics. After this
+# round every oracle-backed registry query has a green driver row and the
+# never-gated set is exactly the 3 rows-only digest-twinned originals.
+#
+# ROUND-9 ROTATION PLAN: never-gated oracle-backed remainder = any round-8
+# additions (plans/wave8.py, imported last) — gate those first, then fill
+# remaining slots with re-gates of the next-oldest standing green rows
+# (r02-era star/transform/event families, then r03 source/corpus rows).
+# Re-run tools/gate_rotation.py at the r09 round start and paste its window
+# here.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # round-7 window
-    "ev_rolling_7d_activity",
-    "part_min_cost_supplier_q2",
-    "supplier_important_share_q11",
-    "supplier_excess_ship_q20",
-    "stat_anova_f_price_by_priority",
-    "stat_kruskal_wallis_price_by_priority",
-    "stat_chow_break_daily_revenue",
-    "stat_hodges_lehmann_yoy_shift",
-    "stat_weekly_dft_power",
-    "stat_ljung_box_weekly",
-    "graph_ktruss_edge_support",
-    "graph_katz_centrality_3step",
-    "scale_zorder_file_skipping",
-    "ev_concurrent_sessions_peak",
-    "ev_user_lifecycle_weekly",
-    "ev_campaign_window_join",
-    "trend_rolling28_anomaly_topdays",
-    "docs_block_dedup_by_source",
-    "docs_stopword_coverage_by_lang",
-    "docs_tfidf_top_terms",
-    "emb_knn_graph_reciprocity",
-    "emb_simplified_silhouette",
-    "mm_audio_zero_crossings",
-    "mm_image_downsample2x_digest",
-    "graph_jaccard_link_prediction",
-    "dq_histogram_drift_l1",
-    "src_codec_roundtrip_digest",
-    "supplier_late_blame_q21",
-    "elt_pivot_priority_year_sql",
-    "elt_lateral_explode_sql",
-    "ev_sliding_1h15m_peak",
-    "stat_levene_brown_forsythe",
-    "trend_ewma32_daily_revenue",
-    "part_pair_association_topk",
-    "ev_longest_error_streak",
-    "stat_approx_percentile_contract",
-    "trend_decomposition_monthly",
-    "stat_group_quantiles_by_priority",
-    "stat_hll_monthly_merge",
-    "ev_simpsons_paradox_check",
-    "src_csv_malformed_recovery_digest",
-    "ev_replay_dedup_digest",
-    "stat_cms_part_heavyhitters",
-    "stat_kmv_intersection_years",
-    "ev_rolling28_mau",
-    "ev_funnel_anyorder",
-    "cust_order_cohort_revenue",
-    "trend_range7d_revenue",
-    "src_dynamic_partition_overwrite_digest",
-    "li_pareto_cum_share",
+    "nation_revenue_rank_migration",
+    "agg_hist2d_qty_price",
+    "dq_column_profile_wide",
+    "sim_ann_multiprobe_gain",
+    "wh_write_audit_publish_digest",
+    "ev_ab_power_mde",
+    "emb_prefix_dim_recall",
+    "trend_max_drawdown_daily",
+    "li_vwap_part_month",
+    "wh_merge_delete_branch_digest",
+    "stat_weekly_block_maxima",
+    "stat_turning_points_test",
+    "graph_rich_club_coefficient",
+    "stat_sign_test_paired_months",
+    "emb_ivf_cell_purity",
+    "src_nested_json_roundtrip_digest",
+    "stat_mad_robust_outlier_days",
+    "trend_backtest_snaive_mase",
+    "pricing_summary_q1",
+    "unshipped_topk_q3",
+    "local_supplier_volume_q5",
+    "forecast_revenue_change_q6",
+    "dedup_verified_keepers",
+    "docs_hash_sample_smallest_k",
+    "docs_shuffle_order_digest",
+    "docs_rrf_rank_fusion",
+    "docs_curriculum_stages",
+    "ev_retention_triangle",
+    "li_proportional_allocation",
+    "stat_cross_correlation_lags",
+    "trend_haar_wavelet_energy",
+    "stat_weighted_quartiles_unit_price",
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_jaccard_pairs",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "sim_topk_cosine",
+    "sim_threshold_pairs",
+    "text_tfidf_top_terms",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_len_percentiles_by_lang",
+    "cust_rfm_segments",
+    "cust_spend_deciles",
+    "tr_clip_iqr",
+    "hist_totalprice_30bins",
+    "ev_cohort_retention",
 ]
 
 

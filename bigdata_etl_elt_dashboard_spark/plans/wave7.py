@@ -265,11 +265,14 @@ def local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (_cents() * (F.lit(100) - _pct("l_discount"))).alias("rev"),
     )
+    # supplier scales with SF (SF×10k rows) — no forced broadcast; AQE picks
+    # the strategy by measured size, matching this module's convention that
+    # only the fixed-cardinality dims (region, nation) get explicit hints.
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     return (
         orders.join(cust_asia, orders.o_custkey == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(F.sum("rev").alias("revenue_micropct"))
@@ -522,28 +525,41 @@ def docs_shuffle_order_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc-keyed join of two rank columns.",
 )
 def docs_rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.scale import global_rank
 
-    docs = table(spark, sf_dir, "documents")
     hv = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
-    ranked = docs.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
-        .cast("long")
-        .alias("r1"),
-        F.row_number().over(Window.orderBy(hv.asc(), F.col("doc_id"))).cast("long").alias("r2"),
+    # Both rankings route through the two-pass range-partitioned
+    # scale.global_rank (as the doc promises and the sibling plans do) —
+    # never a bare unpartitioned row_number window, the single-task global
+    # sort. global_rank orders ascending, so ranking 1 (n_chars DESC) rides
+    # a negated key. Base is pinned: three consumers, one scan.
+    base = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            (-F.col("n_chars")).alias("_neg_chars"),
+            hv.alias("_hv"),
+        )
+        .transform(pin)
     )
+    r1 = global_rank(
+        base.select("doc_id", "_neg_chars"), ["_neg_chars", "doc_id"], out_col="r1"
+    ).select("doc_id", "r1")
+    r2 = global_rank(
+        base.select("doc_id", "_hv"), ["_hv", "doc_id"], out_col="r2"
+    ).select("doc_id", "r2")
     score = (
         F.lit(1.0) / (F.lit(_RRF_K) + F.col("r1")).cast("double")
         + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r2")).cast("double")
     ).alias("rrf_score")
     return (
-        ranked.select("doc_id", "lang", "r1", "r2", score)
+        base.select("doc_id", "lang")
+        .join(r1, "doc_id")
+        .join(r2, "doc_id")
+        .select("doc_id", "lang", "r1", "r2", score)
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(20)
     )

@@ -197,12 +197,16 @@ def running_last_k_values(events_stream: DataFrame, k: int = 3) -> DataFrame:
             def handleInputRows(
                 self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
             ) -> Iterator[pd.DataFrame]:
-                incoming: list[tuple] = []
-                n_new = 0
-                for pdf in rows:
-                    ordered = pdf.sort_values(["ts", "event_id"])
-                    n_new += len(ordered)
-                    incoming.extend((float(v),) for v in ordered["value"])
+                # Concatenate ALL Arrow chunks before sorting: a micro-batch
+                # delivers a key's rows across ~10k-row chunks, and per-chunk
+                # sorts concatenated in arrival order would not be globally
+                # (ts, event_id)-ordered — the batch-twin contract is the k
+                # latest values by (ts, event_id) over the whole batch.
+                chunks = [pdf for pdf in rows]
+                batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+                ordered = batch.sort_values(["ts", "event_id"])
+                n_new = len(ordered)
+                incoming = [(float(v),) for v in ordered["value"]]
                 prev = self._n.get()
                 n = (prev[0] if prev else 0) + n_new
                 self._n.update((n,))

@@ -116,3 +116,39 @@ def test_string_fields_utf8():
     # TTL sub-message unset: default instance, no presence
     assert back.ttl.durationMs == 0
     assert not back.HasField("ttl")
+
+
+def test_packed_repeated_varint_decode():
+    # proto3 packs repeated numeric fields by default: a LEN payload on a
+    # varint-typed repeated field is a back-to-back varint sequence.
+    # StateMessage's repeated scalars are bytes-only, so synthesize a
+    # message with repeated int64 / bool fields and hand-craft the wire.
+    from google.protobuf.internal import builder as _b
+    from google.protobuf.descriptor import Descriptor, FieldDescriptor as FD
+
+    desc = Descriptor(
+        name="PackedProbe",
+        full_name="shimtest.PackedProbe",
+        fields=[
+            FD("nums", 1, FD.TYPE_INT64, FD.LABEL_REPEATED),
+            FD("flags", 2, FD.TYPE_BOOL, FD.LABEL_REPEATED),
+        ],
+        oneofs=[],
+        nested_types=[],
+        enum_types=[],
+    )
+    cls = _b._make_message_class(desc, "shimtest")
+
+    payload = b"".join(wire.encode_varint(v) for v in [0, 1, 300, 2**63 - 1])
+    data = (
+        wire.encode_len_delimited(1, payload)
+        + wire.encode_len_delimited(2, wire.encode_varint(1) + wire.encode_varint(0))
+        # expanded (unpacked) encoding of the same field must still
+        # accumulate alongside packed chunks
+        + wire.encode_tag(1, wire.WIRETYPE_VARINT)
+        + wire.encode_varint(7)
+    )
+    msg = cls()
+    msg.ParseFromString(data)
+    assert msg.nums == [0, 1, 300, 2**63 - 1, 7]
+    assert msg.flags == [True, False]
