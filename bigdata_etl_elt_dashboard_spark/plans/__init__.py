@@ -23,6 +23,7 @@ from . import wave6  # noqa: F401  (round-6 additions; imported LAST so new
 # queries append to the registry after every already-gated name — keeps
 # gate-window rotation order stable)
 from . import wave7  # noqa: F401  (round-7 TPC-H completions; after wave6)
+from . import wave8  # noqa: F401  (round-8 additions; after wave7)
 from .registry import REGISTRY, register
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Spark 4.1's StreamExecution.isInterruptionException matches the
+        # stopped query's exception string against a PROXY_ERROR regex with
+        # a catastrophic `((.|\r\n|\r|\n)*)` group; a long py4j traceback
+        # (stop() landing mid-foreachBatch) recurses one regex frame per
+        # character and overflows a default 1 MiB thread stack, killing the
+        # stream execution thread uncleanly. Larger stacks are virtual
+        # (lazily committed), so this is a cheap guard for every streaming
+        # stop path. Observed live: the stack trace roots at
+        # StreamExecution.scala:774 (isInterruptionException → findFirstIn).
+        .config("spark.driver.extraJavaOptions", "-Xss64m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

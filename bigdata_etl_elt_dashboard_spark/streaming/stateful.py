@@ -232,3 +232,202 @@ def running_last_k_values(events_stream: DataFrame, k: int = 3) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+SESSION_TIMER_SCHEMA = (
+    "user_id long, start_ms long, end_ms long, n_events long, closed_by string"
+)
+
+
+def session_close_on_timer(
+    events_stream: DataFrame,
+    gap_ms: int = 600_000,
+    delay: str = "0 seconds",
+) -> DataFrame:
+    """Timer-driven session close — the event-time TIMER surface of
+    arbitrary state v2 (the one capability the MapState/ValueState/ListState
+    twins don't touch).
+
+    Semantics (gap sessionization, matching ``ev_session_10m``'s
+    ``diff >= gap`` new-session rule): a user's events belong to one session
+    while consecutive gaps stay under ``gap_ms``. Two close paths, each
+    emitting one row per closed session:
+
+    * ``closed_by='gap'`` — a later event in the SAME batch (or a later
+      batch) arrives ``>= gap_ms`` after the session's last event; the old
+      session closes inline in ``handleInputRows``.
+    * ``closed_by='timer'`` — no successor event ever arrives: an
+      event-time timer registered at ``last_ms + gap_ms`` fires once the
+      WATERMARK passes it (``handleExpiredTimer``), closing the trailing
+      session. This is the path only timers can express: closing on the
+      *absence* of data.
+
+    Scale shape: state per user is ONE (start, last, n) triple plus one
+    registered timer — O(1) regardless of stream length; intra-batch
+    closures never enter state. Timer hygiene: the previous timer is
+    deleted whenever the session extends (re-registering at the new
+    expiry), and a stale timer firing after a session extended is ignored
+    by the ``expiry >= last + gap`` guard. Batch twin:
+    ``ev_timer_session_close_twin`` (plans/wave8.py) — sessions whose
+    ``end + gap <= max event time`` read ``timer_closed=true`` there,
+    mirroring which sessions a fully-drained stream would have closed by
+    timer. ``delay`` is the watermark delay on ``ts``; timers fire only
+    when the watermark (max seen ts − delay) passes their expiry."""
+
+    def build(gap: int):
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class SessionClose(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._handle = handle
+                self._sess = handle.getValueState(
+                    "sess", "start_ms long, last_ms long, n long"
+                )
+
+            def _row(self, key, start, last, n, how):
+                return pd.DataFrame(
+                    {
+                        "user_id": pd.Series([key[0]], dtype="int64"),
+                        "start_ms": pd.Series([start], dtype="int64"),
+                        "end_ms": pd.Series([last], dtype="int64"),
+                        "n_events": pd.Series([n], dtype="int64"),
+                        "closed_by": [how],
+                    }
+                )
+
+            def handleInputRows(
+                self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+            ) -> Iterator[pd.DataFrame]:
+                chunks = [pdf for pdf in rows]
+                batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+                order_cols = (
+                    ["ts", "event_id"] if "event_id" in batch.columns else ["ts"]
+                )
+                ordered = batch.sort_values(order_cols)
+                ts_ms = (ordered["ts"].astype("int64") // 1_000_000).tolist()
+                prev = self._sess.get()
+                if prev:
+                    start, last, n = prev
+                    # session will extend or close below either way: the
+                    # old expiry is obsolete
+                    self._handle.deleteTimer(last + gap)
+                else:
+                    start = last = None
+                    n = 0
+                for t in ts_ms:
+                    if last is None:
+                        start, last, n = t, t, 1
+                    elif t - last < gap:
+                        # late (t < last) events merge without moving `last`
+                        # backwards; start only moves earlier
+                        start = min(start, t)
+                        last = max(last, t)
+                        n += 1
+                    else:
+                        yield self._row(key, start, last, n, "gap")
+                        start, last, n = t, t, 1
+                self._sess.update((start, last, n))
+                self._handle.registerTimer(last + gap)
+
+            def handleExpiredTimer(
+                self, key: tuple, timerValues: Any, expiredTimerInfo: Any
+            ) -> Iterator[pd.DataFrame]:
+                prev = self._sess.get()
+                if not prev:
+                    return
+                start, last, n = prev
+                # a stale timer (session extended after registration but the
+                # delete raced) must not close a still-live session
+                if expiredTimerInfo.getExpiryTimeInMs() < last + gap:
+                    return
+                yield self._row(key, start, last, n, "timer")
+                self._sess.clear()
+
+            def close(self) -> None:
+                pass
+
+        return SessionClose()
+
+    return (
+        events_stream.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=build(gap_ms),
+            outputStructType=SESSION_TIMER_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+TTL_COUNTS_SCHEMA = "user_id long, event_type string, n long"
+
+
+def recent_type_counts_ttl(events_stream: DataFrame, ttl_ms: int = 30_000) -> DataFrame:
+    """Per-user per-type counts over a TTL-BOUNDED MapState — the state-TTL
+    surface of arbitrary state v2: entries not rewritten for ``ttl_ms`` of
+    processing time expire and silently drop out of reads, so a count
+    "restarts" after an idle period instead of accumulating forever.
+
+    This is the production answer to ``running_type_counts``' unbounded
+    state at 100 TB-scale key cardinality: hot keys stay exact, cold keys
+    age out at the store level (RocksDB TTL compaction) — no manual
+    eviction pass, no full-state scan. TTL is wall-clock (processing-time)
+    by definition, hence ``timeMode='ProcessingTime'``; expiry granularity
+    is per map ENTRY (each (user, type) ages independently from its last
+    write).
+
+    Drain caveat: in ProcessingTime time mode the operator reports
+    ``shouldRunAnotherBatch=true`` unconditionally (processing-time timers
+    could fire with no new data), so an ``availableNow`` run NEVER
+    self-terminates — drive this with a throttled ``processingTime``
+    trigger and an explicit ``query.stop()``. The EventTime twin
+    (``session_close_on_timer``) does drain under availableNow."""
+
+    def build(ttl: int):
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class TTLCounts(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._counts = handle.getMapState(
+                    "counts", "k string", "n long", ttlDurationMs=ttl
+                )
+
+            def handleInputRows(
+                self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+            ) -> Iterator[pd.DataFrame]:
+                local: dict[str, int] = {}
+                for pdf in rows:
+                    for t, c in pdf["event_type"].value_counts().items():
+                        local[str(t)] = local.get(str(t), 0) + int(c)
+                out: dict[str, list] = {"user_id": [], "event_type": [], "n": []}
+                for t in sorted(local):
+                    prev = (
+                        self._counts.getValue((t,))
+                        if self._counts.containsKey((t,))
+                        else None
+                    )
+                    n = (prev[0] if prev else 0) + local[t]
+                    self._counts.updateValue((t,), (n,))
+                    out["user_id"].append(key[0])
+                    out["event_type"].append(t)
+                    out["n"].append(n)
+                yield pd.DataFrame(out)
+
+            def close(self) -> None:
+                pass
+
+        return TTLCounts()
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=build(ttl_ms),
+        outputStructType=TTL_COUNTS_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

@@ -459,6 +459,7 @@ _BNLJ_BOUNDED_OK = {
     "ev_funnel_time_window",  # three 1-row stage-count scalars crossed
     "emb_jl_projection_distortion",  # _JL_NQ(=20)-row query side broadcast
     "ev_inter_event_gap_hist",  # 1-row grand-total scalar broadcast
+    "ev_timer_session_close_twin",  # 1-row terminal-watermark (max ms) broadcast
     # calendar-bounded day-pair sign comparisons (~2.4k-row broadcast side;
     # the same bounded-grid argument as the ECDF/runs whitelist entries)
     "stat_mann_kendall_daily_revenue",

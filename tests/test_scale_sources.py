@@ -1069,3 +1069,180 @@ def test_partitioned_prune_gate_scan_prunes(spark, sf_smoke):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     assert "order_year" in plan.split("PartitionFilters")[1][:250]
+
+
+def test_session_close_on_timer_v2(spark, tmp_path):
+    """Event-time TIMERS (arbitrary state v2): sessions close through both
+    paths — a successor event >= gap later closes inline ('gap'), and the
+    trailing session closes via a registered timer once the WATERMARK
+    passes last_ms + gap ('timer', fired in the no-data batch availableNow
+    runs after the last data batch). A session whose expiry is still ahead
+    of the watermark must stay open across runs, then close by 'gap' when
+    a late successor arrives in a restarted query — exercising timer
+    re-registration and checkpointed timer state."""
+    from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
+        _protobuf_available,
+        session_close_on_timer,
+    )
+
+    if not _protobuf_available():
+        pytest.xfail("no protobuf runtime (real or vendored shim)")
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+
+    def m(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    def ms(mins):
+        return int(m(mins).timestamp() * 1000)
+
+    def write(rows):
+        spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(qname):
+        emitted = []
+
+        def sink(bdf, _bid):
+            for r in bdf.collect():
+                emitted.append(
+                    (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"], r["closed_by"])
+                )
+
+        stream = spark.readStream.schema(ev_schema).parquet(src)
+        q = (
+            session_close_on_timer(stream, gap_ms=600_000)
+            .writeStream.foreachBatch(sink)
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return sorted(emitted)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        # user 1: session A (2 events), >10m gap, session B (1 event @30);
+        # user 2: one session ending @50 — the global max event time
+        write(
+            [
+                (1, 1, m(0)),
+                (2, 1, m(5)),
+                (3, 1, m(30)),
+                (4, 2, m(45)),
+                (5, 2, m(50)),
+            ]
+        )
+        first = run("timer_v2_run1")
+        # gap path: session A closed by its in-batch successor; timer path:
+        # session B's expiry (40) < watermark (50) fires in the no-data
+        # batch. User 2's expiry (60) > watermark (50): still open.
+        assert first == sorted(
+            [
+                (1, ms(0), ms(5), 2, "gap"),
+                (1, ms(30), ms(30), 1, "timer"),
+            ]
+        )
+
+        # restart: late successor for user 2 at minute 80 — closes the
+        # checkpointed session by 'gap' (the event beats the timer); the
+        # new session (80) stays open (expiry 90 > watermark 80)
+        write([(6, 2, m(80))])
+        second = run("timer_v2_run2")
+        assert second == [(2, ms(45), ms(50), 2, "gap")]
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_map_state_ttl_expires_after_idle_v2(spark, tmp_path):
+    """State TTL (arbitrary state v2, ProcessingTime time mode): a map
+    entry not rewritten for ttl_ms of wall-clock time must read as ABSENT,
+    so the per-(user, type) count restarts instead of accumulating. In
+    ProcessingTime mode the operator requests batches forever (timers may
+    fire without data), so availableNow never self-terminates: the test
+    drives ONE continuous query with a throttled trigger and stops it
+    explicitly. The memory sink keeps the per-batch path JVM-side."""
+    import time
+
+    from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
+        _protobuf_available,
+        recent_type_counts_ttl,
+    )
+
+    if not _protobuf_available():
+        pytest.xfail("no protobuf runtime (real or vendored shim)")
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+
+    def write(rows):
+        spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def rows_of(qtable):
+        # the memory sink APPENDS update-mode rows (no by-key upsert), so
+        # read it as the SET of (user, type, n) emissions ever made
+        return {
+            (r["user_id"], r["event_type"], r["n"])
+            for r in spark.sql(f"select * from {qtable}").collect()
+        }
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    write([(1, t0, "view"), (1, t0, "view"), (2, t0, "click")])
+    stream = spark.readStream.schema(ev_schema).parquet(src)
+    q = (
+        recent_type_counts_ttl(stream, ttl_ms=4000)
+        .writeStream.format("memory")
+        .queryName("ttl_counts_v2")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and (1, "view", 2) not in rows_of("ttl_counts_v2"):
+            time.sleep(0.5)
+        assert (1, "view", 2) in rows_of("ttl_counts_v2")  # pre-TTL accumulate
+
+        time.sleep(8)  # > ttl: both entries age out at the store level
+        # counts chosen so expired-vs-accumulated is unambiguous: 3 new
+        # 'view's read 3 if state expired, 5 if it wrongly accumulated
+        write([(1, t0, "view"), (1, t0, "view"), (1, t0, "view"), (2, t0, "click"), (2, t0, "click")])
+        deadline = time.time() + 120
+        while time.time() < deadline and (2, "click", 2) not in rows_of("ttl_counts_v2"):
+            time.sleep(0.5)
+        got = rows_of("ttl_counts_v2")
+        assert (1, "view", 3) in got and (2, "click", 2) in got
+        assert (1, "view", 5) not in got and (2, "click", 3) not in got
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
