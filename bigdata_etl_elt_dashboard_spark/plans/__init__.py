@@ -66,11 +66,13 @@ from .registry import REGISTRY, register
 # ROUND-8 WINDOW (this round): per the r07 verdict task 1 — close the gate
 # backlog for good. Entries 1-32 are the full never-gated oracle-backed
 # remainder from `tools/gate_rotation.py` (18 wave6 tail incl. the 6
-# r07-deferred + the 14 wave7 additions). Entries 33-50 are re-gates of the
+# r07-deferred + the 14 wave7 additions). Entries 33-48 are re-gates of the
 # oldest formula-heavy green rows whose last driver word is r01/r02 (5+
 # refactor rounds old): the MinHash/LSH/Jaccard/SimHash/embedding dedup
 # chain, cosine similarity pair/top-k, TF-IDF/fingerprint/lang-id/quality
-# text family, RFM/deciles/IQR/histogram/cohort statistics. After this
+# text family, RFM/IQR/cohort statistics. Entries 49-50 are the round-8
+# additions themselves (plans/wave8.py: the timer-processor batch twin and
+# the composed corpus capstone), gated in their own round. After this
 # round every oracle-backed registry query has a green driver row and the
 # never-gated set is exactly the 3 rows-only digest-twinned originals.
 #
@@ -128,10 +130,11 @@ _GATE_WINDOW = [
     "text_quality",
     "text_len_percentiles_by_lang",
     "cust_rfm_segments",
-    "cust_spend_deciles",
     "tr_clip_iqr",
-    "hist_totalprice_30bins",
     "ev_cohort_retention",
+    # r08 additions, gated in their own round (plans/wave8.py)
+    "ev_timer_session_close_twin",
+    "corpus_pipeline_v2_digest",
 ]
 
 

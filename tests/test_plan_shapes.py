@@ -460,6 +460,9 @@ _BNLJ_BOUNDED_OK = {
     "emb_jl_projection_distortion",  # _JL_NQ(=20)-row query side broadcast
     "ev_inter_event_gap_hist",  # 1-row grand-total scalar broadcast
     "ev_timer_session_close_twin",  # 1-row terminal-watermark (max ms) broadcast
+    # 1-row stratum-total and sample-count scalars broadcast into the
+    # allocation / curriculum stages (same shape as li_proportional_allocation)
+    "corpus_pipeline_v2_digest",
     # calendar-bounded day-pair sign comparisons (~2.4k-row broadcast side;
     # the same bounded-grid argument as the ECDF/runs whitelist entries)
     "stat_mann_kendall_daily_revenue",
