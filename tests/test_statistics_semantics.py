@@ -4109,3 +4109,178 @@ def test_weighted_quartiles_matches_python(spark, sf_smoke):
         got["wmedian_cents"],
         got["wq75_cents"],
     ) == (tot, qs["q25"], qs["q50"], qs["q75"])
+
+
+# --- round-8 additions (plans/wave8.py) ----------------------------------
+
+
+def test_timer_session_twin_matches_python(spark, sf_smoke):
+    """ev_timer_session_close_twin vs a from-scratch sessionizer: walk each
+    user's (ms, event_id)-ordered events, open a new session on diff >=
+    gap, then adjudicate timer-closure against the global max ms."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(
+        f"{sf_smoke}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    # the testdata's ts encoding varies by SF (ns at the large SFs, us at
+    # the small) — scale whatever arrow reports down to milliseconds
+    unit = t["ts"].type.unit
+    div = {"s": 1, "ms": 1, "us": 1_000, "ns": 1_000_000}[unit]
+    raw = t["ts"].cast("int64").to_pylist()
+    uid = t["user_id"].to_pylist()
+    eid = t["event_id"].to_pylist()
+    gap = 600_000
+    per_user = collections.defaultdict(list)
+    for u, e, v in zip(uid, eid, raw):
+        per_user[u].append((v // div, e))
+    max_ms = max(v // div for v in raw)
+    ref = []
+    for u in sorted(per_user):
+        evs = sorted(per_user[u])
+        start = last = evs[0][0]
+        n = 1
+        for ms, _e in evs[1:]:
+            if ms - last >= gap:
+                ref.append((u, start, last, n, last + gap <= max_ms))
+                start, last, n = ms, ms, 1
+            else:
+                last = ms
+                n += 1
+        ref.append((u, start, last, n, last + gap <= max_ms))
+    got = [
+        (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"], r["timer_closed"])
+        for r in _rows(spark, sf_smoke, "ev_timer_session_close_twin")
+    ]
+    assert got == sorted(ref)
+
+
+def test_corpus_pipeline_v2_matches_python_composition(spark, sf_smoke):
+    """corpus_pipeline_v2_digest vs the same SIX stages composed from
+    scratch in plain Python (gopher filter -> minhash/LSH/verified-Jaccard
+    dedup with union-find CC -> largest-remainder lang allocation ->
+    hash-ordered sampling -> curriculum ranks -> char packing) — the
+    composition audit for the round-8 capstone: every stage is separately
+    gated; this pins the stage WIRING (which survivor set feeds which
+    stage, in which order)."""
+    import hashlib
+
+    from bigdata_etl_elt_dashboard_spark.operators.dedup import minhash_coeffs
+    from bigdata_etl_elt_dashboard_spark.plans.corpus_quality import (
+        _MAX_DUP_BIGRAM_RATIO,
+        _MAX_DUP_TOKEN_RATIO,
+        _MAX_TOP_TOKEN_RATIO,
+        _MAX_TOKENS,
+        _MIN_TOKENS,
+    )
+    from bigdata_etl_elt_dashboard_spark.plans.wave8 import (
+        _V2_BUDGET,
+        _V2_CHAR_CAP,
+        _V2_STAGES,
+    )
+
+    rows_ = _cols(sf_smoke, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    # stage 1: gopher quality filter
+    surv = []
+    for did, text, lang, n_chars in rows_:
+        ts = _toks(text)
+        n = len(ts)
+        if not ts or not (_MIN_TOKENS <= n <= _MAX_TOKENS):
+            continue
+        if (n - len(set(ts))) / n > _MAX_DUP_TOKEN_RATIO:
+            continue
+        if max(collections.Counter(ts).values()) / n > _MAX_TOP_TOKEN_RATIO:
+            continue
+        bgs = list(zip(ts, ts[1:]))
+        if bgs and (len(bgs) - len(set(bgs))) / len(bgs) > _MAX_DUP_BIGRAM_RATIO:
+            continue
+        surv.append((did, text, lang, n_chars))
+
+    # stage 2: minhash -> LSH bands -> candidates -> exact-Jaccard verify
+    # -> union-find CC -> min-id keepers
+    coeffs = minhash_coeffs(8)
+    shs = {did: _shingles3(text) for did, text, _l, _c in surv}
+    sigs = {did: _minhash_py(s, coeffs) for did, s in shs.items()}
+    buckets = collections.defaultdict(set)
+    for did, sig in sigs.items():
+        for b in range(4):
+            bsig = hashlib.md5(
+                "|".join(str(v) for v in sig[b * 2 : b * 2 + 2]).encode()
+            ).hexdigest()
+            buckets[(b, bsig)].add(did)
+    parent = {did: did for did in shs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                a, b = ms[i], ms[j]
+                inter = len(shs[a] & shs[b])
+                if inter and inter / len(shs[a] | shs[b]) >= 0.5:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    keepers = {did for did in shs if find(did) == did}
+    dd = [
+        (did, lang, n_chars, int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16))
+        for did, _t, lang, n_chars in surv
+        if did in keepers
+    ]
+
+    # stage 3: largest-remainder allocation of the budget across langs
+    n_h = collections.Counter(lang for _d, lang, _c, _h in dd)
+    tot = sum(n_h.values())
+    base = {lg: c * _V2_BUDGET // tot for lg, c in n_h.items()}
+    rem = {lg: (c * _V2_BUDGET) % tot for lg, c in n_h.items()}
+    spare = _V2_BUDGET - sum(base.values())
+    alloc = dict(base)
+    for lg in sorted(n_h, key=lambda lg: (-rem[lg], lg))[:spare]:
+        alloc[lg] += 1
+
+    # stage 4: hash-ordered per-lang sample up to the allocation
+    by_lang = collections.defaultdict(list)
+    for did, lang, n_chars, hv in dd:
+        by_lang[lang].append((hv, did, n_chars))
+    sampled = []
+    for lg, lst in by_lang.items():
+        for hv, did, n_chars in sorted(lst)[: alloc[lg]]:
+            sampled.append((did, lg, n_chars, hv))
+
+    # stage 5: curriculum stage from the global (n_chars, doc_id) rank
+    order = sorted(sampled, key=lambda r: (r[2], r[0]))
+    n_s = len(order)
+    stage_of = {
+        did: (rk * _V2_STAGES) // n_s + 1
+        for rk, (did, _lg, _c, _h) in enumerate(order)
+    }
+
+    # stage 6: sequential-fill packing in curriculum order within lang
+    ref = collections.defaultdict(lambda: [0, 0, 0, set()])
+    for lg in sorted(by_lang):
+        rows_l = sorted(
+            (r for r in sampled if r[1] == lg),
+            key=lambda r: (stage_of[r[0]], r[3], r[0]),
+        )
+        off = 0
+        for did, _lg, n_chars, _hv in rows_l:
+            st = stage_of[did]
+            acc = ref[(lg, st)]
+            acc[0] += 1
+            acc[1] += n_chars
+            acc[2] += did
+            acc[3].add(off // _V2_CHAR_CAP)
+            off += n_chars
+    got = {
+        (r["lang"], r["stage"]): (r["n_docs"], r["sum_chars"], r["id_sum"], r["n_packs"])
+        for r in _rows(spark, sf_smoke, "corpus_pipeline_v2_digest")
+    }
+    assert got == {
+        k: (a, b, c, len(p)) for k, (a, b, c, p) in ref.items()
+    }
