@@ -100,6 +100,18 @@ PROBES = [
     # pays END TO END — the verify + CC stages collapse those candidates
     # back to one keeper per content cluster.
     "dedup_verified_keepers",
+    # round-8: the wave7 data-selection family the r07 verdict asked to
+    # probe — the mergeable TakeOrdered hash sample (expected ~flat: k
+    # driver-merged candidates per partition, no shuffle), the RRF fusion
+    # (two global_rank passes + doc-keyed joins), the NTILE-closed-form
+    # curriculum over global_rank — plus the round-8 composed corpus
+    # capstone (quality filter → verified dedup → allocation → curriculum
+    # → packing; its replicated-duplicate candidate growth collapses at
+    # the verify/CC stages exactly like dedup_verified_keepers).
+    "docs_hash_sample_smallest_k",
+    "docs_rrf_rank_fusion",
+    "docs_curriculum_stages",
+    "corpus_pipeline_v2_digest",
 ]
 
 
