@@ -431,3 +431,68 @@ def recent_type_counts_ttl(events_stream: DataFrame, ttl_ms: int = 30_000) -> Da
         outputMode="Update",
         timeMode="ProcessingTime",
     )
+
+
+def running_type_counts_with_backfill(
+    events_stream: DataFrame, history: DataFrame
+) -> DataFrame:
+    """``running_type_counts`` seeded from a BATCH backfill — the
+    ``initialState`` surface of arbitrary state v2 (the last v2 capability
+    the other processors don't touch): ``handleInitialState`` runs once
+    per key in the FIRST micro-batch, loading precomputed per-(user, type)
+    counts into MapState before any streaming row is processed, so the
+    changelog continues from history instead of restarting at zero.
+
+    This is the production "backfill then stream" cutover: compute
+    lifetime aggregates over the historical lake with a BATCH job (cheap,
+    massively parallel), then start the stream with that state — instead
+    of replaying months of history through the streaming engine.
+    ``history`` is a batch DataFrame of (user_id, event_type, n); pass it
+    pre-aggregated (one row per (user, type)) — the operator groups it by
+    user_id as the v2 API requires."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SeededTypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", "k string", "n long")
+
+        def handleInitialState(
+            self, key: tuple, initialState: pd.DataFrame, timerValues: Any
+        ) -> None:
+            for t, n in zip(initialState["event_type"], initialState["n"]):
+                self._counts.updateValue((str(t),), (int(n),))
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+        ) -> Iterator[pd.DataFrame]:
+            local: dict[str, int] = {}
+            for pdf in rows:
+                for t, c in pdf["event_type"].value_counts().items():
+                    local[str(t)] = local.get(str(t), 0) + int(c)
+            out: dict[str, list] = {"user_id": [], "event_type": [], "n": []}
+            for t in sorted(local):
+                prev = (
+                    self._counts.getValue((t,))
+                    if self._counts.containsKey((t,))
+                    else None
+                )
+                n = (prev[0] if prev else 0) + local[t]
+                self._counts.updateValue((t,), (n,))
+                out["user_id"].append(key[0])
+                out["event_type"].append(t)
+                out["n"].append(n)
+            yield pd.DataFrame(out)
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SeededTypeCounts(),
+        outputStructType=TYPE_COUNTS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+        initialState=history.groupBy("user_id"),
+    )

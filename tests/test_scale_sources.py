@@ -1246,3 +1246,84 @@ def test_map_state_ttl_expires_after_idle_v2(spark, tmp_path):
         q.stop()
         q.awaitTermination(60)
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_type_counts_backfill_initial_state_v2(spark, tmp_path):
+    """initialState (arbitrary state v2): handleInitialState seeds MapState
+    from a BATCH backfill DataFrame in the first micro-batch, so streaming
+    counts continue from history ('backfill then stream' cutover) instead
+    of restarting at zero — and later batches must NOT re-apply the seed."""
+    from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
+        _protobuf_available,
+        running_type_counts_with_backfill,
+    )
+
+    if not _protobuf_available():
+        pytest.xfail("no protobuf runtime (real or vendored shim)")
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    hist_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+    history = spark.createDataFrame(
+        [(1, "view", 5), (1, "click", 2), (3, "view", 7)], hist_schema
+    )
+
+    def write(rows):
+        spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(qname):
+        emitted: dict = {}
+
+        def sink(bdf, _bid):
+            for r in bdf.collect():
+                emitted[(r["user_id"], r["event_type"])] = r["n"]
+
+        stream = spark.readStream.schema(ev_schema).parquet(src)
+        q = (
+            running_type_counts_with_backfill(stream, history)
+            .writeStream.foreachBatch(sink)
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return emitted
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        # user 1 continues from backfill (5 views + 2 = 7; 2 clicks stand),
+        # user 2 is unseeded (fresh), user 3's seed is untouched (no rows,
+        # so no emission — update mode only emits touched users)
+        write([(1, t0, "view"), (1, t0, "view"), (2, t0, "view")])
+        first = run("backfill_run1")
+        assert first == {(1, "view"): 7, (2, "view"): 1}
+
+        # restart: the seed must NOT re-apply on later batches — user 3's
+        # first stream row reads 7 + 1 from the checkpointed seed, user
+        # 1's counts keep accumulating from 7
+        write([(1, t0, "view"), (3, t0, "view")])
+        second = run("backfill_run2")
+        assert second == {(1, "view"): 8, (3, "view"): 8}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
