@@ -152,3 +152,19 @@ def test_packed_repeated_varint_decode():
     msg.ParseFromString(data)
     assert msg.nums == [0, 1, 300, 2**63 - 1, 7]
     assert msg.flags == [True, False]
+
+
+def test_nested_write_through_presence_cascades():
+    # real-protobuf lazy materialization: writing through a chain of
+    # default sub-message reads must set presence at EVERY level
+    req = sm.StateRequest()
+    req.statefulProcessorCall.getMapState.stateName = "m"
+    assert req.HasField("statefulProcessorCall")
+    assert req.statefulProcessorCall.HasField("getMapState")
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.statefulProcessorCall.getMapState.stateName == "m"
+    # and a pure read chain still creates NO presence
+    r2 = sm.StateRequest()
+    _ = r2.statefulProcessorCall.getMapState.stateName
+    assert not r2.HasField("statefulProcessorCall")

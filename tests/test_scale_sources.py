@@ -1165,6 +1165,15 @@ def test_session_close_on_timer_v2(spark, tmp_path):
         write([(6, 2, m(80))])
         second = run("timer_v2_run2")
         assert second == [(2, ms(45), ms(50), 2, "gap")]
+
+        # second restart: user 2's run-2 session (80, expiry 90) closes by
+        # its CHECKPOINTED timer — no user-2 row arrives; the unrelated
+        # user-1 event at 95 advances the watermark past the expiry. This
+        # is the cross-restart timer-persistence proof: registered in one
+        # query run, fired in another.
+        write([(7, 1, m(95))])
+        third = run("timer_v2_run3")
+        assert third == [(2, ms(80), ms(80), 1, "timer")]
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
