@@ -181,6 +181,13 @@ EXTENSION_SUITE = (
     "docs_shuffle_order_digest",
     "ev_retention_triangle",
     "stat_cross_correlation_lags",
+    # round-8 additions: the composed corpus capstone (quality filter →
+    # verified dedup → allocation → curriculum → packing; checkpoint-
+    # shaped like dedup_verified_keepers, so plan-build time IS its
+    # cost) and the timer-processor batch twin (events window + 1-row
+    # watermark broadcast)
+    "corpus_pipeline_v2_digest",
+    "ev_timer_session_close_twin",
 )
 
 
