@@ -168,3 +168,10 @@ def test_nested_write_through_presence_cascades():
     r2 = sm.StateRequest()
     _ = r2.statefulProcessorCall.getMapState.stateName
     assert not r2.HasField("statefulProcessorCall")
+
+
+def test_copyfrom_through_default_submessage_sets_presence():
+    src = sm.TTLConfig(durationMs=9)
+    cmd = sm.StateCallCommand()
+    cmd.ttl.CopyFrom(src)
+    assert cmd.HasField("ttl") and cmd.ttl.durationMs == 9
