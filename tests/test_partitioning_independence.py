@@ -77,6 +77,11 @@ _QUERIES = [
     "stat_cross_correlation_lags",  # D38 moments, fixed-order terminal doubles
     "trend_haar_wavelet_energy",  # 6 pinned pair-reduction levels
     "stat_weighted_quartiles_unit_price",  # cumulative-weight selection
+    # round 8: the six-stage composed capstone (every stage's tie-break
+    # and pin must hold without AQE/exchange-reuse) and the gap-session
+    # twin whose window + 1-row broadcast must not depend on partitioning
+    "corpus_pipeline_v2_digest",
+    "ev_timer_session_close_twin",
 ]
 
 
