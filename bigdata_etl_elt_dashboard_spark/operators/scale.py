@@ -241,3 +241,122 @@ def salted_broadcast_join(
     f = fact.withColumn("_salt", salt)
     d = dim.withColumn("_salt", F.explode(F.array(*[F.lit(b) for b in range(buckets)])))
     return f.join(F.broadcast(d), [key, "_salt"], how).drop("_salt")
+
+
+def _grouped_two_pass(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, list, list]:
+    """Shared spine of ``grouped_rank`` / ``grouped_running_sum``: range-
+    partition on (group, order) so a HOT group spans many partitions while
+    rows of one group stay contiguous in the range order, freeze partition
+    ids (same checkpoint contract as ``global_rank``), and return the
+    pinned frame plus resolved column lists."""
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) for c in order_cols]
+    rp = (
+        df.repartitionByRange(n, *gcols, *ocols)
+        .withColumn("_pid", F.spark_partition_id())
+        .transform(pin)
+    )
+    return rp, gcols, ocols
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "grouped_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe PER-GROUP row numbering — the distributed two-pass form
+    of ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY ...)`` for LOW-
+    CARDINALITY groups.
+
+    ``Window.partitionBy(group)`` routes EVERY row of a group through one
+    task — fine when group cardinality scales with the data (user_id),
+    but a single-task funnel when it doesn't (language, source, country:
+    a 60%-English corpus puts 60% of all rows in one task). This operator
+    keeps hot groups parallel:
+
+    1. ``repartitionByRange`` on (group, order) — a hot group spans many
+       partitions, rows stay range-ordered within it; ids frozen by the
+       same eager-checkpoint contract as ``global_rank`` (exchange reuse
+       is an optimization, not a correctness contract).
+    2. ``row_number`` windowed by (group, partition id) — independent
+       sorts of partition-sized slices, never group-sized ones.
+    3. Per-(group, pid) counts roll up to a ≤ groups × n_partitions-row
+       frame; a cumulative window over that TINY frame (partitioned by
+       group, so no single task sees more than n_partitions rows) yields
+       each slice's in-group offset; a broadcast join adds it.
+
+    Pass a unique (order, tiebreaker) combination for reproducible ranks
+    — same contract as any deterministic ORDER BY."""
+    from pyspark.sql import Window
+
+    rp, gcols, ocols = _grouped_two_pass(df, group_cols, order_cols, num_partitions)
+    w = Window.partitionBy(*group_cols, "_pid").orderBy(*ocols)
+    ranked = rp.withColumn("_rn", F.row_number().over(w))
+    counts = rp.groupBy(*group_cols, "_pid").agg(F.count("*").alias("_cnt"))
+    wo = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols, "_pid", F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).alias("_off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), [*group_cols, "_pid"])
+        .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "running_sum",
+    inclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe PER-GROUP prefix sum — the two-pass form of
+    ``SUM(val) OVER (PARTITION BY group ORDER BY ... ROWS UNBOUNDED
+    PRECEDING [AND 1 PRECEDING])`` for low-cardinality groups (the
+    sequential-fill packing offset, cumulative quota fills, running
+    totals per region).
+
+    Same spine as ``grouped_rank``; the per-slice offset is the SUM of
+    earlier slices' ``val_col`` totals instead of their row counts.
+    ``inclusive=False`` (default) excludes the current row — the packing
+    convention (a document's bin is decided by the chars BEFORE it)."""
+    from pyspark.sql import Window
+
+    rp, gcols, ocols = _grouped_two_pass(df, group_cols, order_cols, num_partitions)
+    end = 0 if inclusive else -1
+    w = (
+        Window.partitionBy(*group_cols, "_pid")
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = rp.withColumn("_ls", F.coalesce(F.sum(val_col).over(w), F.lit(0)))
+    totals = rp.groupBy(*group_cols, "_pid").agg(F.sum(val_col).alias("_tot"))
+    wo = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *group_cols, "_pid", F.coalesce(F.sum("_tot").over(wo), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), [*group_cols, "_pid"])
+        .withColumn(out_col, F.col("_off") + F.col("_ls"))
+        .drop("_pid", "_ls", "_off")
+    )

@@ -301,7 +301,7 @@ _V2_HV_SQL = "('0x' || substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 15))::BIGINT"
     "docs_pipeline_e2e_digest (plans/corpus_quality.py).",
 )
 def corpus_pipeline_v2_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.scale import global_rank
+    from ..operators.scale import global_rank, grouped_rank, grouped_running_sum
 
     docs = table(spark, sf_dir, "documents")
     m = _doc_metrics(spark, sf_dir)
@@ -362,10 +362,12 @@ def corpus_pipeline_v2_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alloc"),
         )
     )
-    # hash-ordered per-lang sample up to each stratum's allocation
-    wl = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    # hash-ordered per-lang sample up to each stratum's allocation. lang is
+    # a LOW-cardinality group — Window.partitionBy(lang) would funnel a
+    # dominant language through ONE task at 100 TB — so the rank rides the
+    # two-pass hot-group-parallel scale.grouped_rank instead
     sampled = (
-        dd.withColumn("rn", F.row_number().over(wl).cast("long"))
+        grouped_rank(dd, ["lang"], ["hv", "doc_id"], out_col="rn")
         .join(F.broadcast(alloc), "lang")
         .filter(F.col("rn") <= F.col("alloc"))
         .select("doc_id", "lang", "n_chars", "hv")
@@ -380,14 +382,17 @@ def corpus_pipeline_v2_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hv",
         (F.expr(f"(rn_g - 1) * {_V2_STAGES} div n") + 1).alias("stage"),
     )
-    # sequential-fill packing in curriculum order within each lang
-    wp = (
-        Window.partitionBy("lang")
-        .orderBy("stage", "hv", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    packed = staged.withColumn(
-        "off", F.coalesce(F.sum("n_chars").over(wp), F.lit(0))
+    # sequential-fill packing in curriculum order within each lang — the
+    # prefix sum has the same hot-language funnel as the sampling rank, so
+    # it rides the two-pass scale.grouped_running_sum (exclusive: a doc's
+    # bin is decided by the chars BEFORE it)
+    packed = grouped_running_sum(
+        staged,
+        ["lang"],
+        ["stage", "hv", "doc_id"],
+        "n_chars",
+        out_col="off",
+        inclusive=False,
     )
     return (
         packed.groupBy("lang", "stage")

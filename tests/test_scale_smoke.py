@@ -207,3 +207,68 @@ def test_triangle_orientation_tames_hot_node(spark):
     # triangles = ring edge (i, i+1) + hub, for i = 0..n-3 (edge (n-2, hub)
     # is itself a ring edge): exactly n - 2
     assert tri == n - 2
+
+
+def test_grouped_rank_matches_plain_window_on_hot_group(spark):
+    """grouped_rank (two-pass, hot-group-parallel) must be bit-equal to
+    the plain Window.partitionBy(group) form — on data where ONE group
+    holds 70% of rows (the low-cardinality funnel it exists to fix)."""
+    from pyspark.sql import Window
+
+    from bigdata_etl_elt_dashboard_spark.operators.scale import grouped_rank
+
+    df = spark.range(200_000).select(
+        F.col("id"),
+        F.when(F.pmod("id", F.lit(10)) < 7, F.lit("en"))
+        .otherwise(F.concat(F.lit("g"), F.pmod("id", F.lit(10)).cast("string")))
+        .alias("grp"),
+        F.pmod(F.xxhash64("id"), F.lit(997)).alias("ord"),
+    )
+    plain = df.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("ord", "id"))
+        .cast("long"),
+    )
+    two_pass = grouped_rank(df, ["grp"], ["ord", "id"], out_col="rk", num_partitions=8)
+    a = {(r["grp"], r["id"]): r["rk"] for r in plain.collect()}
+    b = {(r["grp"], r["id"]): r["rk"] for r in two_pass.collect()}
+    assert a == b
+    # the row-bearing window must be keyed by (grp, _pid) — slices, not
+    # whole groups — and any SinglePartition exchange must be bounded
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        two_pass.explain("simple")
+    plan = buf.getvalue()
+    from tests.test_plan_shapes import assert_single_partition_exchanges_are_bounded
+
+    assert "windowspecdefinition(grp" in plan and "_pid" in plan
+    assert_single_partition_exchanges_are_bounded(plan)
+
+
+def test_grouped_running_sum_matches_plain_window(spark):
+    """grouped_running_sum vs the plain cumulative window, exclusive and
+    inclusive, on the same hot-group data (integer values: exactness)."""
+    from pyspark.sql import Window
+
+    from bigdata_etl_elt_dashboard_spark.operators.scale import grouped_running_sum
+
+    df = spark.range(100_000).select(
+        F.col("id"),
+        F.pmod("id", F.lit(3)).alias("grp"),
+        F.pmod(F.xxhash64("id"), F.lit(50)).alias("v"),
+    )
+    for inclusive, end in ((False, -1), (True, 0)):
+        w = (
+            Window.partitionBy("grp")
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, end)
+        )
+        plain = df.withColumn("rs", F.coalesce(F.sum("v").over(w), F.lit(0)))
+        two_pass = grouped_running_sum(
+            df, ["grp"], ["id"], "v", out_col="rs",
+            inclusive=inclusive, num_partitions=8,
+        )
+        a = {(r["grp"], r["id"]): r["rs"] for r in plain.collect()}
+        b = {(r["grp"], r["id"]): r["rs"] for r in two_pass.collect()}
+        assert a == b, f"inclusive={inclusive}"
