@@ -76,12 +76,16 @@ from .registry import REGISTRY, register
 # round every oracle-backed registry query has a green driver row and the
 # never-gated set is exactly the 3 rows-only digest-twinned originals.
 #
-# ROUND-9 ROTATION PLAN: never-gated oracle-backed remainder = any round-8
-# additions (plans/wave8.py, imported last) — gate those first, then fill
+# ROUND-9 ROTATION PLAN: both round-8 additions are gated IN this window,
+# so the never-gated remainder entering r09 is exactly the 3 rows-only
+# digest-twinned originals — gate any round-9 additions first, then fill
 # remaining slots with re-gates of the next-oldest standing green rows
 # (r02-era star/transform/event families, then r03 source/corpus rows).
 # Re-run tools/gate_rotation.py at the r09 round start and paste its window
-# here.
+# here. Also queued for r09: sweep the registry for other LOW-cardinality
+# PARTITION BY windows (per-source, per-priority) and move the hot-group
+# ones onto operators/scale.grouped_rank / grouped_running_sum (added r08,
+# used by corpus_pipeline_v2_digest) — re-gate any query whose plan changes.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
     "nation_revenue_rank_migration",
