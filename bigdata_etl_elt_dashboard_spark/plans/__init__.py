@@ -86,6 +86,15 @@ from .registry import REGISTRY, register
 # PARTITION BY windows (per-source, per-priority) and move the hot-group
 # ones onto operators/scale.grouped_rank / grouped_running_sum (added r08,
 # used by corpus_pipeline_v2_digest) — re-gate any query whose plan changes.
+# Inventory (row-bearing windows keyed on a bounded group, grep r08):
+#   analytics.py:359  topk_orders_per_region      (r_name over orders)
+#   extensions.py:2963 (o_orderstatus over order cents)
+#   extensions.py:718,3014,4652 (lang/source over documents)
+#   corpus_quality.py:1420 docs_cap_per_source-in-e2e (source over docs)
+#   wave6.py:1128 docs_tfidf_top_terms (source over terms)
+# Windows over ALREADY-AGGREGATED dim-bounded frames are fine and out of
+# scope. For top-k-per-group sites, prefer local-topk→global-topk over a
+# full grouped_rank.
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
     "nation_revenue_rank_migration",
