@@ -1,7 +1,11 @@
 """Run oracle parity for a named subset of registry queries (dev loop).
 
 Usage: python tools/run_parity_subset.py q1 q2 ...  [--sf /root/testdata/sf0.01]
+                                                    [--default-session]
 Prints one line per query: OK/FAIL (+ mismatch details) and wall time.
+``--default-session`` compares on a bare `SparkSession.builder` session
+(the driver's posture: ANSI on, 200 shuffle partitions) instead of the
+tuned factory — the closest local mirror of the CORRECTNESS gate.
 """
 
 from __future__ import annotations
@@ -26,8 +30,17 @@ def main() -> int:
         i = args.index("--sf")
         sf = args[i + 1]
         args = args[:i] + args[i + 2 :]
+    default_session = "--default-session" in args
+    if default_session:
+        args = [a for a in args if a != "--default-session"]
     names = args or list(REGISTRY)
-    spark = get_spark(app_name="parity-subset", master="local[8]", shuffle_partitions=8)
+    if default_session:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark(app_name="parity-subset", master="local[8]", shuffle_partitions=8)
     con = duck_connection(sf)
     failed = []
     for name in names:
