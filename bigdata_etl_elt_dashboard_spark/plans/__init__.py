@@ -82,19 +82,20 @@ from .registry import REGISTRY, register
 # remaining slots with re-gates of the next-oldest standing green rows
 # (r02-era star/transform/event families, then r03 source/corpus rows).
 # Re-run tools/gate_rotation.py at the r09 round start and paste its window
-# here. Also queued for r09: sweep the registry for other LOW-cardinality
-# PARTITION BY windows (per-source, per-priority) and move the hot-group
-# ones onto operators/scale.grouped_rank / grouped_running_sum (added r08,
-# used by corpus_pipeline_v2_digest) — re-gate any query whose plan changes.
-# Inventory (row-bearing windows keyed on a bounded group, grep r08):
-#   analytics.py:359  topk_orders_per_region      (r_name over orders)
-#   extensions.py:2963 (o_orderstatus over order cents)
-#   extensions.py:718,3014,4652 (lang/source over documents)
-#   corpus_quality.py:1420 docs_cap_per_source-in-e2e (source over docs)
-#   wave6.py:1128 docs_tfidf_top_terms (source over terms)
-# Windows over ALREADY-AGGREGATED dim-bounded frames are fine and out of
-# scope. For top-k-per-group sites, prefer local-topk→global-topk over a
-# full grouped_rank.
+# here. Low-cardinality PARTITION BY window audit (done r08, plan-verified):
+# every rank-LIMIT site (rn <= k filter) — topk_orders_per_region,
+# docs_stratified_sample, docs_cap_per_source (+ its use inside the e2e
+# digests), docs_tfidf_top_terms — gets Catalyst's WindowGroupLimit
+# (Partial map-side top-k BEFORE the shuffle, verified 2 spans in the
+# physical plan), so only k×n_partitions rows ever reach a hot group's
+# task: natively scale-safe, no rewrite needed. Windows over already-
+# aggregated dim-bounded frames (text_langid_confusion) are bounded by
+# construction. The ONLY full-ranking low-cardinality site is
+# agg_window_function_suite — intentionally so: it demonstrates the whole
+# window-function surface in one keyed pass (its doc says one WindowExec).
+# FULL per-group ranks / prefix sums over row-bearing low-card groups are
+# the real funnel; those ride operators/scale.grouped_rank /
+# grouped_running_sum (added r08; corpus_pipeline_v2_digest uses both).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
     "nation_revenue_rank_migration",
