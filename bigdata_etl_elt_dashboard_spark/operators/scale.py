@@ -266,6 +266,27 @@ def _grouped_two_pass(
     return rp, gcols, ocols
 
 
+def _join_slice_offsets(
+    left: DataFrame, offsets: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Broadcast-join the per-(group, _pid) offsets frame back onto the
+    ranked rows with NULL-SAFE group-key equality.
+
+    ``Window.partitionBy`` treats NULL as its own group, so the two-pass
+    forms must too: a plain column-name equi-join would silently DROP every
+    row whose group key is NULL (diverging from the window semantics the
+    operators are bit-equivalence-tested against). ``eqNullSafe`` (<=>)
+    keeps NULL-keyed rows matched to their NULL-keyed offset row."""
+    ren = {c: f"_g{i}" for i, c in enumerate(group_cols)}
+    off = offsets.withColumnRenamed("_pid", "_opid")
+    for c, a in ren.items():
+        off = off.withColumnRenamed(c, a)
+    cond = F.col("_pid") == F.col("_opid")
+    for c, a in ren.items():
+        cond = cond & F.col(c).eqNullSafe(F.col(a))
+    return left.join(F.broadcast(off), cond).drop("_opid", *ren.values())
+
+
 def grouped_rank(
     df: DataFrame,
     group_cols: list[str],
@@ -311,7 +332,7 @@ def grouped_rank(
         *group_cols, "_pid", F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).alias("_off")
     )
     return (
-        ranked.join(F.broadcast(offsets), [*group_cols, "_pid"])
+        _join_slice_offsets(ranked, offsets, group_cols)
         .withColumn(out_col, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
@@ -356,7 +377,7 @@ def grouped_running_sum(
         *group_cols, "_pid", F.coalesce(F.sum("_tot").over(wo), F.lit(0)).alias("_off")
     )
     return (
-        local.join(F.broadcast(offsets), [*group_cols, "_pid"])
+        _join_slice_offsets(local, offsets, group_cols)
         .withColumn(out_col, F.col("_off") + F.col("_ls"))
         .drop("_pid", "_ls", "_off")
     )

@@ -62,26 +62,36 @@ _GAP_MS = 600_000
                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sess
             FROM marked
-        ), mx AS (SELECT MAX(ms) AS max_ms FROM e)
-        SELECT user_id,
-               MIN(ms) AS start_ms,
-               MAX(ms) AS end_ms,
-               COUNT(*) AS n_events,
-               (MAX(ms) + {_GAP_MS} <= (SELECT max_ms FROM mx)) AS timer_closed
-        FROM sess
-        GROUP BY user_id, sess
+        ), mx AS (SELECT MAX(ms) AS max_ms FROM e),
+        agg AS (
+            SELECT user_id,
+                   MIN(ms) AS start_ms,
+                   MAX(ms) AS end_ms,
+                   COUNT(*) AS n_events
+            FROM sess
+            GROUP BY user_id, sess
+        )
+        SELECT user_id, start_ms, end_ms, n_events,
+               (end_ms = MAX(end_ms) OVER (PARTITION BY user_id)
+                AND end_ms + {_GAP_MS} <= (SELECT max_ms FROM mx))
+                   AS timer_closed
+        FROM agg
         ORDER BY user_id, start_ms
     """,
     doc="Batch twin of the event-time TIMER processor "
     "(streaming.stateful.session_close_on_timer): 10-minute-gap sessions "
     "per user with millisecond epoch bounds, plus `timer_closed` — would "
-    "a drained stream have closed this session by TIMER (end + gap <= "
-    "terminal watermark = max event ms) rather than by a successor "
-    "event? Gap rule diff >= gap matches ev_session_10m. One window "
-    "shuffle on user_id; the global max joins as a broadcast 1-row "
-    "frame; ms = unix_micros div 1000 floors identically on both "
-    "engines (the parquet is TIMESTAMP(NANOS); both truncate ns → us "
-    "before the div).",
+    "a drained single-batch stream have closed this session by TIMER "
+    "rather than by a successor event? True exactly for a user's LAST "
+    "session (every earlier session closes inline in handleInputRows "
+    "when its successor arrives) whose expiry the terminal watermark "
+    "reaches (end + gap <= max event ms; a later expiry leaves the "
+    "session open at drain). Gap rule diff >= gap matches ev_session_10m. "
+    "One window shuffle on user_id over the events plus one over the "
+    "session-level aggregate (the per-user last-session probe); the "
+    "global max joins as a broadcast 1-row frame; ms = unix_micros div "
+    "1000 floors identically on both engines (the parquet is "
+    "TIMESTAMP(NANOS); both truncate ns → us before the div).",
 )
 def ev_timer_session_close_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
@@ -103,6 +113,10 @@ def ev_timer_session_close_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
     )
     mx = ev.agg(F.max("ms").alias("max_ms"))
+    # true timer closure: only a user's LAST session can close by timer (a
+    # session with a successor closes inline when that event arrives), and
+    # only if the terminal watermark reaches its expiry
+    last_end = F.max("end_ms").over(Window.partitionBy("user_id"))
     return (
         agg.join(F.broadcast(mx))
         .select(
@@ -110,9 +124,10 @@ def ev_timer_session_close_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "start_ms",
             "end_ms",
             "n_events",
-            (F.col("end_ms") + F.lit(_GAP_MS) <= F.col("max_ms")).alias(
-                "timer_closed"
-            ),
+            (
+                (F.col("end_ms") == last_end)
+                & (F.col("end_ms") + F.lit(_GAP_MS) <= F.col("max_ms"))
+            ).alias("timer_closed"),
         )
         .orderBy("user_id", "start_ms")
     )

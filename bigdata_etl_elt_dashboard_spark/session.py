@@ -33,6 +33,51 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+#: Driver thread-stack floor. Spark 4.1's StreamExecution.isInterruptionException
+#: matches the stopped query's exception string against a PROXY_ERROR regex with
+#: a catastrophic `((.|\r\n|\r|\n)*)` group; a long py4j traceback (stop()
+#: landing mid-foreachBatch) recurses one regex frame per character and
+#: overflows a default 1 MiB thread stack, killing the stream execution thread
+#: uncleanly. Larger stacks are virtual (lazily committed), so this is a cheap
+#: guard for every streaming stop path. Observed live: the stack trace roots at
+#: StreamExecution.scala:774 (isInterruptionException → findFirstIn).
+_STACK_GUARD = "-Xss64m"
+
+
+def _defaults_file_java_opts() -> str:
+    """spark.driver.extraJavaOptions from spark-defaults.conf, if one exists.
+
+    ``builder.config(key, ...)`` replaces (not merges) file-based defaults, so
+    preserving an operator-provided option string means reading it ourselves
+    before the JVM launches."""
+    conf_dir = os.environ.get("SPARK_CONF_DIR")
+    if not conf_dir and "SPARK_HOME" in os.environ:
+        conf_dir = os.path.join(os.environ["SPARK_HOME"], "conf")
+    path = conf_dir and os.path.join(conf_dir, "spark-defaults.conf")
+    if not path or not os.path.isfile(path):
+        return ""
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if line.startswith("spark.driver.extraJavaOptions"):
+                return line[len("spark.driver.extraJavaOptions") :].strip()
+    return ""
+
+
+def _merge_driver_java_opts(caller_opts: str | None) -> str:
+    """Merge the ``-Xss64m`` stack guard with pre-existing driver options.
+
+    Caller-supplied options (via ``extra_conf``) win over spark-defaults.conf
+    ones (Spark's own precedence); the stack guard is appended unless the
+    resulting string already pins a thread-stack size — an explicit caller
+    ``-Xss...`` is respected, never doubled or overridden."""
+    base = caller_opts if caller_opts is not None else _defaults_file_java_opts()
+    base = (base or "").strip()
+    if "-Xss" in base:
+        return base
+    return f"{base} {_STACK_GUARD}".strip() if base else _STACK_GUARD
+
+
 def get_spark(
     app_name: str = "bigdata-etl-elt-dashboard-spark",
     master: str | None = None,
@@ -66,18 +111,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # Spark 4.1's StreamExecution.isInterruptionException matches the
-        # stopped query's exception string against a PROXY_ERROR regex with
-        # a catastrophic `((.|\r\n|\r|\n)*)` group; a long py4j traceback
-        # (stop() landing mid-foreachBatch) recurses one regex frame per
-        # character and overflows a default 1 MiB thread stack, killing the
-        # stream execution thread uncleanly. Larger stacks are virtual
-        # (lazily committed), so this is a cheap guard for every streaming
-        # stop path. Observed live: the stack trace roots at
-        # StreamExecution.scala:774 (isInterruptionException → findFirstIn).
-        .config("spark.driver.extraJavaOptions", "-Xss64m")
     )
-    for k, v in (extra_conf or {}).items():
+    extra = dict(extra_conf or {})
+    # `-Xss64m` stack guard (see _STACK_GUARD), MERGED with spark-defaults /
+    # caller-supplied driver options instead of clobbering them — a caller's
+    # own extraJavaOptions keep the guard appended, and an explicit -Xss wins.
+    builder = builder.config(
+        "spark.driver.extraJavaOptions",
+        _merge_driver_java_opts(extra.pop("spark.driver.extraJavaOptions", None)),
+    )
+    for k, v in extra.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

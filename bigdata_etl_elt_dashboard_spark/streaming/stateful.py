@@ -268,11 +268,18 @@ def session_close_on_timer(
     deleted whenever the session extends (re-registering at the new
     expiry), and a stale timer firing after a session extended is ignored
     by the ``expiry >= last + gap`` guard. Batch twin:
-    ``ev_timer_session_close_twin`` (plans/wave8.py) — sessions whose
-    ``end + gap <= max event time`` read ``timer_closed=true`` there,
-    mirroring which sessions a fully-drained stream would have closed by
-    timer. ``delay`` is the watermark delay on ``ts``; timers fire only
-    when the watermark (max seen ts − delay) passes their expiry."""
+    ``ev_timer_session_close_twin`` (plans/wave8.py) — in a fully-drained
+    single-batch stream, exactly a user's LAST session can close by timer
+    (every earlier session closes inline in ``handleInputRows`` the moment
+    its successor event is processed), and only if the terminal watermark
+    reaches its expiry (``end + gap <= max event time``; otherwise it
+    stays open at drain) — the twin's ``timer_closed`` column encodes
+    that conjunction. Across MULTIPLE batches arrival order matters: a
+    session whose successor arrives in a later query run may close by
+    timer first (see tests/test_scale_sources.py::
+    test_session_close_on_timer_v2 run 1 vs run 3). ``delay`` is the
+    watermark delay on ``ts``; timers fire only when the watermark (max
+    seen ts − delay) passes their expiry."""
 
     def build(gap: int):
         from pyspark.sql.streaming.stateful_processor import (

@@ -175,3 +175,59 @@ def test_copyfrom_through_default_submessage_sets_presence():
     cmd = sm.StateCallCommand()
     cmd.ttl.CopyFrom(src)
     assert cmd.HasField("ttl") and cmd.ttl.durationMs == 9
+
+
+def test_parsefromstring_through_default_submessage_sets_presence():
+    # populating a hooked default instance via ParseFromString is a WRITE:
+    # presence must cascade exactly like CopyFrom / scalar assignment
+    src = sm.TTLConfig(durationMs=9)
+    cmd = sm.StateCallCommand()
+    cmd.ttl.ParseFromString(src.SerializeToString())
+    assert cmd.HasField("ttl") and cmd.ttl.durationMs == 9
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.ttl.durationMs == 9
+
+
+def test_repeated_mutation_through_default_submessage_sets_presence():
+    # msg.sub.items.append(x) memoizes the list on a hooked default
+    # instance; the mutation must materialize the presence chain so the
+    # data survives the next read of msg.sub (real-protobuf lazy
+    # write-through semantics for repeated fields)
+    from google.protobuf.internal import builder as _b
+    from google.protobuf.descriptor import Descriptor, FieldDescriptor as FD
+
+    inner = Descriptor(
+        name="RepInner",
+        full_name="shimtest.RepInner",
+        fields=[FD("items", 1, FD.TYPE_INT64, FD.LABEL_REPEATED)],
+        oneofs=[],
+        nested_types=[],
+        enum_types=[],
+    )
+    fd_sub = FD("sub", 1, FD.TYPE_MESSAGE, FD.LABEL_OPTIONAL)
+    outer = Descriptor(
+        name="RepOuter",
+        full_name="shimtest.RepOuter",
+        fields=[fd_sub],
+        oneofs=[],
+        nested_types=[],
+        enum_types=[],
+    )
+    _b._make_message_class(inner, "shimtest")
+    outer_cls = _b._make_message_class(outer, "shimtest")
+    fd_sub.message_type = inner
+
+    msg = outer_cls()
+    msg.sub.items.append(5)
+    assert msg.HasField("sub")
+    msg.sub.items.extend([6, 7])
+    assert list(msg.sub.items) == [5, 6, 7]
+    back = outer_cls()
+    back.ParseFromString(msg.SerializeToString())
+    assert list(back.sub.items) == [5, 6, 7]
+
+    # a bare READ of the repeated field still creates no presence
+    m2 = outer_cls()
+    _ = list(m2.sub.items)
+    assert not m2.HasField("sub")

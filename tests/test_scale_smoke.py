@@ -272,3 +272,58 @@ def test_grouped_running_sum_matches_plain_window(spark):
         a = {(r["grp"], r["id"]): r["rs"] for r in plain.collect()}
         b = {(r["grp"], r["id"]): r["rs"] for r in two_pass.collect()}
         assert a == b, f"inclusive={inclusive}"
+
+
+def test_grouped_ops_keep_null_group_rows(spark):
+    """NULL group keys form their own group under Window.partitionBy; the
+    two-pass forms must match — the offsets join is null-safe (<=>), so a
+    plain-equi-join silent drop of NULL-keyed rows would fail this."""
+    from pyspark.sql import Window
+
+    from bigdata_etl_elt_dashboard_spark.operators.scale import (
+        grouped_rank,
+        grouped_running_sum,
+    )
+
+    df = spark.range(20_000).select(
+        F.col("id"),
+        F.when(F.pmod("id", F.lit(4)) == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("g"), F.pmod("id", F.lit(4)).cast("string")))
+        .alias("grp"),
+        F.pmod(F.xxhash64("id"), F.lit(50)).alias("v"),
+    )
+    n_in = df.count()
+
+    w = Window.partitionBy("grp").orderBy("id")
+    plain_rk = df.withColumn("rk", F.row_number().over(w).cast("long"))
+    two_rk = grouped_rank(df, ["grp"], ["id"], out_col="rk", num_partitions=8)
+    assert two_rk.count() == n_in  # no NULL-group row dropped
+    a = {(r["grp"], r["id"]): r["rk"] for r in plain_rk.collect()}
+    b = {(r["grp"], r["id"]): r["rk"] for r in two_rk.collect()}
+    assert a == b
+
+    ws = w.rowsBetween(Window.unboundedPreceding, -1)
+    plain_rs = df.withColumn("rs", F.coalesce(F.sum("v").over(ws), F.lit(0)))
+    two_rs = grouped_running_sum(
+        df, ["grp"], ["id"], "v", out_col="rs", num_partitions=8
+    )
+    assert two_rs.count() == n_in
+    a = {(r["grp"], r["id"]): r["rs"] for r in plain_rs.collect()}
+    b = {(r["grp"], r["id"]): r["rs"] for r in two_rs.collect()}
+    assert a == b
+
+
+def test_driver_java_opts_merge():
+    """The -Xss64m stack guard merges with (never clobbers) pre-existing
+    or caller-supplied spark.driver.extraJavaOptions; an explicit caller
+    -Xss wins outright."""
+    from bigdata_etl_elt_dashboard_spark.session import _merge_driver_java_opts
+
+    assert _merge_driver_java_opts(None).endswith("-Xss64m")
+    assert _merge_driver_java_opts("") == "-Xss64m"
+    merged = _merge_driver_java_opts("-Duser.timezone=UTC")
+    assert "-Duser.timezone=UTC" in merged and "-Xss64m" in merged
+    # an explicit caller stack size is respected, not doubled or overridden
+    assert _merge_driver_java_opts("-Xss8m") == "-Xss8m"
+    kept = _merge_driver_java_opts("-Xss128m -Dfoo=bar")
+    assert kept == "-Xss128m -Dfoo=bar" and "-Xss64m" not in kept

@@ -4117,7 +4117,9 @@ def test_weighted_quartiles_matches_python(spark, sf_smoke):
 def test_timer_session_twin_matches_python(spark, sf_smoke):
     """ev_timer_session_close_twin vs a from-scratch sessionizer: walk each
     user's (ms, event_id)-ordered events, open a new session on diff >=
-    gap, then adjudicate timer-closure against the global max ms."""
+    gap. TRUE timer closure: only the user's LAST session (every earlier
+    one closes inline when its successor event is processed), and only if
+    the terminal watermark (global max ms) reaches its expiry."""
     import pyarrow.parquet as pq_
 
     t = pq_.read_table(
@@ -4142,12 +4144,12 @@ def test_timer_session_twin_matches_python(spark, sf_smoke):
         n = 1
         for ms, _e in evs[1:]:
             if ms - last >= gap:
-                ref.append((u, start, last, n, last + gap <= max_ms))
+                ref.append((u, start, last, n, False))  # closed by successor
                 start, last, n = ms, ms, 1
             else:
                 last = ms
                 n += 1
-        ref.append((u, start, last, n, last + gap <= max_ms))
+        ref.append((u, start, last, n, last + gap <= max_ms))  # trailing
     got = [
         (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"], r["timer_closed"])
         for r in _rows(spark, sf_smoke, "ev_timer_session_close_twin")
