@@ -181,6 +181,61 @@ def overwrite_partitions(df: DataFrame, path: str, partition_by: list[str]) -> N
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def upsert_bucket_expr(key_cols: list[str], n_buckets: int) -> Column:
+    """Bucket id for ``merge_upsert_parquet``'s partition layout: a stable
+    hash of the merge key, so every version of a key lands in the same
+    partition directory and an upsert only rewrites that bucket."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+
+
+def merge_upsert_parquet(
+    batch_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    n_buckets: int = 16,
+) -> None:
+    """MERGE (upsert) into a parquet lake table keyed by ``key_cols``:
+    new-key rows insert, existing-key rows are replaced — the transactional
+    ``MERGE INTO`` pattern without a table format.
+
+    Layout: the table is hive-partitioned by ``_bucket = hash(key) %
+    n_buckets``, so a key's every version lives in one bucket directory.
+    The merge reads ONLY the buckets the batch touches, anti-joins away
+    old versions of the incoming keys, unions the batch, and rewrites
+    just those buckets via dynamic partition overwrite — rewrite
+    amplification is bounded by touched-buckets size, never table size.
+    At 100 TB, size ``n_buckets`` so one bucket ≈ a few GB (or swap in
+    Iceberg/Delta MERGE, which this layout deliberately mirrors).
+
+    The merged frame is materialized (eager localCheckpoint) BEFORE the
+    overwrite: the plan reads the same files the write replaces, and a
+    lazy plan would consume its own output. Inside ``foreachBatch`` a
+    failure between checkpoint and write is safe — streaming replays the
+    uncommitted batch and the merge is idempotent (replaying the same
+    keys replaces rather than duplicates).
+
+    Read the table back with ``spark.read.parquet(path).drop("_bucket")``.
+    """
+    spark = batch_df.sparkSession
+    b = batch_df.withColumn("_bucket", upsert_bucket_expr(key_cols, n_buckets))
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:  # first batch: no table yet
+        existing = None
+    if existing is not None:
+        touched = [
+            r["_bucket"] for r in b.select("_bucket").distinct().collect()
+        ]  # bounded: ≤ n_buckets rows
+        old = existing.filter(F.col("_bucket").isin(touched)).join(
+            b.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = old.unionByName(b)
+    else:
+        merged = b
+    merged = merged.localCheckpoint(eager=True)
+    overwrite_partitions(merged, path, ["_bucket"])
+
+
 def compact_parquet(
     spark,
     path: str,

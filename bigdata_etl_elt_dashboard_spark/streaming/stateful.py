@@ -242,7 +242,7 @@ SESSION_TIMER_SCHEMA = (
 def session_close_on_timer(
     events_stream: DataFrame,
     gap_ms: int = 600_000,
-    delay: str = "0 seconds",
+    delay: str | None = "0 seconds",
 ) -> DataFrame:
     """Timer-driven session close — the event-time TIMER surface of
     arbitrary state v2 (the one capability the MapState/ValueState/ListState
@@ -279,7 +279,11 @@ def session_close_on_timer(
     timer first (see tests/test_scale_sources.py::
     test_session_close_on_timer_v2 run 1 vs run 3). ``delay`` is the
     watermark delay on ``ts``; timers fire only when the watermark (max
-    seen ts − delay) passes their expiry."""
+    seen ts − delay) passes their expiry. Pass ``delay=None`` when the
+    input ALREADY carries an event-time watermark (e.g. downstream of
+    ``dropDuplicatesWithinWatermark`` in the composed medallion pipeline,
+    streaming/pipeline.py) — Spark disallows redefining a watermark
+    between chained stateful operators."""
 
     def build(gap: int):
         from pyspark.sql.streaming.stateful_processor import (
@@ -358,8 +362,13 @@ def session_close_on_timer(
 
         return SessionClose()
 
-    return (
+    marked = (
         events_stream.withWatermark("ts", delay)
+        if delay is not None
+        else events_stream
+    )
+    return (
+        marked
         .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=build(gap_ms),

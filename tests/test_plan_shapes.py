@@ -460,6 +460,9 @@ _BNLJ_BOUNDED_OK = {
     "emb_jl_projection_distortion",  # _JL_NQ(=20)-row query side broadcast
     "ev_inter_event_gap_hist",  # 1-row grand-total scalar broadcast
     "ev_timer_session_close_twin",  # 1-row terminal-watermark (max ms) broadcast
+    # 1-row terminal-watermark (max ms) broadcast onto the session-level
+    # aggregate (the ev_timer_session_close_twin shape, composed)
+    "ev_stream_pipeline_gold_twin",
     # 1-row stratum-total and sample-count scalars broadcast into the
     # allocation / curriculum stages (same shape as li_proportional_allocation)
     "corpus_pipeline_v2_digest",

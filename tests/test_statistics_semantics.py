@@ -4286,3 +4286,72 @@ def test_corpus_pipeline_v2_matches_python_composition(spark, sf_smoke):
     assert got == {
         k: (a, b, c, len(p)) for k, (a, b, c, p) in ref.items()
     }
+
+
+# --- round-9 additions (plans/wave9.py) ----------------------------------
+
+
+def test_stream_pipeline_gold_twin_matches_python(spark, sf_smoke):
+    """ev_stream_pipeline_gold_twin vs the composed stages from scratch in
+    plain Python: replay every 7th event (at-least-once delivery), dedup
+    to one row per event_id, gap-sessionize, keep only the sessions a
+    drained stream CLOSES ('gap' when a successor exists, 'timer' for the
+    user's last session iff max_ms reaches its expiry, open otherwise),
+    then roll the gold table up per calendar day."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(
+        f"{sf_smoke}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+    unit = t["ts"].type.unit
+    div = {"s": 1, "ms": 1, "us": 1_000, "ns": 1_000_000}[unit]
+    raw = t["ts"].cast("int64").to_pylist()
+    uid = t["user_id"].to_pylist()
+    eid = t["event_id"].to_pylist()
+    gap, day_ms = 600_000, 86_400_000
+
+    # replay + dedup: replicas are byte-identical, so a set of
+    # (user, ms, event_id) triples models "one row per delivered event"
+    delivered = set()
+    for u, e, v in zip(uid, eid, raw):
+        delivered.add((u, v // div, e))
+        if e % 7 == 0:
+            delivered.add((u, v // div, e))  # replay collapses in the set
+    per_user = collections.defaultdict(list)
+    for u, ms, e in delivered:
+        per_user[u].append((ms, e))
+    max_ms = max(ms for _u, ms, _e in delivered)
+
+    closed = []  # (user, start, end, n, closed_by)
+    for u in sorted(per_user):
+        evs = sorted(per_user[u])
+        start = last = evs[0][0]
+        n = 1
+        for ms, _e in evs[1:]:
+            if ms - last >= gap:
+                closed.append((u, start, last, n, "gap"))
+                start, last, n = ms, ms, 1
+            else:
+                last = ms
+                n += 1
+        if last + gap <= max_ms:
+            closed.append((u, start, last, n, "timer"))
+        # else: still open at drain — never reaches gold
+
+    ref = collections.defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for u, start, end, n, how in closed:
+        d = ref[start // day_ms]
+        d[0] += 1
+        d[1] += n
+        d[2] += how == "gap"
+        d[3] += how == "timer"
+        d[4] += end - start
+        d[5] += u
+    got = {
+        r["day"]: [
+            r["n_sessions"], r["n_events"], r["n_gap"],
+            r["n_timer"], r["sum_dur_ms"], r["uid_sum"],
+        ]
+        for r in _rows(spark, sf_smoke, "ev_stream_pipeline_gold_twin")
+    }
+    assert got == dict(ref)

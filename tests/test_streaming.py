@@ -317,6 +317,138 @@ def test_stream_gold_upsert_crash_recovery(spark, tmp_path, monkeypatch):
     }
 
 
+def test_stream_medallion_capstone_crash_recovery(spark, tmp_path, monkeypatch):
+    """The COMPOSED streaming capstone: at-least-once ingest (replayed
+    rows) → dropDuplicatesWithinWatermark → event-time timer
+    sessionization → gold MERGE upsert, as ONE continuous query
+    (streaming/pipeline.stream_sessions_gold). Three proofs in sequence:
+
+    1. torn-write crash: the first gold merge persists only one user's
+       rows then dies before the commit log records the batch — the
+       worst partial-sink state;
+    2. recovery: restarting from the same checkpoint replays the
+       uncommitted batch, the idempotent merge converges, the timer
+       no-data batch closes trailing sessions, and the gold table equals
+       the composed BATCH recompute (sessions_gold_batch — whose day
+       rollup is oracle-gated as ev_stream_pipeline_gold_twin);
+    3. increment: a later event closes a checkpointed OPEN session by
+       'gap'; gold again equals the batch recompute over all data.
+    """
+    from bigdata_etl_elt_dashboard_spark.sources import sinks
+    from bigdata_etl_elt_dashboard_spark.streaming.pipeline import (
+        sessions_gold_batch,
+        stream_sessions_gold,
+    )
+    from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
+        _protobuf_available,
+    )
+
+    if not _protobuf_available():
+        pytest.xfail("no protobuf runtime (real or vendored shim)")
+
+    src = str(tmp_path / "src")
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mins(n):
+        return _ts(10, 0) + dt.timedelta(minutes=n)
+
+    def ms(n):
+        return int(mins(n).timestamp() * 1000)
+
+    def ev(eid, uid, n):
+        return (eid, mins(n), uid, "view", 1.0)
+
+    # u1: sessions (0-5) gap-closed inline + (30) timer-closed at drain;
+    # u2: (45-50) still OPEN at drain (expiry 60 > max 50) — must NOT
+    # reach gold; u3: (0) gap-closed + (20) timer-closed. Events 1 and 4
+    # are REPLAYED byte-identically (at-least-once delivery).
+    rows = [
+        ev(1, 1, 0), ev(2, 1, 5), ev(3, 1, 30),
+        ev(4, 2, 45), ev(5, 2, 50),
+        ev(7, 3, 0), ev(8, 3, 20),
+        ev(1, 1, 0), ev(4, 2, 45),  # replays
+    ]
+    _write_events(spark, src, rows)
+
+    def run():
+        q = (
+            stream_sessions_gold(
+                stream_events_from_parquet(spark, src, EVENT_SCHEMA),
+                gold,
+                ckpt,
+                gap_ms=600_000,
+                n_buckets=4,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    def gold_rows():
+        return sorted(
+            (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"], r["closed_by"])
+            for r in spark.read.parquet(gold).drop("_bucket").collect()
+        )
+
+    def batch_rows():
+        return sorted(
+            (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"], r["closed_by"])
+            for r in sessions_gold_batch(
+                spark.read.parquet(src), gap_ms=600_000
+            ).collect()
+        )
+
+    real_merge = sinks.merge_upsert_parquet
+    crashed = {"n": 0}
+
+    def torn_merge(df, path, key_cols, n_buckets=16):
+        # persist ONE user's slice of the batch, then die before the
+        # streaming commit log records the batch — the torn state a
+        # mid-merge executor/driver loss leaves behind
+        crashed["n"] += 1
+        real_merge(df.filter(F.col("user_id") == 1), path, key_cols, n_buckets)
+        raise RuntimeError("injected merge crash")
+
+    monkeypatch.setattr(sinks, "merge_upsert_parquet", torn_merge)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with pytest.raises(StreamingQueryException, match="injected merge crash"):
+            run()
+        assert crashed["n"] == 1
+        # torn: only u1's gap-closed session landed (u3's is missing)
+        assert gold_rows() == [(1, ms(0), ms(5), 2, "gap")]
+
+        # recovery: same checkpoint, healthy sink — the uncommitted batch
+        # replays (idempotent merge), the timer no-data batch closes the
+        # trailing sessions, and gold == the composed batch recompute
+        monkeypatch.setattr(sinks, "merge_upsert_parquet", real_merge)
+        run()
+        expected = [
+            (1, ms(0), ms(5), 2, "gap"),     # dedup: replay of id 1 collapsed
+            (1, ms(30), ms(30), 1, "timer"),
+            (3, ms(0), ms(0), 1, "gap"),
+            (3, ms(20), ms(20), 1, "timer"),
+        ]
+        assert gold_rows() == expected
+        assert gold_rows() == batch_rows()  # u2's open session in neither
+
+        # increment: u2's successor at minute 70 closes the CHECKPOINTED
+        # open session by 'gap' (and opens a new one that stays open)
+        _write_events(spark, src, [ev(6, 2, 70)])
+        run()
+        assert gold_rows() == sorted(expected + [(2, ms(45), ms(50), 2, "gap")])
+        assert gold_rows() == batch_rows()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_stream_stream_range_join(spark, tmp_path):
     """Watermarked stream-stream join: clicks pair with the same user's
     views from the preceding 10 minutes — matches the batch range-join
