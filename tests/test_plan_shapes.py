@@ -67,6 +67,32 @@ def test_filtered_kpis_pushes_predicates(spark, sf_oracle):
     assert "o_orderpriority" in plan.split("ReadSchema")[0] or "In(o_orderpriority" in plan
 
 
+def test_rank_limit_sites_get_window_group_limit(spark, sf_oracle):
+    """Every rank-LIMIT site (row_number/rank over a LOW-cardinality
+    PARTITION BY followed by `rn <= k`) must get Catalyst's
+    WindowGroupLimit: a map-side partial top-k BEFORE the shuffle, so only
+    k×n_partitions rows of a hot group ever reach one task. The r08 scale
+    audit (plans/__init__.py rotation note) classified these sites as
+    natively safe BECAUSE of this optimization — this lint makes that
+    classification executable, so a Spark upgrade or plan change that
+    drops WindowGroupLimit fails the suite instead of silently
+    reintroducing the single-task hot-group funnel."""
+    sites = [
+        "topk_orders_per_region",
+        "docs_stratified_sample",
+        "docs_cap_per_source",
+        "docs_tfidf_top_terms",
+    ]
+    missing = []
+    for name in sites:
+        plan = explain_str(REGISTRY[name].fn(spark, sf_oracle))
+        # two spans expected: Partial (map-side, pre-shuffle) + Final;
+        # requiring the string at all catches the optimization dropping out
+        if "WindowGroupLimit" not in plan:
+            missing.append(name)
+    assert not missing, f"rank-limit sites lost WindowGroupLimit: {missing}"
+
+
 def test_aggregations_use_whole_stage_codegen(spark, sf_oracle):
     df = REGISTRY["q2_revenue_per_year"].fn(spark, sf_oracle)
     assert "HashAggregate" in explain_str(df)
