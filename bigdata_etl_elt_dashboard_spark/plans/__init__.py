@@ -77,13 +77,30 @@ from .registry import REGISTRY, register
 # round every oracle-backed registry query has a green driver row and the
 # never-gated set is exactly the 3 rows-only digest-twinned originals.
 #
-# ROUND-9 ROTATION PLAN: both round-8 additions are gated IN this window,
-# so the never-gated remainder entering r09 is exactly the 3 rows-only
-# digest-twinned originals — gate any round-9 additions first, then fill
-# remaining slots with re-gates of the next-oldest standing green rows
-# (r02-era star/transform/event families, then r03 source/corpus rows).
-# Re-run tools/gate_rotation.py at the r09 round start and paste its window
-# here. Low-cardinality PARTITION BY window audit (done r08, plan-verified):
+# ROUND-9 WINDOW (this round): per the r08 verdict task 1 — freshness
+# rotation, oldest rows first. Entry 1 is the round-9 addition
+# (ev_stream_pipeline_gold_twin, the composed streaming-capstone batch
+# twin, plans/wave9.py); entry 2 re-gates ev_timer_session_close_twin
+# whose timer_closed semantics CHANGED this round (true timer closure —
+# last session AND expiry <= terminal watermark — per the r08 ADVICE
+# medium item); entries 3-39 are the full 37-query r02-last cohort (elt/
+# star/transform/dedup-apply/similarity-centroid/docs/event families;
+# agg_approx_sketches stays out by design — rows-only, digest-twinned via
+# agg_sketch_param_digest); entries 40-50 are the 11 oldest r03-last rows
+# in registry order (source roundtrips, lineitem shares, multimodal
+# digests, docs corpus-prep). After this round the oldest standing-green
+# evidence class shrinks from 130 rows (≤ r03) to ~81 (42 r01-last + 39
+# r03-last).
+#
+# ROUND-10 ROTATION PLAN: gate any round-10 additions first, then the 42
+# r01-last rows (q2/q4/q7/q8, the r01 analytics/trend/dq/hist families),
+# then the remaining 39 r03-last rows. Re-run tools/gate_rotation.py at
+# round start and union with the last-gated-round computation (see
+# BENCHDIFF/verdict workflow) to regenerate.
+#
+# Low-cardinality PARTITION BY window audit (done r08, plan-verified;
+# r09: executable as tests/test_plan_shapes.py::
+# test_rank_limit_sites_get_window_group_limit):
 # every rank-LIMIT site (rn <= k filter) — topk_orders_per_region,
 # docs_stratified_sample, docs_cap_per_source (+ its use inside the e2e
 # digests), docs_tfidf_top_terms — gets Catalyst's WindowGroupLimit
@@ -99,57 +116,59 @@ from .registry import REGISTRY, register
 # grouped_running_sum (added r08; corpus_pipeline_v2_digest uses both).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    "nation_revenue_rank_migration",
-    "agg_hist2d_qty_price",
-    "dq_column_profile_wide",
-    "sim_ann_multiprobe_gain",
-    "wh_write_audit_publish_digest",
-    "ev_ab_power_mde",
-    "emb_prefix_dim_recall",
-    "trend_max_drawdown_daily",
-    "li_vwap_part_month",
-    "wh_merge_delete_branch_digest",
-    "stat_weekly_block_maxima",
-    "stat_turning_points_test",
-    "graph_rich_club_coefficient",
-    "stat_sign_test_paired_months",
-    "emb_ivf_cell_purity",
-    "src_nested_json_roundtrip_digest",
-    "stat_mad_robust_outlier_days",
-    "trend_backtest_snaive_mase",
-    "pricing_summary_q1",
-    "unshipped_topk_q3",
-    "local_supplier_volume_q5",
-    "forecast_revenue_change_q6",
-    "dedup_verified_keepers",
-    "docs_hash_sample_smallest_k",
-    "docs_shuffle_order_digest",
-    "docs_rrf_rank_fusion",
-    "docs_curriculum_stages",
-    "ev_retention_triangle",
-    "li_proportional_allocation",
-    "stat_cross_correlation_lags",
-    "trend_haar_wavelet_energy",
-    "stat_weighted_quartiles_unit_price",
-    "dedup_minhash_signatures",
-    "dedup_lsh_candidates",
-    "dedup_jaccard_pairs",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "sim_topk_cosine",
-    "sim_threshold_pairs",
-    "text_tfidf_top_terms",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_len_percentiles_by_lang",
-    "cust_rfm_segments",
-    "tr_clip_iqr",
-    "ev_cohort_retention",
-    # r08 additions, gated in their own round (plans/wave8.py)
+    # r09 addition (plans/wave9.py) + the r09-modified timer twin
+    "ev_stream_pipeline_gold_twin",
     "ev_timer_session_close_twin",
-    "corpus_pipeline_v2_digest",
+    # r02-last cohort (37 — full)
+    "elt_sales_clean",
+    "elt_region_rollup_sql",
+    "elt_grouping_sets_sql",
+    "star_dim_date",
+    "star_dim_geo",
+    "star_fact_sales",
+    "star_fk_integrity",
+    "star_region_report",
+    "tr_dedup_keep_first",
+    "tr_union_reconcile",
+    "tr_smart_fill_region",
+    "tr_impute_median",
+    "tr_outlier_flag",
+    "tr_minmax_norm",
+    "tr_onehot_priority",
+    "tr_date_features",
+    "tr_derived_measures",
+    "dedup_apply_canonical",
+    "dedup_rate_by_source",
+    "sim_label_centroids",
+    "sim_assign_centroid",
+    "docs_stratified_sample",
+    "docs_training_corpus",
+    "docs_quality_by_lang_source",
+    "ev_tumbling_hourly",
+    "ev_sliding_1h_30m",
+    "ev_session_10m",
+    "ev_event_bigrams",
+    "ev_json_rollup",
+    "ev_asof_last_view",
+    "ev_range_recent_views",
+    "ev_user_activity",
+    "ev_funnel_conversion",
+    "ev_session_stats",
+    "ev_purchase_intervals",
+    "agg_salted_user_rollup",
+    "mm_feature_extract",
+    # oldest 11 r03-last rows, registry order
+    "src_csv_roundtrip_digest",
+    "src_table_roundtrip_digest",
+    "li_value_share_parts",
+    "li_last_shipper_blame",
+    "trend_price_percentile_bands",
+    "mm_frame_sample_digest",
+    "mm_decode_channel_stats",
+    "docs_sequence_packing",
+    "docs_decontaminate",
+    "docs_pii_redaction",
+    "docs_vocab_top_terms",
 ]
 
 
