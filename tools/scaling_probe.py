@@ -112,6 +112,11 @@ PROBES = [
     "docs_rrf_rank_fusion",
     "docs_curriculum_stages",
     "corpus_pipeline_v2_digest",
+    # round-9: the composed streaming-capstone batch twin (replay union →
+    # dedup distinct → user_id window sessionize → session-level window →
+    # day rollup) — expected ~linear in events like ev_session_10m, whose
+    # window shuffle it shares.
+    "ev_stream_pipeline_gold_twin",
 ]
 
 
