@@ -188,6 +188,10 @@ EXTENSION_SUITE = (
     # watermark broadcast)
     "corpus_pipeline_v2_digest",
     "ev_timer_session_close_twin",
+    # round-9 addition: the composed streaming-capstone batch twin
+    # (replay union → dedup distinct → sessionize → closed-filter → day
+    # rollup; the ev_timer_session_close_twin shape composed end-to-end)
+    "ev_stream_pipeline_gold_twin",
 )
 
 
