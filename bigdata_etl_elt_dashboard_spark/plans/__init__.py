@@ -78,25 +78,28 @@ from .registry import REGISTRY, register
 # never-gated set is exactly the 3 rows-only digest-twinned originals.
 #
 # ROUND-9 WINDOW (this round): per the r08 verdict task 1 — freshness
-# rotation, oldest rows first. Entry 1 is the round-9 addition
+# rotation, oldest rows first. Entries 1-2 are the round-9 additions
 # (ev_stream_pipeline_gold_twin, the composed streaming-capstone batch
-# twin, plans/wave9.py); entry 2 re-gates ev_timer_session_close_twin
+# twin, plans/wave9.py; src_merge_upsert_digest, the bucketed MERGE sink
+# gate, plans/sources_gate.py); entry 3 re-gates ev_timer_session_close_twin
 # whose timer_closed semantics CHANGED this round (true timer closure —
 # last session AND expiry <= terminal watermark — per the r08 ADVICE
-# medium item); entries 3-39 are the full 37-query r02-last cohort (elt/
+# medium item); entries 4-40 are the full 37-query r02-last cohort (elt/
 # star/transform/dedup-apply/similarity-centroid/docs/event families;
 # agg_approx_sketches stays out by design — rows-only, digest-twinned via
-# agg_sketch_param_digest); entries 40-50 are the 11 oldest r03-last rows
+# agg_sketch_param_digest); entries 41-50 are the 10 oldest r03-last rows
 # in registry order (source roundtrips, lineitem shares, multimodal
 # digests, docs corpus-prep). After this round the oldest standing-green
-# evidence class shrinks from 130 rows (≤ r03) to ~81 (42 r01-last + 39
+# evidence class shrinks from 130 rows (≤ r03) to ~82 (42 r01-last + 40
 # r03-last).
 #
 # ROUND-10 ROTATION PLAN: gate any round-10 additions first, then the 42
 # r01-last rows (q2/q4/q7/q8, the r01 analytics/trend/dq/hist families),
-# then the remaining 39 r03-last rows. Re-run tools/gate_rotation.py at
-# round start and union with the last-gated-round computation (see
-# BENCHDIFF/verdict workflow) to regenerate.
+# then the remaining 40 r03-last rows (docs_vocab_top_terms first — it
+# was swapped out of the r09 window for src_merge_upsert_digest). Re-run
+# tools/gate_rotation.py at round start and union with the
+# last-gated-round computation (see BENCHDIFF/verdict workflow) to
+# regenerate.
 #
 # Low-cardinality PARTITION BY window audit (done r08, plan-verified;
 # r09: executable as tests/test_plan_shapes.py::
@@ -116,8 +119,10 @@ from .registry import REGISTRY, register
 # grouped_running_sum (added r08; corpus_pipeline_v2_digest uses both).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # r09 addition (plans/wave9.py) + the r09-modified timer twin
+    # r09 additions (plans/wave9.py, plans/sources_gate.py) + the
+    # r09-modified timer twin
     "ev_stream_pipeline_gold_twin",
+    "src_merge_upsert_digest",
     "ev_timer_session_close_twin",
     # r02-last cohort (37 — full)
     "elt_sales_clean",
@@ -168,7 +173,6 @@ _GATE_WINDOW = [
     "docs_sequence_packing",
     "docs_decontaminate",
     "docs_pii_redaction",
-    "docs_vocab_top_terms",
 ]
 
 

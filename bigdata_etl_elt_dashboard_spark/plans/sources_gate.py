@@ -492,3 +492,62 @@ def src_schema_evolution_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("status_hash_sum"),
     )
+
+
+@register(
+    "src_merge_upsert_digest",
+    oracle="""
+        WITH final AS (
+            SELECT o_orderkey AS k,
+                   CASE WHEN o_orderkey % 3 = 0
+                        THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1000000
+                        ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   END AS v
+            FROM orders
+            UNION ALL
+            SELECT -o_orderkey AS k, o_custkey AS v
+            FROM orders WHERE o_orderkey % 7 = 0
+        )
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(k) AS BIGINT) AS key_sum,
+               CAST(SUM(v) AS BIGINT) AS v_sum
+        FROM final
+    """,
+    doc="MERGE-upsert driver gate for the bucketed parquet-lake sink "
+    "(sources/sinks.merge_upsert_parquet — the streaming capstone's gold "
+    "layer): batch 1 inserts every order's price-cents keyed by orderkey; "
+    "batch 2 UPDATES every key divisible by 3 (+1,000,000 cents) and "
+    "INSERTS a disjoint negative-key row (custkey as value) for keys "
+    "divisible by 7. The read-back digest (row count, key sum, value "
+    "sum) matches the oracle's closed-form final state ONLY if updates "
+    "replaced exactly their keys, inserts landed once, and untouched "
+    "keys survived both merges — a mangled anti-join or double-applied "
+    "batch shifts every column. Idempotent across driver runs (the gate "
+    "dir is cleared first). Scale: each merge reads only the key-hash "
+    "buckets its batch touches and rewrites them via dynamic partition "
+    "overwrite; the digest is one partial-aggregatable pass.",
+)
+def src_merge_upsert_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    path = _gate_dir(sf_dir, "orders_merge")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    sinks.merge_upsert_parquet(orders.select("k", "v"), path, ["k"], n_buckets=8)
+    upd = orders.filter(F.col("k") % 3 == 0).select(
+        "k", (F.col("v") + 1_000_000).alias("v")
+    )
+    ins = orders.filter(F.col("k") % 7 == 0).select(
+        (-F.col("k")).alias("k"), F.col("o_custkey").alias("v")
+    )
+    sinks.merge_upsert_parquet(upd.unionByName(ins), path, ["k"], n_buckets=8)
+    back = spark.read.parquet(path).drop("_bucket")
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("k").alias("key_sum"),
+        F.sum("v").alias("v_sum"),
+    )

@@ -1336,3 +1336,65 @@ def test_type_counts_backfill_initial_state_v2(spark, tmp_path):
         assert second == {(1, "view"): 8, (3, "view"): 8}
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_merge_upsert_parquet_update_insert_and_surgical_buckets(spark, tmp_path):
+    """Direct unit coverage of the bucketed parquet-lake MERGE sink (the
+    streaming capstone's gold layer only ever replays IDENTICAL rows —
+    this pins the true UPDATE path): existing keys are REPLACED with new
+    values, new keys insert, absent keys survive, and buckets the batch
+    does not touch are not rewritten on disk (surgical rewrite bound)."""
+    import glob
+    import os
+
+    from bigdata_etl_elt_dashboard_spark.sources.sinks import (
+        merge_upsert_parquet,
+        upsert_bucket_expr,
+    )
+
+    path = str(tmp_path / "gold")
+    n_buckets = 4
+    base = spark.createDataFrame(
+        [(k, 100 + k) for k in range(40)], "k long, v long"
+    )
+    merge_upsert_parquet(base, path, ["k"], n_buckets=n_buckets)
+    first = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert first == {k: 100 + k for k in range(40)}
+
+    # pick an update batch confined to ONE bucket so the other buckets'
+    # files must remain untouched
+    bucketed = base.withColumn("_b", upsert_bucket_expr(["k"], n_buckets))
+    target = bucketed.filter(F.col("_b") == 0).select("k").limit(3)
+    keys = sorted(r["k"] for r in target.collect())
+    assert keys, "bucket 0 unexpectedly empty"
+    untouched_files = {
+        b: sorted(glob.glob(os.path.join(path, f"_bucket={b}", "*.parquet")))
+        for b in range(1, n_buckets)
+    }
+    untouched_mtimes = {
+        b: [os.path.getmtime(f) for f in fs] for b, fs in untouched_files.items()
+    }
+
+    upd = spark.createDataFrame(
+        [(keys[0], 999), (keys[1], 888), (10_000, 777)], "k long, v long"
+    )  # two UPDATES + one INSERT (10000 hashes wherever it lands — may
+    # touch another bucket; recompute the untouched set accordingly)
+    ins_bucket = upd.withColumn("_b", upsert_bucket_expr(["k"], n_buckets)).filter(
+        F.col("k") == 10_000
+    ).first()["_b"]
+    merge_upsert_parquet(upd, path, ["k"], n_buckets=n_buckets)
+
+    after = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    want = dict(first)
+    want[keys[0]], want[keys[1]], want[10_000] = 999, 888, 777
+    assert after == want  # updates replaced, insert added, rest survived
+
+    for b in range(1, n_buckets):
+        if b == ins_bucket:
+            continue  # the insert legitimately rewrote this bucket
+        assert untouched_files[b] == sorted(
+            glob.glob(os.path.join(path, f"_bucket={b}", "*.parquet"))
+        ), f"bucket {b} files changed"
+        assert untouched_mtimes[b] == [
+            os.path.getmtime(f) for f in untouched_files[b]
+        ], f"bucket {b} rewritten"
