@@ -207,12 +207,17 @@ def merge_upsert_parquet(
     At 100 TB, size ``n_buckets`` so one bucket ≈ a few GB (or swap in
     Iceberg/Delta MERGE, which this layout deliberately mirrors).
 
-    The merged frame is materialized (eager localCheckpoint) BEFORE the
+    The merged frame is materialized with LINEAGE TRUNCATED before the
     overwrite: the plan reads the same files the write replaces, and a
-    lazy plan would consume its own output. Inside ``foreachBatch`` a
-    failure between checkpoint and write is safe — streaming replays the
-    uncommitted batch and the merge is idempotent (replaying the same
-    keys replaces rather than duplicates).
+    lazy plan would consume its own output. Materialization follows the
+    engine's pin policy (``spark.graft.pin.strategy`` — ``reliable``
+    covers the gold layer on preemptible clusters with no code change),
+    EXCEPT the ``persist`` strategy, which keeps lineage (a lost block
+    would recompute from the very files this write deletes) and is
+    therefore replaced by a local checkpoint here. Inside
+    ``foreachBatch`` a failure between checkpoint and write is safe —
+    streaming replays the uncommitted batch and the merge is idempotent
+    (replaying the same keys replaces rather than duplicates).
 
     Precondition: one row per key per batch (the last-writer-wins order
     of two same-key rows in ONE batch is undefined — both would survive
@@ -242,7 +247,13 @@ def merge_upsert_parquet(
         merged = old.unionByName(b)
     else:
         merged = b
-    merged = merged.localCheckpoint(eager=True)
+    from ..operators.scale import PIN_STRATEGY_CONF, pin
+
+    strategy = (spark.conf.get(PIN_STRATEGY_CONF, "local") or "local").lower()
+    if strategy == "persist":  # lineage-keeping: unsafe for self-overwrite
+        merged = merged.localCheckpoint(eager=True)
+    else:
+        merged = pin(merged)
     overwrite_partitions(merged, path, ["_bucket"])
 
 

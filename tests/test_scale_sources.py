@@ -1398,3 +1398,46 @@ def test_merge_upsert_parquet_update_insert_and_surgical_buckets(spark, tmp_path
         assert untouched_mtimes[b] == [
             os.path.getmtime(f) for f in untouched_files[b]
         ], f"bucket {b} rewritten"
+
+
+def test_merge_upsert_rides_pin_policy_and_prunes_buckets(spark, tmp_path):
+    """(a) Under spark.graft.pin.strategy=reliable the merge's
+    materialization goes through the fault-tolerant checkpoint path (the
+    100 TB preemptible-cluster posture) and still merges correctly;
+    (b) the gold layout's scale contract is real: _bucket is a PARTITION
+    column, so the touched-buckets read the merge issues prunes to
+    PartitionFilters — bounded I/O per merge regardless of table size."""
+    import contextlib
+    import io
+
+    from bigdata_etl_elt_dashboard_spark.operators.scale import (
+        PIN_DIR_CONF,
+        PIN_STRATEGY_CONF,
+    )
+    from bigdata_etl_elt_dashboard_spark.sources.sinks import merge_upsert_parquet
+
+    path = str(tmp_path / "gold")
+    base = spark.createDataFrame([(k, k) for k in range(20)], "k long, v long")
+    merge_upsert_parquet(base, path, ["k"], n_buckets=4)
+
+    spark.conf.set(PIN_STRATEGY_CONF, "reliable")
+    spark.conf.set(PIN_DIR_CONF, str(tmp_path / "pin"))
+    try:
+        upd = spark.createDataFrame([(3, 999), (77, 777)], "k long, v long")
+        merge_upsert_parquet(upd, path, ["k"], n_buckets=4)
+    finally:
+        spark.conf.set(PIN_STRATEGY_CONF, "local")
+        spark.conf.unset(PIN_DIR_CONF)
+    after = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    want = {k: k for k in range(20)}
+    want[3], want[77] = 999, 777
+    assert after == want
+
+    # the touched-bucket read shape prunes at the partition level
+    probe = spark.read.parquet(path).filter(F.col("_bucket").isin([0, 2]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "_bucket" in plan.split("PartitionFilters")[1][:200]
