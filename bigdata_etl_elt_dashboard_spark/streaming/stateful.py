@@ -283,7 +283,20 @@ def session_close_on_timer(
     input ALREADY carries an event-time watermark (e.g. downstream of
     ``dropDuplicatesWithinWatermark`` in the composed medallion pipeline,
     streaming/pipeline.py) — Spark disallows redefining a watermark
-    between chained stateful operators."""
+    between chained stateful operators.
+
+    Cross-batch DISORDER contract: rows below the watermark are dropped
+    in the processor (transformWithState does not pre-filter them and an
+    eager-emission sessionizer must not let a straggler stretch an
+    already-emitted session backward); size ``delay`` to the ingestion
+    disorder you need admitted. Admitted stragglers — even ones older
+    than the currently-open session — merge through the same gap rule
+    the batch twin uses (the open session walks as an atomic interval
+    among the batch's sorted events). The one eager-emission residual:
+    a straggler landing within ``gap`` of a session that ALREADY closed
+    emits as its own session rather than retroactively extending it —
+    native ``session_window`` avoids this by emitting only at the
+    watermark, at the cost of never emitting inline 'gap' closures."""
 
     def build(gap: int):
         from pyspark.sql.streaming.stateful_processor import (
@@ -319,29 +332,46 @@ def session_close_on_timer(
                 )
                 ordered = batch.sort_values(order_cols)
                 ts_ms = (ordered["ts"].astype("int64") // 1_000_000).tolist()
+                # Enforce the event-time contract the operator's eager 'gap'
+                # emission depends on: rows below the watermark are late
+                # beyond the declared delay, and transformWithState does NOT
+                # pre-filter them (measured on Spark 4.1 — a straggler from
+                # an out-of-order file batch reaches handleInputRows).
+                # Admitting one would stretch already-emitted sessions
+                # backward (a micro-batch engine cannot retract an emitted
+                # row). Same drop rule every watermarked stateful op uses.
+                wm = timerValues.getCurrentWatermarkInMs()
+                if wm > 0:
+                    ts_ms = [t for t in ts_ms if t >= wm]
+                    if not ts_ms:
+                        return
                 prev = self._sess.get()
+                # Interval-merge walk: the open session participates as an
+                # atomic (start, last, n) interval SORTED among the batch
+                # events, so an admitted straggler older than the open
+                # session (possible when delay > 0) chains through the same
+                # gap rule the batch twin uses — never absorbed into a
+                # session it precedes by more than `gap`. Straggler chains
+                # that stay >= gap older than the open session close as
+                # 'gap' (the open session is their bounding successor).
+                items = [(t, t, 1) for t in ts_ms]
                 if prev:
-                    start, last, n = prev
-                    # session will extend or close below either way: the
-                    # old expiry is obsolete
-                    self._handle.deleteTimer(last + gap)
-                else:
-                    start = last = None
-                    n = 0
-                for t in ts_ms:
-                    if last is None:
-                        start, last, n = t, t, 1
-                    elif t - last < gap:
-                        # late (t < last) events merge without moving `last`
-                        # backwards; start only moves earlier
-                        start = min(start, t)
-                        last = max(last, t)
-                        n += 1
+                    items.append(tuple(prev))
+                    # the old expiry is obsolete: the session will extend
+                    # or close below either way
+                    self._handle.deleteTimer(prev[1] + gap)
+                    items.sort()
+                cur_s, cur_e, cur_n = items[0]
+                for s, e, c in items[1:]:
+                    if s - cur_e < gap:
+                        cur_s = min(cur_s, s)
+                        cur_e = max(cur_e, e)
+                        cur_n += c
                     else:
-                        yield self._row(key, start, last, n, "gap")
-                        start, last, n = t, t, 1
-                self._sess.update((start, last, n))
-                self._handle.registerTimer(last + gap)
+                        yield self._row(key, cur_s, cur_e, cur_n, "gap")
+                        cur_s, cur_e, cur_n = s, e, c
+                self._sess.update((cur_s, cur_e, cur_n))
+                self._handle.registerTimer(cur_e + gap)
 
             def handleExpiredTimer(
                 self, key: tuple, timerValues: Any, expiredTimerInfo: Any

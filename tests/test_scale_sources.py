@@ -1441,3 +1441,100 @@ def test_merge_upsert_rides_pin_policy_and_prunes_buckets(spark, tmp_path):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     assert "_bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_session_timer_disorder_contract_v2(spark, tmp_path):
+    """Cross-batch DISORDER contract of the timer sessionizer: (A) a
+    straggler below the watermark is DROPPED in the processor (it must
+    not stretch an already-emitted session backward — the giant-merged-
+    session corruption mode); (B) with a delay that admits it, a
+    straggler older than the open session by >= gap emits as its OWN
+    gap-closed session via the interval-merge walk, never absorbed into
+    a session it precedes."""
+    from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
+        _protobuf_available,
+        session_close_on_timer,
+    )
+
+    if not _protobuf_available():
+        pytest.xfail("no protobuf runtime (real or vendored shim)")
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+
+    def m(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    def ms(mins):
+        return int(m(mins).timestamp() * 1000)
+
+    def drive(case_dir, delay, batches):
+        src = str(tmp_path / case_dir / "src")
+        ckpt = str(tmp_path / case_dir / "ckpt")
+        out = []
+        for rows in batches:
+            spark.createDataFrame(rows, ev_schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            emitted = []
+
+            def sink(bdf, _bid):
+                for r in bdf.collect():
+                    emitted.append(
+                        (r["user_id"], r["start_ms"], r["end_ms"],
+                         r["n_events"], r["closed_by"])
+                    )
+
+            stream = spark.readStream.schema(ev_schema).parquet(src)
+            q = (
+                session_close_on_timer(stream, gap_ms=600_000, delay=delay)
+                .writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+            out.append(sorted(emitted))
+        return out
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        # (A) delay=0: run 1 closes u1 [0,5] by timer (expiry 15 <= wm 50);
+        # run 2's u1 straggler @20 is below the watermark (50) -> DROPPED
+        # (no re-opened or stretched u1 session); u2 closes by gap.
+        run1, run2 = drive(
+            "disorder_a",
+            "0 seconds",
+            [
+                [(1, 1, m(0)), (2, 1, m(5)), (3, 2, m(50))],
+                [(4, 1, m(20)), (5, 2, m(80))],
+            ],
+        )
+        assert run1 == [(1, ms(0), ms(5), 2, "timer")]
+        assert run2 == [(2, ms(50), ms(50), 1, "gap")]
+
+        # (B) delay=2h admits the straggler; it is >= gap older than u1's
+        # OPEN session [90], so it emits as its own gap-closed session
+        # instead of being absorbed (the pre-fix walk produced [30,90]).
+        run1, run2 = drive(
+            "disorder_b",
+            "2 hours",
+            [
+                [(1, 1, m(0)), (2, 1, m(90)), (3, 9, m(100))],
+                [(4, 1, m(30))],
+            ],
+        )
+        assert run1 == [(1, ms(0), ms(0), 1, "gap")]  # closed inline by @90
+        assert run2 == [(1, ms(30), ms(30), 1, "gap")]
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
