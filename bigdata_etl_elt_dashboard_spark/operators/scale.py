@@ -276,8 +276,12 @@ def _join_slice_offsets(
     forms must too: a plain column-name equi-join would silently DROP every
     row whose group key is NULL (diverging from the window semantics the
     operators are bit-equivalence-tested against). ``eqNullSafe`` (<=>)
-    keeps NULL-keyed rows matched to their NULL-keyed offset row."""
-    ren = {c: f"_g{i}" for i, c in enumerate(group_cols)}
+    keeps NULL-keyed rows matched to their NULL-keyed offset row.
+
+    The offset-side aliases carry a ``_graft_off_`` prefix so a caller
+    column that happens to be named ``_g0`` can never collide with them
+    and turn the join condition ambiguous."""
+    ren = {c: f"_graft_off_g{i}" for i, c in enumerate(group_cols)}
     off = offsets.withColumnRenamed("_pid", "_opid")
     for c, a in ren.items():
         off = off.withColumnRenamed(c, a)

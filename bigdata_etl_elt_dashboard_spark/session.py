@@ -25,6 +25,7 @@ this module is where our engine's global execution posture lives:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -49,7 +50,13 @@ def _defaults_file_java_opts() -> str:
 
     ``builder.config(key, ...)`` replaces (not merges) file-based defaults, so
     preserving an operator-provided option string means reading it ourselves
-    before the JVM launches."""
+    before the JVM launches.
+
+    Spark loads the file through ``java.util.Properties``, whose key/value
+    separator is the first unescaped ``=``, ``:``, or whitespace run — the
+    parse here accepts all three (``key value``, ``key=value``, ``key : value``)
+    and matches the key EXACTLY, so a longer key sharing the prefix (e.g.
+    ``spark.driver.extraJavaOptionsFoo``) is never mistaken for it."""
     conf_dir = os.environ.get("SPARK_CONF_DIR")
     if not conf_dir and "SPARK_HOME" in os.environ:
         conf_dir = os.path.join(os.environ["SPARK_HOME"], "conf")
@@ -59,8 +66,11 @@ def _defaults_file_java_opts() -> str:
     with open(path, encoding="utf-8") as fh:
         for line in fh:
             line = line.strip()
-            if line.startswith("spark.driver.extraJavaOptions"):
-                return line[len("spark.driver.extraJavaOptions") :].strip()
+            if not line or line[0] in "#!":
+                continue
+            m = re.match(r"([^\s=:]+)[ \t]*[=:]?[ \t]*(.*)", line)
+            if m and m.group(1) == "spark.driver.extraJavaOptions":
+                return m.group(2).strip()
     return ""
 
 

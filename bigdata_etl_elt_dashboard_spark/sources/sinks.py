@@ -18,6 +18,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _error_class(e: Exception) -> str | None:
+    """Spark error class of a captured exception (e.g. ``PATH_NOT_FOUND``).
+
+    PySpark 4 exposes it as ``getCondition()`` (``getErrorClass()`` on
+    older releases); fall back to sniffing the bracketed class tag Spark
+    prefixes to every classified message, so the check degrades to the
+    same answer rather than to "always unknown"."""
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(e, attr, None)
+        if callable(fn):
+            try:
+                cls = fn()
+            except Exception:
+                continue
+            if cls:
+                return cls
+    msg = str(e)
+    if msg.startswith("[") and "]" in msg:
+        return msg[1 : msg.index("]")]
+    return None
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -232,10 +254,16 @@ def merge_upsert_parquet(
     b = batch_df.withColumn("_bucket", upsert_bucket_expr(key_cols, n_buckets))
     try:
         existing = spark.read.parquet(path)
-    except AnalysisException:  # first batch: no table yet (PATH_NOT_FOUND).
-        # Deliberately NARROW: any other failure (corrupt footer, FS
-        # hiccup) must abort the merge — treating it as "no table" would
-        # skip the anti-join and leave duplicate key versions behind.
+    except AnalysisException as e:
+        # First batch only: a genuinely missing table dir (PATH_NOT_FOUND).
+        # The catch must be NARROW in fact, not just in intent: any OTHER
+        # AnalysisException (UNABLE_TO_INFER_SCHEMA from a half-written
+        # dir, a corrupt footer) means the table EXISTS but is unreadable,
+        # and treating it as "no table" would make the dynamic partition
+        # overwrite replace every touched bucket with only the batch's
+        # rows — silent loss of all other keys. Re-raise those.
+        if _error_class(e) != "PATH_NOT_FOUND":
+            raise
         existing = None
     if existing is not None:
         touched = [

@@ -327,3 +327,46 @@ def test_driver_java_opts_merge():
     assert _merge_driver_java_opts("-Xss8m") == "-Xss8m"
     kept = _merge_driver_java_opts("-Xss128m -Dfoo=bar")
     assert kept == "-Xss128m -Dfoo=bar" and "-Xss64m" not in kept
+
+
+def test_defaults_file_java_opts_properties_separators(tmp_path, monkeypatch):
+    """spark-defaults.conf is loaded by java.util.Properties, which accepts
+    '=', ':' and whitespace as key/value separators — the reader must parse
+    all three and match the key exactly (never prefix-match a longer key,
+    never return a value with a leading separator glued on)."""
+    from bigdata_etl_elt_dashboard_spark.session import _defaults_file_java_opts
+
+    conf_dir = tmp_path / "conf"
+    conf_dir.mkdir()
+    monkeypatch.setenv("SPARK_CONF_DIR", str(conf_dir))
+
+    def write(text):
+        (conf_dir / "spark-defaults.conf").write_text(text, encoding="utf-8")
+
+    # '=' separator — the case that used to come back as '=-XX:+UseG1GC'
+    write("spark.driver.extraJavaOptions=-XX:+UseG1GC\n")
+    assert _defaults_file_java_opts() == "-XX:+UseG1GC"
+    # ':' separator with spaces
+    write("spark.driver.extraJavaOptions : -Dfoo=bar\n")
+    assert _defaults_file_java_opts() == "-Dfoo=bar"
+    # whitespace separator (the only form handled before)
+    write("spark.driver.extraJavaOptions   -Xmx2g -Dx=y\n")
+    assert _defaults_file_java_opts() == "-Xmx2g -Dx=y"
+    # '=' with surrounding spaces
+    write("spark.driver.extraJavaOptions = -XX:+UseG1GC\n")
+    assert _defaults_file_java_opts() == "-XX:+UseG1GC"
+    # a LONGER key sharing the prefix must not match
+    write("spark.driver.extraJavaOptionsExtra=-Xmx1g\n")
+    assert _defaults_file_java_opts() == ""
+    # comments and unrelated keys are skipped
+    write(
+        "# a comment\n! another\nspark.executor.memory=4g\n"
+        "spark.driver.extraJavaOptions=-Xss1m\n"
+    )
+    assert _defaults_file_java_opts() == "-Xss1m"
+    # merged result stays a launchable option string (no leading '=')
+    from bigdata_etl_elt_dashboard_spark.session import _merge_driver_java_opts
+
+    write("spark.driver.extraJavaOptions=-XX:+UseG1GC\n")
+    merged = _merge_driver_java_opts(None)
+    assert merged == "-XX:+UseG1GC -Xss64m"

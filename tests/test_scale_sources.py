@@ -1538,3 +1538,28 @@ def test_session_timer_disorder_contract_v2(spark, tmp_path):
         assert run2 == [(1, ms(30), ms(30), 1, "gap")]
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_merge_upsert_reraises_non_missing_analysis_errors(spark, tmp_path):
+    """The first-batch catch in merge_upsert_parquet is narrow IN FACT:
+    only PATH_NOT_FOUND means "no table yet". An existing-but-unreadable
+    table dir (here: empty → UNABLE_TO_INFER_SCHEMA) must abort the merge
+    — treating it as a first batch would make the dynamic partition
+    overwrite replace every touched bucket with only the batch's rows,
+    silently deleting all other keys in them."""
+    from pyspark.errors import AnalysisException
+
+    from bigdata_etl_elt_dashboard_spark.sources.sinks import merge_upsert_parquet
+
+    path = tmp_path / "gold_broken"
+    path.mkdir()  # exists, but holds no parquet → not PATH_NOT_FOUND
+    batch = spark.createDataFrame([(1, 10)], "k long, v long")
+    with pytest.raises(AnalysisException):
+        merge_upsert_parquet(batch, str(path), ["k"], n_buckets=4)
+    # the unreadable table dir was not clobbered by a batch-only overwrite
+    assert list(path.iterdir()) == []
+
+    # the genuine first-batch path (no dir at all) still initializes
+    fresh = tmp_path / "gold_fresh"
+    merge_upsert_parquet(batch, str(fresh), ["k"], n_buckets=4)
+    assert {r["k"]: r["v"] for r in spark.read.parquet(str(fresh)).collect()} == {1: 10}
