@@ -385,3 +385,42 @@ def grouped_running_sum(
         .withColumn(out_col, F.col("_off") + F.col("_ls"))
         .drop("_pid", "_ls", "_off")
     )
+
+
+def global_total(
+    df: DataFrame,
+    aggs: list[Column],
+    *,
+    pin_input: bool = True,
+) -> DataFrame:
+    """Attach GRAND-TOTAL aggregates to every row — the hierarchical
+    two-stage replacement for an unpartitioned ``SUM(x) OVER ()`` /
+    ``Window.partitionBy()`` full-frame window.
+
+    An unpartitioned window physically moves the WHOLE frame through one
+    task (``Exchange SinglePartition`` → single-task ``WindowExec``): fine
+    while the frame is a dim-bounded post-agg rollup, a funnel once its
+    cardinality scales with the data (per-part revenue at 100 TB ≈ 10⁸+
+    rows through one task). This form never moves the rows:
+
+    1. ``df.agg(...)`` — partial per-partition aggregates, then a 1-row
+       final reduce (only one partial row per partition crosses the wire);
+    2. broadcast that 1-row frame and cross-join it back — a
+       BroadcastNestedLoopJoin with a 1-row build side, row-local.
+
+    ``aggs`` are ready-made aggregate expressions WITH aliases
+    (``[F.sum("c").alias("tot"), F.count("*").alias("n")]``); the output
+    is ``df`` plus one column per alias, bit-identical to the window form
+    for order-independent aggregates (integer SUM/COUNT/MIN/MAX — the
+    engine's fixed-point convention; see ``functions/exact_agg.py``).
+
+    ``pin_input`` (default True) materializes ``df`` first via the
+    session pin policy: both the totals branch and the join branch then
+    read the same frozen bytes instead of re-executing the upstream plan
+    twice (exchange reuse across the two branches is an optimizer
+    opportunity, not a contract — verified absent under AQE for the
+    scalar-subquery shape, plans/analytics.py Q11 notes). Pass False when
+    the caller already pinned."""
+    src = pin(df) if pin_input else df
+    totals = src.agg(*aggs)
+    return src.crossJoin(F.broadcast(totals))

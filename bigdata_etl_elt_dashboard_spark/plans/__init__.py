@@ -25,6 +25,7 @@ from . import wave6  # noqa: F401  (round-6 additions; imported LAST so new
 from . import wave7  # noqa: F401  (round-7 TPC-H completions; after wave6)
 from . import wave8  # noqa: F401  (round-8 additions; after wave7)
 from . import wave9  # noqa: F401  (round-9 additions; after wave8)
+from . import wave10  # noqa: F401  (round-10 additions; after wave9)
 from .registry import REGISTRY, register
 
 # ---------------------------------------------------------------------------

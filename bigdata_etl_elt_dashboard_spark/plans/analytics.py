@@ -369,22 +369,35 @@ def topk_orders_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customers_without_orders",
     oracle="""
         SELECT c_custkey, c_name FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND year(CAST(o.o_orderdate AS DATE)) = 1995
+        )
         ORDER BY c_custkey
     """,
-    doc="Anti-join (NOT EXISTS): customers with no orders — the "
-    "referential-orphan check as a hash left-anti join (no subquery "
-    "re-execution per row).",
+    doc="Anti-join (NOT EXISTS): customers with no 1995 orders — the "
+    "churn/inactivity check as a hash left-anti join (no subquery "
+    "re-execution per row); the year predicate pushes into the orders "
+    "scan before the join builds. Redesigned r10: the generator gives "
+    "EVERY customer at least one all-time order, so the original "
+    "no-orders-ever form hash-gated the empty set at every SF (vacuous "
+    "per the non-vacuity lint); scoping the anti side to one year keeps "
+    "the identical left-anti plan shape and is rows-bearing at every "
+    "scale (the per-customer order count is SF-invariant, so ~20% of "
+    "customers always skip a given year). The all-time orphan check "
+    "lives on as the FK-integrity gate (star_fk_integrity), where zero "
+    "is the asserted answer, plus the engineered positive-path slice in "
+    "test_pin_strategies.py.",
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
+    o95 = orders.filter(
+        F.year(F.col("o_orderdate").cast("date")) == 1995
+    ).select("o_custkey")
     return (
-        customer.join(
-            orders.select("o_custkey"),
-            customer.c_custkey == F.col("o_custkey"),
-            "left_anti",
-        )
+        customer.join(o95, customer.c_custkey == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
@@ -526,27 +539,34 @@ def trend_mom_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "set_ops_priority_years",
+    "set_ops_customer_years",
     oracle="""
-        SELECT o_orderpriority FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
+        SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995
         INTERSECT
-        SELECT o_orderpriority FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
         EXCEPT
-        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
-        ORDER BY o_orderpriority
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        ORDER BY o_custkey
     """,
     doc="Set operations (INTERSECT/EXCEPT — absent from the reference, "
-    "part of the engine's SQL surface): priorities present in both 1995 "
-    "and 1996 minus those ever seen on status-P orders. Both ops are "
-    "hash-based distinct joins (left-semi / left-anti) in Catalyst.",
+    "part of the engine's SQL surface): customers active in both 1995 "
+    "and 1996, minus any with a pending (status-P) order. Both ops are "
+    "hash-based distinct joins (left-semi / left-anti) in Catalyst, "
+    "keyed on a data-scaling column so the distinct shuffles are real. "
+    "Supersedes set_ops_priority_years (r01–r10): the 5-value priority "
+    "domain is dense in EVERY year and status slice at every SF, so any "
+    "INTERSECT/EXCEPT over it is all-or-nothing and that gate hash-"
+    "matched the empty set (caught by the r10 non-vacuity lint); "
+    "customer keys keep all three legs selective and rows-bearing at "
+    "every scale.",
 )
-def set_ops_priority_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_ops_customer_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     yr = F.year(F.col("o_orderdate").cast("date"))
-    p95 = orders.filter(yr == 1995).select("o_orderpriority")
-    p96 = orders.filter(yr == 1996).select("o_orderpriority")
-    pp = orders.filter(F.col("o_orderstatus") == "P").select("o_orderpriority")
-    return p95.intersect(p96).subtract(pp).orderBy("o_orderpriority")
+    c95 = orders.filter(yr == 1995).select("o_custkey")
+    c96 = orders.filter(yr == 1996).select("o_custkey")
+    cp = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return c95.intersect(c96).subtract(cp).orderBy("o_custkey")
 
 
 @register(
@@ -1269,25 +1289,30 @@ def dq_order_lineitem_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q11 skeleton: parts whose revenue share exceeds 0.1% of the "
     "global total — a group-by filtered against a SCALAR aggregate. Shape: "
     "one partial-aggregated groupBy builds per-part fixed-point cents; the "
-    "denominator is an unpartitioned window SUM over the POST-AGG rows "
-    "(n_parts rows, orders of magnitude below the fact count) — the "
-    "scalar-subquery alternative re-scans the fact table twice (verified: "
-    "no exchange reuse even under AQE). The threshold compares scaled "
-    "BIGINTs (c * 1000 > tot) — no float compare; bigint headroom holds "
-    "to ~sf100, then switch to decimal(38,4) (exact_agg.py overflow "
-    "note). At extreme part cardinality, replace the single-task window "
-    "with a hierarchical two-stage total.",
+    "denominator rides operators/scale.global_total — the hierarchical "
+    "two-stage total (partial per-partition sums → 1-row reduce → "
+    "broadcast) — so NO single-task pass over the part frame remains "
+    "even at extreme catalog cardinality (the scalar-subquery "
+    "alternative re-scans the fact table twice — verified: no exchange "
+    "reuse even under AQE — so the part frame is pinned once instead). "
+    "The threshold compares scaled BIGINTs (c * 1000 > tot) — no float "
+    "compare; bigint headroom holds to ~sf100, then switch to "
+    "decimal(38,4) (exact_agg.py overflow note). NOTE: the Q11-faithful "
+    "0.1% threshold is above any single part's share under TPC-H's "
+    "uniform part spread at local scales, so this gate row pins the "
+    "EMPTY set; the share arithmetic's rows-bearing driver gate is "
+    "li_value_share_topn (plans/wave10.py) and the positive-path unit "
+    "test is tests/test_pin_strategies.py (engineered ~5% shares).",
 )
 def li_value_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.scale import global_total
 
     li = table(spark, sf_dir, "lineitem")
     pc = li.groupBy("l_partkey").agg(
         F.sum(F.round(_rev() * F.lit(10000)).cast("long")).alias("c")
     )
-    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        pc.withColumn("tot", F.sum("c").over(w))
+        global_total(pc, [F.sum("c").alias("tot")])
         .filter(F.col("c") * 1000 > F.col("tot"))
         .select(
             "l_partkey",

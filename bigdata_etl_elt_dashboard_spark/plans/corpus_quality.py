@@ -482,21 +482,24 @@ _SURPRISAL_SCALE = 1_000_000
     "per-doc aggregation is an exact BIGINT sum (order-independent, "
     "partial-aggregatable) and ONE final IEEE division yields the mean. "
     "Shape: one token-count shuffle builds the frequency table; the "
-    "corpus total N is an unbounded window over the vocabulary (post-agg "
-    "cardinality, precedent li_value_share_parts); the frequency table "
+    "corpus total N rides operators/scale.global_total (partial sums → "
+    "1-row reduce → broadcast) — the vocabulary grows with the corpus, "
+    "so the former single-task unbounded window over it was the one "
+    "non-scaling pass in the plan; the frequency table "
     "joins back onto the token stream (broadcast at test SF, hash join "
     "on the token at 100 TB) and rolls up per doc in one keyed shuffle.",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import global_total
+
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tok"))
     freq = tok.groupBy("tok").agg(F.count("*").alias("c"))
-    wt = Window.partitionBy()
-    q = freq.select(
+    q = global_total(freq, [F.sum("c").alias("_n")]).select(
         "tok",
         F.round(
             (
-                F.log2(F.sum("c").over(wt).cast("double"))
+                F.log2(F.col("_n").cast("double"))
                 - F.log2(F.col("c").cast("double"))
             )
             * F.lit(_SURPRISAL_SCALE)

@@ -298,7 +298,7 @@ def supplier_top_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Multiset set operations (EXCEPT ALL / INTERSECT ALL) — the "
     "bag-semantics complement of the distinct INTERSECT/EXCEPT pair "
-    "(set_ops_priority_years): per key the difference keeps "
+    "(set_ops_customer_years): per key the difference keeps "
     "max(0, c1−c2) copies and the intersection min(c1, c2), which "
     "distinct semantics collapse. Both compile to one hash aggregation "
     "per side plus a counted merge (no join explosion, no distinct "

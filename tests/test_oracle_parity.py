@@ -191,3 +191,48 @@ def test_oracle_output_types_match_spark(spark, sf_smoke, duck_smoke, name):
         elif dtag != stag:
             bad.append(f"{col}: duck={duck_types[col]}/{dtag} vs spark={stag}")
     assert not bad, f"{name}: oracle/Spark output type drift: {bad}"
+
+
+# ---------------------------------------------------------------------------
+# Oracle NON-VACUITY lint (round-10, VERDICT r09 task 3).
+#
+# A hash gate over the EMPTY set is vacuously green: a threshold that no
+# local-scale row reaches (the li_value_share_parts 0.1% case the r09
+# judge found) pins nothing about the arithmetic it claims to verify.
+# This lint runs every oracle in DuckDB at the gate SF and requires >= 1
+# row; combined with test_oracle_match (Spark rowcount == oracle rowcount)
+# that makes every green driver row rows-bearing. Exceptions go in the
+# whitelist below WITH a reason and must keep a rows-bearing twin.
+# ---------------------------------------------------------------------------
+
+#: query -> why an empty result at sf0.01 is intentional, and where the
+#: rows-bearing coverage of the same arithmetic lives
+_EMPTY_AT_GATE_SF_OK = {
+    # Q11-faithful 0.1% share threshold is unreachable under TPC-H's
+    # uniform part spread at ANY local SF (max share ~0.05%); the share
+    # math is rows-bearing-gated by li_value_share_topn (same CTE,
+    # top-25-by-share) and unit-asserted on engineered ~5% shares in
+    # test_pin_strategies.py
+    "li_value_share_parts",
+}
+
+
+def test_no_vacuous_oracle_gates(duck):
+    empties = []
+    for name in _WITH_ORACLE:
+        if name in _EMPTY_AT_GATE_SF_OK:
+            continue
+        n = len(duck.execute(REGISTRY[name].oracle).fetchall())
+        if n == 0:
+            empties.append(name)
+    assert not empties, (
+        "oracle returns 0 rows at the gate SF (vacuous hash gate) — add a "
+        f"rows-bearing variant or whitelist with a reason: {empties}"
+    )
+    # the whitelist itself must stay minimal and accurate: each entry IS
+    # empty at the gate SF (else the exemption is stale)
+    for name in _EMPTY_AT_GATE_SF_OK:
+        assert len(duck.execute(REGISTRY[name].oracle).fetchall()) == 0, (
+            f"{name} now returns rows at the gate SF — drop it from "
+            "_EMPTY_AT_GATE_SF_OK"
+        )

@@ -146,12 +146,17 @@ def test_fan_out_widens_single_split_scans(spark, sf_oracle, tmp_path):
 
 
 class TestZeroRowQueriesAreNotVacuous:
-    """Three gated queries legitimately return ZERO rows at every test SF
-    (every customer orders; every priority ships in every year; no part
-    holds >0.1% of revenue) — a hash match on empty results is weak
-    evidence. These tests engineer slices of the REAL tables where the
-    selecting condition holds and assert the exact non-empty answers, so
-    each operator's positive path is pinned too."""
+    """Queries whose selecting condition CAN be empty need their positive
+    path pinned on an engineered slice of the real tables — a hash match
+    on an empty result is weak evidence. Since r10, the non-vacuity lint
+    (test_oracle_parity.py::test_no_vacuous_oracle_gates) forces every
+    oracle-gated query to be rows-bearing at the gate SF except the
+    whitelisted li_value_share_parts (Q11-faithful threshold, empty at
+    every local SF by design) — exactly the query whose positive path
+    these slices pin. customers_without_orders is rows-bearing since its
+    r10 redesign (no-1995-orders), but its engineered slice stays: it
+    asserts the anti-join reports EXACTLY an injected victim delta, not
+    just any rows."""
 
     @staticmethod
     def _slice(spark, sf, tmp_path, tables, filters):
@@ -169,9 +174,15 @@ class TestZeroRowQueriesAreNotVacuous:
 
         from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
 
+        # victims: 3 customers who DO have 1995 orders in the pristine data
+        baseline = {
+            r["c_custkey"]
+            for r in REGISTRY["customers_without_orders"].fn(spark, sf_smoke).collect()
+        }
         victims = [
             r["c_custkey"]
             for r in spark.read.parquet(f"{sf_smoke}/customer.parquet")
+            .filter(~F.col("c_custkey").isin(list(baseline)))
             .select("c_custkey").orderBy("c_custkey").limit(3).collect()
         ]
         d = self._slice(
@@ -179,27 +190,38 @@ class TestZeroRowQueriesAreNotVacuous:
             ["customer", "orders"],
             {"orders": ~F.col("o_custkey").isin(victims)},
         )
-        got = sorted(
+        got = {
             r["c_custkey"]
             for r in REGISTRY["customers_without_orders"].fn(spark, d).collect()
-        )
-        assert got == sorted(victims)
+        }
+        # the anti-join reports exactly baseline plus the injected victims
+        assert got == baseline | set(victims)
 
-    def test_set_ops_priority_years_positive(self, spark, sf_smoke, tmp_path):
-        from pyspark.sql import functions as F
+    def test_set_ops_customer_years_exact_semantics(self, spark, sf_smoke):
+        """Plain-Python replicate of the INTERSECT/EXCEPT semantics on the
+        pristine smoke tables (audit-invariant pattern): the distinct
+        customer sets are computed independently with Python set algebra
+        and must equal the engine's answer exactly."""
+        import duckdb
 
         from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
 
-        # make '1-URGENT' never carry status P: it then survives the EXCEPT
-        # iff it appears in both 1995 and 1996 (it does at every SF)
-        d = self._slice(
-            spark, sf_smoke, tmp_path,
-            ["orders"],
-            {"orders": ~((F.col("o_orderpriority") == "1-URGENT")
-                         & (F.col("o_orderstatus") == "P"))},
-        )
-        rows = REGISTRY["set_ops_priority_years"].fn(spark, d).collect()
-        assert [r[0] for r in rows] == ["1-URGENT"]
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS y, o_orderstatus"
+            f" FROM read_parquet('{sf_smoke}/orders.parquet')"
+        ).fetchall()
+        con.close()
+        c95 = {k for k, y, s in rows if y == 1995}
+        c96 = {k for k, y, s in rows if y == 1996}
+        cp = {k for k, y, s in rows if s == "P"}
+        want = sorted((c95 & c96) - cp)
+        got = [
+            r["o_custkey"]
+            for r in REGISTRY["set_ops_customer_years"].fn(spark, sf_smoke).collect()
+        ]
+        assert got == want
+        assert len(got) > 0  # rows-bearing at the smoke SF
 
     def test_li_value_share_parts_positive(self, spark, sf_smoke, tmp_path):
         from pyspark.sql import functions as F

@@ -9,6 +9,8 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
 
 
@@ -410,15 +412,22 @@ def test_semdedup_pairs_keyed_on_cluster(spark, sf_oracle):
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
 
 
-def test_value_share_single_fact_scan(spark, sf_oracle):
-    """Q11-analog: the global denominator must come from an unpartitioned
-    window over the POST-AGG rows — not a scalar-subquery second scan of
-    the fact table (verified unreused even under AQE)."""
-    plan = explain_str(REGISTRY["li_value_share_parts"].fn(spark, sf_oracle))
-    # formatted explain mentions each node twice (tree + details section)
-    assert plan.count("Scan parquet") == 2  # ONE scan node
-    assert plan.count("HashAggregate") >= 2  # partial + final per-part cents
-    assert "Window" in plan
+@pytest.mark.parametrize("name", ["li_value_share_parts", "li_value_share_topn"])
+def test_value_share_no_fact_rescan_no_window(spark, sf_oracle, name):
+    """Q11-analog (r10 shape): the global denominator rides
+    operators/scale.global_total — the per-part frame is pinned once
+    (lineitem leaves the plan entirely; both the totals branch and the
+    join branch read the checkpointed bytes), the 1-row total arrives by
+    broadcast, and NO window operator remains (the old single-task
+    unpartitioned SUM() OVER () is gone). The scalar-subquery
+    alternative's second fact scan (verified unreused even under AQE)
+    stays impossible by construction."""
+    plan = explain_str(REGISTRY[name].fn(spark, sf_oracle))
+    assert "Scan parquet" not in plan  # pinned: no live fact scan at all
+    assert "Window" not in plan  # no single-task full-frame pass
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total broadcast
+    if name == "li_value_share_topn":
+        assert "TakeOrderedAndProject" in plan  # top-N, never a full sort
 
 
 def test_last_shipper_single_lineitem_scan(spark, sf_oracle):
@@ -543,6 +552,12 @@ _BNLJ_BOUNDED_OK = {
     # 28-row lag frame crossed onto the calendar-bounded day frame before
     # the equi-join back to the (day, user) frame (the EWMA pattern)
     "ev_rolling28_mau",
+    # round-10: 1-row grand-total scalar broadcast via
+    # operators/scale.global_total (the hierarchical two-stage total that
+    # replaced the unpartitioned SUM() OVER () on these part/vocab frames)
+    "li_value_share_parts",
+    "li_value_share_topn",
+    "text_unigram_logprob",
 }
 
 

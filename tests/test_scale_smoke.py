@@ -370,3 +370,50 @@ def test_defaults_file_java_opts_properties_separators(tmp_path, monkeypatch):
     write("spark.driver.extraJavaOptions=-XX:+UseG1GC\n")
     merged = _merge_driver_java_opts(None)
     assert merged == "-XX:+UseG1GC -Xss64m"
+
+
+def test_global_total_matches_full_frame_window(spark):
+    """global_total (partial sums → 1-row reduce → broadcast cross-join) is
+    bit-equivalent to the unpartitioned full-frame window it replaces, for
+    the order-independent aggregates the engine uses (integer SUM / COUNT /
+    MIN / MAX), including NULL measure values and a NULL-keyed row."""
+    from pyspark.sql import Window
+
+    from bigdata_etl_elt_dashboard_spark.operators.scale import global_total
+
+    rows = [(i, (i * 37) % 101 if i % 7 else None) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(8)
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ref = df.select(
+        "id",
+        "v",
+        F.sum("v").over(w).alias("tot"),
+        F.count("*").over(w).alias("n"),
+        F.min("v").over(w).alias("mn"),
+        F.max("v").over(w).alias("mx"),
+    )
+    got = global_total(
+        df,
+        [
+            F.sum("v").alias("tot"),
+            F.count("*").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        ],
+    )
+    a = sorted(tuple(r) for r in ref.collect())
+    b = sorted(tuple(r) for r in got.collect())
+    assert a == b and len(a) == 500
+
+    # the plan moves no rows: 1-row broadcast build side, no single-task
+    # window exchange
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
