@@ -89,7 +89,9 @@ def stream_sessions_gold(
     )
 
 
-def sessions_gold_batch(events: DataFrame, gap_ms: int = 600_000) -> DataFrame:
+def sessions_gold_batch(
+    events: DataFrame, gap_ms: int = 600_000, delay_ms: int = 0
+) -> DataFrame:
     """Batch recompute of the composed pipeline's gold table — the twin a
     drained single-batch stream must equal.
 
@@ -104,8 +106,18 @@ def sessions_gold_batch(events: DataFrame, gap_ms: int = 600_000) -> DataFrame:
        (ev_timer_session_close_twin semantics): a session with a
        successor closed by 'gap' the moment that event processed; a
        user's LAST session closed by 'timer' iff the terminal watermark
-       (max event ms) reached its expiry; otherwise it is still OPEN at
-       drain and never reached gold.
+       reached its expiry; otherwise it is still OPEN at drain and never
+       reached gold.
+
+    ``delay_ms`` is the chain's watermark delay (``dedup_horizon``): the
+    terminal watermark a drained stream reaches is max event time MINUS
+    the delay, so a nonzero-delay drain closes strictly fewer trailing
+    sessions by timer (expiry <= max_ms - delay_ms). Precondition for
+    twin equality at delay > 0: every disordered delivery stays within
+    the admitted horizon (no row below the watermark of an earlier
+    batch), since a batch recompute cannot see batch boundaries —
+    tests/test_streaming.py::test_stream_medallion_disordered_nonzero_delay
+    drives exactly that contract through the real chained query.
     """
     ev = events.select(
         "user_id", "event_id", F.expr("unix_micros(ts) div 1000").alias("ms")
@@ -136,7 +148,9 @@ def sessions_gold_batch(events: DataFrame, gap_ms: int = 600_000) -> DataFrame:
             "n_events",
             F.when(F.col("end_ms") < last_end, F.lit("gap"))
             .when(
-                F.col("end_ms") + F.lit(gap_ms) <= F.col("max_ms"), F.lit("timer")
+                F.col("end_ms") + F.lit(gap_ms)
+                <= F.col("max_ms") - F.lit(delay_ms),
+                F.lit("timer"),
             )
             .alias("closed_by"),
         )

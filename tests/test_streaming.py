@@ -550,3 +550,217 @@ def test_stream_dedup_within_watermark_equals_batch(spark, tmp_path):
         r["event_id"] for r in spark.sql("SELECT * FROM dedup_eq").collect()
     )
     assert got == batch_ids
+
+
+def test_stream_medallion_disordered_nonzero_delay(spark, tmp_path):
+    """VERDICT r09 task 4: the COMPOSED medallion chain (at-least-once
+    ingest → dropDuplicatesWithinWatermark → timer sessionization → gold
+    MERGE) drained with a NONZERO watermark delay over a disordered
+    multi-batch delivery — the straggler-admit path through the full
+    chain, previously tested only on the sessionizer alone.
+
+    gap = 10 min, dedup_horizon = 30 min. Three availableNow runs over
+    one checkpoint:
+      run 1: u1 [10:00, 10:05] and u2 [10:20, 10:25] open; watermark ends
+             at 09:55 — nothing closes;
+      run 2 (disordered): u1 straggler @10:12 is BELOW u2's prior events
+             but inside the horizon — admitted, merges into u1's open
+             session ([0..12], 3 events); a byte-identical replay of
+             event 1 crosses the batch boundary and the dedup state
+             (key held until watermark > ts + horizon) drops it; u3
+             opens @10:35. Watermark ends at 10:05 — still nothing
+             closes (u1's re-registered timer is 10:22 > 10:05);
+      run 3: u2's successor @11:10 closes u2 [20,25] by 'gap'; the
+             anchor @11:40 (u9) drives the terminal watermark to 11:10,
+             firing timers for u1 (expiry 10:22) and u3 (10:45) while
+             u2's new session (expiry 11:20) and u9's (11:50) stay OPEN
+             and must NOT reach gold.
+
+    Gold must equal the batch twin with the SAME delay (terminal
+    watermark = max event time − delay), which is what makes the
+    nonzero-delay timer adjudication cross-checked rather than assumed."""
+    from bigdata_etl_elt_dashboard_spark.streaming.pipeline import (
+        sessions_gold_batch,
+        stream_sessions_gold,
+    )
+    from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
+        _protobuf_available,
+    )
+
+    if not _protobuf_available():
+        pytest.xfail("no protobuf runtime (real or vendored shim)")
+
+    src = str(tmp_path / "src")
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mins(n):
+        return _ts(10, 0) + dt.timedelta(minutes=n)
+
+    def ms(n):
+        return int(mins(n).timestamp() * 1000)
+
+    def ev(eid, uid, n):
+        return (eid, mins(n), uid, "view", 1.0)
+
+    batches = [
+        [ev(1, 1, 0), ev(2, 1, 5), ev(10, 2, 20), ev(11, 2, 25)],
+        [ev(3, 1, 12), ev(1, 1, 0), ev(30, 3, 35)],  # straggler + replay
+        [ev(12, 2, 70), ev(90, 9, 100)],
+    ]
+
+    def run():
+        q = (
+            stream_sessions_gold(
+                stream_events_from_parquet(spark, src, EVENT_SCHEMA),
+                gold,
+                ckpt,
+                gap_ms=600_000,
+                dedup_horizon="30 minutes",
+                n_buckets=4,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    def gold_rows():
+        import os
+
+        if not os.path.exists(gold):
+            return []
+        return sorted(
+            (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"], r["closed_by"])
+            for r in spark.read.parquet(gold).drop("_bucket").collect()
+        )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_events(spark, src, batches[0])
+        run()
+        assert gold_rows() == []  # nothing closed at watermark 09:55
+
+        _write_events(spark, src, batches[1])
+        run()
+        # straggler admitted and merged (no premature emission), replay
+        # deduped across the batch boundary, still nothing closed
+        assert gold_rows() == []
+
+        _write_events(spark, src, batches[2])
+        run()
+        expected = [
+            (1, ms(0), ms(12), 3, "timer"),   # merged straggler, 3 events
+            (2, ms(20), ms(25), 2, "gap"),
+            (3, ms(35), ms(35), 1, "timer"),
+        ]
+        assert gold_rows() == expected
+        # equality with the batch twin at the SAME watermark delay
+        twin = sorted(
+            (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"], r["closed_by"])
+            for r in sessions_gold_batch(
+                spark.read.parquet(src), gap_ms=600_000, delay_ms=30 * 60_000
+            ).collect()
+        )
+        assert gold_rows() == twin
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_timer_vs_gap_arrival_order_contract(spark, tmp_path):
+    """VERDICT r09 task 5: the 8-batch incremental drain left 4 rows that
+    differed from the batch twin ONLY in `closed_by` as a prose
+    tolerance. This test CONSTRUCTS that divergence deterministically
+    and asserts its exact shape, so the contract is executable:
+
+    gap = 10 min, delay = 0. Batch 1 holds u1@10:00 plus an anchor
+    u9@10:30; the run-1 no-data batch advances the watermark to 10:30,
+    firing u1's timer (expiry 10:10) → the stream closes u1 [0,0] by
+    'timer'. Batch 2 then delivers u1's ≥-gap successor @10:40 — the
+    single-drain batch twin sees a successor and calls the same session
+    'gap'. The contract: arrival order may flip `closed_by` on exactly
+    such sessions, but NEVER bounds, counts, or membership —
+    the symmetric diff is {u1 [0,0]: stream='timer', twin='gap'} and
+    nothing else, and every closed_by disagreement is in the one legal
+    direction (stream 'timer' where the twin says 'gap' — a timer can
+    fire early when the successor is still in flight; the reverse,
+    stream 'gap' where the twin says 'timer', is impossible because a
+    successor the stream processed also exists in the twin's input)."""
+    from bigdata_etl_elt_dashboard_spark.streaming.pipeline import (
+        sessions_gold_batch,
+        stream_sessions_gold,
+    )
+    from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
+        _protobuf_available,
+    )
+
+    if not _protobuf_available():
+        pytest.xfail("no protobuf runtime (real or vendored shim)")
+
+    src = str(tmp_path / "src")
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mins(n):
+        return _ts(10, 0) + dt.timedelta(minutes=n)
+
+    def ms(n):
+        return int(mins(n).timestamp() * 1000)
+
+    def ev(eid, uid, n):
+        return (eid, mins(n), uid, "view", 1.0)
+
+    def run():
+        q = (
+            stream_sessions_gold(
+                stream_events_from_parquet(spark, src, EVENT_SCHEMA),
+                gold,
+                ckpt,
+                gap_ms=600_000,
+                n_buckets=4,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _write_events(spark, src, [ev(1, 1, 0), ev(2, 9, 30)])
+        run()
+        _write_events(spark, src, [ev(3, 1, 40), ev(4, 9, 60)])
+        run()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    stream_rows = {
+        (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"]): r["closed_by"]
+        for r in spark.read.parquet(gold).drop("_bucket").collect()
+    }
+    twin_rows = {
+        (r["user_id"], r["start_ms"], r["end_ms"], r["n_events"]): r["closed_by"]
+        for r in sessions_gold_batch(spark.read.parquet(src), gap_ms=600_000).collect()
+    }
+    # membership, bounds and counts NEVER differ
+    assert stream_rows.keys() == twin_rows.keys()
+    # the closed_by disagreement is exactly the constructed session, in
+    # exactly the legal direction
+    diffs = {
+        k: (stream_rows[k], twin_rows[k])
+        for k in stream_rows
+        if stream_rows[k] != twin_rows[k]
+    }
+    assert diffs == {(1, ms(0), ms(0), 1): ("timer", "gap")}
+    for k, (s, t) in diffs.items():
+        assert (s, t) == ("timer", "gap"), f"illegal closed_by flip on {k}"
+    # and the non-diverging rows are what the construction predicts
+    assert twin_rows == {
+        (1, ms(0), ms(0), 1): "gap",
+        (1, ms(40), ms(40), 1): "timer",
+        (9, ms(30), ms(30), 1): "gap",
+    }
