@@ -94,19 +94,36 @@ from .registry import REGISTRY, register
 # evidence class shrinks from 130 rows (≤ r03) to ~82 (42 r01-last + 40
 # r03-last).
 #
-# ROUND-10 ROTATION PLAN: gate any round-10 additions first, then the 42
-# r01-last rows (q2/q4/q7/q8, the r01 analytics/trend/dq/hist families),
-# then the remaining 40 r03-last rows (docs_vocab_top_terms first — it
-# was swapped out of the r09 window for src_merge_upsert_digest). Re-run
-# tools/gate_rotation.py at round start and union with the
-# last-gated-round computation (see BENCHDIFF/verdict workflow) to
-# regenerate. PRE-VERIFIED (r09 close): all 82 cohort queries ran
-# locally green under the driver's exact posture
-# (run_parity_subset --default-session, 82/82 OK) — the r10 window is a
-# freshness formality, not a risk. In fact the r09 close verified the
-# ENTIRE oracle-backed registry under driver posture: 50/50 window +
-# 82/82 cohort + 249/249 remainder = 381/381 green (the only untested
-# names are the 4 rows-only digest-twinned entries, by design).
+# ROUND-10 WINDOW (this round): per the r09 verdict task 1 — finish the
+# freshness program, additions first. Entries 1-2 are the round-10
+# additions: li_value_share_topn (plans/wave10.py, the rows-bearing Q11
+# share gate, verdict task 2) and set_ops_customer_years (the rows-
+# bearing redesign of set_ops_priority_years, whose 5-value priority
+# domain made the INTERSECT/EXCEPT gate hash-match the empty set —
+# caught by the new non-vacuity lint, verdict task 3). Entries 3-43 are
+# the 41 remaining r01-last rows (q1-q8, the r01 analytics/trend/dq/hist
+# families; customers_without_orders gates its r10 rows-bearing redesign
+# — no-1995-orders anti-join — here). Entries 44-50 are the 7 oldest
+# r03-last rows in registry order, docs_vocab_top_terms first (swapped
+# out of the r09 window for src_merge_upsert_digest).
+#
+# ROUND-11 ROTATION PLAN: gate any round-11 additions first, then the
+# remaining 33 r03-last rows (fe_target_encode_priority onward in
+# registry order: dedup_clusters_star, docs_chunking,
+# dedup_incremental_batch, text_mixed_lang, agg_weighted_avg_unit_price,
+# ev_daily_volume_anomaly, tr_unpivot_kpis, dq_profile_orders,
+# docs_sequence_packing_sharded, trend_ma3_revenue,
+# dq_full_outer_reconcile, ev_funnel_strict_steps, trend_ema12_revenue,
+# mm_audio_channel_stats, agg_window_function_suite, docs_cap_per_source,
+# ev_session_overlap_pairs, text_hellinger_source_drift,
+# docs_bpe_pair_counts, dedup_cluster_size_hist, mm_decode_mixed_codecs,
+# dedup_minhash_estimate_error, ev_pit_features_at_purchase,
+# dedup_lsh_bucket_skew, ev_attribution_linear_7d, dedup_quality_impact,
+# dedup_threshold_sweep, ev_new_vs_returning_daily,
+# ev_dau_wau_stickiness, ev_user_behavior_entropy, text_jsd_source_drift,
+# ev_out_of_order_profile), then the oldest r04-last rows to fill.
+# After r11 no standing row is older than r04.
+#
 #
 # Low-cardinality PARTITION BY window audit (done r08, plan-verified;
 # r09: executable as tests/test_plan_shapes.py::
@@ -126,60 +143,59 @@ from .registry import REGISTRY, register
 # grouped_running_sum (added r08; corpus_pipeline_v2_digest uses both).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # r09 additions (plans/wave9.py, plans/sources_gate.py) + the
-    # r09-modified timer twin
-    "ev_stream_pipeline_gold_twin",
-    "src_merge_upsert_digest",
-    "ev_timer_session_close_twin",
-    # r02-last cohort (37 — full)
-    "elt_sales_clean",
-    "elt_region_rollup_sql",
-    "elt_grouping_sets_sql",
-    "star_dim_date",
-    "star_dim_geo",
-    "star_fact_sales",
-    "star_fk_integrity",
-    "star_region_report",
-    "tr_dedup_keep_first",
-    "tr_union_reconcile",
-    "tr_smart_fill_region",
-    "tr_impute_median",
-    "tr_outlier_flag",
-    "tr_minmax_norm",
-    "tr_onehot_priority",
-    "tr_date_features",
-    "tr_derived_measures",
-    "dedup_apply_canonical",
-    "dedup_rate_by_source",
-    "sim_label_centroids",
-    "sim_assign_centroid",
-    "docs_stratified_sample",
-    "docs_training_corpus",
-    "docs_quality_by_lang_source",
-    "ev_tumbling_hourly",
-    "ev_sliding_1h_30m",
-    "ev_session_10m",
-    "ev_event_bigrams",
-    "ev_json_rollup",
-    "ev_asof_last_view",
-    "ev_range_recent_views",
-    "ev_user_activity",
-    "ev_funnel_conversion",
-    "ev_session_stats",
-    "ev_purchase_intervals",
-    "agg_salted_user_rollup",
-    "mm_feature_extract",
-    # oldest 11 r03-last rows, registry order
-    "src_csv_roundtrip_digest",
-    "src_table_roundtrip_digest",
-    "li_value_share_parts",
-    "li_last_shipper_blame",
-    "trend_price_percentile_bands",
-    "mm_frame_sample_digest",
-    "mm_decode_channel_stats",
-    "docs_sequence_packing",
-    "docs_decontaminate",
-    "docs_pii_redaction",
+    # r10 additions (plans/wave10.py; the set-op redesign in analytics.py)
+    "li_value_share_topn",
+    "set_ops_customer_years",
+    # r01-last cohort (41 — full; customers_without_orders redesigned r10)
+    "q1_total_revenue",
+    "q2_revenue_per_year",
+    "q3_top5_nations_by_revenue",
+    "q4_units_per_part_type",
+    "q5_avg_margin_per_status",
+    "q6_revenue_per_region_year",
+    "q7_top10_orders_by_price",
+    "q8_avg_ship_days_per_nation",
+    "agg_priority_distribution",
+    "by_supplier_nation_revenue",
+    "topk_orders_per_region",
+    "customers_without_orders",
+    "orders_above_customer_avg",
+    "agg_median_price_per_status",
+    "pivot_priority_by_status",
+    "trend_mom_revenue_delta",
+    "agg_rollup_region_year",
+    "agg_cube_status_priority",
+    "agg_price_by_qty_bucket",
+    "agg_discount_by_ship_speed",
+    "agg_margin_pct_by_part_type",
+    "kpi_totals",
+    "trend_monthly_revenue",
+    "hist_totalprice_30bins",
+    "by_status_revenue",
+    "by_region_units",
+    "filtered_kpis",
+    "point_lookup_order",
+    "dq_report_orders",
+    "dq_summary_stats_lineitem",
+    "trend_cumulative_revenue",
+    "cust_spend_deciles",
+    "by_priority_revenue_share",
+    "supplier_revenue_rank",
+    "dq_order_lineitem_reconcile",
+    "text_token_stats",
+    "text_lang_rollup",
+    "text_ngram_topk",
+    "dedup_exact_groups",
+    "elt_feature_chain",
+    "elt_dedup_sql",
+    # oldest 7 r03-last rows, registry order (docs_vocab_top_terms first)
+    "docs_vocab_top_terms",
+    "docs_quality_percentile_filter",
+    "scd2_customer_segments",
+    "ev_dedup_tolerance",
+    "ent_resolve_part_names",
+    "docs_mixture_plan",
+    "trend_gapfill_monthly_big_orders",
 ]
 
 
