@@ -421,6 +421,16 @@ def global_total(
     opportunity, not a contract — verified absent under AQE for the
     scalar-subquery shape, plans/analytics.py Q11 notes). Pass False when
     the caller already pinned."""
+    clash = set(df.agg(*aggs).columns) & set(df.columns)
+    if clash:
+        # A colliding alias would give the joined frame duplicate column
+        # names — ambiguous-reference failures (or silent wrong-column
+        # resolution) downstream. Fail loudly BEFORE pinning (schema-only
+        # analysis, no job) instead.
+        raise ValueError(
+            "global_total agg aliases collide with input columns: "
+            f"{sorted(clash)}; rename the aggregate aliases"
+        )
     src = pin(df) if pin_input else df
     totals = src.agg(*aggs)
     return src.crossJoin(F.broadcast(totals))

@@ -76,6 +76,16 @@ def li_value_share_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
             (F.col("c") / F.lit(10000.0)).alias("part_value"),
             (F.col("c") / F.col("tot")).alias("value_share"),
-            F.expr("CAST(c * 1000000L div tot AS BIGINT)").alias("share_ppm"),
+            # DECIMAL(25,0) widening: c (per-part fixed-point cents×100)
+            # reaches ~9.2e12 at sf100, so a BIGINT c*1e6 would wrap
+            # SILENTLY under non-ANSI Spark (ANSI errors); the decimal
+            # product is exact to 1e33 and IntegralDivide returns BIGINT.
+            # Matches DuckDB exactly: the oracle's c is HUGEINT (SUM of
+            # BIGINT), so its product never wraps either, and both
+            # divisions floor non-negative operands (tot = SUM of
+            # non-negative per-part revenue — truncate ≡ floor).
+            F.expr(
+                "CAST(CAST(c AS DECIMAL(25,0)) * 1000000 div tot AS BIGINT)"
+            ).alias("share_ppm"),
         )
     )

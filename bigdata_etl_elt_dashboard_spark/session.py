@@ -25,7 +25,6 @@ this module is where our engine's global execution posture lives:
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import SparkSession
 
@@ -45,6 +44,87 @@ def default_parallelism() -> int:
 _STACK_GUARD = "-Xss64m"
 
 
+def _properties_logical_lines(lines) -> "list[str]":
+    """Join ``java.util.Properties`` continuation lines into logical lines.
+
+    A natural line whose trailing backslash run has ODD length continues
+    onto the next natural line (the backslash is dropped and the
+    continuation's leading whitespace is skipped, per Properties.load);
+    an even run is escaped backslashes, not a continuation. Comment lines
+    (# or !) are recognized only at the START of a logical line."""
+    out: list[str] = []
+    buf: str | None = None
+    for raw in lines:
+        line = raw.rstrip("\r\n")
+        if buf is None:
+            line = line.lstrip()
+            if not line or line[0] in "#!":
+                continue
+        else:
+            line = line.lstrip()
+        trailing = len(line) - len(line.rstrip("\\"))
+        if trailing % 2 == 1:
+            buf = (buf or "") + line[:-1]
+            continue
+        out.append((buf or "") + line)
+        buf = None
+    if buf is not None:
+        out.append(buf)
+    return out
+
+
+def _properties_unescape(s: str) -> str:
+    """Properties.load escape processing: ``\\uXXXX``, ``\\t\\n\\r\\f``,
+    and "any other escaped char is the char itself" (covers ``\\=`` ``\\:``
+    ``\\ `` ``\\\\``)."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            if nxt == "u" and i + 6 <= len(s):
+                try:
+                    out.append(chr(int(s[i + 2 : i + 6], 16)))
+                    i += 6
+                    continue
+                except ValueError:
+                    pass
+            out.append({"t": "\t", "n": "\n", "r": "\r", "f": "\f"}.get(nxt, nxt))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _properties_split(line: str) -> "tuple[str, str]":
+    """Split one logical Properties line at the first UNESCAPED ``=``,
+    ``:``, or whitespace run (whitespace may precede a single =/: that is
+    still part of the separator). Returns (raw_key, raw_value), both still
+    escaped."""
+    i, n = 0, len(line)
+    key: list[str] = []
+    while i < n:
+        c = line[i]
+        if c == "\\" and i + 1 < n:
+            key.append(c)
+            key.append(line[i + 1])
+            i += 2
+            continue
+        if c in "=:" or c in " \t\f":
+            break
+        key.append(c)
+        i += 1
+    while i < n and line[i] in " \t\f":
+        i += 1
+    if i < n and line[i] in "=:":
+        i += 1
+        while i < n and line[i] in " \t\f":
+            i += 1
+    return "".join(key), line[i:]
+
+
 def _defaults_file_java_opts() -> str:
     """spark.driver.extraJavaOptions from spark-defaults.conf, if one exists.
 
@@ -52,10 +132,13 @@ def _defaults_file_java_opts() -> str:
     preserving an operator-provided option string means reading it ourselves
     before the JVM launches.
 
-    Spark loads the file through ``java.util.Properties``, whose key/value
-    separator is the first unescaped ``=``, ``:``, or whitespace run — the
-    parse here accepts all three (``key value``, ``key=value``, ``key : value``)
-    and matches the key EXACTLY, so a longer key sharing the prefix (e.g.
+    Spark loads the file through ``java.util.Properties``; the parse here
+    mirrors Properties.load: backslash line-continuations are joined
+    (``_properties_logical_lines``), the key/value separator is the first
+    unescaped ``=``, ``:``, or whitespace run (``_properties_split``), and
+    ``\\uXXXX`` / ``\\=`` / ``\\:`` / ``\\ `` escapes are processed in both
+    key and value (``_properties_unescape``). The key is matched EXACTLY
+    after unescaping, so a longer key sharing the prefix (e.g.
     ``spark.driver.extraJavaOptionsFoo``) is never mistaken for it."""
     conf_dir = os.environ.get("SPARK_CONF_DIR")
     if not conf_dir and "SPARK_HOME" in os.environ:
@@ -64,13 +147,10 @@ def _defaults_file_java_opts() -> str:
     if not path or not os.path.isfile(path):
         return ""
     with open(path, encoding="utf-8") as fh:
-        for line in fh:
-            line = line.strip()
-            if not line or line[0] in "#!":
-                continue
-            m = re.match(r"([^\s=:]+)[ \t]*[=:]?[ \t]*(.*)", line)
-            if m and m.group(1) == "spark.driver.extraJavaOptions":
-                return m.group(2).strip()
+        for line in _properties_logical_lines(fh):
+            raw_key, raw_val = _properties_split(line)
+            if _properties_unescape(raw_key) == "spark.driver.extraJavaOptions":
+                return _properties_unescape(raw_val).strip()
     return ""
 
 

@@ -40,6 +40,21 @@ def _error_class(e: Exception) -> str | None:
     return None
 
 
+def _is_missing_path(e: Exception) -> bool:
+    """True iff the AnalysisException means "the input path does not exist".
+
+    Primary signal is the Spark error class (``PATH_NOT_FOUND``). When NO
+    class is extractable at all — older Spark builds, some connectors, and
+    Spark Connect re-wrapping strip both the accessor and the ``[CLASS]``
+    message prefix — fall back to the stable message text those builds emit
+    ("Path does not exist"). An exception that carries a DIFFERENT class is
+    never sniffed by message: a classified error already told us what it is."""
+    cls = _error_class(e)
+    if cls is not None:
+        return cls == "PATH_NOT_FOUND"
+    return "path does not exist" in str(e).lower()
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -255,14 +270,16 @@ def merge_upsert_parquet(
     try:
         existing = spark.read.parquet(path)
     except AnalysisException as e:
-        # First batch only: a genuinely missing table dir (PATH_NOT_FOUND).
-        # The catch must be NARROW in fact, not just in intent: any OTHER
-        # AnalysisException (UNABLE_TO_INFER_SCHEMA from a half-written
-        # dir, a corrupt footer) means the table EXISTS but is unreadable,
-        # and treating it as "no table" would make the dynamic partition
-        # overwrite replace every touched bucket with only the batch's
-        # rows — silent loss of all other keys. Re-raise those.
-        if _error_class(e) != "PATH_NOT_FOUND":
+        # First batch only: a genuinely missing table dir (PATH_NOT_FOUND,
+        # or the classless "Path does not exist" message on builds that
+        # strip error classes — _is_missing_path). The catch must be NARROW
+        # in fact, not just in intent: any OTHER AnalysisException
+        # (UNABLE_TO_INFER_SCHEMA from a half-written dir, a corrupt
+        # footer) means the table EXISTS but is unreadable, and treating it
+        # as "no table" would make the dynamic partition overwrite replace
+        # every touched bucket with only the batch's rows — silent loss of
+        # all other keys. Re-raise those.
+        if not _is_missing_path(e):
             raise
         existing = None
     if existing is not None:

@@ -417,3 +417,87 @@ def test_global_total_matches_full_frame_window(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_defaults_file_java_opts_properties_continuations(tmp_path, monkeypatch):
+    """java.util.Properties joins backslash-continued lines (continuation's
+    leading whitespace skipped, comment markers only honored at the START
+    of a logical line) and processes \\uXXXX / \\= / \\: / '\\ ' escapes in
+    keys and values — the reader must match all of that, not just
+    single-line entries (round-11 ADVICE item)."""
+    from bigdata_etl_elt_dashboard_spark.session import _defaults_file_java_opts
+
+    conf_dir = tmp_path / "conf"
+    conf_dir.mkdir()
+    monkeypatch.setenv("SPARK_CONF_DIR", str(conf_dir))
+
+    def write(text):
+        (conf_dir / "spark-defaults.conf").write_text(text, encoding="utf-8")
+
+    # odd trailing backslash = continuation; continuation's leading
+    # whitespace is skipped, the backslash itself is dropped
+    write("spark.driver.extraJavaOptions=-Xss1m \\\n      -XX:+UseG1GC\n")
+    assert _defaults_file_java_opts() == "-Xss1m -XX:+UseG1GC"
+    # EVEN trailing run = escaped backslash(es), NOT a continuation; the
+    # pre-fix reader returned the literal trailing backslash glued on
+    write(
+        "spark.driver.extraJavaOptions=-Ddir=c\\\\\n"
+        "spark.executor.memory=4g\n"
+    )
+    assert _defaults_file_java_opts() == "-Ddir=c\\"
+    # a '#' line INSIDE a continuation is content, not a comment
+    write(
+        "spark.executor.extraJavaOptions=-Xmx1g \\\n"
+        "#still-the-executor-value\n"
+        "spark.driver.extraJavaOptions=-Xss2m\n"
+    )
+    assert _defaults_file_java_opts() == "-Xss2m"
+    # escaped '.' in the key unescapes before the exact match (Java parity)
+    write("spark.driver\\.extraJavaOptions=-Xint\n")
+    assert _defaults_file_java_opts() == "-Xint"
+    # an ESCAPED space is part of the key -> different key, no match
+    write("spark.driver.extraJavaOptions\\ x=-Xmx1g\n")
+    assert _defaults_file_java_opts() == ""
+    # \uXXXX escapes decode in the value
+    write("spark.driver.extraJavaOptions=-Dch\\u0061rset=utf8\n")
+    assert _defaults_file_java_opts() == "-Dcharset=utf8"
+    # a continuation that ends the file (no following line) still parses
+    write("spark.driver.extraJavaOptions=-Xss3m \\")
+    assert _defaults_file_java_opts() == "-Xss3m"
+
+
+def test_global_total_rejects_colliding_alias(spark):
+    """An agg alias colliding with an input column would yield duplicate
+    column names after the broadcast cross-join (ambiguous-reference
+    failures or silent wrong-column resolution downstream) — global_total
+    must refuse loudly BEFORE running any job (round-11 ADVICE item)."""
+    from bigdata_etl_elt_dashboard_spark.operators.scale import global_total
+
+    df = spark.createDataFrame([(1, 2)], "id long, v long")
+    with pytest.raises(ValueError, match="collide.*\\['v'\\]"):
+        global_total(df, [F.sum("v").alias("v")])
+    # disjoint aliases still work
+    out = global_total(df, [F.sum("v").alias("tot")])
+    assert out.collect() == [(1, 2, 2)]
+
+
+def test_share_ppm_decimal_path_no_silent_wrap(spark):
+    """The wave10 share_ppm expression must stay exact past the BIGINT
+    c*1e6 wrap point (~9.2e12 per-part fixed-point cents ≈ sf100) under
+    BOTH ANSI regimes: with a raw BIGINT product, ANSI errors and
+    non-ANSI wraps SILENTLY, hash-mismatching the HUGEINT DuckDB oracle;
+    the DECIMAL(25,0) widening is exact to 1e33 (round-11 ADVICE item)."""
+    df = spark.createDataFrame(
+        [(50_000_000_000_000, 100_000_000_000_000)], "c long, tot long"
+    )
+    expr = "CAST(CAST(c AS DECIMAL(25,0)) * 1000000 div tot AS BIGINT)"
+    assert df.selectExpr(f"{expr} AS ppm").collect()[0]["ppm"] == 500_000
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        assert df.selectExpr(f"{expr} AS ppm").collect()[0]["ppm"] == 500_000
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)

@@ -1563,3 +1563,27 @@ def test_merge_upsert_reraises_non_missing_analysis_errors(spark, tmp_path):
     fresh = tmp_path / "gold_fresh"
     merge_upsert_parquet(batch, str(fresh), ["k"], n_buckets=4)
     assert {r["k"]: r["v"] for r in spark.read.parquet(str(fresh)).collect()} == {1: 10}
+
+
+def test_is_missing_path_classless_fallback():
+    """When NO Spark error class is extractable (older builds, some
+    connectors, Spark Connect re-wrapping), the first-batch catch falls
+    back to the stable "Path does not exist" message text; a classified
+    non-missing error is never message-sniffed (round-11 ADVICE item)."""
+    from bigdata_etl_elt_dashboard_spark.sources.sinks import _is_missing_path
+
+    class Classless(Exception):
+        pass
+
+    assert _is_missing_path(Classless("Path does not exist: /tmp/gold"))
+    assert not _is_missing_path(Classless("Unable to infer schema for Parquet"))
+
+    class Classified(Exception):
+        def getCondition(self):
+            return "UNABLE_TO_INFER_SCHEMA"
+
+    # carries a class -> the class decides, even if the message says "path"
+    assert not _is_missing_path(Classified("x Path does not exist x"))
+    # the bracketed message prefix counts as a class on accessor-less builds
+    assert _is_missing_path(Exception("[PATH_NOT_FOUND] Path does not exist"))
+    assert not _is_missing_path(Exception("[UNABLE_TO_INFER_SCHEMA] boom"))
