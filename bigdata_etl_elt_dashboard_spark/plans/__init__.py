@@ -26,6 +26,7 @@ from . import wave7  # noqa: F401  (round-7 TPC-H completions; after wave6)
 from . import wave8  # noqa: F401  (round-8 additions; after wave7)
 from . import wave9  # noqa: F401  (round-9 additions; after wave8)
 from . import wave10  # noqa: F401  (round-10 additions; after wave9)
+from . import wave11  # noqa: F401  (round-11 additions; after wave10)
 from .registry import REGISTRY, register
 
 # ---------------------------------------------------------------------------
@@ -107,22 +108,50 @@ from .registry import REGISTRY, register
 # r03-last rows in registry order, docs_vocab_top_terms first (swapped
 # out of the r09 window for src_merge_upsert_digest).
 #
-# ROUND-11 ROTATION PLAN: gate any round-11 additions first, then the
-# remaining 33 r03-last rows (fe_target_encode_priority onward in
-# registry order: dedup_clusters_star, docs_chunking,
-# dedup_incremental_batch, text_mixed_lang, agg_weighted_avg_unit_price,
-# ev_daily_volume_anomaly, tr_unpivot_kpis, dq_profile_orders,
-# docs_sequence_packing_sharded, trend_ma3_revenue,
-# dq_full_outer_reconcile, ev_funnel_strict_steps, trend_ema12_revenue,
-# mm_audio_channel_stats, agg_window_function_suite, docs_cap_per_source,
-# ev_session_overlap_pairs, text_hellinger_source_drift,
-# docs_bpe_pair_counts, dedup_cluster_size_hist, mm_decode_mixed_codecs,
-# dedup_minhash_estimate_error, ev_pit_features_at_purchase,
-# dedup_lsh_bucket_skew, ev_attribution_linear_7d, dedup_quality_impact,
-# dedup_threshold_sweep, ev_new_vs_returning_daily,
-# ev_dau_wau_stickiness, ev_user_behavior_entropy, text_jsd_source_drift,
-# ev_out_of_order_profile), then the oldest r04-last rows to fill.
-# After r11 no standing row is older than r04.
+# ROUND-11 WINDOW (this round): per the r10 verdict task 1 — finish the
+# freshness program. Entry 1 is the round-11 addition:
+# supplier_pareto_cumshare_twopass (plans/wave11.py), the EXECUTED
+# ordered-prefix escape hatch — the supplier pareto readout computed via
+# grouped_running_sum over range partitions + global_total, gated against
+# the IDENTICAL oracle as the window form (verdict task 3). Entries 2-34
+# are the full 33-query r03-last cohort (fe_target_encode_priority onward
+# in registry order, exactly as pre-written in the r10 note; 10 of the 33
+# were independently re-verified green by the r10 judge). Entries 35-50
+# are the 16 oldest r04-last rows in registry order (sim_hard_negatives
+# .. emb_l2_norm_stats — including supplier_pareto_cumshare itself, so
+# BOTH pareto forms carry same-round driver rows against one oracle).
+# After r11 no standing row for a live query is older than r04.
+#
+# Freshness-ledger retirements (r10 verdict task 5) — the two standing
+# CORRECTNESS rows that look old but gate NOTHING live:
+# - set_ops_priority_years (r01 row): query REMOVED in r10, superseded by
+#   the rows-bearing set_ops_customer_years (its 5-value priority domain
+#   made the INTERSECT/EXCEPT gate hash-match the empty set). The r01 row
+#   is a dead ledger line, not stale evidence.
+# - agg_approx_sketches (r02 `no_oracle` row): rows-only BY DESIGN (float
+#   sketches have no SQL oracle); its geometry is hash-gated through the
+#   digest twin agg_sketch_param_digest (green since r05, re-gated r11-
+#   window-eligible like any oracle row).
+# tools/gate_rotation.py excludes both from its freshness report
+# (_RETIRED) so the oldest-evidence ledger stays interpretable.
+#
+# ROUND-12 ROTATION PLAN: gate any round-12 additions first, then the
+# remaining 34 r04-last rows in registry order (docs_dsir_weights,
+# docs_zipf_fit, emb_covariance_top_pairs, docs_heaps_law_fit,
+# emb_pca_project, emb_pq_encode_stats, docs_duplicate_ngram_spans,
+# docs_ngram_containment, docs_token_rarity, dedup_semdedup_prune,
+# docs_pmi_collocations, docs_bpe_train_merges, sim_kmeans_lloyd1,
+# graph_pagerank_3iter, graph_copurchase_triangles, orders_returned_semi,
+# cust_big_basket_orders, cust_idle_rich_anti, part_supplier_diversity,
+# supplier_top_quarter_revenue, set_ops_all_part_multisets,
+# src_jsonl_roundtrip_digest, src_orc_roundtrip_digest,
+# wh_snapshot_delta_orders, wh_merge_upsert_orders, star_one_big_table,
+# stat_corr_discount_qty, stat_ols_price_vs_qty, stat_mad_outlier_counts,
+# stat_daily_zscore_anomaly, stat_markov_transitions,
+# stat_equidepth_hist_totalprice, stat_countmin_heavy_hitters,
+# stat_chi2_priority_status), then the oldest r05-last rows to fill
+# (`python tools/gate_rotation.py --freshness` prints the cohorts).
+# After r12 no standing row is older than r05.
 #
 #
 # Low-cardinality PARTITION BY window audit (done r08, plan-verified;
@@ -143,59 +172,60 @@ from .registry import REGISTRY, register
 # grouped_running_sum (added r08; corpus_pipeline_v2_digest uses both).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # r10 additions (plans/wave10.py; the set-op redesign in analytics.py)
-    "li_value_share_topn",
-    "set_ops_customer_years",
-    # r01-last cohort (41 — full; customers_without_orders redesigned r10)
-    "q1_total_revenue",
-    "q2_revenue_per_year",
-    "q3_top5_nations_by_revenue",
-    "q4_units_per_part_type",
-    "q5_avg_margin_per_status",
-    "q6_revenue_per_region_year",
-    "q7_top10_orders_by_price",
-    "q8_avg_ship_days_per_nation",
-    "agg_priority_distribution",
-    "by_supplier_nation_revenue",
-    "topk_orders_per_region",
-    "customers_without_orders",
-    "orders_above_customer_avg",
-    "agg_median_price_per_status",
-    "pivot_priority_by_status",
-    "trend_mom_revenue_delta",
-    "agg_rollup_region_year",
-    "agg_cube_status_priority",
-    "agg_price_by_qty_bucket",
-    "agg_discount_by_ship_speed",
-    "agg_margin_pct_by_part_type",
-    "kpi_totals",
-    "trend_monthly_revenue",
-    "hist_totalprice_30bins",
-    "by_status_revenue",
-    "by_region_units",
-    "filtered_kpis",
-    "point_lookup_order",
-    "dq_report_orders",
-    "dq_summary_stats_lineitem",
-    "trend_cumulative_revenue",
-    "cust_spend_deciles",
-    "by_priority_revenue_share",
-    "supplier_revenue_rank",
-    "dq_order_lineitem_reconcile",
-    "text_token_stats",
-    "text_lang_rollup",
-    "text_ngram_topk",
-    "dedup_exact_groups",
-    "elt_feature_chain",
-    "elt_dedup_sql",
-    # oldest 7 r03-last rows, registry order (docs_vocab_top_terms first)
-    "docs_vocab_top_terms",
-    "docs_quality_percentile_filter",
-    "scd2_customer_segments",
-    "ev_dedup_tolerance",
-    "ent_resolve_part_names",
-    "docs_mixture_plan",
-    "trend_gapfill_monthly_big_orders",
+    # r11 addition (plans/wave11.py): the executed ordered-prefix hatch
+    "supplier_pareto_cumshare_twopass",
+    # r03-last cohort (33 — full, registry order per the r10 plan)
+    "fe_target_encode_priority",
+    "dedup_clusters_star",
+    "docs_chunking",
+    "dedup_incremental_batch",
+    "text_mixed_lang",
+    "agg_weighted_avg_unit_price",
+    "ev_daily_volume_anomaly",
+    "tr_unpivot_kpis",
+    "dq_profile_orders",
+    "docs_sequence_packing_sharded",
+    "trend_ma3_revenue",
+    "dq_full_outer_reconcile",
+    "ev_funnel_strict_steps",
+    "trend_ema12_revenue",
+    "mm_audio_channel_stats",
+    "agg_window_function_suite",
+    "docs_cap_per_source",
+    "ev_session_overlap_pairs",
+    "text_hellinger_source_drift",
+    "docs_bpe_pair_counts",
+    "dedup_cluster_size_hist",
+    "mm_decode_mixed_codecs",
+    "dedup_minhash_estimate_error",
+    "ev_pit_features_at_purchase",
+    "dedup_lsh_bucket_skew",
+    "ev_attribution_linear_7d",
+    "dedup_quality_impact",
+    "dedup_threshold_sweep",
+    "ev_new_vs_returning_daily",
+    "ev_dau_wau_stickiness",
+    "ev_user_behavior_entropy",
+    "text_jsd_source_drift",
+    "ev_out_of_order_profile",
+    # oldest 16 r04-last rows, registry order (incl. the window-form
+    # pareto, so both forms gate against one oracle this round)
+    "sim_hard_negatives",
+    "scale_global_rank_orders",
+    "dedup_lsh_scurve_validation",
+    "docs_data_card",
+    "ev_top_session_paths",
+    "dedup_lsh_precision_recall",
+    "ev_cohort_ltv",
+    "docs_repetition_metrics",
+    "docs_gopher_quality_filter",
+    "docs_oov_rate",
+    "docs_split_counts",
+    "emb_dim_stats",
+    "emb_quantize_error",
+    "supplier_pareto_cumshare",
+    "text_unigram_logprob",
+    "emb_l2_norm_stats",
 ]
 
 

@@ -236,3 +236,80 @@ def test_no_vacuous_oracle_gates(duck):
             f"{name} now returns rows at the gate SF — drop it from "
             "_EMPTY_AT_GATE_SF_OK"
         )
+
+
+# ---------------------------------------------------------------------------
+# Digest NON-VACUITY lint (round-11, VERDICT r10 task 6).
+#
+# The rows lint above can't catch a DEGENERATE digest: a ``*_digest`` twin
+# always returns its summary row(s), so a digest computed over an EMPTY
+# underlying frame (a filter that matches nothing, a sink roundtrip that
+# silently wrote nothing) hashes constants and stays green while pinning
+# nothing. Every digest in the registry therefore carries at least one
+# count-like ``n_*`` column measuring the underlying frame; this lint runs
+# each digest's oracle at the gate SF and requires SOME count column to be
+# positive (an individual ``n_corrupt = 0`` / ``n_dropped = 0`` is a
+# legitimate assertion of absence — only ALL-zero means the frame itself
+# was empty). A digest with NO count column is acceptable only in the
+# grouped per-key shape (>1 row at the gate SF, e.g. the per-media pixel
+# sums of mm_image_downsample2x_digest): there every row IS evidence of a
+# frame element, and an empty frame yields 0 rows — which the rows lint
+# above already fails. The global-aggregate shape is the dangerous one (a
+# 1-row summary still emits its row over an empty frame), so 1-row
+# digests MUST carry a count column. Exceptions would go in a whitelist
+# WITH a reason, the same pattern as _EMPTY_AT_GATE_SF_OK; none are
+# needed today.
+# ---------------------------------------------------------------------------
+
+#: digest query -> why an all-zero count vector at the gate SF is intended
+_ZERO_FRAME_DIGEST_OK: dict[str, str] = {}
+
+
+def test_no_vacuous_digest_gates(duck):
+    problems = []
+    for name in _WITH_ORACLE:
+        if not name.endswith("_digest"):
+            continue
+        if name in _ZERO_FRAME_DIGEST_OK:
+            continue
+        cur = duck.execute(REGISTRY[name].oracle)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        count_idx = [i for i, c in enumerate(cols) if c == "n" or c.startswith("n_")]
+        if not count_idx:
+            if len(rows) > 1:
+                continue  # grouped per-key digest: rows evidence the frame
+            problems.append(
+                f"{name}: global-aggregate digest with no count-like "
+                "(n / n_*) column — it would emit its row over an empty "
+                "frame; add one"
+            )
+            continue
+        if not rows:
+            continue  # already failed by test_no_vacuous_oracle_gates
+        total = sum(
+            int(row[i])
+            for row in rows
+            for i in count_idx
+            if row[i] is not None
+        )
+        if total <= 0:
+            problems.append(
+                f"{name}: every count column sums to 0 at the gate SF — "
+                "the digest hashes constants over an empty frame"
+            )
+    assert not problems, problems
+    # the whitelist must stay minimal and accurate: each entry's counts
+    # really are all zero (else the exemption is stale)
+    for name in _ZERO_FRAME_DIGEST_OK:
+        cur = duck.execute(REGISTRY[name].oracle)
+        cols = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+        count_idx = [i for i, c in enumerate(cols) if c == "n" or c.startswith("n_")]
+        total = sum(
+            int(row[i]) for row in rows for i in count_idx if row[i] is not None
+        )
+        assert total == 0, (
+            f"{name} now has a non-empty frame at the gate SF — drop it "
+            "from _ZERO_FRAME_DIGEST_OK"
+        )

@@ -558,6 +558,10 @@ _BNLJ_BOUNDED_OK = {
     "li_value_share_parts",
     "li_value_share_topn",
     "text_unigram_logprob",
+    # round-11: the executed ordered-prefix escape hatch — 1-row grand
+    # total via global_total + the ≤ n_partitions-row slice-offsets frame
+    # broadcast back by grouped_running_sum
+    "supplier_pareto_cumshare_twopass",
 }
 
 

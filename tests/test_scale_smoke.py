@@ -501,3 +501,51 @@ def test_share_ppm_decimal_path_no_silent_wrap(spark):
             spark.conf.unset("spark.sql.ansi.enabled")
         else:
             spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_ordered_prefix_two_pass_matches_window(spark):
+    """The ordered-prefix ESCAPE HATCH is executable, not just documented
+    (r10 verdict task 3): grouped_running_sum with NO group columns — the
+    two-pass range-partitioned form of ``SUM(v) OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING)`` — is bit-equivalent to the unpartitioned
+    ordered window on data that SPANS many range partitions, including
+    duplicate order values (disambiguated by the unique tie-breaker, the
+    same contract as any deterministic ORDER BY) and negative values."""
+    from pyspark.sql import Window
+
+    from bigdata_etl_elt_dashboard_spark.operators.scale import grouped_running_sum
+
+    n = 50_000
+    rows = [(i, ((i * 2654435761) % 997) - 498) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v long").repartition(16)
+
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    ref = df.select("id", "v", F.sum("v").over(w).alias("cum"))
+    got = grouped_running_sum(
+        df, [], ["v", "id"], "v", out_col="cum", inclusive=True, num_partitions=16
+    )
+    a = sorted(tuple(r) for r in ref.collect())
+    b = sorted(tuple(r) for r in got.select("id", "v", "cum").collect())
+    assert a == b and len(a) == n
+
+    # the two-pass frame really spans partitions: >1 distinct slice id
+    from bigdata_etl_elt_dashboard_spark.operators.scale import _grouped_two_pass
+
+    rp, _, _ = _grouped_two_pass(df, [], ["v", "id"], 16)
+    n_slices = rp.select("_pid").distinct().count()
+    assert n_slices > 1
+
+
+def test_pareto_two_pass_matches_window_form(spark, sf_oracle):
+    """supplier_pareto_cumshare_twopass (range-partitioned prefix sums +
+    global_total) returns row-for-row EXACTLY what the window form
+    returns — same values, same order, same schema — so the documented
+    ordered-cumulative rewrite path provably preserves the readout."""
+    from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+
+    a = REGISTRY["supplier_pareto_cumshare"].fn(spark, sf_oracle)
+    b = REGISTRY["supplier_pareto_cumshare_twopass"].fn(spark, sf_oracle)
+    assert a.columns == b.columns
+    ra = [tuple(r) for r in a.collect()]
+    rb = [tuple(r) for r in b.collect()]
+    assert ra == rb and len(ra) > 0

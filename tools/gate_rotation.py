@@ -1,14 +1,18 @@
 #!/usr/bin/env python
-"""Print the next driver gate window: never-gated oracle-backed queries in
-registration order (the _GATE_WINDOW maintenance helper).
+"""Print the next driver gate window and the freshness ledger.
 
-Usage: ``python tools/gate_rotation.py [N]`` (window size, default 50).
-Reads every CORRECTNESS_r*.json in the repo root as the gated-ever set,
-subtracts it from the registry, and prints (a) the window as a Python list
-literal ready to paste into plans/__init__.py and (b) the remainder for
-the following round's rotation note. Rows-only queries (oracle=None) are
-listed separately — gating them yields only a weak rows-only row, so they
-stay out of the window unless slots are free.
+Usage:
+    python tools/gate_rotation.py [N]          never-gated window (size N, default 50)
+    python tools/gate_rotation.py --freshness  last-gated round per live query,
+                                               oldest cohorts first (the re-gate
+                                               rotation planner)
+
+Reads every CORRECTNESS_r*.json in the repo root as the gated-ever set.
+The default mode subtracts it from the registry and prints (a) the window
+as a Python list literal ready to paste into plans/__init__.py and (b) the
+remainder for the following round's rotation note. Rows-only queries
+(oracle=None) are listed separately — gating them yields only a weak
+rows-only row, so they stay out of the window unless slots are free.
 """
 
 from __future__ import annotations
@@ -16,19 +20,63 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
+from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bigdata_etl_elt_dashboard_spark.plans import REGISTRY  # noqa: E402
 
+#: Ledger rows that look old but gate NOTHING live — excluded from the
+#: freshness report so the oldest-evidence ledger stays interpretable
+#: (r10 verdict task 5; full rationale in plans/__init__.py's round-11
+#: rotation note):
+#: - set_ops_priority_years: query REMOVED in r10 (vacuous INTERSECT/
+#:   EXCEPT gate), superseded by set_ops_customer_years — its r01 row is
+#:   a dead ledger line, not stale evidence.
+#: - agg_approx_sketches: the r02 row is `no_oracle` rows-only BY DESIGN;
+#:   the query's geometry is hash-gated via agg_sketch_param_digest. Its
+#:   live freshness is tracked like any query through later green rows.
+_RETIRED = {"set_ops_priority_years"}
+_ROWS_ONLY_BY_DESIGN_ROWS = {"agg_approx_sketches": "r02 no_oracle row"}
+
+
+def _history() -> dict[str, int]:
+    """query -> last round with a CORRECTNESS row (retired names excluded)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        for q in json.load(open(path)):
+            if q not in _RETIRED:
+                last[q] = max(rnd, last.get(q, 0))
+    return last
+
 
 def main() -> None:
+    if "--freshness" in sys.argv:
+        last = _history()
+        cohorts: dict[int | None, list[str]] = defaultdict(list)
+        for q in REGISTRY:  # registry order within each cohort
+            cohorts[last.get(q)].append(q)
+        never = cohorts.pop(None, [])
+        for rnd in sorted(cohorts):
+            names = cohorts[rnd]
+            print(f"# r{rnd:02d}-last ({len(names)}):")
+            for q in names:
+                print(f"#   {q}")
+        if never:
+            print(f"# never-gated ({len(never)}): {', '.join(never)}")
+        dead = sorted(set(last) - set(REGISTRY))
+        if dead:
+            print(f"# dead ledger rows (gated name no longer live): {', '.join(dead)}")
+        for q, why in _ROWS_ONLY_BY_DESIGN_ROWS.items():
+            print(f"# note: {q} — {why}; digest-twinned, see rotation note")
+        return
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    gated: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        gated |= set(json.load(open(path)))
+    gated = set(_history())
     never = [q for q in REGISTRY if q not in gated]
     oracle_backed = [q for q in never if REGISTRY[q].oracle is not None]
     rows_only = [q for q in never if REGISTRY[q].oracle is None]
