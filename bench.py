@@ -192,6 +192,13 @@ EXTENSION_SUITE = (
     # (replay union → dedup distinct → sessionize → closed-filter → day
     # rollup; the ev_timer_session_close_twin shape composed end-to-end)
     "ev_stream_pipeline_gold_twin",
+    # round-11 additions: the two new scale-operator shapes — the Q11
+    # top-N share gate riding global_total (r10) and the executed
+    # ordered-prefix escape hatch (range-partitioned prefix sums, r11) —
+    # so regressions in the hierarchical-total / two-pass machinery
+    # surface as bench deltas, not just test failures
+    "li_value_share_topn",
+    "supplier_pareto_cumshare_twopass",
 )
 
 
