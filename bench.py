@@ -199,6 +199,11 @@ EXTENSION_SUITE = (
     # surface as bench deltas, not just test failures
     "li_value_share_topn",
     "supplier_pareto_cumshare_twopass",
+    # round-11 session-2 addition: the row-level LEFT range join (batch
+    # twin of the new leftOuter stream-stream join) — tripwire for
+    # range_join's two-bucket-probe padding collapse, whose extra
+    # per-left-row shuffle is the shape most likely to regress
+    "ev_click_view_outer_twin",
 )
 
 

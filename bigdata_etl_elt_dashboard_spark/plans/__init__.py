@@ -109,18 +109,23 @@ from .registry import REGISTRY, register
 # out of the r09 window for src_merge_upsert_digest).
 #
 # ROUND-11 WINDOW (this round): per the r10 verdict task 1 — finish the
-# freshness program. Entry 1 is the round-11 addition:
-# supplier_pareto_cumshare_twopass (plans/wave11.py), the EXECUTED
+# freshness program. Entries 1-2 are the round-11 additions
+# (plans/wave11.py): supplier_pareto_cumshare_twopass, the EXECUTED
 # ordered-prefix escape hatch — the supplier pareto readout computed via
 # grouped_running_sum over range partitions + global_total, gated against
-# the IDENTICAL oracle as the window form (verdict task 3). Entries 2-34
-# are the full 33-query r03-last cohort (fe_target_encode_priority onward
-# in registry order, exactly as pre-written in the r10 note; 10 of the 33
-# were independently re-verified green by the r10 judge). Entries 35-50
-# are the 16 oldest r04-last rows in registry order (sim_hard_negatives
-# .. emb_l2_norm_stats — including supplier_pareto_cumshare itself, so
-# BOTH pareto forms carry same-round driver rows against one oracle).
-# After r11 no standing row for a live query is older than r04.
+# the IDENTICAL oracle as the window form (verdict task 3) — and
+# ev_click_view_outer_twin, the row-level LEFT range join that twins the
+# new streaming leftOuter stream-stream join
+# (streaming/events.py:stream_click_view_join_outer). Entries 3-35 are
+# the full 33-query r03-last cohort (fe_target_encode_priority onward in
+# registry order, exactly as pre-written in the r10 note; 10 of the 33
+# were independently re-verified green by the r10 judge). Entries 36-50
+# are the 15 oldest r04-last rows in registry order (sim_hard_negatives
+# .. text_unigram_logprob — including supplier_pareto_cumshare itself,
+# so BOTH pareto forms carry same-round driver rows against one oracle;
+# emb_l2_norm_stats yielded its slot to the second addition and moves to
+# the r12 plan). After r11 no standing row for a live query is older
+# than r04.
 #
 # Freshness-ledger retirements (r10 verdict task 5) — the two standing
 # CORRECTNESS rows that look old but gate NOTHING live:
@@ -136,7 +141,9 @@ from .registry import REGISTRY, register
 # (_RETIRED) so the oldest-evidence ledger stays interpretable.
 #
 # ROUND-12 ROTATION PLAN: gate any round-12 additions first, then the
-# remaining 34 r04-last rows in registry order (docs_dsir_weights,
+# remaining 35 r04-last rows in registry order (emb_l2_norm_stats —
+# displaced from the r11 window by ev_click_view_outer_twin —
+# docs_dsir_weights,
 # docs_zipf_fit, emb_covariance_top_pairs, docs_heaps_law_fit,
 # emb_pca_project, emb_pq_encode_stats, docs_duplicate_ngram_spans,
 # docs_ngram_containment, docs_token_rarity, dedup_semdedup_prune,
@@ -172,8 +179,12 @@ from .registry import REGISTRY, register
 # grouped_running_sum (added r08; corpus_pipeline_v2_digest uses both).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # r11 addition (plans/wave11.py): the executed ordered-prefix hatch
+    # r11 additions (plans/wave11.py): the executed ordered-prefix hatch,
+    # then the row-level LEFT range join twinning the new streaming
+    # leftOuter stream-stream join (emb_l2_norm_stats moved to r12 to
+    # keep the window at 50)
     "supplier_pareto_cumshare_twopass",
+    "ev_click_view_outer_twin",
     # r03-last cohort (33 — full, registry order per the r10 plan)
     "fe_target_encode_priority",
     "dedup_clusters_star",
@@ -225,7 +236,6 @@ _GATE_WINDOW = [
     "emb_quantize_error",
     "supplier_pareto_cumshare",
     "text_unigram_logprob",
-    "emb_l2_norm_stats",
 ]
 
 

@@ -127,3 +127,57 @@ def supplier_pareto_cumshare_twopass(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy("_cum", "s_suppkey")
         .drop("_cum")
     )
+
+
+@register(
+    "ev_click_view_outer_twin",
+    oracle="""
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        views AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+        )
+        SELECT c.event_id AS click_id,
+               c.user_id AS user_id,
+               c.ts AS click_ts,
+               v.ts AS view_ts,
+               v.value AS view_value
+        FROM clicks c
+        LEFT JOIN views v
+          ON c.user_id = v.user_id
+         AND v.ts >= c.ts - INTERVAL 10 MINUTE
+         AND v.ts < c.ts
+        ORDER BY click_id, view_ts
+""",
+    doc="Row-level LEFT range join — the batch twin of the round-11 "
+    "streaming stream_click_view_join_outer (streaming/events.py): every "
+    "click emitted, paired with the same user's views from the preceding "
+    "10 minutes or null-extended when none matched. Rides "
+    "operators/temporal.range_join, whose exact row-level LEFT semantics "
+    "(two-bucket probe padding collapsed to exactly one null survivor per "
+    "unmatched left row) were until now driver-gated only through the "
+    "per-click AGGREGATE (ev_range_recent_views) — this row gates the raw "
+    "pair/null rows the streaming form must reproduce. Scale shape: "
+    "equi-join on (user_id, epoch bucket) + residual range predicate, "
+    "never an inequality nested loop; the oracle's plain LEFT JOIN is the "
+    "semantics spec, not the plan.",
+)
+def ev_click_view_outer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import range_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = range_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="ts", window_seconds=600
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("r_ts").alias("view_ts"),
+        F.col("r_value").alias("view_value"),
+    ).orderBy("click_id", "view_ts")

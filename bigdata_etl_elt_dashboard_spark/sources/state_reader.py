@@ -1,0 +1,76 @@
+"""Offline streaming-state readers (round-11 operational extension).
+
+At 100 TB, a streaming pipeline's state store IS production data — the
+dedup ledgers, join buffers, and session registers that decide what the
+gold tables contain. When a drain looks wrong, restarting the query with
+debug prints is not an option; the operational tool is Spark's state data
+source: read the checkpointed state OFFLINE as ordinary DataFrames, audit
+it with the same SQL surface as any table, and only then touch the query.
+
+Two public formats (Spark 4.x; no extra packages):
+
+- ``state-metadata``: one row per stateful operator in the checkpoint —
+  operator id/name, state store name(s), partition count, the min/max
+  batch ids still readable. The index you consult FIRST, because the
+  ``statestore`` reader needs the operator id and store name it lists.
+- ``statestore``: the state rows themselves as ``key`` / ``value``
+  structs (plus ``partition_id``), snapshotted at the last committed
+  batch by default, or at ``batchId`` via option. Stream-stream joins
+  expose their two sides via ``joinSide`` ("left"/"right") instead of raw
+  store names; transformWithState exposes composite state via
+  ``stateVarName``.
+
+Read-only by construction — the readers never touch the commit log, so an
+audit can run WHILE the query is live (snapshot isolation comes from the
+checkpoint's versioned files). Tests: tests/test_state_reader.py drives a
+dedup query and the round-11 outer join over real checkpoints and asserts
+the state contents against the events that produced them.
+
+The reference has no streaming surface (SURVEY §2.12 is an extension
+family); this module extends S9 (DESCRIBE/introspection) to the streaming
+state dimension the same way sources/catalog.py covers the table catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def state_metadata(spark: SparkSession, checkpoint: str) -> DataFrame:
+    """Operator/store index of a streaming checkpoint.
+
+    Columns (Spark 4.1): operatorId, operatorName, stateStoreName,
+    numPartitions, minBatchId, maxBatchId, operatorProperties.
+    """
+    return spark.read.format("state-metadata").load(checkpoint)
+
+
+def state_rows(
+    spark: SparkSession,
+    checkpoint: str,
+    operator_id: int = 0,
+    store_name: str | None = None,
+    batch_id: int | None = None,
+    join_side: str | None = None,
+    state_var_name: str | None = None,
+) -> DataFrame:
+    """State rows of one operator's store as a batch DataFrame.
+
+    Defaults mirror the data source's: operator 0, store "default", the
+    last committed batch. ``join_side`` ("left"/"right") replaces
+    ``store_name`` for stream-stream join operators, whose four internal
+    stores (keyToNumValues/keyWithIndexToValue per side) are only exposed
+    pre-joined per side; ``state_var_name`` selects a transformWithState
+    variable. The reader returns ``key``/``value`` structs — callers
+    project ``key.*`` / ``value.*`` like any nested column.
+    """
+    reader = spark.read.format("statestore").option("operatorId", operator_id)
+    if store_name is not None:
+        reader = reader.option("storeName", store_name)
+    if batch_id is not None:
+        reader = reader.option("batchId", batch_id)
+    if join_side is not None:
+        reader = reader.option("joinSide", join_side)
+    if state_var_name is not None:
+        reader = reader.option("stateVarName", state_var_name)
+    return reader.load(checkpoint)

@@ -189,6 +189,55 @@ def stream_click_view_join(
     ).select("click_id", "user_id", "click_ts", "view_ts", "view_value")
 
 
+def stream_click_view_join_outer(
+    clicks_stream: DataFrame,
+    views_stream: DataFrame,
+    window_minutes: int = 10,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every click is emitted —
+    paired with the same user's views from the preceding ``window_minutes``,
+    or null-extended when no view matched.
+
+    The outer semantics the inner form (``stream_click_view_join``) can't
+    express: "this click converted from nothing" is itself a result row,
+    the row attribution pipelines aggregate into match rates. Emission is
+    two-phased by construction of the engine: matched pairs emit in the
+    micro-batch where both sides are present, but a null-extended row can
+    only emit once the join PROVES no future view can match — i.e. when the
+    global watermark passes click_ts, because any later-arriving view with
+    view_ts < click_ts would itself be late beyond the watermark and
+    dropped. Until that point the click stays buffered in the join state
+    store; state is bounded by (arrival rate x (watermark delay + window)),
+    exactly like the inner form. Both sides therefore MUST carry watermarks
+    and the join condition MUST bound view_ts relative to click_ts — Spark
+    rejects an outer stream-stream join without an evictability proof.
+
+    The batch twin is ``operators/temporal.range_join`` (epoch-bucketed
+    equi-join, exact row-level LEFT semantics), driver-gated as
+    ``ev_click_view_outer_twin``; tests assert the drained streaming output
+    equals the twin and that null emission is watermark-gated
+    (tests/test_streaming.py::test_stream_click_view_outer_null_emission).
+    """
+    c = clicks_stream.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    v = views_stream.select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    ).withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (F.col("view_ts") < F.col("click_ts")),
+        "leftOuter",
+    ).select("click_id", "user_id", "click_ts", "view_ts", "view_value")
+
+
 def stream_dedup(
     events_stream: DataFrame, watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -489,6 +489,111 @@ def test_stream_stream_range_join(spark, tmp_path):
     assert got == {(3, 0, 1.0), (3, 5, 2.0)}
 
 
+def test_stream_click_view_outer_null_emission(spark, tmp_path):
+    """LEFT OUTER stream-stream join contract, two sequential drains over
+    one checkpoint:
+
+    1. run 1 delivers all real traffic inside a 16-minute span, so the
+       watermark (max ts − 30 min) stays BELOW every click: matched pairs
+       emit eagerly, but no null-extended row may appear yet — the join
+       cannot prove a late view won't still match those clicks;
+    2. run 2 delivers only far-future sentinels that push both sides'
+       watermarks past every real click: EXACTLY the unmatched clicks now
+       emit once each, null-extended; the sentinel click itself (still
+       inside the new watermark horizon) stays buffered and must NOT leak;
+    3. the drained output equals the batch twin (operators/temporal
+       .range_join row-level LEFT semantics, driver-gated as
+       ev_click_view_outer_twin) on the real traffic.
+
+    Between the runs, the checkpoint is audited OFFLINE with the state
+    data source (sources/state_reader.py): the join's left buffer must
+    hold exactly the three undecided clicks — matched ones included, they
+    can still match more views — and the right buffer both views.
+    """
+    from bigdata_etl_elt_dashboard_spark.sources.state_reader import state_rows
+    from bigdata_etl_elt_dashboard_spark.streaming.events import (
+        stream_click_view_join_outer,
+        stream_events_from_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = lambda et: stream_events_from_parquet(  # noqa: E731
+            spark, src, EVENT_SCHEMA
+        ).filter(F.col("event_type") == et)
+        q = (
+            stream_click_view_join_outer(stream("click"), stream("view"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r["click_id"], None if r["view_ts"] is None else r["view_ts"].minute,
+             r["view_value"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _write_events(
+        spark,
+        src,
+        [
+            (1, _ts(10, 0), 1, "view", 1.0),
+            (2, _ts(10, 5), 1, "view", 2.0),
+            (3, _ts(10, 9), 1, "click", 0.0),   # matches BOTH views
+            (4, _ts(10, 16), 1, "click", 0.0),  # window [10:06,10:16): no view
+            (5, _ts(10, 4), 2, "click", 0.0),   # other user: no view at all
+        ],
+    )
+    got1 = drain()
+    assert got1 == {(3, 0, 1.0), (3, 5, 2.0)}, (
+        f"null rows may not emit before the watermark proves them: {got1}"
+    )
+
+    # offline audit of the stopped query's join state: key = the equi-join
+    # key (user_id, exposed as field0), value = the buffered row
+    left = {r["click_id"] for r in state_rows(spark, ckpt, join_side="left")
+            .select("value.click_id").collect()}
+    right = {r["view_ts"].minute for r in state_rows(spark, ckpt, join_side="right")
+             .select("value.view_ts").collect()}
+    assert left == {3, 4, 5} and right == {0, 5}
+
+    _write_events(
+        spark,
+        src,
+        [
+            (90, _ts(13, 0), 99, "click", 0.0),  # sentinel: advances click WM
+            (91, _ts(13, 0), 99, "view", 9.0),   # sentinel: advances view WM
+        ],
+    )
+    got2 = drain()
+    assert got2 == {(3, 0, 1.0), (3, 5, 2.0), (4, None, None), (5, None, None)}, (
+        f"exactly the unmatched real clicks emit null-extended: {got2}"
+    )
+
+    # batch-twin equality on the real traffic (the driver gates the same
+    # twin against DuckDB as ev_click_view_outer_twin)
+    from bigdata_etl_elt_dashboard_spark.operators.temporal import range_join
+
+    batch = spark.read.parquet(src).filter(F.col("event_id") < 90)
+    twin = range_join(
+        batch.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts"),
+        batch.filter(F.col("event_type") == "view").select("user_id", "ts", "value"),
+        key="user_id", left_ts="ts", right_ts="ts", window_seconds=600,
+    )
+    expected = {
+        (r["event_id"], None if r["r_ts"] is None else r["r_ts"].minute, r["r_value"])
+        for r in twin.collect()
+    }
+    assert got2 == expected
+
+
 def test_stream_static_enrich_join(spark, event_dir):
     """Stream-static join: a micro-batch stream broadcast-enriched against
     a static dimension — the streaming form of the fact→dim joins (J2-J5).
