@@ -103,6 +103,80 @@ def test_statestore_rows_are_the_dedup_ledger(spark, dedup_checkpoint):
     assert all(0 <= r["partition_id"] < n_part for r in state)
 
 
+def test_statestore_reads_transformwithstate_variable(spark, tmp_path):
+    """stateVarName reads a transformWithState processor's typed state:
+    after a drain that closes one session by gap and leaves the trailing
+    session OPEN, the sessionizer's 'sess' ValueState must hold exactly
+    the open session — per user, with the interval the processor will
+    resume from (the state a restart, or an offline repair job, reads)."""
+    from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
+        _protobuf_available,
+        session_close_on_timer,
+    )
+
+    if not _protobuf_available():
+        pytest.xfail("no protobuf runtime (real or vendored shim)")
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+
+    def m(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    def ms(mins):
+        return int(m(mins).timestamp() * 1000)
+
+    spark.createDataFrame(
+        [
+            (1, 1, m(0)),   # session A
+            (2, 1, m(5)),   # session A (gap 5m < 10m)
+            (3, 1, m(30)),  # closes A by gap; opens trailing session B
+            (4, 2, m(31)),  # user 2: single open session
+        ],
+        ev_schema,
+    ).coalesce(1).write.parquet(src)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(ev_schema).parquet(src)
+        q = (
+            session_close_on_timer(stream, gap_ms=600_000)
+            .writeStream.format("memory")
+            .queryName("tws_state_read")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    meta = state_metadata(spark, ckpt).collect()
+    assert [r["operatorName"] for r in meta] == ["transformWithStateInPandasExec"]
+
+    # watermark = max ts (delay 0) => 10:31; expiries 10:40/10:41 are ahead
+    # of it, so BOTH trailing sessions must still be open in state
+    state = {
+        r["user_id"]: (r["start_ms"], r["last_ms"], r["n"])
+        for r in state_rows(spark, ckpt, state_var_name="sess")
+        .select("key.user_id", "value.start_ms", "value.last_ms", "value.n")
+        .collect()
+    }
+    assert state == {1: (ms(30), ms(30), 1), 2: (ms(31), ms(31), 1)}
+
+
 def test_statestore_batchid_reads_historic_snapshot(spark, tmp_path):
     """batchId selects the state AS OF an earlier committed batch: after a
     second drain adds ids, batch-0 state still shows only the first run's

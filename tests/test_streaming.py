@@ -594,6 +594,86 @@ def test_stream_click_view_outer_null_emission(spark, tmp_path):
     assert got2 == expected
 
 
+def test_stream_click_view_outer_disorder_no_retraction(spark, tmp_path):
+    """Outer-join disorder contract over four sequential drains:
+
+    1. a click arrives FIRST — nothing emits (no match, and null emission
+       would be premature);
+    2. a view with an EARLIER event time arrives a batch later (disordered
+       delivery, still above the watermark): it must match the buffered
+       click across the batch boundary and emit the pair;
+    3. sentinels push the watermark past all real traffic: the still
+       unmatched click emits its null row; the already-matched click must
+       NOT also emit one (matched state survives eviction);
+    4. a view below the watermark arrives that WOULD have matched the
+       null-emitted click: it is dropped — an emitted outer result is
+       FINAL, append mode can never retract the null row or emit the
+       late pair. Output is byte-stable across drains 3→4.
+    """
+    from bigdata_etl_elt_dashboard_spark.streaming.events import (
+        stream_click_view_join_outer,
+        stream_events_from_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = lambda et: stream_events_from_parquet(  # noqa: E731
+            spark, src, EVENT_SCHEMA
+        ).filter(F.col("event_type") == et)
+        q = (
+            stream_click_view_join_outer(stream("click"), stream("view"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r["click_id"], None if r["view_ts"] is None else r["view_ts"].minute,
+             r["view_value"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _write_events(spark, src, [(10, _ts(10, 20), 1, "click", 0.0)])
+    assert drain() == set(), "a lone click emits nothing before its watermark"
+
+    _write_events(
+        spark,
+        src,
+        [
+            (11, _ts(10, 15), 1, "view", 7.0),   # EARLIER than the click, later batch
+            (12, _ts(10, 25), 2, "click", 0.0),  # will never match
+        ],
+    )
+    assert drain() == {(10, 15, 7.0)}, "disordered view must match the buffered click"
+
+    _write_events(
+        spark,
+        src,
+        [
+            (90, _ts(11, 30), 99, "click", 0.0),
+            (91, _ts(11, 30), 99, "view", 9.0),
+        ],
+    )
+    got3 = drain()
+    assert got3 == {(10, 15, 7.0), (12, None, None)}, (
+        f"watermark closes ONLY the unmatched click with a null row: {got3}"
+    )
+
+    # a view below the watermark that would have matched click 12
+    _write_events(spark, src, [(13, _ts(10, 24), 2, "view", 9.9)])
+    got4 = drain()
+    assert got4 == got3, (
+        f"late view must be dropped — outer results are final, no retraction "
+        f"and no late pair: {got4 - got3 or got3 - got4}"
+    )
+
+
 def test_stream_static_enrich_join(spark, event_dir):
     """Stream-static join: a micro-batch stream broadcast-enriched against
     a static dimension — the streaming form of the fact→dim joins (J2-J5).
