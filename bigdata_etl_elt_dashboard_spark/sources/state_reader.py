@@ -62,7 +62,12 @@ def state_rows(
     stores (keyToNumValues/keyWithIndexToValue per side) are only exposed
     pre-joined per side; ``state_var_name`` selects a transformWithState
     variable. The reader returns ``key``/``value`` structs — callers
-    project ``key.*`` / ``value.*`` like any nested column.
+    project ``key.*`` / ``value.*`` like any nested column. Shapes
+    measured on Spark 4.1 (tests/test_state_reader.py): dropDuplicates
+    keys carry the dedup columns by name; stream-stream join sides key
+    by the equi-join key (unnamed ``field0``) with the buffered row
+    under ``value``; a transformWithState MapState flattens to one row
+    per entry as ``key`` / ``user_map_key`` / ``user_map_value``.
     """
     reader = spark.read.format("statestore").option("operatorId", operator_id)
     if store_name is not None:

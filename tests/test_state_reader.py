@@ -177,6 +177,112 @@ def test_statestore_reads_transformwithstate_variable(spark, tmp_path):
     assert state == {1: (ms(30), ms(30), 1), 2: (ms(31), ms(31), 1)}
 
 
+def test_state_migration_via_reader_and_initialstate(spark, tmp_path):
+    """Checkpoint MIGRATION without source replay: read a retired query's
+    state offline (statestore reader), hand it to a FRESH query as
+    initialState, and the new checkpoint continues the changelog exactly
+    where the old one stopped — per-(user, type) totals after the cutover
+    equal a single continuous run over all events. This is the
+    operational path for checkpoint-incompatible upgrades (operator
+    topology, store provider, key schema): a batch read + seed, not a
+    months-long source replay."""
+    from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
+        _protobuf_available,
+        running_type_counts,
+        running_type_counts_with_backfill,
+    )
+
+    if not _protobuf_available():
+        pytest.xfail("no protobuf runtime (real or vendored shim)")
+
+    src_old = str(tmp_path / "src_old")
+    src_new = str(tmp_path / "src_new")
+    ckpt_old = str(tmp_path / "ckpt_old")
+    ckpt_new = str(tmp_path / "ckpt_new")
+
+    _write_events(
+        spark,
+        src_old,
+        [
+            (1, _ts(10, 0), 1, "view", 1.0),
+            (2, _ts(10, 1), 1, "view", 1.0),
+            (3, _ts(10, 2), 1, "click", 1.0),
+            (4, _ts(10, 3), 2, "view", 1.0),
+        ],
+    )
+    _write_events(
+        spark,
+        src_new,
+        [
+            (5, _ts(11, 0), 1, "view", 1.0),
+            (6, _ts(11, 1), 2, "purchase", 1.0),
+            (7, _ts(11, 2), 3, "view", 1.0),  # key unseen by the old query
+        ],
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            running_type_counts(stream_events_from_parquet(spark, src_old, EVENT_SCHEMA))
+            .writeStream.format("memory")
+            .queryName("mig_old")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_old)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+        # offline: old state -> the (user_id, event_type, n) history frame
+        history = (
+            state_rows(spark, ckpt_old, state_var_name="counts")
+            .select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("user_map_key.k").alias("event_type"),
+                F.col("user_map_value.n").alias("n"),
+            )
+        )
+        assert {(r["user_id"], r["event_type"], r["n"]) for r in history.collect()} == {
+            (1, "view", 2), (1, "click", 1), (2, "view", 1),
+        }
+
+        q = (
+            running_type_counts_with_backfill(
+                stream_events_from_parquet(spark, src_new, EVENT_SCHEMA), history
+            )
+            .writeStream.format("memory")
+            .queryName("mig_new")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_new)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    # the migrated checkpoint's state == one continuous run over ALL events
+    migrated = {
+        (r["user_id"], r["event_type"], r["n"])
+        for r in state_rows(spark, ckpt_new, state_var_name="counts")
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("user_map_key.k").alias("event_type"),
+            F.col("user_map_value.n").alias("n"),
+        )
+        .collect()
+    }
+    continuous = {
+        (r["user_id"], r["event_type"], r["n"])
+        for r in spark.read.parquet(src_old).unionByName(spark.read.parquet(src_new))
+        .groupBy("user_id", "event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert migrated == continuous
+
+
 def test_statestore_batchid_reads_historic_snapshot(spark, tmp_path):
     """batchId selects the state AS OF an earlier committed batch: after a
     second drain adds ids, batch-0 state still shows only the first run's
