@@ -109,23 +109,24 @@ from .registry import REGISTRY, register
 # out of the r09 window for src_merge_upsert_digest).
 #
 # ROUND-11 WINDOW (this round): per the r10 verdict task 1 — finish the
-# freshness program. Entries 1-2 are the round-11 additions
+# freshness program. Entries 1-3 are the round-11 additions
 # (plans/wave11.py): supplier_pareto_cumshare_twopass, the EXECUTED
 # ordered-prefix escape hatch — the supplier pareto readout computed via
 # grouped_running_sum over range partitions + global_total, gated against
 # the IDENTICAL oracle as the window form (verdict task 3) — and
-# ev_click_view_outer_twin, the row-level LEFT range join that twins the
-# new streaming leftOuter stream-stream join
-# (streaming/events.py:stream_click_view_join_outer). Entries 3-35 are
-# the full 33-query r03-last cohort (fe_target_encode_priority onward in
-# registry order, exactly as pre-written in the r10 note; 10 of the 33
-# were independently re-verified green by the r10 judge). Entries 36-50
-# are the 15 oldest r04-last rows in registry order (sim_hard_negatives
-# .. text_unigram_logprob — including supplier_pareto_cumshare itself,
+# ev_click_view_outer_twin / ev_click_view_full_twin, the row-level LEFT
+# and FULL OUTER range joins that twin the new streaming leftOuter /
+# fullOuter stream-stream joins (streaming/events.py:
+# stream_click_view_join_outer / _full). Entries 4-36 are the full
+# 33-query r03-last cohort (fe_target_encode_priority onward in registry
+# order, exactly as pre-written in the r10 note; 10 of the 33 were
+# independently re-verified green by the r10 judge). Entries 37-50 are
+# the 14 oldest r04-last rows in registry order (sim_hard_negatives ..
+# supplier_pareto_cumshare — including supplier_pareto_cumshare itself,
 # so BOTH pareto forms carry same-round driver rows against one oracle;
-# emb_l2_norm_stats yielded its slot to the second addition and moves to
-# the r12 plan). After r11 no standing row for a live query is older
-# than r04.
+# emb_l2_norm_stats and text_unigram_logprob yielded their slots to the
+# session-2 additions and move to the r12 plan). After r11 no standing
+# row for a live query is older than r04.
 #
 # Freshness-ledger retirements (r10 verdict task 5) — the two standing
 # CORRECTNESS rows that look old but gate NOTHING live:
@@ -141,8 +142,9 @@ from .registry import REGISTRY, register
 # (_RETIRED) so the oldest-evidence ledger stays interpretable.
 #
 # ROUND-12 ROTATION PLAN: gate any round-12 additions first, then the
-# remaining 35 r04-last rows in registry order (emb_l2_norm_stats —
-# displaced from the r11 window by ev_click_view_outer_twin —
+# remaining 36 r04-last rows in registry order (text_unigram_logprob and
+# emb_l2_norm_stats — displaced from the r11 window by the session-2
+# additions ev_click_view_outer_twin / ev_click_view_full_twin —
 # docs_dsir_weights,
 # docs_zipf_fit, emb_covariance_top_pairs, docs_heaps_law_fit,
 # emb_pca_project, emb_pq_encode_stats, docs_duplicate_ngram_spans,
@@ -180,11 +182,12 @@ from .registry import REGISTRY, register
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
     # r11 additions (plans/wave11.py): the executed ordered-prefix hatch,
-    # then the row-level LEFT range join twinning the new streaming
-    # leftOuter stream-stream join (emb_l2_norm_stats moved to r12 to
-    # keep the window at 50)
+    # then the row-level LEFT and FULL OUTER range joins twinning the new
+    # streaming leftOuter/fullOuter stream-stream joins (emb_l2_norm_stats
+    # and text_unigram_logprob moved to r12 to keep the window at 50)
     "supplier_pareto_cumshare_twopass",
     "ev_click_view_outer_twin",
+    "ev_click_view_full_twin",
     # r03-last cohort (33 — full, registry order per the r10 plan)
     "fe_target_encode_priority",
     "dedup_clusters_star",
@@ -235,7 +238,6 @@ _GATE_WINDOW = [
     "emb_dim_stats",
     "emb_quantize_error",
     "supplier_pareto_cumshare",
-    "text_unigram_logprob",
 ]
 
 

@@ -181,3 +181,90 @@ def ev_click_view_outer_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_ts").alias("view_ts"),
         F.col("r_value").alias("view_value"),
     ).orderBy("click_id", "view_ts")
+
+
+@register(
+    "ev_click_view_full_twin",
+    oracle="""
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        views AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+        )
+        SELECT c.event_id AS click_id,
+               COALESCE(c.user_id, v.user_id) AS user_id,
+               c.ts AS click_ts,
+               v.ts AS view_ts,
+               v.value AS view_value
+        FROM clicks c
+        FULL JOIN views v
+          ON c.user_id = v.user_id
+         AND v.ts >= c.ts - INTERVAL 10 MINUTE
+         AND v.ts < c.ts
+        ORDER BY click_id, view_ts
+""",
+    doc="FULL OUTER range join — batch twin of the round-11 streaming "
+    "stream_click_view_join_full: both sides total — every click emits "
+    "(paired or null-extended) AND every view with no click following it "
+    "within 10 minutes emits null-extended (the orphan-view class). The "
+    "oracle's plain FULL JOIN is the semantics spec; the Spark plan "
+    "never runs an inequality outer join: the click side rides the "
+    "epoch-bucketed range_join (LEFT semantics), and the orphan views "
+    "are a direct bucket-keyed LEFT ANTI probe — each click explodes to "
+    "the two buckets its backward window covers, a view is an orphan iff "
+    "no (user_id, bucket)-matching probe row satisfies the range "
+    "residual. The click/view base is pinned ONCE (operators/scale.pin) "
+    "and all three references read the frozen bytes — one fact scan, "
+    "not four (the shared-frame-recompute class the registry plan lint "
+    "rejects).",
+)
+def ev_click_view_full_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import pin
+    from ..operators.temporal import range_join
+
+    ev = table(spark, sf_dir, "events")
+    base = pin(
+        ev.filter(F.col("event_type").isin("click", "view")).select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    pairs = range_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="ts", window_seconds=600
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("r_ts").alias("view_ts"),
+        F.col("r_value").alias("view_value"),
+    )
+    # forward probe: a click at bucket cb can claim views in buckets
+    # {cb-1, cb}; a view with NO admissible probe row is an orphan
+    cb = F.floor(F.unix_timestamp(F.col("ts")) / 600)
+    probe = clicks.select(
+        F.col("user_id").alias("_pu"),
+        F.col("ts").alias("_pts"),
+        F.explode(F.array(cb - 1, cb)).alias("_pb"),
+    )
+    vb = F.floor(F.unix_timestamp(F.col("ts")) / 600)
+    orphan_views = views.join(
+        probe,
+        (F.col("user_id") == F.col("_pu"))
+        & (vb == F.col("_pb"))
+        & (F.col("ts") >= F.col("_pts") - F.expr("INTERVAL 600 SECONDS"))
+        & (F.col("ts") < F.col("_pts")),
+        "left_anti",
+    ).select(
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("user_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return pairs.unionByName(orphan_views).orderBy("click_id", "view_ts")

@@ -238,6 +238,56 @@ def stream_click_view_join_outer(
     ).select("click_id", "user_id", "click_ts", "view_ts", "view_value")
 
 
+def stream_click_view_join_full(
+    clicks_stream: DataFrame,
+    views_stream: DataFrame,
+    window_minutes: int = 10,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join: both sides are total —
+    every click emits (paired or null-extended, as in the leftOuter form)
+    AND every view emits, null-extended when no click followed it within
+    ``window_minutes`` (the "orphan view" class funnel analyses count).
+
+    Eviction is side-symmetric but with different horizons derived from
+    the same condition (view_ts in [click_ts − window, click_ts)): a
+    click is provably closed once the watermark passes click_ts (no
+    admissible view below it can still arrive), while a view must wait
+    until the watermark passes view_ts + window — only then can no
+    future click still claim it. So right-side null rows trail left-side
+    ones by the match window; the contract test drives both classes
+    through the same sentinel advance. State bounds are unchanged from
+    the inner/leftOuter forms.
+
+    Batch twin: ``ev_click_view_full_twin`` (plans/wave11.py) — the
+    leftOuter ``range_join`` plan unioned with the bucket-anti-joined
+    unmatched views, driver-gated against a plain FULL JOIN oracle.
+    """
+    c = clicks_stream.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    v = views_stream.select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    ).withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
+        & (F.col("view_ts") < F.col("click_ts")),
+        "fullOuter",
+    ).select(
+        "click_id",
+        F.coalesce(F.col("user_id"), F.col("v_user_id")).alias("user_id"),
+        "click_ts",
+        "view_ts",
+        "view_value",
+    )
+
+
 def stream_dedup(
     events_stream: DataFrame, watermark: str = "30 minutes"
 ) -> DataFrame:

@@ -594,6 +594,78 @@ def test_stream_click_view_outer_null_emission(spark, tmp_path):
     assert got2 == expected
 
 
+def test_stream_click_view_full_outer_both_null_classes(spark, tmp_path):
+    """FULL OUTER stream-stream join: the two null classes emit on their
+    OWN watermark horizons, derived from one join condition. Run 1 (all
+    traffic in a 16-minute span, watermark below everything): matched
+    pairs only. Run 2 (sentinels push the watermark past all real
+    traffic + match windows): the never-matched clicks null-emit (left
+    horizon: click_ts), the orphan view null-emits (right horizon:
+    view_ts + window), matched rows on BOTH sides emit nothing more,
+    and the sentinels themselves stay buffered."""
+    from bigdata_etl_elt_dashboard_spark.streaming.events import (
+        stream_click_view_join_full,
+        stream_events_from_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = lambda et: stream_events_from_parquet(  # noqa: E731
+            spark, src, EVENT_SCHEMA
+        ).filter(F.col("event_type") == et)
+        q = (
+            stream_click_view_join_full(stream("click"), stream("view"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r["click_id"], None if r["view_ts"] is None else r["view_ts"].minute,
+             r["view_value"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _write_events(
+        spark,
+        src,
+        [
+            (1, _ts(10, 0), 1, "view", 1.0),   # matched (click 3)
+            (2, _ts(10, 5), 1, "view", 2.0),   # matched (click 3)
+            (3, _ts(10, 9), 1, "click", 0.0),  # matched click
+            (4, _ts(10, 16), 1, "click", 0.0), # unmatched click
+            (5, _ts(10, 4), 2, "click", 0.0),  # unmatched click
+            (6, _ts(10, 2), 3, "view", 5.0),   # ORPHAN view: user 3 never clicks
+        ],
+    )
+    got1 = drain()
+    assert got1 == {(3, 0, 1.0), (3, 5, 2.0)}, f"matched-only before watermark: {got1}"
+
+    _write_events(
+        spark,
+        src,
+        [
+            (90, _ts(13, 0), 99, "click", 0.0),
+            (91, _ts(13, 0), 99, "view", 9.0),
+        ],
+    )
+    got2 = drain()
+    assert got2 == {
+        (3, 0, 1.0), (3, 5, 2.0),          # matched pairs (run 1)
+        (4, None, None), (5, None, None),  # never-matched clicks
+        (None, 2, 5.0),                    # the orphan view, click side null
+    }, f"both null classes, nothing else: {got2}"
+    # user_id must survive on the orphan row (coalesced from the view side)
+    orphan = [r for r in spark.read.parquet(out).collect() if r["click_id"] is None]
+    assert [(r["user_id"], r["view_value"]) for r in orphan] == [(3, 5.0)]
+
+
 def test_stream_click_view_outer_disorder_no_retraction(spark, tmp_path):
     """Outer-join disorder contract over four sequential drains:
 
