@@ -69,7 +69,7 @@ def dedup_checkpoint(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
     return ckpt, out
 
 

@@ -87,7 +87,8 @@ def main() -> None:
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(1800)
+        if not q.awaitTermination(1800):
+            raise RuntimeError("availableNow drain did not terminate within 1800 s")
         return time.perf_counter() - t0
 
     t_drain1 = drain()
@@ -141,7 +142,8 @@ def main() -> None:
     )
     d1 = streamed.exceptAll(twin).count()
     d2 = twin.exceptAll(streamed).count()
-    assert d1 == 0 and d2 == 0, f"stream vs batch twin diff: {d1}/{d2}"
+    if d1 != 0 or d2 != 0:
+        raise RuntimeError(f"stream vs batch twin diff: {d1}/{d2}")
 
     n_out = streamed.count()
     n_null = streamed.filter(F.col("view_ts").isNull()).count()
