@@ -27,6 +27,7 @@ from . import wave8  # noqa: F401  (round-8 additions; after wave7)
 from . import wave9  # noqa: F401  (round-9 additions; after wave8)
 from . import wave10  # noqa: F401  (round-10 additions; after wave9)
 from . import wave11  # noqa: F401  (round-11 additions; after wave10)
+from . import wave12  # noqa: F401  (round-12 additions; after wave11)
 from .registry import REGISTRY, register
 
 # ---------------------------------------------------------------------------
@@ -141,7 +142,37 @@ from .registry import REGISTRY, register
 # tools/gate_rotation.py excludes both from its freshness report
 # (_RETIRED) so the oldest-evidence ledger stays interpretable.
 #
-# ROUND-12 ROTATION PLAN: gate any round-12 additions first, then the
+# ROUND-12 WINDOW (this round): per the r11 verdict task 1 — finish the
+# freshness program. Entry 1 is the round-12 addition
+# (plans/wave12.py): src_state_reader_digest, the S9 streaming-state
+# gate — a real availableNow dedup drain audited OFFLINE through
+# sources/state_reader (state-metadata + statestore) and digested
+# against the events parquet (verdict task 6). Entries 2-37 are the
+# FULL 36-query r04-last cohort in freshness order (text_unigram_logprob
+# and emb_l2_norm_stats first — displaced from the r11 window exactly as
+# the r11 note promised — then the r04 emb/docs/graph/relational/
+# source/warehouse/statistics wave; 10 of the 36 were independently
+# re-verified green by the r11 judge). Entries 38-50 are the 13 oldest
+# r05-last rows in registry order (text_langid_confusion ..
+# docs_bpe_apply_stats). After r12 no standing row for a live query is
+# older than r05.
+#
+# ROUND-13 ROTATION PLAN: gate any round-13 additions first, then the
+# remaining 37 r05-last rows (`python tools/gate_rotation.py
+# --freshness` prints them: docs_winnowing_pairs, graph_kcore_peel,
+# sim_kmeans_trajectory,
+# part_small_qty_revenue, li_nation_trade_volume,
+# cust_order_count_histogram, li_promo_revenue_share,
+# li_or_predicate_revenue, sim_ann_candidate_digest,
+# sim_ann_recall_digest, sim_ivf_cell_digest, agg_sketch_param_digest,
+# sim_knn_label_accuracy, src_bucketed_join_digest,
+# src_partitioned_prune_digest, src_compaction_digest,
+# wh_incremental_rollup, ev_hierarchical_rollup, ... through the r05
+# tail), then the oldest r06-last rows to fill the window. After r13 no
+# standing row should be older than r06.
+#
+# ROUND-12 ROTATION PLAN (r11 note, EXECUTED as the window below): gate
+# any round-12 additions first, then the
 # remaining 36 r04-last rows in registry order (text_unigram_logprob and
 # emb_l2_norm_stats — displaced from the r11 window by the session-2
 # additions ev_click_view_outer_twin / ev_click_view_full_twin —
@@ -181,63 +212,60 @@ from .registry import REGISTRY, register
 # grouped_running_sum (added r08; corpus_pipeline_v2_digest uses both).
 # ---------------------------------------------------------------------------
 _GATE_WINDOW = [
-    # r11 additions (plans/wave11.py): the executed ordered-prefix hatch,
-    # then the row-level LEFT and FULL OUTER range joins twinning the new
-    # streaming leftOuter/fullOuter stream-stream joins (emb_l2_norm_stats
-    # and text_unigram_logprob moved to r12 to keep the window at 50)
-    "supplier_pareto_cumshare_twopass",
-    "ev_click_view_outer_twin",
-    "ev_click_view_full_twin",
-    # r03-last cohort (33 — full, registry order per the r10 plan)
-    "fe_target_encode_priority",
-    "dedup_clusters_star",
-    "docs_chunking",
-    "dedup_incremental_batch",
-    "text_mixed_lang",
-    "agg_weighted_avg_unit_price",
-    "ev_daily_volume_anomaly",
-    "tr_unpivot_kpis",
-    "dq_profile_orders",
-    "docs_sequence_packing_sharded",
-    "trend_ma3_revenue",
-    "dq_full_outer_reconcile",
-    "ev_funnel_strict_steps",
-    "trend_ema12_revenue",
-    "mm_audio_channel_stats",
-    "agg_window_function_suite",
-    "docs_cap_per_source",
-    "ev_session_overlap_pairs",
-    "text_hellinger_source_drift",
-    "docs_bpe_pair_counts",
-    "dedup_cluster_size_hist",
-    "mm_decode_mixed_codecs",
-    "dedup_minhash_estimate_error",
-    "ev_pit_features_at_purchase",
-    "dedup_lsh_bucket_skew",
-    "ev_attribution_linear_7d",
-    "dedup_quality_impact",
-    "dedup_threshold_sweep",
-    "ev_new_vs_returning_daily",
-    "ev_dau_wau_stickiness",
-    "ev_user_behavior_entropy",
-    "text_jsd_source_drift",
-    "ev_out_of_order_profile",
-    # oldest 16 r04-last rows, registry order (incl. the window-form
-    # pareto, so both forms gate against one oracle this round)
-    "sim_hard_negatives",
-    "scale_global_rank_orders",
-    "dedup_lsh_scurve_validation",
-    "docs_data_card",
-    "ev_top_session_paths",
-    "dedup_lsh_precision_recall",
-    "ev_cohort_ltv",
-    "docs_repetition_metrics",
-    "docs_gopher_quality_filter",
-    "docs_oov_rate",
-    "docs_split_counts",
-    "emb_dim_stats",
-    "emb_quantize_error",
-    "supplier_pareto_cumshare",
+    # r12 addition (plans/wave12.py): the S9 streaming-state reader gate
+    "src_state_reader_digest",
+    # FULL r04-last cohort (36, freshness order: the two rows the r11
+    # note explicitly deferred first, then the r04 wave in registry order)
+    "text_unigram_logprob",
+    "emb_l2_norm_stats",
+    "docs_dsir_weights",
+    "docs_zipf_fit",
+    "emb_covariance_top_pairs",
+    "docs_heaps_law_fit",
+    "emb_pca_project",
+    "emb_pq_encode_stats",
+    "docs_duplicate_ngram_spans",
+    "docs_ngram_containment",
+    "docs_token_rarity",
+    "dedup_semdedup_prune",
+    "docs_pmi_collocations",
+    "docs_bpe_train_merges",
+    "sim_kmeans_lloyd1",
+    "graph_pagerank_3iter",
+    "graph_copurchase_triangles",
+    "orders_returned_semi",
+    "cust_big_basket_orders",
+    "cust_idle_rich_anti",
+    "part_supplier_diversity",
+    "supplier_top_quarter_revenue",
+    "set_ops_all_part_multisets",
+    "src_jsonl_roundtrip_digest",
+    "src_orc_roundtrip_digest",
+    "wh_snapshot_delta_orders",
+    "wh_merge_upsert_orders",
+    "star_one_big_table",
+    "stat_corr_discount_qty",
+    "stat_ols_price_vs_qty",
+    "stat_mad_outlier_counts",
+    "stat_daily_zscore_anomaly",
+    "stat_markov_transitions",
+    "stat_equidepth_hist_totalprice",
+    "stat_countmin_heavy_hitters",
+    "stat_chi2_priority_status",
+    # oldest 13 r05-last rows, registry order
+    "text_langid_confusion",
+    "dedup_method_agreement",
+    "dedup_quality_keeper",
+    "mm_audio_rms_windows",
+    "ev_salted_enrich_rollup",
+    "ev_rfm_segments",
+    "ev_time_to_convert_hist",
+    "dedup_simhash_pairs",
+    "dedup_token_savings",
+    "docs_pipeline_e2e_digest",
+    "emb_label_centroid_sim",
+    "docs_span_contamination",
+    "docs_bpe_apply_stats",
 ]
 
 

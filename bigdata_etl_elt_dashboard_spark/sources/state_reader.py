@@ -33,6 +33,10 @@ state dimension the same way sources/catalog.py covers the table catalog.
 
 from __future__ import annotations
 
+import datetime as dt
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -79,3 +83,50 @@ def state_rows(
     if state_var_name is not None:
         reader = reader.option("stateVarName", state_var_name)
     return reader.load(checkpoint)
+
+
+def checkpoint_watermark(checkpoint: str) -> dt.datetime | None:
+    """Global watermark of the last COMMITTED batch, read offline.
+
+    The state data source exposes state rows but not the watermark that
+    governs them; that lives in the checkpoint's write-ahead offsets log —
+    one text file per batch under ``offsets/``: a version line ("v1")
+    followed by a JSON metadata line whose ``batchWatermarkMs`` is the
+    global watermark the batch ran with (then per-source offset lines).
+    This helper returns that value for the highest batch id present in
+    ``commits/`` (an ``offsets/`` entry can exist for a batch that never
+    committed — planning writes offsets first, commit seals it — so the
+    commit log picks the batch whose state the checkpoint actually holds).
+
+    Returns a naive UTC datetime (event-time watermarks are epoch-based),
+    or ``None`` when no batch has committed or no watermark has been
+    recorded yet (``batchWatermarkMs`` = 0 — e.g. a single-batch
+    availableNow drain records its first nonzero watermark only in the
+    NEXT batch's offsets entry; tests drain twice for exactly this
+    reason). Local/NFS checkpoint paths — the deployment story for an
+    object-store checkpoint is the same two files via its fs client.
+
+    This is the number the cold-restart recipe needs: replaying a killed
+    stream-stream join from ``watermark − join window`` re-buffers every
+    row the old run had not provably closed
+    (tests/test_stream_join_migration.py).
+    """
+    commits = os.path.join(checkpoint, "commits")
+    offsets = os.path.join(checkpoint, "offsets")
+    try:
+        batch_ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    except FileNotFoundError:
+        return None
+    if not batch_ids:
+        return None
+    path = os.path.join(offsets, str(max(batch_ids)))
+    with open(path, encoding="utf-8") as fh:
+        lines = fh.read().splitlines()
+    # line 0: "v1"; line 1: JSON batch metadata; rest: per-source offsets
+    meta = json.loads(lines[1])
+    wm_ms = int(meta.get("batchWatermarkMs", 0))
+    if wm_ms == 0:
+        return None
+    return dt.datetime.fromtimestamp(wm_ms / 1000.0, dt.timezone.utc).replace(
+        tzinfo=None
+    )

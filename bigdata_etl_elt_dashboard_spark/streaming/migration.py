@@ -1,0 +1,114 @@
+"""Checkpoint migration for stream-stream joins (round-12 operational
+extension; r11 verdict task 5).
+
+Round 11 proved checkpoint migration for transformWithState processors:
+read the old checkpoint's state OFFLINE (sources/state_reader.py), seed a
+NEW checkpoint via ``initialState``, continue. Stream-stream JOIN buffers
+have no ``initialState`` surface in Spark 4.x — the state data source
+reads them but nothing re-writes them — so a killed join query cannot be
+grafted onto a new checkpoint by state injection.
+
+What Spark's semantics DO support is re-seeding through the SOURCE: the
+join's own eviction contract proves the buffered rows are exactly the
+prefix the new query must re-ingest.
+
+For the click/view range join (views in ``[click_ts − w, click_ts)``,
+watermark delay d, global watermark W at kill time):
+
+- a CLICK is buffered iff ``click_ts`` ≥/> W — precisely the clicks whose
+  outcome (more matches, or the final null-extension in the outer forms)
+  is still open; clicks below W are closed and their emitted rows final
+  (append mode never retracts — streaming/events.py docstrings);
+- a VIEW is buffered iff ``view_ts`` ≳ W − w — precisely the views a
+  future on-time click (``click_ts`` ≥ W) can still claim.
+
+So feeding the NEW query (fresh checkpoint, watermark starts from zero)
+the offline-read buffers as its first batch, then the not-yet-ingested
+tail of the stream, reproduces a continuous run's output EXCEPT for
+bounded re-emission: pairs whose two sides were BOTH still buffered at
+kill re-emit once. Those re-emissions are bit-identical rows, so the
+downstream contract is the same idempotent-sink rule the medallion gold
+layer already implements (MERGE upsert / dropDuplicates on the output
+key) — tests/test_stream_join_migration.py asserts the deduplicated
+union is ``exceptAll``-bit-equal to an uninterrupted run for the inner
+AND leftOuter forms, and that no false null-extension appears (the
+buffered-view horizon guarantees every replayed click still sees every
+match it had).
+
+Fidelity note: the join buffers hold the operator's PROJECTED rows
+(click_id/user_id/click_ts and user_id/view_ts/view_value — see
+streaming/events.py), not the raw source rows, so the reconstructed seed
+carries exactly the fields the join's output depends on; source columns
+the projection dropped (a view's event_id, a click's value) are
+re-synthesized as nulls and never reach the output. The alternative
+recipe — re-reading the original source filtered to the same per-side
+frontiers (clicks above ``checkpoint_watermark(ckpt)``, views above
+``checkpoint_watermark(ckpt) − w``) — lands byte-identical seed domains
+when the source retains that window; the state-reader path works even
+when the source has been compacted away, which is the migration scenario
+that actually hurts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.state_reader import state_rows
+
+#: source-side schema both join inputs stream under (events wire shape)
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def read_click_view_buffers(
+    spark: SparkSession, checkpoint: str, operator_id: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """The two join buffers of a killed click/view join, as DataFrames of
+    the operator's projected row shapes (left: click_id/user_id/click_ts;
+    right: user_id/view_ts/view_value)."""
+    left = state_rows(spark, checkpoint, operator_id=operator_id, join_side="left").select(
+        "value.click_id", "value.user_id", "value.click_ts"
+    )
+    right = state_rows(spark, checkpoint, operator_id=operator_id, join_side="right").select(
+        F.col("value.v_user_id").alias("user_id"), "value.view_ts", "value.view_value"
+    )
+    return left, right
+
+
+def reseed_click_view_source(
+    spark: SparkSession, old_checkpoint: str, seed_dir: str, operator_id: int = 0
+) -> tuple[int, int]:
+    """Write the old checkpoint's join buffers into ``seed_dir`` as
+    source-shaped event rows — the first batch a restarted query (fresh
+    checkpoint, same source directory) ingests before the live tail.
+
+    Returns ``(n_clicks, n_views)`` re-seeded. The counts are
+    horizon-bounded (arrival rate × (delay + window)), never
+    stream-bounded — the same bound SCALING.md measures for the live
+    buffers — so the seed write is a small batch even mid-flood.
+    """
+    left, right = read_click_view_buffers(spark, old_checkpoint, operator_id)
+    clicks = left.select(
+        F.col("click_id").alias("event_id"),
+        F.col("click_ts").alias("ts"),
+        F.col("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    views = right.select(
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("view_ts").alias("ts"),
+        F.col("user_id"),
+        F.lit("view").alias("event_type"),
+        F.col("view_value").alias("value"),
+    )
+    seed = clicks.unionByName(views)
+    seed.write.mode("append").parquet(seed_dir)
+    # bounded counts (see docstring); read back so the numbers reflect
+    # what actually landed
+    landed = spark.read.parquet(seed_dir)
+    n_clicks = landed.filter(F.col("event_type") == "click").count()
+    n_views = landed.filter(F.col("event_type") == "view").count()
+    return n_clicks, n_views

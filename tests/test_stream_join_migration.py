@@ -1,0 +1,205 @@
+"""Stream-stream join checkpoint migration (streaming/migration.py).
+
+Round-11 proved checkpoint migration for transformWithState (offline state
+read → initialState seed). Join buffers have no initialState surface, so
+the migration path is SOURCE re-seeding: the old checkpoint's buffers —
+read offline with sources/state_reader — are exactly the prefix a
+restarted query must re-ingest (the eviction contract proves everything
+older is closed-and-final). Each test kills a join query mid-stream,
+migrates to a FRESH checkpoint seeded from the dead one's state, continues
+with the not-yet-ingested tail, and asserts the deduplicated union of the
+two runs' outputs is exceptAll-bit-equal to an uninterrupted run — with
+re-emission bounded to both-sides-buffered pairs, and (leftOuter) no false
+null-extension.
+
+The scenario straddles every class the recipe must carry:
+- a pair fully closed before the kill (must NOT be re-seeded or re-emit);
+- a pair both of whose sides are buffered at the kill (re-emits once —
+  the bounded duplication an idempotent sink absorbs);
+- boundary views buffered at the kill whose clicks arrive after it;
+- a still-open click whose matching view arrives LATE after the kill;
+- (leftOuter) one unmatched click closed-as-null before the kill and one
+  closed only after migration.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_etl_elt_dashboard_spark.sources.state_reader import (
+    checkpoint_watermark,
+)
+from bigdata_etl_elt_dashboard_spark.streaming.events import (
+    stream_click_view_join,
+    stream_click_view_join_outer,
+    stream_events_from_parquet,
+)
+from bigdata_etl_elt_dashboard_spark.streaming.migration import (
+    read_click_view_buffers,
+    reseed_click_view_source,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 3, 1, h, m)
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+# phase 1 (ingested before the kill; max ts 11:59 → watermark 11:29)
+P1 = [
+    (1, _ts(10, 0), 1, "view", 1.0),    # closed pair, view evicted by kill
+    (2, _ts(10, 5), 1, "click", 0.0),   #   ...emits in run A only
+    (3, _ts(11, 50), 2, "view", 2.0),   # buffered view; click arrives post-kill
+    (4, _ts(11, 58), 3, "view", 3.0),   # buffered view; click arrives post-kill
+    (5, _ts(11, 59), 1, "click", 0.0),  # open click; its view arrives LATE post-kill
+    (10, _ts(11, 32), 5, "view", 6.0),  # both-buffered pair: emits in run A
+    (11, _ts(11, 40), 5, "click", 0.0), #   AND re-emits after migration
+    (12, _ts(10, 45), 6, "click", 0.0), # unmatched; closed-as-null pre-kill
+    (13, _ts(11, 45), 7, "click", 0.0), # unmatched; open at kill → null post-kill
+    (14, _ts(11, 22), 8, "view", 7.0),  # buffered right-frontier view, never matched
+]
+# the watermark-advancing tick run A ingests second (ts below P1's max)
+TICK = [(15, _ts(11, 58), 9, "view", 8.0)]
+# phase 2 (only after the kill)
+P2 = [
+    (6, _ts(11, 55), 2, "click", 0.0),   # late-arriving click, claims view 3
+    (7, _ts(12, 3), 3, "click", 0.0),    # on-time click, claims view 4
+    (8, _ts(11, 56), 1, "view", 4.0),    # LATE view (ts < kill wm + 30m) for click 5
+    (9, _ts(12, 20), 4, "view", 5.0),    # unmatched view
+]
+SENTINELS = [
+    (9001, _ts(15, 0), 999, "click", 0.0),
+    (9002, _ts(15, 0), 999, "view", 0.0),
+]
+
+
+def _drain(spark, join_fn, src, ckpt, out):
+    stream = lambda et: stream_events_from_parquet(spark, src, EVENT_SCHEMA).filter(
+        F.col("event_type") == et
+    )
+    q = (
+        join_fn(stream("click"), stream("view"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+
+def _result(spark, *outs):
+    """Deduplicated union of run outputs, sentinels excluded, as a sorted
+    row-tuple list (the idempotent-sink view of the migrated stream)."""
+    df = spark.read.parquet(outs[0])
+    for o in outs[1:]:
+        df = df.unionByName(spark.read.parquet(o))
+    rows = (
+        df.filter(F.col("user_id") != 999)
+        .dropDuplicates()
+        .select("click_id", "user_id", "click_ts", "view_ts", "view_value")
+        .collect()
+    )
+    return sorted((r[0], r[1], r[2], r[3], r[4]) for r in rows)
+
+
+@pytest.mark.parametrize(
+    "join_fn", [stream_click_view_join, stream_click_view_join_outer],
+    ids=["inner", "leftOuter"],
+)
+def test_join_checkpoint_migration_converges(spark, tmp_path, join_fn):
+    base = str(tmp_path / "base")
+    mig = str(tmp_path / "mig")
+
+    # --- uninterrupted baseline: same ingestion cadence, no kill
+    _write(spark, f"{base}/src", P1)
+    _drain(spark, join_fn, f"{base}/src", f"{base}/ckpt", f"{base}/out")
+    _write(spark, f"{base}/src", TICK)
+    _drain(spark, join_fn, f"{base}/src", f"{base}/ckpt", f"{base}/out")
+    _write(spark, f"{base}/src", P2 + SENTINELS)
+    _drain(spark, join_fn, f"{base}/src", f"{base}/ckpt", f"{base}/out")
+    baseline = _result(spark, f"{base}/out")
+
+    # --- interrupted run A over its own source/checkpoint, then the kill
+    _write(spark, f"{mig}/src1", P1)
+    _drain(spark, join_fn, f"{mig}/src1", f"{mig}/ckptA", f"{mig}/outA")
+    _write(spark, f"{mig}/src1", TICK)
+    _drain(spark, join_fn, f"{mig}/src1", f"{mig}/ckptA", f"{mig}/outA")
+    # (availableNow terminated = the kill; ckptA is now a dead checkpoint)
+
+    # the offsets log must expose the exact global watermark the buffers
+    # were evicted against: the MIN of the per-side watermarks — the view
+    # side's max event time 11:58 − 30 min delay (the click side sits a
+    # minute higher at 11:29)
+    assert checkpoint_watermark(f"{mig}/ckptA") == _ts(11, 28)
+
+    # offline buffer audit: exactly the open clicks / matchable views
+    left, right = read_click_view_buffers(spark, f"{mig}/ckptA")
+    assert {r["click_id"] for r in left.collect()} == {5, 11, 13}
+    assert {(r["user_id"], r["view_ts"]) for r in right.collect()} == {
+        (2, _ts(11, 50)),
+        (3, _ts(11, 58)),
+        (5, _ts(11, 32)),
+        (8, _ts(11, 22)),
+        (9, _ts(11, 58)),  # the tick view is inside the horizon too
+    }
+
+    # --- migration: seed a FRESH source from the dead checkpoint's state,
+    # append the tail, run under a FRESH checkpoint
+    n_clicks, n_views = reseed_click_view_source(
+        spark, f"{mig}/ckptA", f"{mig}/src2"
+    )
+    assert (n_clicks, n_views) == (3, 5)
+    _write(spark, f"{mig}/src2", P2 + SENTINELS)
+    _drain(spark, join_fn, f"{mig}/src2", f"{mig}/ckptB", f"{mig}/outB")
+
+    migrated = _result(spark, f"{mig}/outA", f"{mig}/outB")
+    assert migrated == baseline
+
+    # re-emission is real but bounded: exactly the both-sides-buffered
+    # pair (click 11 × view 10) appears in both runs' raw outputs
+    run_a = spark.read.parquet(f"{mig}/outA").filter(F.col("view_ts").isNotNull())
+    run_b = spark.read.parquet(f"{mig}/outB").filter(F.col("view_ts").isNotNull())
+    dup = run_a.select("click_id", "view_ts").intersect(
+        run_b.select("click_id", "view_ts")
+    )
+    assert {r["click_id"] for r in dup.collect()} == {11}
+
+    if join_fn is stream_click_view_join_outer:
+        # null classes land on the correct side of the kill, and the
+        # migrated run invents no false null for a replayed click whose
+        # match it re-saw (5, 11) or first saw (5's late view)
+        nulls_a = {
+            r["click_id"]
+            for r in spark.read.parquet(f"{mig}/outA")
+            .filter(F.col("view_ts").isNull())
+            .collect()
+        }
+        nulls_b = {
+            r["click_id"]
+            for r in spark.read.parquet(f"{mig}/outB")
+            .filter(F.col("view_ts").isNull() & (F.col("user_id") != 999))
+            .collect()
+        }
+        assert nulls_a == {12}
+        assert nulls_b == {13}

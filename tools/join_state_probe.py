@@ -1,14 +1,14 @@
 #!/usr/bin/env python
-"""Full-volume outer stream-stream join probe (round 11).
+"""Full-volume outer/full stream-stream join probe (rounds 11-12).
 
-Drives ``streaming/events.stream_click_view_join_outer`` over sf0.1's
-full events table (~20k clicks / ~20k views across 30 days) and checks
-the two properties that matter at 100 TB:
+Drives ``streaming/events.stream_click_view_join_outer`` (or ``_full``)
+over sf0.1's full events table and checks the two properties that matter
+at 100 TB:
 
 1. **State is horizon-bounded, not stream-bounded.** After draining the
-   whole month in one run, the join buffers only the rows the watermark
+   whole stream in one run, the join buffers only the rows the watermark
    cannot yet prove closed — the trailing ~30-minute horizon on each
-   side — NOT the month. Measured with the OFFLINE state reader
+   side — NOT the history. Measured with the OFFLINE state reader
    (sources/state_reader.py), i.e. the audit a production operator would
    run against a live checkpoint: buffered-left must equal the clicks
    above the global watermark (boundary printed, both >= and > accepted
@@ -18,17 +18,29 @@ the two properties that matter at 100 TB:
 2. **The drained output is bit-equal to the batch twin.** A far-future
    sentinel pair flushes the horizon; the streaming output (sentinels
    excluded) must then equal the driver-gated batch twin
-   (``ev_click_view_outer_twin``'s plan — operators/temporal.range_join)
-   with symmetric ``exceptAll`` diff 0 on all ~20k result rows,
+   (``ev_click_view_outer_twin`` / ``_full_twin``'s plans —
+   operators/temporal.range_join, plus the row-identity orphan-view anti
+   join for the full flavor) with symmetric ``exceptAll`` diff 0,
    null-extended rows included.
 
+Round-12 scale axes (r11 verdict task 4) — ``--k N --mode rate|history``
+replicates the events K× with disjoint id spaces before the drain:
+
+- ``rate``: replicas keep their timestamps → K× arrival RATE over the
+  same month. Horizon-bounded state must grow ~K× (more rows per horizon).
+- ``history``: replica i shifts forward by i×31 days → K× HISTORY at the
+  original rate. Horizon-bounded state must stay ~1× (the trailing
+  horizon of the LAST replica only) — the axis that separates
+  O(rate × horizon) from O(stream length).
+
 Run solo (writes /tmp dirs, RocksDB conf is process-wide):
-``python tools/join_state_probe.py``. Prints one JSON line; paste into
-SCALING.md.
+``python tools/join_state_probe.py [--k N] [--mode rate|history]
+[--flavor outer|full]``. Prints one JSON line; paste into SCALING.md.
 """
 
 from __future__ import annotations
 
+import argparse
 import datetime as dt
 import json
 import os
@@ -45,14 +57,61 @@ from bigdata_etl_elt_dashboard_spark.session import get_spark  # noqa: E402
 from bigdata_etl_elt_dashboard_spark.sources.catalog import table  # noqa: E402
 from bigdata_etl_elt_dashboard_spark.sources.state_reader import state_rows  # noqa: E402
 from bigdata_etl_elt_dashboard_spark.streaming.events import (  # noqa: E402
+    stream_click_view_join_full,
     stream_click_view_join_outer,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/join_state_probe"
 
+#: id shifts per replica — far above sf0.1's id ranges, far below the
+#: sentinel ids (event 10_000_000+, user 999_999_999)
+EVENT_SHIFT = 1_000_000
+USER_SHIFT = 1_000_000
+
+
+def _batch_twin(clicks, views, flavor: str):
+    """The driver-gated batch-twin plan on the probe's frames: row-level
+    LEFT range join; the full flavor adds orphan views by ROW IDENTITY
+    (the probe's views still carry event_id, so no same-payload view can
+    shadow another — the same row-level contract plans/wave11.py gates)."""
+    left = range_join(
+        clicks.select("event_id", "user_id", "ts"),
+        views.select("user_id", "ts", "value"),
+        key="user_id", left_ts="ts", right_ts="ts", window_seconds=600,
+    ).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("r_ts").alias("view_ts"),
+        F.col("r_value").alias("view_value"),
+    )
+    if flavor == "outer":
+        return left
+    # full: append views no click claimed — identity-keyed via the view's
+    # event_id carried through the reversed match probe
+    matched_ids = range_join(
+        clicks.select("user_id", "ts"),
+        views.select("event_id", "user_id", "ts"),
+        key="user_id", left_ts="ts", right_ts="ts", window_seconds=600,
+    ).select(F.col("r_event_id").alias("event_id")).distinct()
+    orphans = views.join(matched_ids, "event_id", "left_anti").select(
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("user_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return left.unionByName(orphans)
+
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=1)
+    ap.add_argument("--mode", choices=["rate", "history"], default="rate")
+    ap.add_argument("--flavor", choices=["outer", "full"], default="outer")
+    args = ap.parse_args()
+
     spark = get_spark(app_name="join-state-probe", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     shutil.rmtree(WORK, ignore_errors=True)
@@ -64,8 +123,29 @@ def main() -> None:
     # loader as micros so the file stream can read it
     ev = table(spark, SF_DIR, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
+    ).filter(F.col("event_type").isin("click", "view"))
+    replicas = []
+    for i in range(args.k):
+        r = ev.select(
+            (F.col("event_id") + F.lit(i * EVENT_SHIFT)).alias("event_id"),
+            (
+                F.col("ts") + F.expr(f"INTERVAL {i * 31} DAYS")
+                if args.mode == "history"
+                else F.col("ts")
+            ).alias("ts"),
+            (F.col("user_id") + F.lit(i * USER_SHIFT)).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        replicas.append(r)
+    full_src = replicas[0]
+    for r in replicas[1:]:
+        full_src = full_src.unionByName(r)
+    full_src.coalesce(4 * args.k).write.parquet(src)
+
+    join_fn = (
+        stream_click_view_join_outer if args.flavor == "outer" else stream_click_view_join_full
     )
-    ev.filter(F.col("event_type").isin("click", "view")).coalesce(4).write.parquet(src)
 
     def drain() -> float:
         def side(et):
@@ -79,7 +159,7 @@ def main() -> None:
 
         t0 = time.perf_counter()
         q = (
-            stream_click_view_join_outer(side("click"), side("view"))
+            join_fn(side("click"), side("view"))
             .writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", ckpt)
@@ -119,7 +199,7 @@ def main() -> None:
         )
     n_buffered_right = state_rows(spark, ckpt, join_side="right").count()
 
-    # sentinel pair far past the horizon flushes every real click
+    # sentinel pair far past the horizon flushes every real click/view
     sentinel_ts = max(max_click, max_view) + dt.timedelta(hours=2)
     spark.createDataFrame(
         [(10_000_000, sentinel_ts, 999_999_999, "click", 0.0),
@@ -129,32 +209,25 @@ def main() -> None:
     t_drain2 = drain()
 
     streamed = spark.read.parquet(out).filter(F.col("user_id") != 999_999_999)
-    twin = range_join(
-        clicks.select("event_id", "user_id", "ts"),
-        views.select("user_id", "ts", "value"),
-        key="user_id", left_ts="ts", right_ts="ts", window_seconds=600,
-    ).select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id"),
-        F.col("ts").alias("click_ts"),
-        F.col("r_ts").alias("view_ts"),
-        F.col("r_value").alias("view_value"),
-    )
+    twin = _batch_twin(clicks, views, args.flavor)
     d1 = streamed.exceptAll(twin).count()
     d2 = twin.exceptAll(streamed).count()
     if d1 != 0 or d2 != 0:
         raise RuntimeError(f"stream vs batch twin diff: {d1}/{d2}")
 
     n_out = streamed.count()
-    n_null = streamed.filter(F.col("view_ts").isNull()).count()
+    n_null_left = streamed.filter(F.col("view_ts").isNull()).count()
+    n_null_right = streamed.filter(F.col("click_id").isNull()).count()
     print(json.dumps({
-        "probe": "outer_join_sf0.1",
+        "probe": f"{args.flavor}_join_sf0.1",
+        "k": args.k, "mode": args.mode,
         "clicks": n_clicks, "views": n_views,
         "drain1_s": round(t_drain1, 1), "drain2_s": round(t_drain2, 1),
         "buffered_left_after_drain1": len(buffered_left),
         "buffered_right_after_drain1": n_buffered_right,
         "eviction_boundary": boundary,
-        "out_rows": n_out, "null_rows": n_null,
+        "out_rows": n_out, "null_left_rows": n_null_left,
+        "null_right_rows": n_null_right,
         "twin_exceptall_diff": [d1, d2],
     }))
     spark.stop()
