@@ -33,7 +33,9 @@ key) — tests/test_stream_join_migration.py asserts the deduplicated
 union is ``exceptAll``-bit-equal to an uninterrupted run for the inner
 AND leftOuter forms, and that no false null-extension appears (the
 buffered-view horizon guarantees every replayed click still sees every
-match it had).
+match it had). The fullOuter form needs one extra reconciliation step —
+``reconcile_full_join_outputs`` below — because a re-seeded view whose
+click closed pre-kill would otherwise flush as a false orphan.
 
 Fidelity note: the join buffers hold the operator's PROJECTED rows
 (click_id/user_id/click_ts and user_id/view_ts/view_value — see
@@ -60,6 +62,45 @@ from ..sources.state_reader import state_rows
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, value double"
 )
+
+
+def reconcile_full_join_outputs(run_a: DataFrame, run_b: DataFrame) -> DataFrame:
+    """Assemble the migrated FULL-outer output from the killed run's sink
+    and the restarted run's sink.
+
+    The fullOuter flavor has one seam the inner/leftOuter recipe lacks:
+    a re-seeded view whose matching CLICK was already evicted before the
+    kill (click closed at ``click_ts`` ≤ W, view still open until
+    ``view_ts + w`` > W) re-enters the new query unmatchable and flushes
+    as a FALSE orphan — the match it already had lives only in run A's
+    output. The state store's exposed value struct carries no matched
+    flag (measured on Spark 4.1 — the reader returns the buffered row
+    only), but the operational truth is already durable: run A's sink
+    holds every matched pair it emitted. So the reconciliation is pure
+    output algebra — drop the run-B orphans whose view identity
+    ``(user_id, view_ts, view_value)`` appears matched in run A, union,
+    dedup (the bounded both-sides-buffered re-emission, as in the other
+    flavors). The symmetric left-side hazard cannot occur: a buffered
+    click's admissible views satisfy ``view_ts + w ≥ click_ts > W``, so
+    none was evicted — proven by the leftOuter no-false-null assertion
+    in tests/test_stream_join_migration.py.
+
+    View identity is row-level only up to the join's projection — the
+    same caveat plans/wave11.py documents for the batch twin: two
+    distinct source views with identical (user, ts, value) are one
+    identity at this seam.
+    """
+    matched_a = (
+        run_a.filter(F.col("click_id").isNotNull() & F.col("view_ts").isNotNull())
+        .select("user_id", "view_ts", "view_value")
+        .distinct()
+    )
+    false_orphans = (
+        run_b.filter(F.col("click_id").isNull())
+        .join(matched_a, ["user_id", "view_ts", "view_value"], "left_semi")
+        .select(*run_b.columns)  # semi join fronts the join keys; restore order
+    )
+    return run_a.unionByName(run_b.exceptAll(false_orphans)).dropDuplicates()
 
 
 def read_click_view_buffers(

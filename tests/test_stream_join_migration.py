@@ -76,6 +76,9 @@ P1 = [
     (12, _ts(10, 45), 6, "click", 0.0), # unmatched; closed-as-null pre-kill
     (13, _ts(11, 45), 7, "click", 0.0), # unmatched; open at kill → null post-kill
     (14, _ts(11, 22), 8, "view", 7.0),  # buffered right-frontier view, never matched
+    (16, _ts(11, 25), 10, "view", 9.0), # buffered view whose CLICK closes pre-kill
+    (17, _ts(11, 27), 10, "click", 0.0),#   (the fullOuter false-orphan hazard)
+    (18, _ts(10, 30), 11, "view", 10.0),# unmatched view closed-as-orphan pre-kill
 ]
 # the watermark-advancing tick run A ingests second (ts below P1's max)
 TICK = [(15, _ts(11, 58), 9, "view", 8.0)]
@@ -120,7 +123,12 @@ def _result(spark, *outs):
         .select("click_id", "user_id", "click_ts", "view_ts", "view_value")
         .collect()
     )
-    return sorted((r[0], r[1], r[2], r[3], r[4]) for r in rows)
+    return _sorted_rows((r[0], r[1], r[2], r[3], r[4]) for r in rows)
+
+
+def _sorted_rows(tuples):
+    # None-safe total order (full-outer rows carry nulls on either side)
+    return sorted(tuples, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 
 @pytest.mark.parametrize(
@@ -161,7 +169,8 @@ def test_join_checkpoint_migration_converges(spark, tmp_path, join_fn):
         (3, _ts(11, 58)),
         (5, _ts(11, 32)),
         (8, _ts(11, 22)),
-        (9, _ts(11, 58)),  # the tick view is inside the horizon too
+        (9, _ts(11, 58)),   # the tick view is inside the horizon too
+        (10, _ts(11, 25)),  # still open though its click already closed
     }
 
     # --- migration: seed a FRESH source from the dead checkpoint's state,
@@ -169,7 +178,7 @@ def test_join_checkpoint_migration_converges(spark, tmp_path, join_fn):
     n_clicks, n_views = reseed_click_view_source(
         spark, f"{mig}/ckptA", f"{mig}/src2"
     )
-    assert (n_clicks, n_views) == (3, 5)
+    assert (n_clicks, n_views) == (3, 6)
     _write(spark, f"{mig}/src2", P2 + SENTINELS)
     _drain(spark, join_fn, f"{mig}/src2", f"{mig}/ckptB", f"{mig}/outB")
 
@@ -203,3 +212,68 @@ def test_join_checkpoint_migration_converges(spark, tmp_path, join_fn):
         }
         assert nulls_a == {12}
         assert nulls_b == {13}
+
+
+def test_full_join_migration_reconciles_false_orphans(spark, tmp_path):
+    """FULL-outer migration: the re-seed recipe alone over-emits — view 16
+    re-enters without its pre-kill-closed click 17 and flushes as a FALSE
+    orphan in the restarted run — and reconcile_full_join_outputs removes
+    exactly that class, converging the assembled output to the
+    uninterrupted run bit-for-bit."""
+    from bigdata_etl_elt_dashboard_spark.streaming.events import (
+        stream_click_view_join_full,
+    )
+    from bigdata_etl_elt_dashboard_spark.streaming.migration import (
+        reconcile_full_join_outputs,
+    )
+
+    base = str(tmp_path / "base")
+    mig = str(tmp_path / "mig")
+    join_fn = stream_click_view_join_full
+
+    _write(spark, f"{base}/src", P1)
+    _drain(spark, join_fn, f"{base}/src", f"{base}/ckpt", f"{base}/out")
+    _write(spark, f"{base}/src", TICK)
+    _drain(spark, join_fn, f"{base}/src", f"{base}/ckpt", f"{base}/out")
+    _write(spark, f"{base}/src", P2 + SENTINELS)
+    _drain(spark, join_fn, f"{base}/src", f"{base}/ckpt", f"{base}/out")
+    baseline = _result(spark, f"{base}/out")
+
+    _write(spark, f"{mig}/src1", P1)
+    _drain(spark, join_fn, f"{mig}/src1", f"{mig}/ckptA", f"{mig}/outA")
+    _write(spark, f"{mig}/src1", TICK)
+    _drain(spark, join_fn, f"{mig}/src1", f"{mig}/ckptA", f"{mig}/outA")
+
+    reseed_click_view_source(spark, f"{mig}/ckptA", f"{mig}/src2")
+    _write(spark, f"{mig}/src2", P2 + SENTINELS)
+    _drain(spark, join_fn, f"{mig}/src2", f"{mig}/ckptB", f"{mig}/outB")
+
+    run_a = spark.read.parquet(f"{mig}/outA")
+    run_b = spark.read.parquet(f"{mig}/outB")
+
+    # the false orphan is REAL before reconciliation: run B flushed view
+    # 16 (user 10) unmatched, though run A holds its matched pair
+    raw_orphans_b = {
+        (r["user_id"], r["view_ts"])
+        for r in run_b.filter(
+            F.col("click_id").isNull() & (F.col("user_id") != 999)
+        ).collect()
+    }
+    assert (10, _ts(11, 25)) in raw_orphans_b
+
+    reconciled = reconcile_full_join_outputs(run_a, run_b)
+    got = _sorted_rows(
+        (r[0], r[1], r[2], r[3], r[4])
+        for r in reconciled.filter(F.col("user_id") != 999)
+        .select("click_id", "user_id", "click_ts", "view_ts", "view_value")
+        .collect()
+    )
+    assert got == baseline
+
+    # and the genuine orphan classes survive on the correct side: view 18
+    # closed pre-kill (run A), views 9/14/tick closed post-migration
+    orphan_users_a = {
+        r["user_id"] for r in run_a.filter(F.col("click_id").isNull()).collect()
+    }
+    assert orphan_users_a == {11}
+    assert {u for (u, _) in raw_orphans_b} == {4, 8, 9, 10}
