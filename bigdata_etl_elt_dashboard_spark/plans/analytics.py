@@ -514,7 +514,7 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH m AS (
             SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
                    {_XS_TOTALPRICE} AS revenue
-            FROM orders GROUP BY month
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY month
         )
         SELECT month, revenue,
                ROUND(revenue - LAG(revenue) OVER (ORDER BY month), 2) AS mom_delta
@@ -522,13 +522,17 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Month-over-month revenue delta: the trend A7 aggregation plus a "
     "lag() window over the (tiny) month series — window runs on the "
-    "post-agg rows, never the fact table.",
+    "post-agg rows, never the fact table. Time-series contract (r12 "
+    "variant sweep): unknown-date rows are excluded EXPLICITLY on both "
+    "sides — an implicit null month group would sit at opposite ends of "
+    "the two engines' ORDER BY and silently shift every lag.",
 )
 def trend_mom_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     m = (
         table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
         .groupBy(F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"))
         .agg(xsum(F.col("o_totalprice")).alias("revenue"))
     )
@@ -966,7 +970,7 @@ def dq_summary_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
                    COUNT(*) AS n_orders
-            FROM orders GROUP BY order_month
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY order_month
         )
         SELECT order_month, cents / 100.0 AS revenue,
                SUM(cents) OVER (ORDER BY order_month
@@ -985,6 +989,7 @@ def trend_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     monthly = (
         table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())  # time-series contract (r12)
         .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
@@ -1445,7 +1450,7 @@ def trend_price_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                         AS BIGINT) AS cents,
                    COUNT(*) AS n_orders
-            FROM orders GROUP BY week_start
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY week_start
         )
         SELECT week_start, cents, n_orders,
                LAG(cents) OVER (ORDER BY week_start) AS prev_cents,
@@ -1465,7 +1470,7 @@ def trend_price_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def trend_wow_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     w = orders.groupBy(
         F.date_format(F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd").alias(
             "week_start"

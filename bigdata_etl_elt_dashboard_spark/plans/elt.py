@@ -96,12 +96,17 @@ def elt_feature_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT o_custkey, o_orderkey,
                    ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_orderdate, o_orderkey) AS rn
+                                      ORDER BY o_orderdate NULLS LAST,
+                                               o_orderkey) AS rn
             FROM orders
         ) WHERE rn = 1 ORDER BY o_custkey
     """,
     doc="SQL-mode dedup (the reference's self-join DELETE, "
-    "transforms.ipynb:cell5, as a window QUALIFY — J10/W1).",
+    "transforms.ipynb:cell5, as a window QUALIFY — J10/W1). Keep-"
+    "earliest prefers DATED orders: NULLS LAST is explicit because the "
+    "same SQL text runs on BOTH engines and their defaults differ "
+    "(Spark ASC = nulls first, DuckDB = nulls last — r12 variant sweep "
+    "caught the unpinned text diverging on null-bearing data).",
 )
 def elt_dedup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(
@@ -113,7 +118,8 @@ def elt_dedup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT o_custkey, o_orderkey,
                    ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_orderdate, o_orderkey) AS rn
+                                      ORDER BY o_orderdate NULLS LAST,
+                                               o_orderkey) AS rn
             FROM orders
         ) WHERE rn = 1 ORDER BY o_custkey
         """,

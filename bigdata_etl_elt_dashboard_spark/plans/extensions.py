@@ -1111,7 +1111,8 @@ def agg_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scale_global_rank_orders",
     oracle="""
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice NULLS FIRST,
+                                                o_orderkey)
                     AS BIGINT) AS global_rank,
                o_orderkey, o_totalprice
         FROM orders
@@ -1128,7 +1129,10 @@ def agg_salted_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition count. Both branches read the SAME range exchange "
     "(exchange reuse, asserted by plan test), so partition ids agree by "
     "construction. Order key (o_totalprice, o_orderkey) is unique, so "
-    "ranks are engine-exact.",
+    "ranks are engine-exact; null prices are PINNED first (Spark's ASC "
+    "default, made explicit in the oracle — r12 variant sweep: DuckDB "
+    "defaults NULLS LAST, so an unpinned oracle shifts every rank on "
+    "null-bearing data).",
 )
 def scale_global_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import scale as SC
@@ -2591,7 +2595,7 @@ def docs_sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame
         WITH monthly AS (
             SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
-            FROM orders GROUP BY month
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY month
         )
         SELECT CAST(month AS DATE) AS month,
                CAST(cents AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
@@ -2611,7 +2615,8 @@ def docs_sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame
     "partial months average over their true row count (no padding).",
 )
 def trend_ma3_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
+    # time-series contract (r12 variant sweep): unknown-date rows excluded
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     monthly = orders.groupBy(
         F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
     ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
@@ -2792,7 +2797,7 @@ def ev_funnel_strict_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH monthly AS (
             SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
-            FROM orders GROUP BY month
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY month
         ),
         idxd AS (
             SELECT CAST(month AS DATE) AS month, cents,
@@ -2830,7 +2835,8 @@ def ev_funnel_strict_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape scales to per-key EMAs by adding the key to both join sides.",
 )
 def trend_ema12_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = table(spark, sf_dir, "orders")
+    # time-series contract (r12 variant sweep): unknown-date rows excluded
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     monthly = orders.groupBy(
         F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
     ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
@@ -2937,7 +2943,8 @@ def mm_audio_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                NTH_VALUE(cents, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND UNBOUNDED FOLLOWING) AS third_cents
         FROM c
-        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY cents, o_orderkey)
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY cents NULLS FIRST, o_orderkey)
         QUALIFY o_orderkey % 101 = 0
         ORDER BY o_orderstatus, cents, o_orderkey
     """,
@@ -2950,7 +2957,9 @@ def mm_audio_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines — and percent_rank/cume_dist are exact small-integer "
     "ratios, so the doubles match bit-for-bit. full-partition frames are "
     "EXPLICIT ROWS UNBOUNDED..UNBOUNDED (Spark and DuckDB default "
-    "last_value frames differ!). Output thinned AFTER the windows by a "
+    "last_value frames differ!), and null sort keys are EXPLICIT NULLS "
+    "FIRST (Spark's ASC default; DuckDB defaults NULLS LAST — r12 "
+    "variant sweep). Output thinned AFTER the windows by a "
     "deterministic key filter.",
 )
 def agg_window_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5653,7 +5662,7 @@ def wh_scd2_asof_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH monthly AS (
             SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
                    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
-            FROM orders GROUP BY month
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY month
         ),
         w AS (
             SELECT cents,
@@ -5690,7 +5699,8 @@ def wh_scd2_asof_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def trend_backtest_ma3_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    orders = table(spark, sf_dir, "orders")
+    # time-series contract (r12 variant sweep): unknown-date rows excluded
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     monthly = orders.groupBy(
         F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
     ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))

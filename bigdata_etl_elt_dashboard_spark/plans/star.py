@@ -46,7 +46,8 @@ def _dim_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "star_dim_date",
     oracle="""
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY order_date) AS INTEGER) AS date_id,
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY order_date NULLS FIRST)
+                    AS INTEGER) AS date_id,
                order_date,
                CAST(year(order_date) AS INTEGER) AS order_year,
                CAST(month(order_date) AS INTEGER) AS order_month
@@ -54,7 +55,11 @@ def _dim_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY date_id
     """,
     doc="S7+W2: dim_date with deterministic surrogate keys (load.py:161-176 "
-    "sorts by order_date before insert — same order here, in-plan).",
+    "sorts by order_date before insert — same order here, in-plan). The "
+    "null natural key is a REAL dim member (the warehouse unknown-member "
+    "row for undated facts) and its slot is pinned: NULLS FIRST = "
+    "surrogate id 1 (Spark's ASC default, explicit in the oracle — r12 "
+    "variant sweep caught the engines' opposite defaults).",
 )
 def star_dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dim_date(spark, sf_dir)
@@ -80,7 +85,8 @@ def star_dim_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FACT_ORACLE = """
     WITH dim_date AS (
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY order_date) AS INTEGER) AS date_id, order_date
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY order_date NULLS FIRST)
+                    AS INTEGER) AS date_id, order_date
         FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders)
     ), dim_geo AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY region, country) AS INTEGER) AS geo_id,
@@ -254,8 +260,16 @@ def wh_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(cents).alias("max_cents"),
         )
 
+    # The split MUST be exhaustive: a NULL date satisfies neither `<` nor
+    # `>=`, and an incremental refresh that drops undated facts is silent
+    # data loss (r12 variant sweep: 81 oracle months vs 80 merged — the
+    # null month vanished). Undated rows ride the delta batch.
     old = partials(orders.filter(F.col("o_orderdate") < cutoff))
-    delta = partials(orders.filter(F.col("o_orderdate") >= cutoff))
+    delta = partials(
+        orders.filter(
+            (F.col("o_orderdate") >= cutoff) | F.col("o_orderdate").isNull()
+        )
+    )
     return (
         old.unionAll(delta)
         .groupBy("month")

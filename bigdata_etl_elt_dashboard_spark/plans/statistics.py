@@ -813,7 +813,7 @@ def dq_k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) FILTER (o_orderstatus = 'O') AS c1,
                    COUNT(*) FILTER (o_orderstatus = 'F') AS c2
             FROM orders
-            WHERE o_orderstatus IN ('O', 'F')
+            WHERE o_orderstatus IN ('O', 'F') AND o_totalprice IS NOT NULL
             GROUP BY cents
         ),
         cum AS (
@@ -851,7 +851,12 @@ def dq_k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stat_ks_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("O", "F"))
+    # sample = PRICED orders (missing measurements are excluded on both
+    # sides, the standard statistical treatment — r12 variant sweep: an
+    # implicit null-cents ECDF point sorts at opposite ends per engine)
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F") & F.col("o_totalprice").isNotNull()
+    )
     s = o.groupBy(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     ).agg(
@@ -1299,7 +1304,7 @@ def li_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS d,
                    CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS x
-            FROM orders GROUP BY 1
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
         ),
         tot AS (
             SELECT d, x, COUNT(*) OVER () AS n,
@@ -1340,7 +1345,8 @@ def li_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stat_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders")
+    # time-series contract (r12 variant sweep): unknown-date rows excluded
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
         F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("x")
     )
@@ -1542,12 +1548,13 @@ def stat_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wh_orders_checksum",
     oracle="""
         WITH canon AS (
-            SELECT CAST(o_orderkey AS VARCHAR) || '|' ||
-                   CAST(o_custkey AS VARCHAR) || '|' ||
-                   o_orderstatus || '|' ||
-                   CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) || '|' ||
-                   strftime(o_orderdate, '%Y-%m-%d') || '|' ||
-                   o_orderpriority AS row_str
+            SELECT COALESCE(CAST(o_orderkey AS VARCHAR), '<null>') || '|' ||
+                   COALESCE(CAST(o_custkey AS VARCHAR), '<null>') || '|' ||
+                   COALESCE(o_orderstatus, '<null>') || '|' ||
+                   COALESCE(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR),
+                            '<null>') || '|' ||
+                   COALESCE(strftime(o_orderdate, '%Y-%m-%d'), '<null>') || '|' ||
+                   COALESCE(o_orderpriority, '<null>') AS row_str
             FROM orders
         )
         SELECT COUNT(*) AS n_rows,
@@ -1570,14 +1577,21 @@ def stat_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def wh_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
+    # Null fields render as an EXPLICIT token: concat_ws silently SKIPS
+    # nulls (collapsing the field count — "a||b" vs "ab" ambiguity) and
+    # SQL `||` nulls the whole row string (dropping the row from the
+    # hash-sum while n_rows still counts it). Both are checksum bugs the
+    # r12 variant sweep caught; a null-faithful canonicalization must
+    # distinguish null from empty and keep every row hashable.
+    nul = F.lit("<null>")
     row_str = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
-        F.date_format("o_orderdate", "yyyy-MM-dd"),
-        F.col("o_orderpriority"),
+        F.coalesce(F.col("o_orderkey").cast("string"), nul),
+        F.coalesce(F.col("o_custkey").cast("string"), nul),
+        F.coalesce(F.col("o_orderstatus"), nul),
+        F.coalesce(F.col("o_totalprice").cast("decimal(15,2)").cast("string"), nul),
+        F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd"), nul),
+        F.coalesce(F.col("o_orderpriority"), nul),
     )
     h = F.conv(F.substring(F.md5(row_str), 1, 10), 16, 10).cast("long")
     return o.select(h.alias("h")).agg(
@@ -1657,6 +1671,7 @@ def ev_error_rate_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) FILTER (o_orderstatus = 'O') AS c1,
                    COUNT(*) FILTER (o_orderstatus = 'F') AS c2
             FROM orders WHERE o_orderstatus IN ('O', 'F')
+              AND o_totalprice IS NOT NULL
             GROUP BY cents
         ),
         r AS (
@@ -1698,7 +1713,11 @@ def ev_error_rate_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stat_mannwhitney_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("O", "F"))
+    # sample = PRICED orders (missing measurements excluded both sides —
+    # r12 variant sweep; same contract as stat_ks)
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F") & F.col("o_totalprice").isNotNull()
+    )
     v = o.groupBy(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     ).agg(

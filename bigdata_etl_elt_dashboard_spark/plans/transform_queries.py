@@ -28,17 +28,23 @@ from .registry import register
         FROM (
             SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
                    ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_orderdate, o_orderkey) AS rn
+                                      ORDER BY o_orderdate NULLS LAST,
+                                               o_orderkey) AS rn
             FROM orders
         ) WHERE rn = 1
     """,
     doc="W1/J10/A10: deterministic dedup keep-earliest-per-key via "
     "row_number window (replaces the reference's self-join DELETE, "
     "transforms.ipynb:cell5, and physical-order drop_duplicates, "
-    "transform.py:158). One shuffle on the partition key.",
+    "transform.py:158). One shuffle on the partition key. Keep-earliest "
+    "prefers DATED orders — nulls pinned LAST on both sides (r12 "
+    "variant sweep: the engines' opposite null-order defaults silently "
+    "pick different keepers for customers with undated orders).",
 )
 def tr_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey"
+    )
     return (
         table(spark, sf_dir, "orders")
         .withColumn("rn", F.row_number().over(w))

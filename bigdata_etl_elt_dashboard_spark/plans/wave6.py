@@ -337,7 +337,7 @@ def stat_anova_f_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
         WITH counts AS MATERIALIZED (
             SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS v,
                    o_orderpriority AS pr, COUNT(*) AS c
-            FROM orders GROUP BY v, pr),
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY v, pr),
         vals AS MATERIALIZED (
             SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM counts GROUP BY v),
         mr AS (
@@ -400,7 +400,9 @@ def stat_anova_f_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
 def stat_kruskal_wallis_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders")
+    # sample = PRICED orders (missing measurements excluded both sides —
+    # r12 variant sweep: a null rank-grid row shifts every midrank)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     v = F.round(F.col("o_totalprice")).cast("long")
     counts = (
         o.groupBy(v.alias("v"), F.col("o_orderpriority").alias("pr"))
@@ -596,10 +598,12 @@ def stat_chow_break_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         WITH d96 AS MATERIALIZED (
             SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
             FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+              AND o_totalprice IS NOT NULL
             GROUP BY o_orderdate),
         d97 AS MATERIALIZED (
             SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
             FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+              AND o_totalprice IS NOT NULL
             GROUP BY o_orderdate),
         diffs AS MATERIALIZED (
             SELECT d97.y - d96.y AS diff FROM d96, d97),
@@ -632,8 +636,14 @@ def stat_hodges_lehmann_yoy_shift(spark: SparkSession, sf_dir: str) -> DataFrame
     cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
 
     def year_frame(year: int) -> DataFrame:
+        # priced orders only (r12 variant sweep: an all-null-price day
+        # yields a NULL daily total whose pairwise diffs sort at opposite
+        # ends of the two engines' median scan)
         return (
-            o.filter(F.year("o_orderdate") == year).groupBy("o_orderdate").agg(cents).select("y")
+            o.filter((F.year("o_orderdate") == year) & F.col("o_totalprice").isNotNull())
+            .groupBy("o_orderdate")
+            .agg(cents)
+            .select("y")
         )
 
     d96 = year_frame(1996)
@@ -865,7 +875,7 @@ def ev_campaign_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH daily AS (
             SELECT o_orderdate AS day,
                    CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS x
-            FROM orders GROUP BY o_orderdate),
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_orderdate),
         scored AS (
             SELECT day, x,
                    CAST(COUNT(*) OVER w AS BIGINT) AS n,
@@ -895,7 +905,10 @@ def ev_campaign_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def trend_rolling28_anomaly_topdays(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders")
+    # time-series contract (r12 variant sweep): unknown-date rows excluded
+    # — the implicit null "day" otherwise concentrates every undated order
+    # into one mega-point whose x² overflows the BIGINT score
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("x")
     )
@@ -977,8 +990,18 @@ def docs_block_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             "tk",
+            # guard the block-index sequence: Spark's sequence(0, n-1)
+            # runs DESCENDING when n-1 < 0, so a sub-block-width document
+            # would fabricate blocks [0, -1] (r12 variant sweep, empty
+            # texts); an explicit empty case drops short docs like
+            # DuckDB's range(0, 0)
             F.explode(
-                F.sequence(F.lit(0), (F.size("tk") / _BLOCK_W).cast("long") - 1)
+                F.when(
+                    F.size("tk") >= _BLOCK_W,
+                    F.sequence(
+                        F.lit(0), (F.size("tk") / _BLOCK_W).cast("long") - 1
+                    ),
+                )
             ).alias("b"),
         )
         .select(
@@ -1910,7 +1933,7 @@ _STATUSES = ("O", "F", "P")
         WITH vc AS MATERIALIZED (
             SELECT o_orderstatus AS st, CAST(ROUND(o_totalprice) AS BIGINT) AS v,
                    CAST(COUNT(*) AS BIGINT) AS c
-            FROM orders GROUP BY st, v),
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY st, v),
         med AS MATERIALIZED (
             SELECT st, MIN(CASE WHEN cum * 2 >= n THEN v END) AS med
             FROM (SELECT st, v, c,
@@ -1974,7 +1997,9 @@ _STATUSES = ("O", "F", "P")
 def stat_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders")
+    # sample = PRICED orders (r12 variant sweep: a null value-grid row
+    # shifts the per-status cumulative median scan between engines)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     vc = (
         o.groupBy(
             F.col("o_orderstatus").alias("st"),
@@ -2248,7 +2273,7 @@ _APPROX_ACC = 10000
     oracle="""
         WITH g AS (
             SELECT CAST(ROUND(o_totalprice) AS BIGINT) AS v, COUNT(*) AS cnt
-            FROM orders GROUP BY v),
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY v),
         cum AS (
             SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c,
                    SUM(cnt) OVER () AS n
@@ -2280,7 +2305,11 @@ _APPROX_ACC = 10000
 def stat_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders")
+    # sample = PRICED orders on BOTH paths: approx_percentile already
+    # skips nulls, so the exact grid must too or the target ranks are
+    # computed over a larger population than the sketch saw (r12 variant
+    # sweep — the contract booleans went false on null-bearing data)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     v = F.round(F.col("o_totalprice")).cast("long")
     g = o.groupBy(v.alias("v")).agg(F.count("*").alias("cnt")).transform(pin)
     cum = g.select(
@@ -2338,7 +2367,7 @@ def stat_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFra
                         + EXTRACT(month FROM o_orderdate) AS BIGINT) AS mi,
                    CAST(MIN(EXTRACT(month FROM o_orderdate)) AS BIGINT) AS moy,
                    CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
-            FROM orders GROUP BY mi),
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY mi),
         tr AS MATERIALIZED (
             SELECT mi, moy, y,
                    CAST(SUM(y) OVER (ORDER BY mi ROWS BETWEEN 6 PRECEDING
@@ -2377,7 +2406,8 @@ def stat_approx_percentile_contract(spark: SparkSession, sf_dir: str) -> DataFra
 def trend_decomposition_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders")
+    # time-series contract (r12 variant sweep): unknown-date rows excluded
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     monthly = (
         o.groupBy(
             (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("mi")
@@ -2420,7 +2450,7 @@ def trend_decomposition_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH g AS (
             SELECT o_orderpriority AS pr,
                    CAST(ROUND(o_totalprice) AS BIGINT) AS v, COUNT(*) AS cnt
-            FROM orders GROUP BY pr, v),
+            FROM orders WHERE o_totalprice IS NOT NULL GROUP BY pr, v),
         cum AS (
             SELECT pr, v,
                    SUM(cnt) OVER (PARTITION BY pr ORDER BY v
@@ -2452,7 +2482,9 @@ def trend_decomposition_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stat_group_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders")
+    # quantiles over PRICED orders (missing measurements excluded both
+    # sides — r12 variant sweep: null grid rows shift the rank selection)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     g = o.groupBy(
         F.col("o_orderpriority").alias("pr"),
         F.round(F.col("o_totalprice")).cast("long").alias("v"),
@@ -2741,10 +2773,16 @@ def src_csv_malformed_recovery_digest(spark: SparkSession, sf_dir: str) -> DataF
     # from exact cents (intpart.2digits), safe at any magnitude (no
     # locale/thousands-separator formatting anywhere)
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    price_str = F.concat(
-        (cents / 100).cast("long").cast("string"),
-        F.lit("."),
-        F.lpad(F.pmod(cents, F.lit(100)).cast("string"), 2, "0"),
+    # a NULL price renders as an EMPTY third field — concat_ws would
+    # otherwise SKIP the null and emit a 2-field line that the permissive
+    # parse quarantines as corrupt (r12 variant sweep: every unpriced
+    # order landed in the reject pile; an empty field parses to null)
+    price_str = F.when(cents.isNull(), F.lit("")).otherwise(
+        F.concat(
+            (cents / 100).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad(F.pmod(cents, F.lit(100)).cast("string"), 2, "0"),
+        )
     )
     good = orders.select(
         F.concat_ws(
@@ -4093,7 +4131,7 @@ def emb_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day,
                    CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
-            FROM orders GROUP BY day),
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY day),
         dd AS (
             SELECT day, y,
                    CAST(MAX(y) OVER (ORDER BY day
@@ -4119,7 +4157,8 @@ def emb_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def trend_max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders")
+    # time-series contract (r12 variant sweep): unknown-date rows excluded
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y")
     )
@@ -4741,7 +4780,8 @@ def src_nested_json_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFr
         WITH daily AS MATERIALIZED (
             SELECT CAST(o_orderdate AS DATE) AS day,
                    CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
-            FROM orders GROUP BY day),
+            FROM orders WHERE o_orderdate IS NOT NULL
+              AND o_totalprice IS NOT NULL GROUP BY day),
         med AS (
             SELECT MIN(CASE WHEN c * 2 >= n THEN v END) AS m
             FROM (SELECT y AS v,
@@ -4776,7 +4816,12 @@ def src_nested_json_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFr
 def stat_mad_robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders")
+    # time-series contract (r12 variant sweep): unknown-date rows excluded,
+    # and unpriced rows too — a day with only unpriced orders is a NULL
+    # point that the two engines' median scans order at opposite ends
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     daily = (
         o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
         .agg(F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y"))
@@ -5034,7 +5079,7 @@ def _dft_oracle() -> str:
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day,
                    CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
-            FROM orders GROUP BY day),
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY day),
         w AS (
             SELECT y,
                    CASE (day - DATE '1970-01-01') % 7 {cw} END AS cw,
@@ -5087,7 +5132,8 @@ def _dft_oracle() -> str:
     "documented convention).",
 )
 def stat_weekly_dft_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
+    # time-series contract (r12 variant sweep): unknown-date rows excluded
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y")
     )
@@ -5153,7 +5199,7 @@ def _spread16_sql(v: str) -> str:
                    CAST(o_custkey & 65535 AS BIGINT) AS ck,
                    CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') & 65535
                         AS BIGINT) AS di
-            FROM orders),
+            FROM orders WHERE o_orderdate IS NOT NULL),
         z AS (
             SELECT o_orderkey, ck, di,
                    CAST({_spread16_sql('ck')}
@@ -5217,7 +5263,9 @@ def scale_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).bitwiseAND(F.lit(mask))
         return v
 
-    o = table(spark, sf_dir, "orders")
+    # dated rows only (r12 variant sweep: a NULL day index nulls the
+    # z-value and the two engines tile null keys at opposite ends)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     base = o.select(
         "o_orderkey",
         F.col("o_custkey").bitwiseAND(F.lit(65535)).cast("long").alias("ck"),

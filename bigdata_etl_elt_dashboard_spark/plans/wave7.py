@@ -826,7 +826,7 @@ def _haar_oracle() -> str:
             SELECT CAST(o_orderdate AS DATE) AS day,
                    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
                         AS BIGINT) AS v
-            FROM orders GROUP BY day),
+            FROM orders WHERE o_orderdate IS NOT NULL GROUP BY day),
         l0 AS MATERIALIZED (
             SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS i, v AS a
             FROM daily ORDER BY day LIMIT 64)
@@ -878,7 +878,9 @@ def trend_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     from pyspark.sql import Window
 
-    o = table(spark, sf_dir, "orders")
+    # time-series contract (r12 variant sweep): unknown-date rows excluded
+    # — the null day otherwise leads Spark's 64-day slice and trails DuckDB's
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("v")
     )
