@@ -2714,7 +2714,8 @@ _BOOT_REPS = 100  # percentile-bootstrap replicates (2.5%/97.5% → ranks 3/98)
                         AS BIGINT) AS c,
                    ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) - 1
                        AS j
-            FROM orders GROUP BY CAST(o_orderdate AS DATE)
+            FROM orders WHERE o_orderdate IS NOT NULL
+            GROUP BY CAST(o_orderdate AS DATE)
         ),
         nn AS (SELECT COUNT(*) AS n FROM d),
         draws AS (
@@ -2760,7 +2761,9 @@ _BOOT_REPS = 100  # percentile-bootstrap replicates (2.5%/97.5% → ranks 3/98)
 def stat_bootstrap_ci_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    orders = table(spark, sf_dir, "orders")
+    # time-series contract (r12 variant sweep): unknown-date rows excluded
+    # — a null day shifts the deterministic resample's day-index mapping
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     d = (
         orders.groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"))
