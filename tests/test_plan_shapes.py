@@ -531,6 +531,9 @@ _BNLJ_BOUNDED_OK = {
     "stat_hll_monthly_merge",  # three 1-row register-sum scalars crossed
     "ev_simpsons_paradox_check",  # 1-row pooled scalar onto the 4-row frame
     "src_csv_malformed_recovery_digest",  # two 1-row digest scalars crossed
+    # 1-row state-metadata operator index broadcast onto the state rows,
+    # then the 1-row emitted digest crossed onto the 1-row state digest
+    "src_state_reader_digest",
     "ev_replay_dedup_digest",  # 1-row delivered-count scalar crossed
     # the constant d=4 hash-row frame replicated onto the update stream
     # (bounded 4x fan-out), plus the bounded top-10 probe side
