@@ -71,6 +71,19 @@ def test_variant_injects_documented_distribution_classes(tmp_path):
         (c is None and t is None) or c == len(t) for t, c in zip(text, n_chars)
     )  # metadata invariant holds after the rewrite
 
+    embs = pq.read_table(os.path.join(out, "embeddings.parquet"))
+    src_embs = pq.read_table(os.path.join(variant_corpus.SRC, "embeddings.parquet"))
+    assert embs.schema == src_embs.schema
+    vids = embs.column("vec_id").to_pylist()
+    vecs = embs.column("embedding").to_pylist()
+    n_zero = sum(
+        1 for i, v in zip(vids, vecs) if i % 97 == 5 and v is not None and not any(v)
+    )
+    assert n_zero > 0  # the cosine zero-norm degeneracy class is present
+    assert all(
+        (v is not None and any(v)) for i, v in zip(vids, vecs) if i % 97 != 5
+    )  # and only where documented
+
 
 def test_variant_generation_is_byte_deterministic(tmp_path):
     a = _gen(tmp_path / "a")

@@ -61,7 +61,7 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.01"
 OUT = "/tmp/spark_graft_variant/sf0.01v"
 
-COPY = ["nation", "customer", "supplier", "part", "lineitem", "embeddings"]
+COPY = ["nation", "customer", "supplier", "part", "lineitem"]
 
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
@@ -126,6 +126,24 @@ def variant_documents(out_dir: str) -> None:
     _write(out_dir, "documents", pa.table(cols, schema=t.schema))
 
 
+def variant_embeddings(out_dir: str) -> None:
+    """Zero-norm vectors (~1%, vec_id % 97 == 5): the cosine-degeneracy
+    class — dot/(|a||b|) divides by zero unless both engines' plans carry
+    the same NULLIF guard. Kept OUT of the r12 main sweep note's scope
+    and added as its own class: a divergence here is a guard bug, not a
+    distribution accident."""
+    t = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    ids = t.column("vec_id").to_pylist()
+    emb = t.column("embedding").to_pylist()
+    new_emb = [
+        ([0.0] * len(v) if v is not None else None) if i % 97 == 5 else v
+        for i, v in zip(ids, emb)
+    ]
+    cols = {name: t.column(name) for name in t.schema.names}
+    cols["embedding"] = pa.array(new_emb, type=t.schema.field("embedding").type)
+    _write(out_dir, "embeddings", pa.table(cols, schema=t.schema))
+
+
 def main(out_dir: str = OUT) -> str:
     os.makedirs(out_dir, exist_ok=True)
     for name in COPY:
@@ -137,6 +155,7 @@ def main(out_dir: str = OUT) -> str:
     variant_orders(out_dir)
     variant_events(out_dir)
     variant_documents(out_dir)
+    variant_embeddings(out_dir)
     for name in sorted(os.listdir(out_dir)):
         print(f"{out_dir}/{name}: {os.path.getsize(os.path.join(out_dir, name))} bytes")
     return out_dir
