@@ -105,12 +105,138 @@ def _batch_twin(clicks, views, flavor: str):
     return left.unionByName(orphans)
 
 
+def migrate_probe() -> None:
+    """Volume twin of tests/test_stream_join_migration.py: kill a
+    leftOuter click/view join mid-month on sf0.1's full events table,
+    re-seed a fresh source from the dead checkpoint's offline-read
+    buffers (streaming/migration.reseed_click_view_source), continue
+    with the unseen tail, and require the deduplicated union of the two
+    runs' outputs to be exceptAll-bit-equal to an uninterrupted run on
+    the same ingestion cadence. Also prints the re-seed size — the
+    horizon bound that makes migration a small batch even mid-flood —
+    and the offline watermark the recipe keyed on."""
+    from bigdata_etl_elt_dashboard_spark.sources.state_reader import (
+        checkpoint_watermark,
+    )
+    from bigdata_etl_elt_dashboard_spark.streaming.events import (
+        stream_click_view_join_outer as join_fn,
+    )
+    from bigdata_etl_elt_dashboard_spark.streaming.migration import (
+        reseed_click_view_source,
+    )
+
+    spark = get_spark(app_name="join-migrate-probe", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(WORK, ignore_errors=True)
+
+    ev = table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).filter(F.col("event_type").isin("click", "view"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut = lo + (hi - lo) / 2
+    p1 = ev.filter(F.col("ts") < F.lit(cut))
+    p2 = ev.filter(F.col("ts") >= F.lit(cut))
+    sentinels = spark.createDataFrame(
+        [(10_000_000, hi + dt.timedelta(hours=2), 999_999_999, "click", 0.0),
+         (10_000_001, hi + dt.timedelta(hours=2), 999_999_999, "view", 0.0)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+    def drain(src, ckpt, out) -> float:
+        def side(et):
+            return (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long, event_type string, value double"
+                )
+                .parquet(src)
+                .filter(F.col("event_type") == et)
+            )
+
+        t0 = time.perf_counter()
+        q = (
+            join_fn(side("click"), side("view"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(1800):
+            raise RuntimeError("drain did not terminate within 1800 s")
+        return time.perf_counter() - t0
+
+    def run(tag: str, interrupted: bool) -> tuple[str, dict]:
+        base = f"{WORK}/{tag}"
+        src1 = f"{base}/src1"
+        p1.coalesce(4).write.parquet(src1)
+        t1 = drain(src1, f"{base}/ckptA", f"{base}/outA")
+        # second drain materializes the advanced watermark in the offsets
+        # log (house pattern: a no-new-data availableNow run commits the
+        # watermark batch)
+        t2 = drain(src1, f"{base}/ckptA", f"{base}/outA")
+        info = {"drain_p1_s": round(t1, 1), "drain_wm_s": round(t2, 1)}
+        if not interrupted:
+            p2.unionByName(sentinels).coalesce(4).write.mode("append").parquet(src1)
+            info["drain_p2_s"] = round(drain(src1, f"{base}/ckptA", f"{base}/outA"), 1)
+            return f"{base}/outA", info
+        wm = checkpoint_watermark(f"{base}/ckptA")
+        if wm is None:
+            raise RuntimeError("no committed watermark in the dead checkpoint")
+        t0 = time.perf_counter()
+        n_clicks, n_views = reseed_click_view_source(
+            spark, f"{base}/ckptA", f"{base}/src2"
+        )
+        info.update(
+            {
+                "watermark": wm.isoformat(),
+                "seed_clicks": n_clicks,
+                "seed_views": n_views,
+                "reseed_s": round(time.perf_counter() - t0, 1),
+            }
+        )
+        p2.unionByName(sentinels).coalesce(4).write.mode("append").parquet(f"{base}/src2")
+        info["drain_b_s"] = round(drain(f"{base}/src2", f"{base}/ckptB", f"{base}/outB"), 1)
+        merged = (
+            spark.read.parquet(f"{base}/outA")
+            .unionByName(spark.read.parquet(f"{base}/outB"))
+            .dropDuplicates()
+        )
+        merged.write.parquet(f"{base}/merged")
+        return f"{base}/merged", info
+
+    base_out, base_info = run("baseline", interrupted=False)
+    mig_out, mig_info = run("migrated", interrupted=True)
+    baseline = spark.read.parquet(base_out).filter(F.col("user_id") != 999_999_999)
+    migrated = spark.read.parquet(mig_out).filter(F.col("user_id") != 999_999_999)
+    d1 = migrated.exceptAll(baseline).count()
+    d2 = baseline.exceptAll(migrated).count()
+    if d1 != 0 or d2 != 0:
+        raise RuntimeError(f"migrated vs continuous diff: {d1}/{d2}")
+    n_rows = baseline.count()
+    n_stream = ev.count()
+    print(json.dumps({
+        "probe": "join_migration_sf0.1",
+        "stream_rows": n_stream,
+        "out_rows": n_rows,
+        "baseline": base_info,
+        "migration": mig_info,
+        "merged_exceptall_diff": [d1, d2],
+    }))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=1)
     ap.add_argument("--mode", choices=["rate", "history"], default="rate")
     ap.add_argument("--flavor", choices=["outer", "full"], default="outer")
+    ap.add_argument("--migrate", action="store_true",
+                    help="run the mid-stream kill + re-seed migration probe instead")
     args = ap.parse_args()
+    if args.migrate:
+        migrate_probe()
+        return
 
     spark = get_spark(app_name="join-state-probe", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
