@@ -93,12 +93,21 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: attach the latest ``value_cols`` from ``right`` with
     right.ts <= left.ts, matching on ``key``. Left rows with no prior right
-    row get nulls. Right must be unique per (key, ts)."""
+    row get nulls. Right must be unique per (key, ts).
+
+    The carried payload is a STRUCT per value column, not the bare value:
+    the union interleaves left rows into the carry-forward stream, so the
+    window must skip THEM (``ignorenulls=True``) — but a bare-value carry
+    would then also skip a right row whose MEASUREMENT is null and wrongly
+    return an older row's value (r12 variant sweep vs DuckDB's native
+    ASOF JOIN, which attaches the most recent ROW regardless of its
+    payload). A right row's struct is non-null even when its field is
+    null, so row-recency and value-presence stay distinct."""
     r = right.select(
         F.col(key),
         F.col(ts),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        *[F.struct(F.col(c).alias("v")).alias(f"_v_{c}") for c in value_cols],
     )
     l = left.withColumn("_side", F.lit(1))
     both = l.unionByName(r, allowMissingColumns=True)
@@ -110,7 +119,8 @@ def asof_join(
     )
     for c in value_cols:
         both = both.withColumn(
-            f"{out_prefix}{c}", F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w)
+            f"{out_prefix}{c}",
+            F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w)["v"],
         )
     return both.filter(F.col("_side") == 1).drop(
         "_side", *[f"_v_{c}" for c in value_cols]

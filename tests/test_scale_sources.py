@@ -385,6 +385,32 @@ def test_asof_join_semantics(spark):
     assert out[4] is None          # other key's rights never leak; 10:40 is after
 
 
+def test_asof_join_null_payload_is_row_recency(spark):
+    """A right row whose MEASUREMENT is null still wins as-of recency —
+    the result is null, not an older row's value (ASOF attaches the most
+    recent ROW; value-presence is a separate question). The r12 variant
+    sweep caught the bare-value carry-forward skipping null payloads and
+    silently resurrecting stale values; the struct-wrapped carry keeps
+    row-recency and value-presence distinct."""
+    from bigdata_etl_elt_dashboard_spark.operators.temporal import asof_join
+
+    t = lambda m: dt.datetime(2024, 3, 1, 10, m)
+    left = spark.createDataFrame(
+        [(1, 1, t(20)), (2, 1, t(40))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 50.0), (1, t(10), None), (1, t(30), 7.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: r["asof_v"]
+        for r in asof_join(left, right, "user_id", "ts", ["v"]).collect()
+    }
+    assert out[1] is None  # most recent row (10:10) wins; its value IS null
+    assert out[2] == 7.0   # a later real value supersedes the null row
+
+
 def test_range_join_boundaries(spark):
     """[ts-600s, ts) inclusivity: a right row exactly 600s before is IN,
     one at exactly ts is OUT; bucket-boundary crossings are covered by the

@@ -100,9 +100,15 @@ def variant_events(out_dir: str) -> None:
     t = pq.read_table(os.path.join(SRC, "events.parquet"))
     eid = t.column("event_id").to_pylist()
     uid = t.column("user_id").to_pylist()
+    val = t.column("value").to_pylist()
     new_uid = [u % 5 if e % 2 == 0 else u for e, u in zip(eid, uid)]
+    # ~9% null measurements (event_id % 11 == 7): the events-side twin of
+    # the null-price class — purchase values, A/B readouts, and LTV
+    # rollups must treat a missing measurement identically on both engines
+    new_val = [None if e % 11 == 7 else v for e, v in zip(eid, val)]
     cols = {name: t.column(name) for name in t.schema.names}
     cols["user_id"] = pa.array(new_uid, type=t.schema.field("user_id").type)
+    cols["value"] = pa.array(new_val, type=t.schema.field("value").type)
     _write(out_dir, "events", pa.table(cols, schema=t.schema))
 
 
