@@ -57,7 +57,11 @@ def _work_dir(sf_dir: str) -> str:
     would replay into the digest), unlike the overwrite-idempotent batch
     gate dirs in plans/sources_gate.py."""
     sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_state_gate_{sf}")
+    # PID-scoped (r12 advice): two concurrent harness processes at the
+    # same SF must not rmtree each other's live checkpoint mid-drain.
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_state_gate_{sf}_{os.getpid()}"
+    )
     shutil.rmtree(path, ignore_errors=True)
     return path
 
@@ -146,10 +150,19 @@ def src_state_reader_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bad_opname"),
     )
-    emitted_digest = spark.read.parquet(out).agg(
+    emitted_digest = _emitted_digest(spark.read.parquet(out))
+    return state_digest.crossJoin(F.broadcast(emitted_digest))
+
+
+def _emitted_digest(emitted: DataFrame) -> DataFrame:
+    """Sink-side digest: row count + distinct composite-key count,
+    struct-wrapped (r12 advice) so it stays null-faithful — bare
+    ``count_distinct(a, b)`` drops rows where EITHER key is null, while
+    the oracle's COUNT(*) over SELECT DISTINCT counts a null pair as a
+    key; a struct is non-null even when its fields are."""
+    return emitted.agg(
         F.count("*").alias("n_emitted"),
-        F.count_distinct(F.col("user_id"), F.col("event_type")).alias(
+        F.count_distinct(F.struct(F.col("user_id"), F.col("event_type"))).alias(
             "n_emitted_keys"
         ),
     )
-    return state_digest.crossJoin(F.broadcast(emitted_digest))

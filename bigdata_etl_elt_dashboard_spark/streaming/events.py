@@ -243,6 +243,7 @@ def stream_click_view_join_full(
     views_stream: DataFrame,
     window_minutes: int = 10,
     watermark: str = "30 minutes",
+    keep_view_event_id: bool = False,
 ) -> DataFrame:
     """Watermarked stream-stream FULL OUTER join: both sides are total —
     every click emits (paired or null-extended, as in the leftOuter form)
@@ -268,24 +269,33 @@ def stream_click_view_join_full(
         F.col("user_id"),
         F.col("ts").alias("click_ts"),
     ).withWatermark("click_ts", watermark)
-    v = views_stream.select(
+    v_cols = [
         F.col("user_id").alias("v_user_id"),
         F.col("ts").alias("view_ts"),
         F.col("value").alias("view_value"),
-    ).withWatermark("view_ts", watermark)
+    ]
+    if keep_view_event_id:
+        # row-level view identity for fullOuter migration reconciliation
+        # (streaming/migration.reconcile_full_join_outputs keys orphans on
+        # it when present — payload-colliding true orphans survive)
+        v_cols.append(F.col("event_id").alias("view_event_id"))
+    v = views_stream.select(*v_cols).withWatermark("view_ts", watermark)
+    out_cols = [
+        F.col("click_id"),
+        F.coalesce(F.col("user_id"), F.col("v_user_id")).alias("user_id"),
+        F.col("click_ts"),
+        F.col("view_ts"),
+        F.col("view_value"),
+    ]
+    if keep_view_event_id:
+        out_cols.append(F.col("view_event_id"))
     return c.join(
         v,
         (F.col("user_id") == F.col("v_user_id"))
         & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {window_minutes} MINUTES"))
         & (F.col("view_ts") < F.col("click_ts")),
         "fullOuter",
-    ).select(
-        "click_id",
-        F.coalesce(F.col("user_id"), F.col("v_user_id")).alias("user_id"),
-        "click_ts",
-        "view_ts",
-        "view_value",
-    )
+    ).select(*out_cols)
 
 
 def stream_dedup(

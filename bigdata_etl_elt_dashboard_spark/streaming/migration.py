@@ -85,19 +85,29 @@ def reconcile_full_join_outputs(run_a: DataFrame, run_b: DataFrame) -> DataFrame
     none was evicted — proven by the leftOuter no-false-null assertion
     in tests/test_stream_join_migration.py.
 
-    View identity is row-level only up to the join's projection — the
-    same caveat plans/wave11.py documents for the batch twin: two
-    distinct source views with identical (user, ts, value) are one
-    identity at this seam.
+    **View identity** (r12 advice): when the join projection retained the
+    view's source ``event_id`` (``stream_click_view_join_full(...,
+    keep_view_event_id=True)`` emits it as ``view_event_id``), the orphan
+    reconciliation keys on that row-level identity — a genuine run-B
+    orphan that merely collides payload-wise with a distinct matched view
+    in run A is then correctly KEPT. Without it, identity is row-level
+    only up to the join's projection — the same caveat plans/wave11.py
+    documents for the batch twin: two distinct source views with
+    identical (user, ts, value) are one identity at this seam, and a
+    payload-colliding true orphan is wrongly dropped.
     """
+    if "view_event_id" in run_a.columns and "view_event_id" in run_b.columns:
+        identity = ["view_event_id"]
+    else:
+        identity = ["user_id", "view_ts", "view_value"]
     matched_a = (
         run_a.filter(F.col("click_id").isNotNull() & F.col("view_ts").isNotNull())
-        .select("user_id", "view_ts", "view_value")
+        .select(*identity)
         .distinct()
     )
     false_orphans = (
         run_b.filter(F.col("click_id").isNull())
-        .join(matched_a, ["user_id", "view_ts", "view_value"], "left_semi")
+        .join(matched_a, identity, "left_semi")
         .select(*run_b.columns)  # semi join fronts the join keys; restore order
     )
     return run_a.unionByName(run_b.exceptAll(false_orphans)).dropDuplicates()
@@ -146,7 +156,11 @@ def reseed_click_view_source(
         F.col("view_value").alias("value"),
     )
     seed = clicks.unionByName(views)
-    seed.write.mode("append").parquet(seed_dir)
+    # errorifexists (r12 advice): a pre-existing or twice-seeded directory
+    # would silently inflate both the seed content and the returned counts
+    # (duplicated seed rows also re-emit extra pairs that only the
+    # idempotent-sink dedup hides) — fail loudly instead.
+    seed.write.mode("errorifexists").parquet(seed_dir)
     # bounded counts (see docstring); read back so the numbers reflect
     # what actually landed
     landed = spark.read.parquet(seed_dir)

@@ -315,3 +315,24 @@ def test_statestore_batchid_reads_historic_snapshot(spark, tmp_path):
     new = {r["event_id"] for r in state_rows(spark, ckpt, batch_id=last).select("key.event_id").collect()}
     assert old == {1}
     assert new == {1, 2}
+
+def test_emitted_digest_counts_null_keyed_pairs(spark):
+    """r12 advice: the src_state_reader_digest sink digest must count a
+    null composite key the way the oracle's COUNT(*) over SELECT DISTINCT
+    does — struct-wrapping makes count_distinct null-faithful (bare
+    count_distinct(a, b) drops rows where either key is null)."""
+    from bigdata_etl_elt_dashboard_spark.plans.wave12 import _emitted_digest
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (None, "a"), (1, None), (None, None)],
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+            ]
+        ),
+    )
+    row = _emitted_digest(df).collect()[0]
+    assert row["n_emitted"] == 5
+    # distinct pairs: (1,a), (null,a), (1,null), (null,null)
+    assert row["n_emitted_keys"] == 4

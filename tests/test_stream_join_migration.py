@@ -245,6 +245,10 @@ def test_full_join_migration_reconciles_false_orphans(spark, tmp_path):
     _drain(spark, join_fn, f"{mig}/src1", f"{mig}/ckptA", f"{mig}/outA")
 
     reseed_click_view_source(spark, f"{mig}/ckptA", f"{mig}/src2")
+    # re-seeding into an existing directory must fail loudly (r12 advice):
+    # a twice-seeded source would silently inflate counts and re-emissions
+    with pytest.raises(Exception):
+        reseed_click_view_source(spark, f"{mig}/ckptA", f"{mig}/src2")
     _write(spark, f"{mig}/src2", P2 + SENTINELS)
     _drain(spark, join_fn, f"{mig}/src2", f"{mig}/ckptB", f"{mig}/outB")
 
@@ -277,3 +281,74 @@ def test_full_join_migration_reconciles_false_orphans(spark, tmp_path):
     }
     assert orphan_users_a == {11}
     assert {u for (u, _) in raw_orphans_b} == {4, 8, 9, 10}
+
+def test_reconcile_keys_on_view_event_id_when_present(spark):
+    """r12 advice: payload identity (user_id, view_ts, view_value) wrongly
+    drops a GENUINE run-B orphan that collides payload-wise with a distinct
+    matched view in run A. When the join projection retained the view's
+    source event_id (keep_view_event_id=True), reconciliation keys on it
+    and the colliding true orphan survives."""
+    from bigdata_etl_elt_dashboard_spark.streaming.migration import (
+        reconcile_full_join_outputs,
+    )
+
+    cols = ["click_id", "user_id", "click_ts", "view_ts", "view_value"]
+    schema_payload = T.StructType(
+        [
+            T.StructField("click_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("click_ts", T.TimestampType()),
+            T.StructField("view_ts", T.TimestampType()),
+            T.StructField("view_value", T.DoubleType()),
+        ]
+    )
+    schema_eid = schema_payload.add(T.StructField("view_event_id", T.LongType()))
+
+    # run A: view event 100 (user 1, 10:00, 5.0) matched click 50
+    run_a_rows = [(50, 1, _ts(10, 5), _ts(10, 0), 5.0, 100)]
+    # run B: view event 101 — DIFFERENT source view, identical payload —
+    # legitimately flushed as an orphan
+    run_b_rows = [(None, 1, None, _ts(10, 0), 5.0, 101)]
+
+    a_eid = spark.createDataFrame(run_a_rows, schema_eid)
+    b_eid = spark.createDataFrame(run_b_rows, schema_eid)
+    with_eid = reconcile_full_join_outputs(a_eid, b_eid)
+    # the true orphan survives: 1 matched row + 1 orphan row
+    assert with_eid.count() == 2
+    assert with_eid.filter(F.col("click_id").isNull()).count() == 1
+
+    # same rows WITHOUT the event_id column: the documented payload-identity
+    # caveat drops the colliding orphan (this is the behavior the advice
+    # flags — pinned here so the upgrade path is the measured difference)
+    a_pay = a_eid.select(*cols)
+    b_pay = b_eid.select(*cols)
+    without_eid = reconcile_full_join_outputs(a_pay, b_pay)
+    assert without_eid.count() == 1
+    assert without_eid.filter(F.col("click_id").isNull()).count() == 0
+
+
+def test_full_join_keep_view_event_id_projection(spark):
+    """stream_click_view_join_full(keep_view_event_id=True) carries the
+    view's source event_id through the fullOuter join (null on clicks that
+    never matched), and default posture is bit-compatible (no extra
+    column). withWatermark is a no-op on batch frames, so the projection
+    and join semantics are exercised eagerly here."""
+    from bigdata_etl_elt_dashboard_spark.streaming.events import (
+        stream_click_view_join_full,
+    )
+
+    clicks = spark.createDataFrame(
+        [(50, _ts(10, 5), 1, "click", 0.0), (51, _ts(12, 0), 2, "click", 0.0)],
+        EVENT_SCHEMA,
+    )
+    views = spark.createDataFrame(
+        [(100, _ts(10, 0), 1, "view", 5.0), (101, _ts(9, 0), 3, "view", 7.0)],
+        EVENT_SCHEMA,
+    )
+    out = stream_click_view_join_full(clicks, views, keep_view_event_id=True)
+    assert out.columns[-1] == "view_event_id"
+    rows = {(r["click_id"], r["view_event_id"]) for r in out.collect()}
+    assert rows == {(50, 100), (51, None), (None, 101)}
+
+    default = stream_click_view_join_full(clicks, views)
+    assert "view_event_id" not in default.columns

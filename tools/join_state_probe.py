@@ -207,8 +207,20 @@ def migrate_probe() -> None:
 
     base_out, base_info = run("baseline", interrupted=False)
     mig_out, mig_info = run("migrated", interrupted=True)
-    baseline = spark.read.parquet(base_out).filter(F.col("user_id") != 999_999_999)
-    migrated = spark.read.parquet(mig_out).filter(F.col("user_id") != 999_999_999)
+    # dedup BOTH sides before the exceptAll (r12 advice): the merged side
+    # is already dropDuplicates'd, so a legitimately-duplicate projected
+    # row in the continuous baseline (two identical-payload views matching
+    # one click) would otherwise fail the probe spuriously
+    baseline = (
+        spark.read.parquet(base_out)
+        .filter(F.col("user_id") != 999_999_999)
+        .dropDuplicates()
+    )
+    migrated = (
+        spark.read.parquet(mig_out)
+        .filter(F.col("user_id") != 999_999_999)
+        .dropDuplicates()
+    )
     d1 = migrated.exceptAll(baseline).count()
     d2 = baseline.exceptAll(migrated).count()
     if d1 != 0 or d2 != 0:
