@@ -34,12 +34,26 @@ blind spots the r11 verdict names:
   zero-length edge); ``n_chars`` is recomputed so the metadata invariant
   holds.
 
-``lineitem``/``customer``/``supplier``/``part``/``nation``/``embeddings``
-copy through unchanged: the transformed tables already reshape every join
-that touches them, and the embedding geometry is digest-gated (a zero-
-vector variant is a knowingly-separate future class — NaN-vs-NULL cosine
-normalization differs BETWEEN engines by design, so it needs per-query
-adjudication, not a blanket sweep).
+Round 13 (r12 verdict task 1) extends the sweep to the three big tables
+the r12 corpus copied through unchanged:
+
+- **lineitem** (feeds the most money queries — pricing_summary_q1, the
+  ``li_*`` family, the moment statistics): 20% lose ``l_shipdate``
+  (every date bucket / ship-window predicate now carries a null class),
+  a disjoint ~9% lose ``l_discount`` (revenue = price×(1−disc) must
+  treat a missing discount identically on both engines), and a further
+  30% of ``l_extendedprice`` round to the nearest 100 (rank/top-k/
+  percentile cutoffs land ON ties);
+- **customer**: one mktsegment absorbs ~60% of customers (the group-skew
+  class — per-segment aggregates get one mega-group) and ~10% lose
+  ``c_acctbal`` (null-measure class for balance stats and filters);
+- **part**: ~20% of parts take a hash-partner's ``p_name`` (real
+  duplicate names for the entity-resolution / fuzzy-match family) and
+  ~9% lose ``p_type`` (null group keys in the margin-by-type rollups).
+
+``supplier``/``nation`` still copy through unchanged: every join that
+touches them is already reshaped by the transformed tables around them.
+``embeddings`` keeps the r12 zero-norm class.
 
 Usage: ``python tools/variant_corpus.py [out_dir]`` (default
 ``/tmp/spark_graft_variant/sf0.01v``). Writes one single ``.parquet``
@@ -61,7 +75,7 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.01"
 OUT = "/tmp/spark_graft_variant/sf0.01v"
 
-COPY = ["nation", "customer", "supplier", "part", "lineitem"]
+COPY = ["nation", "supplier"]
 
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
@@ -150,6 +164,84 @@ def variant_embeddings(out_dir: str) -> None:
     _write(out_dir, "embeddings", pa.table(cols, schema=t.schema))
 
 
+def variant_lineitem(out_dir: str) -> None:
+    """r13 class: null ship dates (key-hash 20%), null discounts (~9%,
+    disjoint mod class), tie-rounded extended prices (30%). The mod
+    classes key on (l_orderkey*7 + l_linenumber) so multi-line orders
+    spread across classes instead of nulling whole orders."""
+    t = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
+    okey = t.column("l_orderkey").to_pylist()
+    lno = t.column("l_linenumber").to_pylist()
+    ship = t.column("l_shipdate").to_pylist()
+    disc = t.column("l_discount").to_pylist()
+    price = t.column("l_extendedprice").to_pylist()
+    new_ship, new_disc, new_price = [], [], []
+    for k, n, s, d, p in zip(okey, lno, ship, disc, price):
+        m = (k * 7 + n) % 10
+        new_ship.append(None if m in (0, 1) else s)
+        new_disc.append(None if (k * 7 + n) % 11 == 4 else d)
+        if m in (3, 4, 5) and p is not None:
+            new_price.append(float(round(p / 100.0) * 100.0))
+        else:
+            new_price.append(p)
+    cols = {name: t.column(name) for name in t.schema.names}
+    cols["l_shipdate"] = pa.array(new_ship, type=t.schema.field("l_shipdate").type)
+    cols["l_discount"] = pa.array(new_disc, type=t.schema.field("l_discount").type)
+    cols["l_extendedprice"] = pa.array(
+        new_price, type=t.schema.field("l_extendedprice").type
+    )
+    _write(out_dir, "lineitem", pa.table(cols, schema=t.schema))
+
+
+def variant_customer(out_dir: str) -> None:
+    """r13 class: segment skew (custkey % 5 in {0,1,2} remaps to the
+    first segment in sorted order → one ~60% mega-segment) and ~10% null
+    account balances (custkey % 10 == 7)."""
+    t = pq.read_table(os.path.join(SRC, "customer.parquet"))
+    keys = t.column("c_custkey").to_pylist()
+    seg = t.column("c_mktsegment").to_pylist()
+    bal = t.column("c_acctbal").to_pylist()
+    hot = sorted({s for s in seg if s is not None})[0]
+    new_seg = [hot if k % 5 in (0, 1, 2) else s for k, s in zip(keys, seg)]
+    new_bal = [None if k % 10 == 7 else b for k, b in zip(keys, bal)]
+    cols = {name: t.column(name) for name in t.schema.names}
+    cols["c_mktsegment"] = pa.array(new_seg, type=t.schema.field("c_mktsegment").type)
+    cols["c_acctbal"] = pa.array(new_bal, type=t.schema.field("c_acctbal").type)
+    _write(out_dir, "customer", pa.table(cols, schema=t.schema))
+
+
+def variant_part(out_dir: str) -> None:
+    """r13 class: the fixture's p_name is ALREADY duplicate-heavy (64
+    distinct names over 2000 parts), so the variant attacks the surface
+    forms the entity-resolution family depends on instead —
+    case perturbation (~14%, partkey % 7 == 2 uppercases: case-sensitive
+    LIKE/equality paths flip), short-name truncation (~8%, partkey % 13
+    == 5 keeps the first 2 chars: the substr(1,2)/substr(4)/levenshtein
+    deletion-grid boundary), a single-char trailing token (~6%, partkey
+    % 17 == 3 appends ' x': the regexp last-token blocking key changes),
+    and ~9% null p_type (partkey % 11 == 6 — null group keys in the
+    margin-by-type rollups)."""
+    t = pq.read_table(os.path.join(SRC, "part.parquet"))
+    keys = t.column("p_partkey").to_pylist()
+    name_ = t.column("p_name").to_pylist()
+    ptype = t.column("p_type").to_pylist()
+    new_name = []
+    for k, x in zip(keys, name_):
+        if x is not None:
+            if k % 7 == 2:
+                x = x.upper()
+            if k % 13 == 5:
+                x = x[:2]
+            if k % 17 == 3:
+                x = x + " x"
+        new_name.append(x)
+    new_type = [None if k % 11 == 6 else x for k, x in zip(keys, ptype)]
+    cols = {name: t.column(name) for name in t.schema.names}
+    cols["p_name"] = pa.array(new_name, type=t.schema.field("p_name").type)
+    cols["p_type"] = pa.array(new_type, type=t.schema.field("p_type").type)
+    _write(out_dir, "part", pa.table(cols, schema=t.schema))
+
+
 def main(out_dir: str = OUT) -> str:
     os.makedirs(out_dir, exist_ok=True)
     for name in COPY:
@@ -162,6 +254,9 @@ def main(out_dir: str = OUT) -> str:
     variant_events(out_dir)
     variant_documents(out_dir)
     variant_embeddings(out_dir)
+    variant_lineitem(out_dir)
+    variant_customer(out_dir)
+    variant_part(out_dir)
     for name in sorted(os.listdir(out_dir)):
         print(f"{out_dir}/{name}: {os.path.getsize(os.path.join(out_dir, name))} bytes")
     return out_dir
