@@ -96,6 +96,39 @@ def pin(df: DataFrame) -> DataFrame:
     out._graft_pinned = True
     return out
 
+
+def release_pins(spark) -> int:
+    """Unpersist EVERY persistent RDD in the session — the deterministic
+    reclaimer for pinned blocks in long-lived sessions (returns the
+    number released).
+
+    Why it exists (r12 verdict task 3): ``pin``'s default strategy is
+    ``localCheckpoint``, whose blocks are freed only when the Python
+    wrapper is garbage-collected AND the async ContextCleaner drains its
+    reference queue. In a one-query session that is invisible; in a
+    390-query single-process sweep (~45k stages) the cleaner lags the
+    allocation rate and the default 1g heap eventually fails a
+    localCheckpoint on the LAST queries (observed r12:
+    ``graph_label_propagation`` red in the monolithic sweep, green
+    solo). Calling this between queries makes reclamation synchronous
+    with the sweep's own cadence instead of the GC's.
+
+    Safety: only call it when no live DataFrame still depends on a
+    pinned frame — a localCheckpointed frame has NO lineage, so its
+    blocks are unrecoverable once dropped (a ``persist``-strategy pin
+    would merely recompute). Between fully-consumed registry queries
+    that holds by construction. ``getPersistentRDDs`` returns an
+    immutable snapshot, so unpersisting while iterating is safe.
+    """
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    n = 0
+    it = jmap.iterator()
+    while it.hasNext():
+        it.next()._2().unpersist(False)
+        n += 1
+    return n
+
+
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     """Raise compute parallelism before a CPU-dense narrow stage (span
     shingling, per-row hashing, interpreted higher-order functions) when —

@@ -28,6 +28,7 @@ from . import wave9  # noqa: F401  (round-9 additions; after wave8)
 from . import wave10  # noqa: F401  (round-10 additions; after wave9)
 from . import wave11  # noqa: F401  (round-11 additions; after wave10)
 from . import wave12  # noqa: F401  (round-12 additions; after wave11)
+from . import wave13  # noqa: F401  (round-13 additions; after wave12)
 from .registry import REGISTRY, register
 
 # ---------------------------------------------------------------------------
@@ -211,61 +212,78 @@ from .registry import REGISTRY, register
 # the real funnel; those ride operators/scale.grouped_rank /
 # grouped_running_sum (added r08; corpus_pipeline_v2_digest uses both).
 # ---------------------------------------------------------------------------
+# ROUND-13 WINDOW (this round): per the r12 verdict task 2 — execute the
+# pre-written r13 rotation plan. Entries 1-2 are the round-13 additions
+# (plans/wave13.py): src_join_state_digest (stream-stream join buffer
+# gate — offline read of both sides via joinSide, digested against the
+# µs-probe-pinned eviction contract: clicks kept iff click_ts > W, views
+# kept iff view_ts > W − window − 1 ms, W = min-of-sides ms-floored max
+# − delay) and src_tws_state_digest (transformWithState MapState gate —
+# hermetic-subprocess drain because the vendored protobuf shim must
+# precede the JVM launch, offline stateVarName read + digest on the
+# gate's own session). Entries 3-39 are the FULL 37-query r05-last
+# cohort in freshness order (docs_winnowing_pairs .. 
+# stat_spearman_chars_value — 10 of the 37 were independently
+# re-verified green by the r12 judge). Entries 40-50 are the 11 oldest
+# r06-last rows in registry order (trend_wow_revenue_growth ..
+# ev_ab_srm_check). After r13 no standing row for a live query is older
+# than r06.
+#
 _GATE_WINDOW = [
-    # r12 addition (plans/wave12.py): the S9 streaming-state reader gate
-    "src_state_reader_digest",
-    # FULL r04-last cohort (36, freshness order: the two rows the r11
-    # note explicitly deferred first, then the r04 wave in registry order)
-    "text_unigram_logprob",
-    "emb_l2_norm_stats",
-    "docs_dsir_weights",
-    "docs_zipf_fit",
-    "emb_covariance_top_pairs",
-    "docs_heaps_law_fit",
-    "emb_pca_project",
-    "emb_pq_encode_stats",
-    "docs_duplicate_ngram_spans",
-    "docs_ngram_containment",
-    "docs_token_rarity",
-    "dedup_semdedup_prune",
-    "docs_pmi_collocations",
-    "docs_bpe_train_merges",
-    "sim_kmeans_lloyd1",
-    "graph_pagerank_3iter",
-    "graph_copurchase_triangles",
-    "orders_returned_semi",
-    "cust_big_basket_orders",
-    "cust_idle_rich_anti",
-    "part_supplier_diversity",
-    "supplier_top_quarter_revenue",
-    "set_ops_all_part_multisets",
-    "src_jsonl_roundtrip_digest",
-    "src_orc_roundtrip_digest",
-    "wh_snapshot_delta_orders",
-    "wh_merge_upsert_orders",
-    "star_one_big_table",
-    "stat_corr_discount_qty",
-    "stat_ols_price_vs_qty",
-    "stat_mad_outlier_counts",
-    "stat_daily_zscore_anomaly",
-    "stat_markov_transitions",
-    "stat_equidepth_hist_totalprice",
-    "stat_countmin_heavy_hitters",
-    "stat_chi2_priority_status",
-    # oldest 13 r05-last rows, registry order
-    "text_langid_confusion",
-    "dedup_method_agreement",
-    "dedup_quality_keeper",
-    "mm_audio_rms_windows",
-    "ev_salted_enrich_rollup",
-    "ev_rfm_segments",
-    "ev_time_to_convert_hist",
-    "dedup_simhash_pairs",
-    "dedup_token_savings",
-    "docs_pipeline_e2e_digest",
-    "emb_label_centroid_sim",
-    "docs_span_contamination",
-    "docs_bpe_apply_stats",
+    # r13 additions (plans/wave13.py): the two remaining state-format
+    # gates — stream-stream join buffers + transformWithState MapState
+    "src_join_state_digest",
+    "src_tws_state_digest",
+    # FULL r05-last cohort (37, freshness order per tools/gate_rotation.py)
+    "docs_winnowing_pairs",
+    "graph_kcore_peel",
+    "sim_kmeans_trajectory",
+    "part_small_qty_revenue",
+    "li_nation_trade_volume",
+    "cust_order_count_histogram",
+    "li_promo_revenue_share",
+    "li_or_predicate_revenue",
+    "sim_ann_candidate_digest",
+    "sim_ann_recall_digest",
+    "sim_ivf_cell_digest",
+    "agg_sketch_param_digest",
+    "sim_knn_label_accuracy",
+    "src_bucketed_join_digest",
+    "src_partitioned_prune_digest",
+    "src_compaction_digest",
+    "wh_incremental_rollup",
+    "ev_hierarchical_rollup",
+    "stat_kmv_distinct_custkeys",
+    "stat_bloom_customer_probe",
+    "dq_k_anonymity_customer",
+    "stat_ks_price_by_status",
+    "stat_welch_t_price_by_status",
+    "supplier_nation_herfindahl",
+    "stat_gini_user_activity",
+    "stat_autocorr_daily_revenue",
+    "dq_benford_first_digit",
+    "li_return_rate_wilson",
+    "stat_cusum_daily_revenue",
+    "li_basket_type_lift",
+    "stat_runs_test_daily_revenue",
+    "wh_orders_checksum",
+    "ev_error_rate_pchart",
+    "stat_mannwhitney_price_by_status",
+    "ev_churn_hazard_table",
+    "trend_locf_daily_price",
+    "stat_spearman_chars_value",
+    # oldest 11 r06-last rows, registry order
+    "trend_wow_revenue_growth",
+    "supplier_revenue_rank_profile",
+    "trend_seasonal_index_monthly",
+    "ev_ab_test_conversion",
+    "ev_funnel_time_window",
+    "text_token_fertility_by_lang",
+    "ev_inter_event_gap_hist",
+    "ev_stickiness_dau_mau",
+    "wh_scd2_asof_resolve",
+    "trend_backtest_ma3_mae",
+    "ev_ab_srm_check",
 ]
 
 

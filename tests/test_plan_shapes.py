@@ -535,6 +535,8 @@ _BNLJ_BOUNDED_OK = {
     # then the 1-row emitted digest crossed onto the 1-row state digest
     "src_state_reader_digest",
     "ev_replay_dedup_digest",  # 1-row delivered-count scalar crossed
+    # round-13: three 1-row buffer/emitted digest scalars crossed
+    "src_join_state_digest",
     # the constant d=4 hash-row frame replicated onto the update stream
     # (bounded 4x fan-out), plus the bounded top-10 probe side
     "stat_cms_part_heavyhitters",

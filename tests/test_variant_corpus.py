@@ -84,6 +84,66 @@ def test_variant_injects_documented_distribution_classes(tmp_path):
         (v is not None and any(v)) for i, v in zip(vids, vecs) if i % 97 != 5
     )  # and only where documented
 
+    # r13 classes: lineitem null dates / null discounts / tie prices
+    li = pq.read_table(os.path.join(out, "lineitem.parquet"))
+    src_li = pq.read_table(os.path.join(variant_corpus.SRC, "lineitem.parquet"))
+    assert li.schema == src_li.schema
+    okey = li.column("l_orderkey").to_pylist()
+    lno = li.column("l_linenumber").to_pylist()
+    ship = li.column("l_shipdate").to_pylist()
+    disc = li.column("l_discount").to_pylist()
+    lprice = li.column("l_extendedprice").to_pylist()
+    for k, n, s, d, p in zip(okey, lno, ship, disc, lprice):
+        m = (k * 7 + n) % 10
+        assert (s is None) == (m in (0, 1))  # null ship dates
+        assert (d is None) == ((k * 7 + n) % 11 == 4)  # null discounts
+        if m in (3, 4, 5):
+            assert p is not None and p == round(p / 100.0) * 100.0  # ties
+
+    # r13 classes: customer segment skew + null balances
+    cust = pq.read_table(os.path.join(out, "customer.parquet"))
+    src_cust = pq.read_table(os.path.join(variant_corpus.SRC, "customer.parquet"))
+    assert cust.schema == src_cust.schema
+    ckeys = cust.column("c_custkey").to_pylist()
+    seg = cust.column("c_mktsegment").to_pylist()
+    bal = cust.column("c_acctbal").to_pylist()
+    src_seg = src_cust.column("c_mktsegment").to_pylist()
+    hot = sorted({s for s in src_seg if s is not None})[0]
+    for k, s, b, s0 in zip(ckeys, seg, bal, src_seg):
+        assert s == (hot if k % 5 in (0, 1, 2) else s0)  # mega-segment
+        assert (b is None) == (k % 10 == 7)  # null balances
+    assert sum(1 for s in seg if s == hot) * 2 > len(seg)  # it dominates
+
+    # r13 classes: part surface-form perturbations + null p_type
+    prt = pq.read_table(os.path.join(out, "part.parquet"))
+    src_prt = pq.read_table(os.path.join(variant_corpus.SRC, "part.parquet"))
+    assert prt.schema == src_prt.schema
+    pkeys = prt.column("p_partkey").to_pylist()
+    names = prt.column("p_name").to_pylist()
+    ptypes = prt.column("p_type").to_pylist()
+    src_names = src_prt.column("p_name").to_pylist()
+    for k, x, t, x0 in zip(pkeys, names, ptypes, src_names):
+        expect = x0
+        if expect is not None:
+            if k % 7 == 2:
+                expect = expect.upper()
+            if k % 13 == 5:
+                expect = expect[:2]
+            if k % 17 == 3:
+                expect = expect + " x"
+        assert x == expect  # exactly the documented surface pipeline
+        assert (t is None) == (k % 11 == 6)  # null group keys
+    assert any(k % 7 == 2 for k in pkeys)
+    assert any(k % 13 == 5 for k in pkeys)
+    assert any(k % 17 == 3 for k in pkeys)
+
+    # supplier/nation still copy through byte-identical
+    for name in variant_corpus.COPY:
+        with open(os.path.join(out, f"{name}.parquet"), "rb") as fa, open(
+            os.path.join(variant_corpus.SRC, f"{name}.parquet"), "rb"
+        ) as fb:
+            assert fa.read() == fb.read()
+
 
 def test_variant_generation_is_byte_deterministic(tmp_path):
     a = _gen(tmp_path / "a")

@@ -6,14 +6,18 @@ posture: ANSI on, 200 shuffle partitions, 1g heap) at the given SF and
 reports failures — the strongest pre-driver EXECUTION check (the parity
 sweep checks values at sf0.01; this checks the plans run at volume).
 
-Why chunked: a single process accumulates ~45k stages across 390
-queries and the default 1g heap eventually fails a localCheckpoint with
-GC pressure on the LAST queries (observed r12: `graph_label_propagation`
-red in the monolithic sweep, green solo). Process-lifetime pressure is a
-sweep artifact, not a plan property — so the sweep isolates it away:
-chunks of ``--chunk`` queries (default 60) each get a fresh interpreter
-and JVM, and a failure is only reported if it reproduces in its chunk
-(where at most chunk-1 queries preceded it).
+Why chunking exists: a single process accumulates ~45k stages across
+390 queries and pinned localCheckpoint blocks are freed only by the
+ASYNC ContextCleaner, which lags the allocation rate — under the
+default 1g heap the r12 monolithic sweep failed a localCheckpoint on
+the LAST queries (`graph_label_propagation` red monolithic, green
+solo). Round 13 fixed the accumulation at the source: the child now
+calls ``operators.scale.release_pins`` after each fully-consumed query,
+making block reclamation synchronous with the sweep cadence — the
+monolithic form (``--chunk 390``) passes at sf0.1 under the default
+heap (r12 verdict task 3). Chunking remains available as isolation for
+DIAGNOSING a tail failure (a failure is real only if it reproduces in
+its own chunk).
 
 Usage: ``python tools/run_count_sweep.py [--sf DIR] [--chunk N]``
 Prints one line per chunk and a final verdict; exit 1 on any failure.
@@ -36,6 +40,7 @@ from pyspark.sql import SparkSession
 spark = SparkSession.builder.master("local[8]").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
+from bigdata_etl_elt_dashboard_spark.operators.scale import release_pins
 sf = sys.argv[1]
 names = sys.argv[2:]
 qs = e.queries()
@@ -45,6 +50,8 @@ for name in names:
         qs[name](spark, sf).count()
     except Exception as ex:  # noqa: BLE001
         fails.append([name, f"{type(ex).__name__}: {str(ex)[:200]}"])
+    finally:
+        release_pins(spark)  # synchronous pinned-block reclamation
 print("CHUNK_RESULT " + json.dumps(fails))
 """
 
