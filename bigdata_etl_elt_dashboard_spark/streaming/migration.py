@@ -167,3 +167,33 @@ def reseed_click_view_source(
     n_clicks = landed.filter(F.col("event_type") == "click").count()
     n_views = landed.filter(F.col("event_type") == "view").count()
     return n_clicks, n_views
+
+
+def migrate_session_state_v1_to_v2(
+    spark: SparkSession, old_checkpoint: str, default_sum: float = 0.0
+) -> DataFrame:
+    """Schema-EVOLVED checkpoint migration, read side (r12 verdict task
+    6): lift a v1 sessionizer checkpoint (state ``sess`` = start_ms /
+    last_ms / n — streaming/stateful.session_close_on_timer) into the
+    v2 state shape that gained ``sum_v``.
+
+    Offline read → transform → the ``initial_state`` frame
+    ``session_close_on_timer_v2`` seeds from. The new column is
+    backfilled with a DEFINED default (0.0 — "nothing summed before the
+    cutover"): v1 never tracked it, so any backfill is a declared
+    convention, not recovered data. Consequence: for a session that
+    STRADDLES the cutover, the migrated run's ``sum_v`` covers only
+    post-cutover events, while every SHARED column (user_id, start_ms,
+    end_ms, n_events, closed_by) converges bit-equal to a continuous v2
+    run — proven by tests/test_schema_evolution_migration.py. Callers
+    who can still read the historical lake may instead batch-compute the
+    true per-open-session sums and overwrite ``sum_v`` before seeding
+    (the backfill-then-stream recipe of running_type_counts_with_backfill).
+    """
+    v1 = state_rows(spark, old_checkpoint, state_var_name="sess").select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.start_ms").alias("start_ms"),
+        F.col("value.last_ms").alias("last_ms"),
+        F.col("value.n").alias("n"),
+    )
+    return v1.withColumn("sum_v", F.lit(float(default_sum)).cast("double"))

@@ -409,6 +409,144 @@ def session_close_on_timer(
     )
 
 
+SESSION_TIMER_V2_SCHEMA = (
+    "user_id long, start_ms long, end_ms long, n_events long, "
+    "sum_v double, closed_by string"
+)
+
+
+def session_close_on_timer_v2(
+    events_stream: DataFrame,
+    gap_ms: int = 600_000,
+    delay: str | None = "0 seconds",
+    initial_state: DataFrame | None = None,
+) -> DataFrame:
+    """The sessionizer AFTER a state-schema evolution: state gained a
+    field (``sum_v`` — the session's summed event value), the upgrade
+    production state stores hit first (r12 verdict task 6).
+
+    Identical gap/timer semantics to ``session_close_on_timer`` (v1) —
+    same interval-merge walk, same watermark drop rule, same stale-timer
+    guard — with the value accumulator threaded through every path. Kept
+    as a SEPARATE processor on purpose: v1 is the frozen migration
+    SOURCE (its checkpoints exist in the field); sharing code would let
+    a v2 edit silently change what v1 checkpoints replay into.
+
+    ``initial_state``: a batch frame of (user_id, start_ms, last_ms, n,
+    sum_v) — one row per user's OPEN v1 session, produced by
+    ``streaming/migration.migrate_session_state_v1_to_v2`` (offline v1
+    state read + the new column backfilled with a DEFINED default).
+    ``handleInitialState`` loads it AND re-registers the close timer at
+    ``last_ms + gap`` — without that, a migrated user who never sends
+    another event would hold an open session forever (v1's registered
+    timer lives in the OLD checkpoint and does not migrate)."""
+
+    def build(gap: int):
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class SessionCloseV2(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._handle = handle
+                self._sess = handle.getValueState(
+                    "sess", "start_ms long, last_ms long, n long, sum_v double"
+                )
+
+            def _row(self, key, start, last, n, sv, how):
+                return pd.DataFrame(
+                    {
+                        "user_id": pd.Series([key[0]], dtype="int64"),
+                        "start_ms": pd.Series([start], dtype="int64"),
+                        "end_ms": pd.Series([last], dtype="int64"),
+                        "n_events": pd.Series([n], dtype="int64"),
+                        "sum_v": pd.Series([sv], dtype="float64"),
+                        "closed_by": [how],
+                    }
+                )
+
+            def handleInitialState(
+                self, key: tuple, initialState: pd.DataFrame, timerValues: Any
+            ) -> None:
+                start = int(initialState["start_ms"].iloc[0])
+                last = int(initialState["last_ms"].iloc[0])
+                n = int(initialState["n"].iloc[0])
+                sv = float(initialState["sum_v"].iloc[0])
+                self._sess.update((start, last, n, sv))
+                self._handle.registerTimer(last + gap)
+
+            def handleInputRows(
+                self, key: tuple, rows: Iterator[pd.DataFrame], timerValues: Any
+            ) -> Iterator[pd.DataFrame]:
+                chunks = [pdf for pdf in rows]
+                batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+                order_cols = (
+                    ["ts", "event_id"] if "event_id" in batch.columns else ["ts"]
+                )
+                ordered = batch.sort_values(order_cols)
+                ts_ms = (ordered["ts"].astype("int64") // 1_000_000).tolist()
+                vals = ordered["value"].fillna(0.0).astype("float64").tolist()
+                wm = timerValues.getCurrentWatermarkInMs()
+                if wm > 0:  # same late-drop contract as v1 (see its doc)
+                    pairs = [(t, v) for t, v in zip(ts_ms, vals) if t >= wm]
+                    if not pairs:
+                        return
+                    ts_ms = [t for t, _ in pairs]
+                    vals = [v for _, v in pairs]
+                prev = self._sess.get()
+                items = [(t, t, 1, v) for t, v in zip(ts_ms, vals)]
+                if prev:
+                    items.append(tuple(prev))
+                    self._handle.deleteTimer(prev[1] + gap)
+                    items.sort()
+                cur_s, cur_e, cur_n, cur_v = items[0]
+                for s, e, c, v in items[1:]:
+                    if s - cur_e < gap:
+                        cur_s = min(cur_s, s)
+                        cur_e = max(cur_e, e)
+                        cur_n += c
+                        cur_v += v
+                    else:
+                        yield self._row(key, cur_s, cur_e, cur_n, cur_v, "gap")
+                        cur_s, cur_e, cur_n, cur_v = s, e, c, v
+                self._sess.update((cur_s, cur_e, cur_n, cur_v))
+                self._handle.registerTimer(cur_e + gap)
+
+            def handleExpiredTimer(
+                self, key: tuple, timerValues: Any, expiredTimerInfo: Any
+            ) -> Iterator[pd.DataFrame]:
+                prev = self._sess.get()
+                if not prev:
+                    return
+                start, last, n, sv = prev
+                if expiredTimerInfo.getExpiryTimeInMs() < last + gap:
+                    return
+                yield self._row(key, start, last, n, sv, "timer")
+                self._sess.clear()
+
+            def close(self) -> None:
+                pass
+
+        return SessionCloseV2()
+
+    marked = (
+        events_stream.withWatermark("ts", delay)
+        if delay is not None
+        else events_stream
+    )
+    kwargs = {}
+    if initial_state is not None:
+        kwargs["initialState"] = initial_state.groupBy("user_id")
+    return marked.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=build(gap_ms),
+        outputStructType=SESSION_TIMER_V2_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+        **kwargs,
+    )
+
+
 TTL_COUNTS_SCHEMA = "user_id long, event_type string, n long"
 
 
