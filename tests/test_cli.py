@@ -46,3 +46,29 @@ def test_cli_pipeline(spark, tmp_path):
     assert "warehouse written" in text and "stage=transform" in text
     fact = spark.read.parquet(f"{out}/fact_sales")
     assert fact.count() == 11  # same invariant as test_pipeline_end_to_end
+
+
+def test_gate_rotation_plan_emitter():
+    """tools/gate_rotation.py --plan (r12 verdict task 8): the emitted
+    next-round window must be paste-ready and honor the standing
+    freshness policy — 50 oracle-backed names, never-gated first, then
+    strictly non-decreasing last-gated rounds, no rows-only queries."""
+    import re
+    import subprocess
+    import sys as _sys
+
+    from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+
+    p = subprocess.run(
+        [_sys.executable, "tools/gate_rotation.py", "--plan"],
+        capture_output=True, text=True,
+        cwd=__file__.rsplit("/tests/", 1)[0],
+    )
+    assert p.returncode == 0, p.stderr[-500:]
+    names = re.findall(r'^    "([a-z0-9_]+)",', p.stdout, re.M)
+    rounds = re.findall(r'#\s+(never gated|r(\d+)-last)$', p.stdout, re.M)
+    assert len(names) == 50 and len(rounds) == 50
+    assert all(REGISTRY[n].oracle is not None for n in names)
+    order = [-1 if tag.startswith("never") else int(num) for tag, num in rounds]
+    assert order == sorted(order)  # freshness order, never-gated first
+    assert "_GATE_WINDOW = [" in p.stdout  # paste-ready literal

@@ -54,7 +54,61 @@ def _history() -> dict[str, int]:
     return last
 
 
+def emit_plan(window: int = 50) -> None:
+    """Write the NEXT round's rotation plan from the current ledger (r12
+    verdict task 8 — the last manual rotation step, automated).
+
+    Output: a paste-ready comment block + ``_GATE_WINDOW`` list literal.
+    Policy (the standing freshness program): the next round's own
+    additions gate FIRST (they don't exist at plan time — the block says
+    so and the builder trims the tail to keep the window at ``window``),
+    then oldest-evidence cohorts in freshness order, registry order
+    within a cohort, rows-only queries excluded (a gated row without an
+    oracle is only a weak rows-only check; their geometry rides the
+    digest twins)."""
+    last = _history()
+    next_round = max(last.values(), default=0) + 1
+    cohorts: dict[int, list[str]] = defaultdict(list)
+    never: list[str] = []
+    for q in REGISTRY:
+        if REGISTRY[q].oracle is None:
+            continue
+        rnd = last.get(q)
+        (never if rnd is None else cohorts[rnd]).append(q)
+    ordered = never + [q for rnd in sorted(cohorts) for q in cohorts[rnd]]
+    plan = ordered[:window]
+    taken: dict[int | None, int] = defaultdict(int)
+    for q in plan:
+        taken[last.get(q)] += 1
+    oldest_after = min(
+        (rnd for rnd in cohorts if taken.get(rnd, 0) < len(cohorts[rnd])),
+        default=None,
+    )
+    print(f"# ROUND-{next_round} ROTATION PLAN (emitted by tools/gate_rotation.py"
+          f" --plan from the post-r{next_round - 1} ledger): gate any"
+          f" round-{next_round} additions first,")
+    print(f"# then the {len(plan)} oldest-evidence oracle-backed rows below"
+          f" (freshness order; trim the")
+    print(f"# tail to keep the window at {window} once the additions are known)."
+          f" After r{next_round}")
+    if oldest_after is not None:
+        print(f"# no standing row for a live query should be older than"
+              f" r{oldest_after:02d}.")
+    print("_GATE_WINDOW = [")
+    print(f"    # round-{next_round} additions first (trim the tail below to fit)")
+    for q in plan:
+        print(f'    "{q}",  # r{last[q]:02d}-last' if q in last
+              else f'    "{q}",  # never gated')
+    print("]")
+
+
 def main() -> None:
+    if "--plan" in sys.argv:
+        idx = sys.argv.index("--plan")
+        n = (int(sys.argv[idx + 1])
+             if len(sys.argv) > idx + 1 and sys.argv[idx + 1].isdigit() else 50)
+        emit_plan(n)
+        return
     if "--freshness" in sys.argv:
         last = _history()
         cohorts: dict[int | None, list[str]] = defaultdict(list)
