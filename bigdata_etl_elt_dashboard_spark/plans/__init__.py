@@ -212,6 +212,16 @@ from .registry import REGISTRY, register
 # the real funnel; those ride operators/scale.grouped_rank /
 # grouped_running_sum (added r08; corpus_pipeline_v2_digest uses both).
 # ---------------------------------------------------------------------------
+# ROUND-14 ROTATION PLAN: now AUTOMATED — run `python tools/gate_rotation.py
+# --plan` at round start (once CORRECTNESS_r13.json exists) and paste its
+# output; the emitter reproduces the freshness policy exactly (validated
+# by regenerating THIS round's executed window from the r12 ledger —
+# tests/test_cli.py::test_gate_rotation_plan_emitter pins the policy).
+# Expected shape from the current ledger: round-14 additions first, then
+# the 39 remaining r06-last rows, then the oldest r07-last rows to fill
+# 50. After r14 no standing row for a live query should be older than
+# r07.
+#
 # ROUND-13 WINDOW (this round): per the r12 verdict task 2 — execute the
 # pre-written r13 rotation plan. Entries 1-2 are the round-13 additions
 # (plans/wave13.py): src_join_state_digest (stream-stream join buffer
