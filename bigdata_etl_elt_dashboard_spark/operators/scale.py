@@ -71,7 +71,7 @@ def pin(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     strategy = (spark.conf.get(PIN_STRATEGY_CONF, "local") or "local").lower()
     if strategy == "local":
-        out = df.localCheckpoint(eager=True)
+        out = _local_checkpoint_with_retry(spark, df)
     elif strategy == "reliable":
         sc = spark.sparkContext
         if sc.getCheckpointDir() is None:
@@ -95,6 +95,33 @@ def pin(df: DataFrame) -> DataFrame:
     # marker for callers that conditionally re-pin (operators/graph.py)
     out._graft_pinned = True
     return out
+
+
+def _local_checkpoint_with_retry(spark, df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` with ONE gc-then-retry on transient
+    allocation failure.
+
+    Measured failure mode (r13, local[8], default 1 g heap, ~250 queries
+    into a monolithic sweep): the checkpoint's 8 MB block writes race JNI
+    critical sections (Arrow/parquet readers hold the GCLocker) and the
+    JVM gives up with "Retried waiting for GCLocker too often" — a
+    TIMING failure, not true heap exhaustion: the identical query
+    sequence had passed earlier the same day, and queries after the
+    failed one succeeded. One explicit System.gc() + second attempt
+    clears it; a second failure is re-raised as real pressure. This is
+    long-lived-session hygiene, the same class release_pins addresses —
+    deterministic cleanup where the JVM's own timing is the only thing
+    that failed."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception as ex:  # noqa: BLE001 — py4j wraps the JVM error
+        if "localCheckpoint" not in str(ex) and "GCLocker" not in str(ex):
+            raise
+        spark.sparkContext._jvm.System.gc()
+        import time
+
+        time.sleep(1.0)  # let finalizers release native buffers
+        return df.localCheckpoint(eager=True)
 
 
 def release_pins(spark) -> int:
