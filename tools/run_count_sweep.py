@@ -11,13 +11,21 @@ Why chunking exists: a single process accumulates ~45k stages across
 ASYNC ContextCleaner, which lags the allocation rate — under the
 default 1g heap the r12 monolithic sweep failed a localCheckpoint on
 the LAST queries (`graph_label_propagation` red monolithic, green
-solo). Round 13 fixed the accumulation at the source: the child now
-calls ``operators.scale.release_pins`` after each fully-consumed query,
-making block reclamation synchronous with the sweep cadence — the
-monolithic form (``--chunk 390``) passes at sf0.1 under the default
-heap (r12 verdict task 3). Chunking remains available as isolation for
-DIAGNOSING a tail failure (a failure is real only if it reproduces in
-its own chunk).
+solo). Round 13 fixed the accumulation at the source — TWO leaks, both
+long-lived-driver hygiene rather than plan properties:
+1. pinned localCheckpoint blocks freed only by the async ContextCleaner
+   -> the child calls ``operators.scale.release_pins`` after each
+   fully-consumed query (synchronous reclamation);
+2. the SQL UI store's default 1000 retained executions x giant plan
+   graphs exhaust the 1g heap through the LISTENER (measured: the
+   monolithic child died at query ~244 with block reclamation healthy)
+   -> the child caps ``spark.sql.ui.retainedExecutions`` and disables
+   the UI, exactly as a production long-lived driver does. ANSI, 200
+   shuffle partitions, and the 1g heap remain harness defaults.
+With both, the monolithic form (``--chunk 392``) passes at sf0.1 under
+the default heap (r12 verdict task 3). Chunking remains available as
+isolation for DIAGNOSING a tail failure (a failure is real only if it
+reproduces in its own chunk).
 
 Usage: ``python tools/run_count_sweep.py [--sf DIR] [--chunk N]``
 Prints one line per chunk and a final verdict; exit 1 on any failure.
@@ -37,7 +45,18 @@ sys.path.insert(0, _ROOT)
 _CHILD = r"""
 import json, sys
 from pyspark.sql import SparkSession
-spark = SparkSession.builder.master("local[8]").getOrCreate()
+# Long-lived-driver hygiene, NOT plan tuning (ANSI / 200 shuffle
+# partitions / 1g heap stay at harness defaults): the SQL UI store
+# retains 1000 executions' full plan graphs by default, and ~400
+# registered queries' worth of giant plans (iterative unrolls, composed
+# digests) exhaust the 1g heap through the LISTENER, not the executors —
+# measured r13: the monolithic child died at query ~244 with healthy
+# release_pins block reclamation. Production drivers cap this the same
+# way (spark.sql.ui.retainedExecutions).
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.ui.retainedExecutions", "50")
+         .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
 from bigdata_etl_elt_dashboard_spark.operators.scale import release_pins
