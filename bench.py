@@ -237,7 +237,19 @@ def main() -> None:
     # shuffle is KB-scale, so scheduling dominates — AQE would coalesce to
     # ~this anyway, but starting low removes the coalescing round-trips.
     # (Cluster posture stays in session.py: ~2-3x total cores + AQE.)
-    spark = get_spark(app_name="bench", shuffle_partitions=8)
+    # UI off for the measured session (r13): the SQL UI listener builds a
+    # plan graph and updates its store on every execution. On this 8 g
+    # session the warm numbers are unchanged (measured — the store churn
+    # is async and off the collect path), but on a default 1 g session
+    # the retained store is a real heap leak and GC drag (the r13
+    # monolithic-sweep diagnosis), so the bench session declares the
+    # no-observability posture it actually wants rather than inheriting
+    # a default. Cluster observability posture stays in session.py.
+    spark = get_spark(
+        app_name="bench",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
 
     # Session-level warmup, charged to no query: JVM JIT, the first
     # whole-stage-codegen compile, and the one-time parquet footer/listing
