@@ -47,20 +47,24 @@ the r12 corpus copied through unchanged:
 - **customer**: one mktsegment absorbs ~60% of customers (the group-skew
   class — per-segment aggregates get one mega-group) and ~10% lose
   ``c_acctbal`` (null-measure class for balance stats and filters);
-- **part**: ~20% of parts take a hash-partner's ``p_name`` (real
-  duplicate names for the entity-resolution / fuzzy-match family) and
-  ~9% lose ``p_type`` (null group keys in the margin-by-type rollups).
+- **part**: surface-form perturbations for the entity-resolution /
+  fuzzy-match family (~14% names uppercased, ~8% truncated to 2 chars,
+  ~6% gain a 1-char trailing token — the fixture's names are already
+  64-distinct over 2000 rows, so a duplicate-name class would be
+  vacuous) and ~9% lose ``p_type`` (null group keys in the
+  margin-by-type rollups).
 
 ``supplier``/``nation`` still copy through unchanged: every join that
 touches them is already reshaped by the transformed tables around them.
 ``embeddings`` keeps the r12 zero-norm class.
 
-Usage: ``python tools/variant_corpus.py [out_dir]`` (default
-``/tmp/spark_graft_variant/sf0.01v``). Writes one single ``.parquet``
-file per table (the layout ``tests/oracle_harness.duck_connection``
-registers) preserving each source schema bit-for-bit — ``events.ts``
-stays TIMESTAMP(NANOS), so ``sources/catalog.table``'s nanos flip is
-exercised on the variant too.
+Usage: ``python tools/variant_corpus.py [out_dir] [src_dir]`` (defaults
+``/tmp/spark_graft_variant/sf0.01v`` and ``/root/testdata/sf0.01``; r13
+adds the src_dir knob so the same transforms generate an sf0.1 variant
+for full-volume EXECUTION sweeps — parity stays at sf0.01 where the
+DuckDB oracle is cheap). Writes one single ``.parquet`` file per table
+(the layout ``tests/oracle_harness.duck_connection`` registers)
+preserving each source schema bit-for-bit.
 """
 
 from __future__ import annotations
@@ -74,6 +78,11 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.01"
 OUT = "/tmp/spark_graft_variant/sf0.01v"
+
+
+def _set_src(src: str) -> None:
+    global SRC
+    SRC = src
 
 COPY = ["nation", "supplier"]
 
@@ -263,4 +272,6 @@ def main(out_dir: str = OUT) -> str:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 2:
+        _set_src(sys.argv[2])
     main(sys.argv[1] if len(sys.argv) > 1 else OUT)
