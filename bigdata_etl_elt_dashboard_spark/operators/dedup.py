@@ -60,6 +60,15 @@ def _doc_shingles(docs: DataFrame, text_col: str, n: int) -> DataFrame:
     )
 
 
+#: Default pre-verify bucket cap for the COMPOSED dedup pipelines
+#: (dedup_verified_keepers, corpus_pipeline_v2_digest). Chosen ABOVE every
+#: gate corpus's max bucket multiplicity — measured max m: sf0.01 = 3,
+#: sf0.1 = 9, variant sf0.01v = 10 — so on oracle-compared corpora the
+#: capped pair set is bit-identical to the uncapped one (every bucket
+#: emits its full clique), while a replicated capstone corpus (64×/128×:
+#: m = 64·base … 128·base) crosses it and pays O(m) instead of O(m²).
+DEFAULT_BUCKET_CAP = 16
+
 #: universal-hash family over one md5 base hash: h_i = (a_i·h + b_i) mod P.
 #: P is a Mersenne prime < 2^31 so a_i·(h mod P) + b_i < 2^62 — no overflow
 #: under ANSI mode in either engine. a_i/b_i from a fixed LCG seed so the
@@ -119,6 +128,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     *,
     signatures_df: DataFrame | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate pairs.
 
@@ -129,7 +139,34 @@ def lsh_candidate_pairs(
 
     ``signatures_df`` (doc_id, h0..h{k-1}) short-circuits the signature
     build for callers that share it across frames (see
-    minhash_signatures.shingles_df)."""
+    minhash_signatures.shingles_df).
+
+    ``bucket_cap`` (r13 verdict task 1 — the pre-verify multiplicity
+    cap): with cap M, a bucket of m docs emits the FULL CLIQUE over its
+    M first members plus ONE edge per remaining member (star to its
+    exact-dup group's first member; one boundary link per adjacent
+    group), all in (sig_key, doc_id) order (exact-dup groups
+    contiguous) — min(m,M)·(min(m,M)−1)/2 + max(0, m−M) pairs, LINEAR
+    in m past the cap instead of m(m−1)/2. This bounds the quadratic
+    verify term on duplicate-saturated corpora (the 128× capstone's
+    127/128-dup regime) while preserving exactly what keeper election
+    needs:
+
+    - buckets with m ≤ M emit exactly the uncapped pair set (identity);
+    - past the cap, every bucket member stays CONNECTED to the bucket:
+      star edges are exact-dup pairs (identical text ⇒ identical full
+      signature ⇒ same sig_key; Jaccard 1 ≥ any threshold) that ALWAYS
+      survive verification, so an exact-dup group can never strand;
+      boundary edges between adjacent sig-groups survive verification
+      exactly when the groups' contents are true near-dups. Whenever
+      the capped verified component stays connected, min-label CC
+      elects the IDENTICAL keeper as the uncapped pipeline (the
+      transitive-closure argument: CC labels depend only on
+      connectivity, not edge multiplicity). The recall trade — two
+      similar sig-groups stranded in the tail of a mixed mega-bucket
+      whose boundary path fails verification — is bounded to
+      band-collision buckets of >M mutually dissimilar docs, which the
+      uncapped verifier rejects pairwise anyway."""
     rows_per_band = num_hashes // bands
     sigs = (
         signatures_df
@@ -151,6 +188,25 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
+    if bucket_cap is not None:
+        # sig_key groups EXACT duplicates (identical text ⇒ identical full
+        # signature) contiguously in each bucket's chain order, so a dup
+        # group's chain edges are all true dup pairs (Jaccard 1) and the
+        # group never strands across interleaved replicas of other docs.
+        sig_key = F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{i}").cast("string") for i in range(num_hashes)]
+            )
+        )
+        banded_k = sigs.select(
+            "doc_id", sig_key.alias("sig_key"), F.explode(F.array(*band_cols)).alias("band")
+        ).select(
+            "doc_id",
+            "sig_key",
+            F.col("band.band_idx").alias("band_idx"),
+            F.col("band.band_sig").alias("band_sig"),
+        )
+        return _capped_band_pairs(banded_k, bucket_cap)
     banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
         "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_sig").alias("band_sig")
     )
@@ -162,6 +218,59 @@ def lsh_candidate_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _capped_band_pairs(banded: DataFrame, cap: int) -> DataFrame:
+    """Bounded candidate emission per (band_idx, band_sig) bucket: clique
+    over the ``cap`` smallest doc_ids + consecutive chain through the rest
+    (see lsh_candidate_pairs.bucket_cap).
+
+    Tail topology is STAR-PER-SIG-GROUP, not a pure chain: each tail row
+    links to its exact-dup group's first member (a Jaccard-1 pair —
+    always survives verification), and each group's first member links
+    to the previous bucket row (one boundary edge per adjacent group
+    pair). Same edge count as a chain — exactly one edge per tail row —
+    but component DIAMETER stays ≤ 2 + #sig-groups instead of O(m): a
+    pure chain of m replicas needs O(m) min-label CC rounds (measured:
+    24-long chains exceed connected_components_minlabel's default
+    max_iter and strand members), while the star keeps keeper election
+    inside the default iteration budget at any replication factor.
+
+    One shuffle partitioned BY THE BUCKET KEY (never an unpartitioned
+    window): the (bucket, sig_key) group window is a refinement of the
+    bucket window with a compatible sort order, so both ride the same
+    exchange; the head clique is a self-join of the ≤cap-row head frame
+    on the bucket key. Boundary pairs are canonicalized with
+    least/greatest (sig order need not follow id order)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_sig").orderBy("sig_key", "doc_id")
+    wg = Window.partitionBy("band_idx", "band_sig", "sig_key").orderBy("doc_id")
+    ranked = banded.select(
+        "band_idx",
+        "band_sig",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("doc_id").over(w).alias("prev_id"),
+        F.first("doc_id").over(wg).alias("group_first"),
+    )
+    head = ranked.filter(F.col("rn") <= cap).select("band_idx", "band_sig", "doc_id")
+    a = head.alias("a")
+    b = head.alias("b")
+    clique = (
+        a.join(b, ["band_idx", "band_sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    tail = ranked.filter(F.col("rn") > cap)
+    star = tail.filter(F.col("doc_id") != F.col("group_first")).select(
+        F.col("group_first").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    boundary = tail.filter(F.col("doc_id") == F.col("group_first")).select(
+        F.least("prev_id", "doc_id").alias("doc_a"),
+        F.greatest("prev_id", "doc_id").alias("doc_b"),
+    )
+    return clique.union(star).union(boundary).distinct()
 
 
 def jaccard_pairs(

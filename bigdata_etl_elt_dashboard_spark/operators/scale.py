@@ -115,7 +115,11 @@ def _local_checkpoint_with_retry(spark, df: DataFrame) -> DataFrame:
     try:
         return df.localCheckpoint(eager=True)
     except Exception as ex:  # noqa: BLE001 — py4j wraps the JVM error
-        if "localCheckpoint" not in str(ex) and "GCLocker" not in str(ex):
+        # Match the specific JVM message of the measured transient mode —
+        # every Py4JJavaError from this call contains 'localCheckpoint'
+        # (the py4j target name), so gating on that substring would retry
+        # EVERY failure (real OOM, disk full) — r13 advice.
+        if "GCLocker" not in str(ex):
             raise
         spark.sparkContext._jvm.System.gc()
         import time

@@ -387,8 +387,16 @@ def dedup_verified_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = D._doc_shingles(docs, "text", 3).transform(pin)
     sigs = D.minhash_signatures(docs, num_hashes=_NUM_HASHES, shingles_df=sh)
+    # bucket_cap (r14): bounds the pre-verify multiplicity term on
+    # duplicate-saturated corpora; a no-op on every gate corpus (max
+    # bucket multiplicity 3/9/10 < 16 — see dedup.DEFAULT_BUCKET_CAP),
+    # so the oracle's uncapped pair CTE computes the identical pair set.
     cand = D.lsh_candidate_pairs(
-        docs, num_hashes=_NUM_HASHES, bands=_BANDS, signatures_df=sigs
+        docs,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        signatures_df=sigs,
+        bucket_cap=D.DEFAULT_BUCKET_CAP,
     ).transform(pin)
     verified = D.verify_candidates(sh, cand, min_jaccard=0.5)
     edges = verified.select(

@@ -335,8 +335,16 @@ def corpus_pipeline_v2_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banded, Jaccard verified only on candidates, min-id keeper election
     sh = D._doc_shingles(q, "text", 3).transform(pin)
     sigs = D.minhash_signatures(q, num_hashes=_NUM_HASHES, shingles_df=sh)
+    # bucket_cap (r14): linearizes the pre-verify multiplicity term on
+    # duplicate-saturated corpora (the 128× capstone regime); a no-op on
+    # every gate corpus (max bucket multiplicity < DEFAULT_BUCKET_CAP),
+    # so the oracle's uncapped pair CTE computes the identical pair set.
     cand = D.lsh_candidate_pairs(
-        q, num_hashes=_NUM_HASHES, bands=_BANDS, signatures_df=sigs
+        q,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        signatures_df=sigs,
+        bucket_cap=D.DEFAULT_BUCKET_CAP,
     ).transform(pin)
     verified = D.verify_candidates(sh, cand, min_jaccard=0.5)
     edges = verified.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

@@ -200,6 +200,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
+        # Long-lived-driver hygiene (r13 root-cause, promoted to a factory
+        # default per the r13 verdict): the SQL UI status store retains
+        # 1000 executions' FULL plan graphs by default — through the
+        # LISTENER, even with the web UI disabled — and a driver that runs
+        # hundreds of large plans (a 392-query sweep, a production
+        # always-on pipeline driver) exhausts a small heap on retained
+        # plan graphs alone (measured r13: monolithic sweep died at query
+        # ~244 on a 1g heap with block reclamation healthy). 50 keeps
+        # recent history inspectable; callers override via extra_conf.
+        .config("spark.sql.ui.retainedExecutions", "50")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     extra = dict(extra_conf or {})

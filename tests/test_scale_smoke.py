@@ -313,6 +313,18 @@ def test_grouped_ops_keep_null_group_rows(spark):
     assert a == b
 
 
+def test_factory_caps_ui_retained_executions(spark):
+    """The long-lived-driver UI-retention cap is a session-factory
+    default (r13 verdict task 7): the SQL UI status store would retain
+    1000 executions' full plan graphs through the LISTENER even with the
+    web UI off, which exhausts a 1g driver heap a few hundred large
+    plans into a sweep or an always-on pipeline driver. The shared test
+    session comes from get_spark, so asserting here proves the factory
+    sets it (callers can still override via extra_conf — the conf is set
+    before the extra_conf loop in session.get_spark)."""
+    assert spark.conf.get("spark.sql.ui.retainedExecutions") == "50"
+
+
 def test_driver_java_opts_merge():
     """The -Xss64m stack guard merges with (never clobbers) pre-existing
     or caller-supplied spark.driver.extraJavaOptions; an explicit caller

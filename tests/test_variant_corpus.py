@@ -37,12 +37,15 @@ def test_variant_injects_documented_distribution_classes(tmp_path):
     keys = orders.column("o_orderkey").to_pylist()
     price = orders.column("o_totalprice").to_pylist()
     date = orders.column("o_orderdate").to_pylist()
-    for k, p, d in zip(keys, price, date):
+    ocust = orders.column("o_custkey").to_pylist()
+    for k, c, p, d in zip(keys, ocust, price, date):
         m = k % 10
         assert (p is None) == (m in (0, 1))  # null-heavy measures
         assert (d is None) == (m == 2)  # null time keys
+        assert (c is None) == (k % 41 == 13)  # r14 null FK join keys
         if m in (3, 4, 5):
             assert p is not None and p == round(p / 100.0) * 100.0  # tie-heavy
+    assert any(k % 41 == 13 for k in keys)
 
     events = pq.read_table(os.path.join(out, "events.parquet"))
     src_events = pq.read_table(os.path.join(variant_corpus.SRC, "events.parquet"))
@@ -51,9 +54,12 @@ def test_variant_injects_documented_distribution_classes(tmp_path):
     uid = events.column("user_id").to_pylist()
     src_uid = src_events.column("user_id").to_pylist()
     assert all(
-        (u == s % 5) if e % 2 == 0 else (u == s)
+        (u is None) if e % 29 == 11
+        else (u == s % 5) if e % 2 == 0
+        else (u == s)
         for e, u, s in zip(eid, uid, src_uid)
-    )  # hot-key skew is exactly the documented remap
+    )  # hot-key skew + r14 null-join-key class, exactly as documented
+    assert any(e % 29 == 11 for e in eid)
 
     docs = pq.read_table(os.path.join(out, "documents.parquet"))
     ids = docs.column("doc_id").to_pylist()
@@ -96,7 +102,10 @@ def test_variant_injects_documented_distribution_classes(tmp_path):
     for k, n, s, d, p in zip(okey, lno, ship, disc, lprice):
         m = (k * 7 + n) % 10
         assert (s is None) == (m in (0, 1))  # null ship dates
-        assert (d is None) == ((k * 7 + n) % 11 == 4)  # null discounts
+        # r13-advice fix: the discount-null class is now TRULY disjoint
+        # from the shipdate-null class (suppressed inside mod-10 ∈ {0,1})
+        assert (d is None) == ((k * 7 + n) % 11 == 4 and m not in (0, 1))
+        assert not (s is None and d is None)  # disjointness, directly
         if m in (3, 4, 5):
             assert p is not None and p == round(p / 100.0) * 100.0  # ties
 
@@ -137,12 +146,37 @@ def test_variant_injects_documented_distribution_classes(tmp_path):
     assert any(k % 13 == 5 for k in pkeys)
     assert any(k % 17 == 3 for k in pkeys)
 
-    # supplier/nation still copy through byte-identical
-    for name in variant_corpus.COPY:
-        with open(os.path.join(out, f"{name}.parquet"), "rb") as fa, open(
-            os.path.join(variant_corpus.SRC, f"{name}.parquet"), "rb"
-        ) as fb:
-            assert fa.read() == fb.read()
+    # r14 classes: nation case perturbation (NATION_7 exempt) + supplier
+    # null balances — the last two tables close the copy-through gap
+    nat = pq.read_table(os.path.join(out, "nation.parquet"))
+    src_nat = pq.read_table(os.path.join(variant_corpus.SRC, "nation.parquet"))
+    assert nat.schema == src_nat.schema
+    nkeys = nat.column("n_nationkey").to_pylist()
+    nnames = nat.column("n_name").to_pylist()
+    src_nnames = src_nat.column("n_name").to_pylist()
+    for k, x, x0 in zip(nkeys, nnames, src_nnames):
+        if x0 is None or k == 7:
+            assert x == x0  # the literal-matched nation is exempt
+        elif k % 4 == 2:
+            assert x == x0.lower()
+        elif k % 4 == 3:
+            assert x == x0.capitalize()
+        else:
+            assert x == x0
+    assert any(k % 4 == 2 and k != 7 for k in nkeys)
+    assert any(k % 4 == 3 and k != 7 for k in nkeys)
+
+    sup = pq.read_table(os.path.join(out, "supplier.parquet"))
+    src_sup = pq.read_table(os.path.join(variant_corpus.SRC, "supplier.parquet"))
+    assert sup.schema == src_sup.schema
+    skeys = sup.column("s_suppkey").to_pylist()
+    sbal = sup.column("s_acctbal").to_pylist()
+    for k, b in zip(skeys, sbal):
+        assert (b is None) == (k % 10 == 3)  # null supplier balances
+    assert any(k % 10 == 3 for k in skeys)
+
+    # nothing copies through unchanged anymore
+    assert variant_corpus.COPY == []
 
 
 def test_variant_generation_is_byte_deterministic(tmp_path):

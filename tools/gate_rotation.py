@@ -84,6 +84,9 @@ def emit_plan(window: int = 50) -> None:
         (rnd for rnd in cohorts if taken.get(rnd, 0) < len(cohorts[rnd])),
         default=None,
     )
+    # never-gated rows left OUTSIDE the window void any rXX freshness bound
+    # (they have no round at all — older than any cohort); r13 advice.
+    never_remaining = len(never) - taken.get(None, 0)
     print(f"# ROUND-{next_round} ROTATION PLAN (emitted by tools/gate_rotation.py"
           f" --plan from the post-r{next_round - 1} ledger): gate any"
           f" round-{next_round} additions first,")
@@ -91,7 +94,11 @@ def emit_plan(window: int = 50) -> None:
           f" (freshness order; trim the")
     print(f"# tail to keep the window at {window} once the additions are known)."
           f" After r{next_round}")
-    if oldest_after is not None:
+    if never_remaining > 0:
+        print(f"# {never_remaining} never-gated oracle-backed row(s) remain"
+              f" OUTSIDE this window — no rXX freshness bound holds until"
+              f" they gate.")
+    elif oldest_after is not None:
         print(f"# no standing row for a live query should be older than"
               f" r{oldest_after:02d}.")
     print("_GATE_WINDOW = [")

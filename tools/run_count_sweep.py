@@ -1,10 +1,13 @@
 #!/usr/bin/env python
-"""Harness-default execution sweep, chunked across fresh JVMs.
+"""Full-volume execution sweep, chunked across fresh JVMs.
 
-Runs every ``queries()`` entry on a DEFAULT SparkSession (the harness
-posture: ANSI on, 200 shuffle partitions, 1g heap) at the given SF and
-reports failures — the strongest pre-driver EXECUTION check (the parity
-sweep checks values at sf0.01; this checks the plans run at volume).
+Runs every ``queries()`` entry at the given SF with the harness-critical
+posture pinned (ANSI on — the Spark 4 default, 200 shuffle partitions,
+1g driver heap) and reports failures — the strongest pre-driver
+EXECUTION check (the parity sweep checks values at sf0.01; this checks
+the plans run at volume). As of r14 the child session comes from
+``session.get_spark`` so the sweep also exercises the factory's
+long-lived-driver defaults.
 
 Why chunking exists: a single process accumulates ~45k stages across
 390 queries and pinned localCheckpoint blocks are freed only by the
@@ -19,9 +22,12 @@ long-lived-driver hygiene rather than plan properties:
 2. the SQL UI store's default 1000 retained executions x giant plan
    graphs exhaust the 1g heap through the LISTENER (measured: the
    monolithic child died at query ~244 with block reclamation healthy)
-   -> the child caps ``spark.sql.ui.retainedExecutions`` and disables
-   the UI, exactly as a production long-lived driver does. ANSI, 200
-   shuffle partitions, and the 1g heap remain harness defaults.
+   -> fixed by capping ``spark.sql.ui.retainedExecutions``, which as of
+   r14 is a SESSION-FACTORY default (session.get_spark) — the child
+   builds its session through the factory with the harness-critical
+   knobs pinned (ANSI on is the Spark 4 default, 200 shuffle
+   partitions, 1g driver heap), so the sweep also proves the factory
+   default suffices with no child-side override.
 With both, the monolithic form (``--chunk 392``) passes at sf0.1 under
 the default heap (r12 verdict task 3). Chunking remains available as
 isolation for DIAGNOSING a tail failure (a failure is real only if it
@@ -44,20 +50,20 @@ sys.path.insert(0, _ROOT)
 
 _CHILD = r"""
 import json, sys
-from pyspark.sql import SparkSession
-# Long-lived-driver hygiene, NOT plan tuning (ANSI / 200 shuffle
-# partitions / 1g heap stay at harness defaults): the SQL UI store
-# retains 1000 executions' full plan graphs by default, and ~400
-# registered queries' worth of giant plans (iterative unrolls, composed
-# digests) exhaust the 1g heap through the LISTENER, not the executors —
-# measured r13: the monolithic child died at query ~244 with healthy
-# release_pins block reclamation. Production drivers cap this the same
-# way (spark.sql.ui.retainedExecutions).
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.ui.enabled", "false")
-         .config("spark.sql.ui.retainedExecutions", "50")
-         .getOrCreate())
-spark.sparkContext.setLogLevel("ERROR")
+# The UI-retention cap that keeps a long-lived 1g driver alive through
+# hundreds of giant plans is a SESSION-FACTORY default as of r14
+# (session.get_spark pins spark.sql.ui.retainedExecutions=50) — the
+# child takes it from the factory instead of overriding it locally, so
+# the sweep now also PROVES the factory default suffices. The
+# harness-posture-critical knobs stay pinned: ANSI (Spark 4 default on),
+# 200 shuffle partitions, 1g driver heap.
+from bigdata_etl_elt_dashboard_spark.session import get_spark
+spark = get_spark(
+    app_name="count-sweep-child",
+    master="local[8]",
+    shuffle_partitions=200,
+    extra_conf={"spark.driver.memory": "1g", "spark.ui.enabled": "false"},
+)
 import __spark_entry__ as e
 from bigdata_etl_elt_dashboard_spark.operators.scale import release_pins
 sf = sys.argv[1]

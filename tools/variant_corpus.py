@@ -40,8 +40,9 @@ the r12 corpus copied through unchanged:
 - **lineitem** (feeds the most money queries — pricing_summary_q1, the
   ``li_*`` family, the moment statistics): 20% lose ``l_shipdate``
   (every date bucket / ship-window predicate now carries a null class),
-  a disjoint ~9% lose ``l_discount`` (revenue = price×(1−disc) must
-  treat a missing discount identically on both engines), and a further
+  a truly disjoint ~7% lose ``l_discount`` (the mod-11 hit is suppressed
+  inside the null-shipdate class — r13 advice; revenue = price×(1−disc)
+  must treat a missing discount identically on both engines), and a further
   30% of ``l_extendedprice`` round to the nearest 100 (rank/top-k/
   percentile cutoffs land ON ties);
 - **customer**: one mktsegment absorbs ~60% of customers (the group-skew
@@ -54,8 +55,17 @@ the r12 corpus copied through unchanged:
   vacuous) and ~9% lose ``p_type`` (null group keys in the
   margin-by-type rollups).
 
-``supplier``/``nation`` still copy through unchanged: every join that
-touches them is already reshaped by the transformed tables around them.
+Round 14 (r13 verdict task 4) closes the last two gaps:
+
+- **nation/supplier** (previously copied through unchanged): ~50% of
+  ``n_name`` case-perturbed (NATION_7 exempt — it is literal-matched)
+  and ~10% null ``s_acctbal``;
+- **NULL JOIN KEYS**: ~3% of ``events`` lose ``user_id`` and ~2.4% of
+  ``orders`` lose ``o_custkey`` — r12 made the state DIGESTS
+  null-faithful; this proves the OPERATORS are too (sessionizer,
+  funnel/retention joins, star FK resolution, stream-stream join all
+  key on these columns).
+
 ``embeddings`` keeps the r12 zero-norm class.
 
 Usage: ``python tools/variant_corpus.py [out_dir] [src_dir]`` (defaults
@@ -84,7 +94,7 @@ def _set_src(src: str) -> None:
     global SRC
     SRC = src
 
-COPY = ["nation", "supplier"]
+COPY: list[str] = []
 
 
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
@@ -98,9 +108,52 @@ def variant_region(out_dir: str) -> None:
     _write(out_dir, "region", t.take(keep))
 
 
+def variant_nation(out_dir: str) -> None:
+    """r14 class (r13 verdict task 4a): case-perturbed ``n_name`` —
+    ~25% lowercased (key % 4 == 2), ~25% first-letter-only capitalized
+    (key % 4 == 3) — every query that carries n_name into a group key,
+    ORDER BY, or surface-form matcher now sees mixed case on both
+    engines (case-sensitive compare/sort must agree). ``n_nationkey``
+    7 is EXEMPT: ``supplier_important_share_q11``
+    (plans/relational.py:830) literal-matches 'NATION_7' and must stay
+    non-vacuous on the variant corpus."""
+    t = pq.read_table(os.path.join(SRC, "nation.parquet"))
+    keys = t.column("n_nationkey").to_pylist()
+    names = t.column("n_name").to_pylist()
+    new_names = []
+    for k, x in zip(keys, names):
+        if x is None or k == 7:
+            new_names.append(x)
+        elif k % 4 == 2:
+            new_names.append(x.lower())
+        elif k % 4 == 3:
+            new_names.append(x.capitalize())
+        else:
+            new_names.append(x)
+    cols = {name: t.column(name) for name in t.schema.names}
+    cols["n_name"] = pa.array(new_names, type=t.schema.field("n_name").type)
+    _write(out_dir, "nation", pa.table(cols, schema=t.schema))
+
+
+def variant_supplier(out_dir: str) -> None:
+    """r14 class (r13 verdict task 4a): ~10% null ``s_acctbal``
+    (suppkey % 10 == 3) — the supplier-side twin of the null-balance /
+    null-measure classes; balance filters, min-cost supplier election
+    (q2's tie-break chain), and account rollups must treat the missing
+    measure identically on both engines."""
+    t = pq.read_table(os.path.join(SRC, "supplier.parquet"))
+    keys = t.column("s_suppkey").to_pylist()
+    bal = t.column("s_acctbal").to_pylist()
+    new_bal = [None if k % 10 == 3 else b for k, b in zip(keys, bal)]
+    cols = {name: t.column(name) for name in t.schema.names}
+    cols["s_acctbal"] = pa.array(new_bal, type=t.schema.field("s_acctbal").type)
+    _write(out_dir, "supplier", pa.table(cols, schema=t.schema))
+
+
 def variant_orders(out_dir: str) -> None:
     t = pq.read_table(os.path.join(SRC, "orders.parquet"))
     keys = t.column("o_orderkey").to_pylist()
+    cust = t.column("o_custkey").to_pylist()
     price = t.column("o_totalprice").to_pylist()
     date = t.column("o_orderdate").to_pylist()
     new_price, new_date = [], []
@@ -113,7 +166,12 @@ def variant_orders(out_dir: str) -> None:
         else:
             new_price.append(p)
         new_date.append(None if m == 2 else d)
+    # r14 NULL-JOIN-KEY class (r13 verdict task 4b): ~2.4% of orders lose
+    # o_custkey — every customer⋈orders star resolve, order-count
+    # histogram, and LTV rollup must drop/group the null FK identically.
+    new_cust = [None if k % 41 == 13 else c for k, c in zip(keys, cust)]
     cols = {name: t.column(name) for name in t.schema.names}
+    cols["o_custkey"] = pa.array(new_cust, type=t.schema.field("o_custkey").type)
     cols["o_totalprice"] = pa.array(new_price, type=t.schema.field("o_totalprice").type)
     cols["o_orderdate"] = pa.array(new_date, type=t.schema.field("o_orderdate").type)
     _write(out_dir, "orders", pa.table(cols, schema=t.schema))
@@ -124,7 +182,15 @@ def variant_events(out_dir: str) -> None:
     eid = t.column("event_id").to_pylist()
     uid = t.column("user_id").to_pylist()
     val = t.column("value").to_pylist()
-    new_uid = [u % 5 if e % 2 == 0 else u for e, u in zip(eid, uid)]
+    # r14 NULL-JOIN-KEY class (r13 verdict task 4b): ~3% of events lose
+    # user_id entirely (event_id % 29 == 11) — the sessionizer, funnel
+    # windows, retention joins, and stream-stream joins all key on it, so
+    # null-key grouping/join-drop semantics must agree across engines,
+    # not just the digests' null-faithful struct wrapping (r12).
+    new_uid = [
+        None if e % 29 == 11 else (u % 5 if e % 2 == 0 else u)
+        for e, u in zip(eid, uid)
+    ]
     # ~9% null measurements (event_id % 11 == 7): the events-side twin of
     # the null-price class — purchase values, A/B readouts, and LTV
     # rollups must treat a missing measurement identically on both engines
@@ -175,9 +241,11 @@ def variant_embeddings(out_dir: str) -> None:
 
 def variant_lineitem(out_dir: str) -> None:
     """r13 class: null ship dates (key-hash 20%), null discounts (~9%,
-    disjoint mod class), tie-rounded extended prices (30%). The mod
-    classes key on (l_orderkey*7 + l_linenumber) so multi-line orders
-    spread across classes instead of nulling whole orders."""
+    DISJOINT from the null-shipdate class — the mod-11 hit is suppressed
+    where mod-10 already nulled the date; r13 advice: the raw residues
+    overlap at 70 and 81 mod 110), tie-rounded extended prices (30%).
+    The mod classes key on (l_orderkey*7 + l_linenumber) so multi-line
+    orders spread across classes instead of nulling whole orders."""
     t = pq.read_table(os.path.join(SRC, "lineitem.parquet"))
     okey = t.column("l_orderkey").to_pylist()
     lno = t.column("l_linenumber").to_pylist()
@@ -188,7 +256,7 @@ def variant_lineitem(out_dir: str) -> None:
     for k, n, s, d, p in zip(okey, lno, ship, disc, price):
         m = (k * 7 + n) % 10
         new_ship.append(None if m in (0, 1) else s)
-        new_disc.append(None if (k * 7 + n) % 11 == 4 else d)
+        new_disc.append(None if (k * 7 + n) % 11 == 4 and m not in (0, 1) else d)
         if m in (3, 4, 5) and p is not None:
             new_price.append(float(round(p / 100.0) * 100.0))
         else:
@@ -259,6 +327,8 @@ def main(out_dir: str = OUT) -> str:
             os.path.join(out_dir, f"{name}.parquet"),
         )
     variant_region(out_dir)
+    variant_nation(out_dir)
+    variant_supplier(out_dir)
     variant_orders(out_dir)
     variant_events(out_dir)
     variant_documents(out_dir)
