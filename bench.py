@@ -207,6 +207,32 @@ EXTENSION_SUITE = (
 )
 
 
+def _canary(spark) -> dict:
+    """Fixed-work host-drift canary (r13 verdict task 3): two constant
+    jobs whose cost depends ONLY on the host, never on engine code —
+
+    - ``jvm_s``: min-of-5 warm collect of ``spark.range(1e9).sum()`` — a
+      constant physical plan (no input files, no shuffle), sized to the
+      same tens-of-ms magnitude as a headline query so it shares their
+      sensitivity profile (scheduling + codegen-loop throughput);
+    - ``cpu_s``: a fixed 5M-iteration pure-Python integer loop —
+      interpreter/CPU contention, no JVM involvement.
+
+    BENCHDIFF divides per-query deltas by the jvm canary ratio: uniform
+    host drift (r12 +6%, r13 +17%, both with byte-identical plans)
+    normalizes away to ~0, while a REAL uniform regression (session-conf
+    mistake) survives normalization — previously indistinguishable."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc = (acc + i) % 1000003
+    cpu_s = time.perf_counter() - t0
+    df = spark.range(1_000_000_000).selectExpr("sum(id) AS s")
+    df.collect()  # warm (codegen compile)
+    jvm_s = min(_timed_collect(df) for _ in range(5))
+    return {"cpu_s": round(cpu_s, 4), "jvm_s": round(jvm_s, 4)}
+
+
 def run_once(spark, sf_dir: str, name: str) -> float:
     t0 = time.perf_counter()
     df = REGISTRY[name].fn(spark, sf_dir)
@@ -268,6 +294,8 @@ def main() -> None:
         .collect()
     )
 
+    canary = _canary(spark)
+
     timings, plan_s = {}, {}
     for label, name in HEADLINE.items():
         df, build = build_df(spark, sf_dir, name)
@@ -295,6 +323,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "plan_s": plan_s,  # one-time plan build+first-run cost per query
+        "canary": canary,  # fixed-work host-drift reference (see _canary)
     }
     full = dict(headline, extension_queries=ext, extension_plan_s=ext_plan_s)
     # full record → stderr (for humans + tools/bench_diff.py); compact

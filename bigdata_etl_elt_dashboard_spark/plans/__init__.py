@@ -29,6 +29,7 @@ from . import wave10  # noqa: F401  (round-10 additions; after wave9)
 from . import wave11  # noqa: F401  (round-11 additions; after wave10)
 from . import wave12  # noqa: F401  (round-12 additions; after wave11)
 from . import wave13  # noqa: F401  (round-13 additions; after wave12)
+from . import wave14  # noqa: F401  (round-14 additions; after wave13)
 from .registry import REGISTRY, register
 
 # ---------------------------------------------------------------------------
@@ -222,78 +223,74 @@ from .registry import REGISTRY, register
 # 50. After r14 no standing row for a live query should be older than
 # r07.
 #
-# ROUND-13 WINDOW (this round): per the r12 verdict task 2 — execute the
-# pre-written r13 rotation plan. Entries 1-2 are the round-13 additions
-# (plans/wave13.py): src_join_state_digest (stream-stream join buffer
-# gate — offline read of both sides via joinSide, digested against the
-# µs-probe-pinned eviction contract: clicks kept iff click_ts > W, views
-# kept iff view_ts > W − window − 1 ms, W = min-of-sides ms-floored max
-# − delay) and src_tws_state_digest (transformWithState MapState gate —
-# hermetic-subprocess drain because the vendored protobuf shim must
-# precede the JVM launch, offline stateVarName read + digest on the
-# gate's own session). Entries 3-39 are the FULL 37-query r05-last
-# cohort in freshness order (docs_winnowing_pairs .. 
-# stat_spearman_chars_value — 10 of the 37 were independently
-# re-verified green by the r12 judge). Entries 40-50 are the 11 oldest
-# r06-last rows in registry order (trend_wow_revenue_growth ..
-# ev_ab_srm_check). After r13 no standing row for a live query is older
-# than r06.
+# ROUND-14 WINDOW (this round): the emitted r14 rotation plan executed
+# (r13 verdict task 2; plan from `python tools/gate_rotation.py --plan`
+# run against the post-r13 ledger). Entry 1 is the round-14 addition
+# (plans/wave14.py): src_session_migration_digest — the schema-evolved
+# checkpoint-migration path composed end to end (v1 drain → offline
+# state read + sum_v backfill → initialState-seeded v2 continuation
+# with timer re-registration) and digested against the oracle’s
+# direct batch sessionization under the probe-pinned availableNow
+# timer semantics. Entries 2-40 are the FULL 39-query r06-last cohort
+# in freshness order; entries 41-50 are the 10 oldest r07-last rows
+# (the plan’s 11th, ev_campaign_window_join, trimmed for the
+# addition). After r14 no standing row for a live query is older than
+# r07.
 #
 _GATE_WINDOW = [
-    # r13 additions (plans/wave13.py): the two remaining state-format
-    # gates — stream-stream join buffers + transformWithState MapState
-    "src_join_state_digest",
-    "src_tws_state_digest",
-    # FULL r05-last cohort (37, freshness order per tools/gate_rotation.py)
-    "docs_winnowing_pairs",
-    "graph_kcore_peel",
-    "sim_kmeans_trajectory",
-    "part_small_qty_revenue",
-    "li_nation_trade_volume",
-    "cust_order_count_histogram",
-    "li_promo_revenue_share",
-    "li_or_predicate_revenue",
-    "sim_ann_candidate_digest",
-    "sim_ann_recall_digest",
-    "sim_ivf_cell_digest",
-    "agg_sketch_param_digest",
-    "sim_knn_label_accuracy",
-    "src_bucketed_join_digest",
-    "src_partitioned_prune_digest",
-    "src_compaction_digest",
-    "wh_incremental_rollup",
-    "ev_hierarchical_rollup",
-    "stat_kmv_distinct_custkeys",
-    "stat_bloom_customer_probe",
-    "dq_k_anonymity_customer",
-    "stat_ks_price_by_status",
-    "stat_welch_t_price_by_status",
-    "supplier_nation_herfindahl",
-    "stat_gini_user_activity",
-    "stat_autocorr_daily_revenue",
-    "dq_benford_first_digit",
-    "li_return_rate_wilson",
-    "stat_cusum_daily_revenue",
-    "li_basket_type_lift",
-    "stat_runs_test_daily_revenue",
-    "wh_orders_checksum",
-    "ev_error_rate_pchart",
-    "stat_mannwhitney_price_by_status",
-    "ev_churn_hazard_table",
-    "trend_locf_daily_price",
-    "stat_spearman_chars_value",
-    # oldest 11 r06-last rows, registry order
-    "trend_wow_revenue_growth",
-    "supplier_revenue_rank_profile",
-    "trend_seasonal_index_monthly",
-    "ev_ab_test_conversion",
-    "ev_funnel_time_window",
-    "text_token_fertility_by_lang",
-    "ev_inter_event_gap_hist",
-    "ev_stickiness_dau_mau",
-    "wh_scd2_asof_resolve",
-    "trend_backtest_ma3_mae",
-    "ev_ab_srm_check",
+    # r14 addition (plans/wave14.py): the migration-path composition gate
+    "src_session_migration_digest",
+    # FULL r06-last cohort (39, freshness order per tools/gate_rotation.py)
+    "ev_heatmap_hour_dow",
+    "stat_poisson_dispersion_daily_orders",
+    "docs_packing_fill_stats",
+    "mm_audio_silence_windows",
+    "mm_image_brightness_hist",
+    "ev_bot_rate_heuristic",
+    "text_readability_by_lang",
+    "ev_bounce_rate_daily",
+    "dq_freshness_lag",
+    "wh_retention_policy_digest",
+    "mm_image_contrast_stats",
+    "docs_ttr_by_source",
+    "text_char_trigram_entropy_by_lang",
+    "wh_gdpr_erasure_digest",
+    "docs_contamination_by_split",
+    "emb_isotropy_mean_cosine",
+    "emb_exact_dup_sizes",
+    "graph_label_propagation",
+    "graph_degree_distribution",
+    "graph_clustering_coeff_hist",
+    "graph_degree_assortativity",
+    "graph_bfs_layers",
+    "supplier_return_blame",
+    "cust_returned_revenue_top",
+    "part_supplier_cnt_q16",
+    "mkt_share_nation_q8",
+    "profit_nation_year_q9",
+    "li_ship_latency_by_priority",
+    "emb_jl_projection_distortion",
+    "src_schema_evolution_digest",
+    "wh_late_arriving_dim",
+    "stat_hll_distinct_custkeys",
+    "stat_mann_kendall_daily_revenue",
+    "stat_cohens_d_price_by_status",
+    "stat_theilsen_monthly_revenue",
+    "stat_kendall_tau_revenue_orders",
+    "ev_markov_3step_mass",
+    "ev_session_duration_percentiles",
+    "stat_bootstrap_ci_daily_revenue",
+    # oldest 10 r07-last rows, freshness order
+    "ev_rolling_7d_activity",
+    "part_min_cost_supplier_q2",
+    "supplier_important_share_q11",
+    "supplier_excess_ship_q20",
+    "stat_anova_f_price_by_priority",
+    "stat_kruskal_wallis_price_by_priority",
+    "stat_chow_break_daily_revenue",
+    "stat_hodges_lehmann_yoy_shift",
+    "ev_concurrent_sessions_peak",
+    "ev_user_lifecycle_weekly",
 ]
 
 

@@ -197,3 +197,60 @@ def migrate_session_state_v1_to_v2(
         F.col("value.n").alias("n"),
     )
     return v1.withColumn("sum_v", F.lit(float(default_sum)).cast("double"))
+
+
+def read_session_state_v2(
+    spark: SparkSession, checkpoint: str, state_var_name: str = "sess"
+) -> DataFrame:
+    """Offline read of a v2 sessionizer checkpoint's open sessions as the
+    ``initial_state`` frame shape (user_id, start_ms, last_ms, n, sum_v) —
+    the common front end of the rename and widening recipes below."""
+    return state_rows(spark, checkpoint, state_var_name=state_var_name).select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.start_ms").alias("start_ms"),
+        F.col("value.last_ms").alias("last_ms"),
+        F.col("value.n").alias("n"),
+        F.col("value.sum_v").alias("sum_v"),
+    )
+
+
+def migrate_session_state_rename(
+    spark: SparkSession, old_checkpoint: str, old_name: str = "sess"
+) -> DataFrame:
+    """State-variable RENAME migration (r13 verdict task 5): the state
+    store keys each variable's column family by NAME, so a processor that
+    renames ``sess`` → ``session`` reads EMPTY state from an old
+    checkpoint — silent total state loss, the nastiest failure mode of
+    the three evolutions because nothing errors. The recipe: offline-read
+    the old checkpoint UNDER THE OLD NAME, seed a fresh checkpoint via
+    ``initialState`` on the processor declaring the new name
+    (``session_close_on_timer_v2(state_var_name=...)``), which also
+    re-registers every open session's close timer (handleInitialState).
+    Values pass through untouched — a rename changes the store layout,
+    never the data — so the migrated run converges bit-equal on ALL
+    columns (including sum_v) to an uninterrupted run, proven by
+    tests/test_schema_evolution_migration.py::test_state_variable_rename_migration.
+    """
+    return read_session_state_v2(spark, old_checkpoint, state_var_name=old_name)
+
+
+def migrate_session_state_widen(
+    spark: SparkSession, old_checkpoint: str, state_var_name: str = "sess"
+) -> DataFrame:
+    """Value-type WIDENING migration (r13 verdict task 5): a legacy
+    deployment that declared its event counter ``n int`` upgrades to
+    ``n long`` (the int→long widening every counting state hits first).
+    Spark's state codec has no implicit upcast on read — the new
+    processor's declared schema must match what it seeds — so the recipe
+    is: offline-read the old checkpoint (the state source surfaces ``n``
+    at its STORED width), cast the narrow column up, seed via
+    ``initialState`` on the wide-schema processor. Widening is lossless
+    (every int32 count is exactly representable as int64), so the
+    migrated run converges bit-equal on ALL columns to an uninterrupted
+    wide run — proven by tests/test_schema_evolution_migration.py::
+    test_value_type_widening_migration, which also asserts the old
+    checkpoint REALLY stored int32 (the test is vacuous otherwise).
+    """
+    return read_session_state_v2(
+        spark, old_checkpoint, state_var_name=state_var_name
+    ).withColumn("n", F.col("n").cast("long"))

@@ -420,6 +420,8 @@ def session_close_on_timer_v2(
     gap_ms: int = 600_000,
     delay: str | None = "0 seconds",
     initial_state: DataFrame | None = None,
+    state_var_name: str = "sess",
+    count_type: str = "long",
 ) -> DataFrame:
     """The sessionizer AFTER a state-schema evolution: state gained a
     field (``sum_v`` — the session's summed event value), the upgrade
@@ -439,7 +441,20 @@ def session_close_on_timer_v2(
     ``handleInitialState`` loads it AND re-registers the close timer at
     ``last_ms + gap`` — without that, a migrated user who never sends
     another event would hold an open session forever (v1's registered
-    timer lives in the OLD checkpoint and does not migrate)."""
+    timer lives in the OLD checkpoint and does not migrate).
+
+    ``state_var_name`` / ``count_type`` (r13 verdict task 5) model the
+    two OTHER schema evolutions production checkpoints hit beyond the
+    gained-a-field case: a state-variable RENAME (the store keys state by
+    variable name, so a renamed variable reads as empty from an old
+    checkpoint — the migration recipe re-seeds it under the new name via
+    ``streaming/migration.migrate_session_state_rename``) and a
+    value-type WIDENING (a legacy deployment that declared ``n int``
+    upgrades to ``n long`` — ``migrate_session_state_widen`` casts the
+    offline-read state up). Both default to the shipped shape; the
+    processor's Python logic is type-agnostic (plain ints), so the knobs
+    change only the declared store codec — which is exactly what the
+    migrations must bridge."""
 
     def build(gap: int):
         from pyspark.sql.streaming.stateful_processor import (
@@ -451,7 +466,8 @@ def session_close_on_timer_v2(
             def init(self, handle: StatefulProcessorHandle) -> None:
                 self._handle = handle
                 self._sess = handle.getValueState(
-                    "sess", "start_ms long, last_ms long, n long, sum_v double"
+                    state_var_name,
+                    f"start_ms long, last_ms long, n {count_type}, sum_v double",
                 )
 
             def _row(self, key, start, last, n, sv, how):

@@ -29,7 +29,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bigdata_etl_elt_dashboard_spark.streaming.migration import (
+    migrate_session_state_rename,
     migrate_session_state_v1_to_v2,
+    migrate_session_state_widen,
 )
 from bigdata_etl_elt_dashboard_spark.streaming.stateful import (
     _protobuf_available,
@@ -181,5 +183,142 @@ def test_v1_to_v2_schema_evolution_migration(spark, tmp_path):
         assert cont_sums[(2, _ms(10, 2))] == 3.0
         assert mig_sums[(2, _ms(10, 2))] == 0.0  # declared default
         assert cont_sums[(3, _ms(11, 0))] == mig_sums[(3, _ms(11, 0))] == 9.0
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def _all_rows(spark, *outs):
+    """Full-row view (ALL columns incl. sum_v) for the lossless
+    migrations, sentinel user excluded."""
+    df = spark.read.parquet(outs[0])
+    for o in outs[1:]:
+        df = df.unionByName(spark.read.parquet(o))
+    rows = (
+        df.filter(F.col("user_id") != 999)
+        .select("user_id", "start_ms", "end_ms", "n_events", "sum_v", "closed_by")
+        .collect()
+    )
+    return sorted(tuple(r) for r in rows)
+
+
+def test_state_variable_rename_migration(spark, tmp_path):
+    """RENAME evolution (r13 verdict task 5): the store keys state by
+    variable name, so v2-renamed (`sess` → `session`) reads an old
+    checkpoint as EMPTY — migrate by offline-reading under the OLD name
+    and seeding the new-name processor via initialState. A rename moves
+    no data, so the cutover run converges bit-equal on ALL columns
+    (sum_v included) to a continuous run."""
+    if not _protobuf_available():
+        pytest.xfail("no protobuf runtime (real or vendored shim)")
+    base, mig = str(tmp_path / "cont"), str(tmp_path / "mig")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        _write(spark, f"{base}/src", P1)
+        _drain(spark, session_close_on_timer_v2, f"{base}/src",
+               f"{base}/ckpt", f"{base}/out")
+        _write(spark, f"{base}/src", P2)
+        _drain(spark, session_close_on_timer_v2, f"{base}/src",
+               f"{base}/ckpt", f"{base}/out")
+        _drain(spark, session_close_on_timer_v2, f"{base}/src",
+               f"{base}/ckpt", f"{base}/out")
+
+        # old deployment (variable still named `sess`) up to the cutover
+        _write(spark, f"{mig}/src1", P1)
+        _drain(spark, session_close_on_timer_v2, f"{mig}/src1",
+               f"{mig}/ckptA", f"{mig}/outA")
+
+        seed = migrate_session_state_rename(spark, f"{mig}/ckptA",
+                                            old_name="sess")
+        got = {
+            (r["user_id"], r["start_ms"], r["last_ms"], r["n"], r["sum_v"])
+            for r in seed.collect()
+        }
+        assert got == {
+            (1, _ms(10, 0), _ms(10, 5), 2, 3.0),  # true sums travel intact
+            (2, _ms(10, 2), _ms(10, 2), 1, 3.0),
+        }
+
+        # renamed deployment over the tail, seeded under the NEW name
+        _write(spark, f"{mig}/src2", P2)
+        _drain(spark, session_close_on_timer_v2, f"{mig}/src2",
+               f"{mig}/ckptB", f"{mig}/outB", initial_state=seed,
+               state_var_name="session")
+        _drain(spark, session_close_on_timer_v2, f"{mig}/src2",
+               f"{mig}/ckptB", f"{mig}/outB", state_var_name="session")
+
+        assert _all_rows(spark, f"{mig}/outA", f"{mig}/outB") == _all_rows(
+            spark, f"{base}/out"
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_value_type_widening_migration(spark, tmp_path):
+    """WIDENING evolution (r13 verdict task 5): a legacy deployment
+    declared `n int`; the upgrade declares `n long`. The codec has no
+    implicit upcast, so the recipe casts the offline-read state up and
+    seeds the wide processor. Widening is lossless → bit-equal on ALL
+    columns vs a continuous wide run."""
+    if not _protobuf_available():
+        pytest.xfail("no protobuf runtime (real or vendored shim)")
+    base, mig = str(tmp_path / "cont"), str(tmp_path / "mig")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        _write(spark, f"{base}/src", P1)
+        _drain(spark, session_close_on_timer_v2, f"{base}/src",
+               f"{base}/ckpt", f"{base}/out")
+        _write(spark, f"{base}/src", P2)
+        _drain(spark, session_close_on_timer_v2, f"{base}/src",
+               f"{base}/ckpt", f"{base}/out")
+        _drain(spark, session_close_on_timer_v2, f"{base}/src",
+               f"{base}/ckpt", f"{base}/out")
+
+        # legacy NARROW deployment up to the cutover
+        _write(spark, f"{mig}/src1", P1)
+        _drain(spark, session_close_on_timer_v2, f"{mig}/src1",
+               f"{mig}/ckptA", f"{mig}/outA", count_type="int")
+
+        # the old checkpoint REALLY stored int32 (else this test proves
+        # nothing) — the state source surfaces the stored type
+        from bigdata_etl_elt_dashboard_spark.sources.state_reader import (
+            state_rows,
+        )
+
+        stored = dict(
+            state_rows(spark, f"{mig}/ckptA", state_var_name="sess")
+            .select("value.*")
+            .dtypes
+        )
+        assert stored["n"] == "int"
+
+        seed = migrate_session_state_widen(spark, f"{mig}/ckptA")
+        assert dict(seed.dtypes)["n"] == "bigint"
+        got = {
+            (r["user_id"], r["start_ms"], r["last_ms"], r["n"], r["sum_v"])
+            for r in seed.collect()
+        }
+        assert got == {
+            (1, _ms(10, 0), _ms(10, 5), 2, 3.0),
+            (2, _ms(10, 2), _ms(10, 2), 1, 3.0),
+        }
+
+        # wide continuation over the tail
+        _write(spark, f"{mig}/src2", P2)
+        _drain(spark, session_close_on_timer_v2, f"{mig}/src2",
+               f"{mig}/ckptB", f"{mig}/outB", initial_state=seed)
+        _drain(spark, session_close_on_timer_v2, f"{mig}/src2",
+               f"{mig}/ckptB", f"{mig}/outB")
+
+        assert _all_rows(spark, f"{mig}/outA", f"{mig}/outB") == _all_rows(
+            spark, f"{base}/out"
+        )
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

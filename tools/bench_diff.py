@@ -87,16 +87,42 @@ def main() -> None:
         cur = json.loads(lines[-1])
 
     thresh = float(os.environ.get("BENCH_DIFF_THRESHOLD_PCT", "20")) / 100.0
+    # Canary normalization (r13 verdict task 3): both records carry a
+    # fixed-work canary (bench.py:_canary) whose cost depends only on the
+    # host. Dividing each query's ratio by the jvm-canary ratio cancels
+    # uniform host drift (the r12 +6% / r13 +17% whole-suite shifts with
+    # byte-identical plans), so the flagging basis becomes engine-relative:
+    # a REAL uniform regression (session-conf mistake) survives, pure host
+    # drift normalizes to ~0. Raw deltas stay printed for the record.
+    host = None
+    if base.get("canary") and cur.get("canary"):
+        bc, cc = base["canary"], cur["canary"]
+        host = cc["jvm_s"] / bc["jvm_s"] if bc.get("jvm_s") else None
+        print(
+            f"# canary: jvm {bc['jvm_s']} -> {cc['jvm_s']} "
+            f"({(cc['jvm_s'] - bc['jvm_s']) / bc['jvm_s']:+.1%}), "
+            f"cpu {bc['cpu_s']} -> {cc['cpu_s']} "
+            f"({(cc['cpu_s'] - bc['cpu_s']) / bc['cpu_s']:+.1%}); "
+            f"flagging on canary-NORMALIZED deltas"
+        )
     regressions = []
     for section in ("queries", "extension_queries"):
         b, c = base.get(section, {}), cur.get(section, {})
         for k in sorted(set(b) & set(c)):
             delta = (c[k] - b[k]) / b[k] if b[k] > 0 else 0.0
+            if host:
+                norm = (c[k] / host - b[k]) / b[k] if b[k] > 0 else 0.0
+                flag_delta, norm_txt = norm, f"  norm {norm:+6.1%}"
+            else:
+                flag_delta, norm_txt = delta, ""
             marker = ""
-            if delta > thresh:
+            if flag_delta > thresh:
                 marker = "  <-- REGRESSION"
                 regressions.append(k)
-            print(f"{k:36s} {b[k]:8.4f} -> {c[k]:8.4f}  {delta:+6.1%}{marker}")
+            print(
+                f"{k:36s} {b[k]:8.4f} -> {c[k]:8.4f}  {delta:+6.1%}"
+                f"{norm_txt}{marker}"
+            )
     only_new = sorted(
         set(cur.get("extension_queries", {})) - set(base.get("extension_queries", {}))
     )
