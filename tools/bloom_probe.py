@@ -87,11 +87,19 @@ def main() -> None:
                            ("all-shuffle", "-1")):
         spark.conf.set(_BCAST, bcast)
         for name in PROBES:
-            spark.conf.set(_BLOOM_ON, "false")
-            off_s, _ = timed(spark, sf_dir, name)
-            spark.conf.set(_BLOOM_ON, "true")
-            spark.conf.set(_BLOOM_APP_THRESH, "0")
-            on_s, n_bloom = timed(spark, sf_dir, name)
+            try:
+                spark.conf.set(_BLOOM_ON, "false")
+                off_s, _ = timed(spark, sf_dir, name)
+                spark.conf.set(_BLOOM_ON, "true")
+                spark.conf.set(_BLOOM_APP_THRESH, "0")
+                on_s, n_bloom = timed(spark, sf_dir, name)
+            except Exception as ex:  # noqa: BLE001 — a query too big for
+                # the probe host (e.g. an aggregation OOM at 128× under the
+                # local heap) should cost one row, not the whole probe
+                rows.append({"posture": posture, "query": name,
+                             "error": f"{type(ex).__name__}: {str(ex)[:160]}"})
+                print(f"| {posture} | `{name}` | ERROR {type(ex).__name__} |")
+                continue
             rows.append({
                 "posture": posture, "query": name,
                 "off_s": round(off_s, 4), "on_s": round(on_s, 4),

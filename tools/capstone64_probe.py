@@ -86,7 +86,12 @@ def medallion_drain(spark, sf_dir: str, work: str) -> dict:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # --corpus-only (r14): time only the corpus-pipeline capstone, skip
+    # the medallion drain — for re-measuring the dedup-verify scaling
+    # segment after an operator change that does not touch streaming.
+    corpus_only = "--corpus-only" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--corpus-only"]
+    k = int(argv[0]) if argv else 64
     spark = get_spark(app_name="capstone64", shuffle_partitions=32)
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
@@ -104,10 +109,11 @@ def main() -> None:
     print(f"| `{name}` | {w1:.3f} | {wk:.3f} | {wk / w1 if w1 else 0:.1f}x "
           f"| {b1:.2f} | {bk:.2f} |")
 
-    base = medallion_drain(spark, sp.SF_DIR, "/tmp/capstone_drain_1x")
-    big = medallion_drain(spark, out_dir, f"/tmp/capstone_drain_{k}x")
-    print(json.dumps({"probe": f"medallion_drain_{k}x", "k": k,
-                      "1x": base, f"{k}x": big}))
+    if not corpus_only:
+        base = medallion_drain(spark, sp.SF_DIR, "/tmp/capstone_drain_1x")
+        big = medallion_drain(spark, out_dir, f"/tmp/capstone_drain_{k}x")
+        print(json.dumps({"probe": f"medallion_drain_{k}x", "k": k,
+                          "1x": base, f"{k}x": big}))
     spark.stop()
 
 
