@@ -102,7 +102,24 @@ def asof_join(
     return an older row's value (r12 variant sweep vs DuckDB's native
     ASOF JOIN, which attaches the most recent ROW regardless of its
     payload). A right row's struct is non-null even when its field is
-    null, so row-recency and value-presence stay distinct."""
+    null, so row-recency and value-presence stay distinct.
+
+    Null keys follow JOIN semantics, not window semantics (r14 variant
+    sweep vs DuckDB's native ASOF LEFT JOIN): a null key never MATCHES —
+    a left row with a null key keeps its place in the output with null
+    payloads, and null-key right rows match nothing. The window
+    carry-forward would instead have grouped all null-key rows together
+    and attributed null-key rights to null-key lefts — the one place the
+    union-window encoding and true join semantics disagree."""
+    null_left = left.filter(F.col(key).isNull()).select(
+        "*",
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{out_prefix}{c}")
+            for c in value_cols
+        ],
+    )
+    left = left.filter(F.col(key).isNotNull())
+    right = right.filter(F.col(key).isNotNull())
     r = right.select(
         F.col(key),
         F.col(ts),
@@ -122,9 +139,10 @@ def asof_join(
             f"{out_prefix}{c}",
             F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w)["v"],
         )
-    return both.filter(F.col("_side") == 1).drop(
+    matched = both.filter(F.col("_side") == 1).drop(
         "_side", *[f"_v_{c}" for c in value_cols]
     )
+    return matched.unionByName(null_left)
 
 
 def interval_overlap_join(

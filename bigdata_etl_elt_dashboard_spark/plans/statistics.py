@@ -578,7 +578,8 @@ _KMV_K = 256
 @register(
     "stat_kmv_distinct_custkeys",
     oracle=f"""
-        WITH d AS (SELECT DISTINCT o_custkey FROM orders),
+        WITH d AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_custkey IS NOT NULL),
         h AS (SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
                   AS hv
               FROM d),
@@ -606,7 +607,10 @@ _KMV_K = 256
 )
 def stat_kmv_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    d = orders.select("o_custkey").distinct()
+    # null is not a KEY: excluded on both sides (r14 null-join-key
+    # variant — md5(NULL) is NULL, and the engines' default null sort
+    # orders put the null hash on opposite sides of the k-smallest cut)
+    d = orders.select("o_custkey").filter(F.col("o_custkey").isNotNull()).distinct()
     h = d.select(
         F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10)
         .cast("long")

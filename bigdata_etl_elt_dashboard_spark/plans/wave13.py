@@ -67,37 +67,44 @@ def _work_dir(sf_dir: str, tag: str) -> str:
 @register(
     "src_join_state_digest",
     oracle="""
-        WITH mx AS (
+        WITH e AS (
+            -- the join's equi-key null filter sits BELOW the watermark
+            -- operator (measured r14: a max-ts row with a null user_id
+            -- does not advance the committed watermark, and null-key
+            -- rows never enter the buffers), so EVERY term — watermark,
+            -- buffers, pairs — is computed over non-null-key rows
+            SELECT * FROM events WHERE user_id IS NOT NULL
+        ), mx AS (
             SELECT event_type, date_trunc('milliseconds', MAX(ts)) AS m
-            FROM events WHERE event_type IN ('click', 'view')
+            FROM e WHERE event_type IN ('click', 'view')
             GROUP BY event_type
         ), w AS (
             SELECT MIN(m) - INTERVAL 12 HOURS AS wm FROM mx
         )
         SELECT
             (SELECT wm FROM w) AS wm_ts,
-            (SELECT COUNT(*) FROM events, w
+            (SELECT COUNT(*) FROM e, w
              WHERE event_type = 'click' AND ts > wm) AS n_buf_clicks,
-            (SELECT CAST(COALESCE(SUM(user_id), 0) AS BIGINT) FROM events, w
+            (SELECT CAST(COALESCE(SUM(user_id), 0) AS BIGINT) FROM e, w
              WHERE event_type = 'click' AND ts > wm) AS click_user_sum,
             (SELECT CAST(COALESCE(SUM(epoch_us(ts)), 0) AS BIGINT)
-             FROM events, w
+             FROM e, w
              WHERE event_type = 'click' AND ts > wm) AS click_ts_us_sum,
-            (SELECT COUNT(*) FROM events, w
+            (SELECT COUNT(*) FROM e, w
              WHERE event_type = 'view'
                AND ts > wm - INTERVAL 60 MINUTES - INTERVAL 1 MILLISECOND
             ) AS n_buf_views,
-            (SELECT CAST(COALESCE(SUM(user_id), 0) AS BIGINT) FROM events, w
+            (SELECT CAST(COALESCE(SUM(user_id), 0) AS BIGINT) FROM e, w
              WHERE event_type = 'view'
                AND ts > wm - INTERVAL 60 MINUTES - INTERVAL 1 MILLISECOND
             ) AS view_user_sum,
             (SELECT CAST(COALESCE(SUM(epoch_us(ts)), 0) AS BIGINT)
-             FROM events, w
+             FROM e, w
              WHERE event_type = 'view'
                AND ts > wm - INTERVAL 60 MINUTES - INTERVAL 1 MILLISECOND
             ) AS view_ts_us_sum,
             (SELECT COUNT(*)
-             FROM events c JOIN events v
+             FROM e c JOIN e v
                ON v.user_id = c.user_id
               AND v.ts >= c.ts - INTERVAL 60 MINUTES AND v.ts < c.ts
              WHERE c.event_type = 'click' AND v.event_type = 'view'
@@ -117,7 +124,11 @@ def _work_dir(sf_dir: str, tag: str) -> str:
     "buffer holds exactly the clicks with click_ts > W; the right "
     "buffer holds exactly the views with view_ts > W − window − 1 ms "
     "(boundary semantics measured, see module doc); and the sink "
-    "emitted exactly the batch-join pair count.",
+    "emitted exactly the batch-join pair count. Null join keys are "
+    "excluded from EVERY oracle term (r14, measured on the null-key "
+    "variant corpus): Catalyst pushes the equi-join's isnotnull below "
+    "the watermark operator, so null-key rows neither advance the "
+    "watermark nor enter the buffers.",
 )
 def src_join_state_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _work_dir(sf_dir, "joinstate")
@@ -205,8 +216,13 @@ def src_join_state_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "src_tws_state_digest",
     oracle="""
         WITH g AS (
+            -- null keys excluded: the operator guards them out
+            -- (stateful.drop_null_keys — the r14 measured Spark 4.1.2
+            -- hazard: a null grouping key ABSORBS its whole partition's
+            -- rows into the null group, corrupting co-partitioned users)
             SELECT user_id, event_type, COUNT(*) AS n
-            FROM events GROUP BY user_id, event_type
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id, event_type
         )
         SELECT COUNT(*) AS n_state_entries,
                CAST(SUM(user_id) AS BIGINT) AS user_sum,
@@ -228,8 +244,11 @@ def src_join_state_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle computes directly on the events parquet. Green proves the "
     "tWS state codec round-trips long keys, string map keys, and long "
     "map values bit-faithfully, and that the MapState holds exactly the "
-    "batch GROUP BY — the contract the r11 initialState migration "
-    "recipe rests on.",
+    "batch GROUP BY over non-null keys — the contract the r11 "
+    "initialState migration recipe rests on. (Null keys are guarded out "
+    "of every tWS operator: stateful.drop_null_keys documents the "
+    "measured Spark 4.1.2 partition-absorption hazard the r14 variant "
+    "corpus caught here.)",
 )
 def src_tws_state_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _work_dir(sf_dir, "tws")

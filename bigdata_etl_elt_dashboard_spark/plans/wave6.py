@@ -2222,7 +2222,11 @@ _STREAK_K = 10
             FROM streaks GROUP BY user_id)
         SELECT user_id, longest_streak, n_streaks
         FROM best
-        ORDER BY longest_streak DESC, user_id
+        -- NULLS FIRST pins the null-user group's LIMIT membership to
+        -- Spark's asc-nulls-first default (r14 null-join-key variant:
+        -- the null user ties on longest_streak and the engines' default
+        -- null orders put it on opposite sides of the cutoff)
+        ORDER BY longest_streak DESC, user_id NULLS FIRST
         LIMIT {_STREAK_K}
     """,
     doc=f"Longest consecutive-error run per user, top {_STREAK_K} — the "
@@ -2784,9 +2788,14 @@ def src_csv_malformed_recovery_digest(spark: SparkSession, sf_dir: str) -> DataF
             F.lpad(F.pmod(cents, F.lit(100)).cast("string"), 2, "0"),
         )
     )
+    # a NULL custkey gets the same empty-field treatment (r14 null-join-
+    # key variant: concat_ws SKIPS nulls, so a null FK would emit a
+    # 2-field line and quarantine the whole row — 366 good orders landed
+    # in the reject pile)
+    cust_str = F.coalesce(F.col("o_custkey").cast("string"), F.lit(""))
     good = orders.select(
         F.concat_ws(
-            ",", F.col("o_orderkey"), F.col("o_custkey"), price_str
+            ",", F.col("o_orderkey"), cust_str, price_str
         ).alias("value")
     )
     # deterministic bad lines: one per 100 good rows + 3 fixed shapes
@@ -2978,7 +2987,11 @@ _KMVI_K = 256
             SELECT DISTINCT o_custkey,
                    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr
             FROM orders
-            WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)),
+            -- null custkeys excluded: null is not a KEY (r14 null-join-key
+            -- variant — md5(NULL) is NULL and the engines' default null
+            -- orders disagree at the k-smallest cut)
+            WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+              AND o_custkey IS NOT NULL),
         flags AS MATERIALIZED (
             SELECT o_custkey,
                    MAX(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS in96,
@@ -3018,7 +3031,9 @@ _KMVI_K = 256
     "divisions); one scan of orders feeds flags AND truth.",
 )
 def stat_kmv_intersection_years(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders").filter(F.year("o_orderdate").isin(1996, 1997))
+    o = table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997) & F.col("o_custkey").isNotNull()
+    )
     cy = o.select(
         "o_custkey", F.year("o_orderdate").cast("long").alias("yr")
     ).distinct()
@@ -3377,7 +3392,9 @@ def nation_revenue_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark.sql import Window
 
     li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders").filter(F.year("o_orderdate").isin(1996, 1997))
+    o = table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997) & F.col("o_custkey").isNotNull()
+    )
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation")
     yr = (
@@ -5199,7 +5216,8 @@ def _spread16_sql(v: str) -> str:
                    CAST(o_custkey & 65535 AS BIGINT) AS ck,
                    CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') & 65535
                         AS BIGINT) AS di
-            FROM orders WHERE o_orderdate IS NOT NULL),
+            FROM orders
+            WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL),
         z AS (
             SELECT o_orderkey, ck, di,
                    CAST({_spread16_sql('ck')}
@@ -5263,9 +5281,12 @@ def scale_zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).bitwiseAND(F.lit(mask))
         return v
 
-    # dated rows only (r12 variant sweep: a NULL day index nulls the
-    # z-value and the two engines tile null keys at opposite ends)
-    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    # dated, keyed rows only (r12 variant sweep: a NULL day index nulls
+    # the z-value and the two engines tile null keys at opposite ends;
+    # r14 null-join-key variant: a NULL custkey does the same through ck)
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_custkey").isNotNull()
+    )
     base = o.select(
         "o_orderkey",
         F.col("o_custkey").bitwiseAND(F.lit(65535)).cast("long").alias("ck"),

@@ -119,9 +119,16 @@ def sessions_gold_batch(
     tests/test_streaming.py::test_stream_medallion_disordered_nonzero_delay
     drives exactly that contract through the real chained query.
     """
-    ev = events.select(
-        "user_id", "event_id", F.expr("unix_micros(ts) div 1000").alias("ms")
-    ).distinct()
+    # null-key exclusion mirrors the streaming side: the tWS sessionizer
+    # drops null user_ids (stateful.drop_null_keys — semantic contract +
+    # the measured Spark 4.1.2 null-key partition-absorption hazard), so
+    # the batch twin must too or the pair diverges on any corpus with
+    # optional identity.
+    ev = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_id", F.expr("unix_micros(ts) div 1000").alias("ms"))
+        .distinct()
+    )
     w = Window.partitionBy("user_id").orderBy("ms", "event_id")
     marked = ev.withColumn(
         "new_s",

@@ -22,7 +22,34 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def drop_null_keys(df: DataFrame, key: str = "user_id") -> DataFrame:
+    """Exclude null grouping keys ahead of every transformWithStateInPandas
+    operator. Two reasons, one semantic and one MEASURED:
+
+    - semantic: per-entity state (a session, a lifetime counter, a
+      last-K register) is meaningless for rows with no entity identity —
+      the batch twins express the same contract as
+      ``WHERE user_id IS NOT NULL``;
+    - operational (Spark 4.1.2, measured — tests/test_stateful_null_keys.py
+      pins it): transformWithStateInPandas ABSORBS an entire partition's
+      rows into the null-key group when a null key is present — every
+      user co-partitioned with the null key loses its state and its rows
+      are counted under key NULL (caught by the r14 null-join-key variant
+      corpus: 15 of 150 users vanished from ``src_tws_state_digest``'s
+      MapState, their 458 events miscounted under NULL).
+      ``applyInPandasWithState`` does NOT share the bug (probed — each
+      null-key row groups separately), so only the tWS operators guard.
+
+    A null key is therefore not just semantically empty here — it
+    corrupts OTHER keys' state. At 100 TB any feed with optional
+    identity (logged-out events, redacted users) would silently poison
+    one partition per batch without this filter."""
+    return df.filter(F.col(key).isNotNull())
+
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 STATE_SCHEMA = "n long, total double"
@@ -154,7 +181,7 @@ def running_type_counts(events_stream: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return events_stream.groupBy("user_id").transformWithStateInPandas(
+    return drop_null_keys(events_stream).groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=TypeCounts(),
         outputStructType=TYPE_COUNTS_SCHEMA,
         outputMode="Update",
@@ -226,7 +253,7 @@ def running_last_k_values(events_stream: DataFrame, k: int = 3) -> DataFrame:
 
         return LastK()
 
-    return events_stream.groupBy("user_id").transformWithStateInPandas(
+    return drop_null_keys(events_stream).groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=build(k),
         outputStructType=LAST_K_SCHEMA,
         outputMode="Update",
@@ -398,7 +425,7 @@ def session_close_on_timer(
         else events_stream
     )
     return (
-        marked
+        drop_null_keys(marked)
         .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=build(gap_ms),
@@ -554,7 +581,7 @@ def session_close_on_timer_v2(
     kwargs = {}
     if initial_state is not None:
         kwargs["initialState"] = initial_state.groupBy("user_id")
-    return marked.groupBy("user_id").transformWithStateInPandas(
+    return drop_null_keys(marked).groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=build(gap_ms),
         outputStructType=SESSION_TIMER_V2_SCHEMA,
         outputMode="Append",
@@ -625,7 +652,7 @@ def recent_type_counts_ttl(events_stream: DataFrame, ttl_ms: int = 30_000) -> Da
 
         return TTLCounts()
 
-    return events_stream.groupBy("user_id").transformWithStateInPandas(
+    return drop_null_keys(events_stream).groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=build(ttl_ms),
         outputStructType=TTL_COUNTS_SCHEMA,
         outputMode="Update",
@@ -689,7 +716,7 @@ def running_type_counts_with_backfill(
         def close(self) -> None:
             pass
 
-    return events_stream.groupBy("user_id").transformWithStateInPandas(
+    return drop_null_keys(events_stream).groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=SeededTypeCounts(),
         outputStructType=TYPE_COUNTS_SCHEMA,
         outputMode="Update",
