@@ -49,8 +49,13 @@ _GAP_MS = 600_000
 @register(
     "ev_timer_session_close_twin",
     oracle=f"""
-        WITH e AS (
+        WITH raw AS (
             SELECT user_id, event_id, epoch_us(ts) // 1000 AS ms FROM events
+        ), e AS (
+            -- null user_ids sessionize nowhere (the tWS processor guards
+            -- them out — stateful.drop_null_keys, r14); their event
+            -- times still advance the watermark (mx reads raw)
+            SELECT * FROM raw WHERE user_id IS NOT NULL
         ), marked AS (
             SELECT user_id, ms, event_id,
                    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id
@@ -62,7 +67,7 @@ _GAP_MS = 600_000
                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sess
             FROM marked
-        ), mx AS (SELECT MAX(ms) AS max_ms FROM e),
+        ), mx AS (SELECT MAX(ms) AS max_ms FROM raw),
         agg AS (
             SELECT user_id,
                    MIN(ms) AS start_ms,
@@ -94,9 +99,12 @@ _GAP_MS = 600_000
     "TIMESTAMP(NANOS); both truncate ns → us before the div).",
 )
 def ev_timer_session_close_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").select(
+    raw = table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.expr("unix_micros(ts) div 1000").alias("ms")
     )
+    # sessionization over keyed rows only (the tWS processor guards null
+    # user_ids out — r14); the watermark max still reads ALL rows
+    ev = raw.filter(F.col("user_id").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ms", "event_id")
     marked = ev.withColumn(
         "new_s",
@@ -112,7 +120,7 @@ def ev_timer_session_close_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ms").alias("end_ms"),
         F.count("*").alias("n_events"),
     )
-    mx = ev.agg(F.max("ms").alias("max_ms"))
+    mx = raw.agg(F.max("ms").alias("max_ms"))
     # true timer closure: only a user's LAST session can close by timer (a
     # session with a successor closes inline when that event arrives), and
     # only if the terminal watermark reaches its expiry

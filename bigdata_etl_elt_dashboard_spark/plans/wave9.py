@@ -42,7 +42,12 @@ _DAY_MS = 86_400_000
             UNION ALL
             SELECT * FROM raw WHERE event_id % {_REPLAY_MOD} = 0
         ), e AS (
+            -- null user_ids sessionize NOWHERE (the tWS sessionizer
+            -- guards them out — stateful.drop_null_keys, r14) but their
+            -- event times still drive the terminal watermark below
+            -- (withWatermark sits upstream of the guard)
             SELECT DISTINCT user_id, event_id, ms FROM replay
+            WHERE user_id IS NOT NULL
         ), marked AS (
             SELECT user_id, ms, event_id,
                    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id
@@ -54,7 +59,7 @@ _DAY_MS = 86_400_000
                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sess
             FROM marked
-        ), mx AS (SELECT MAX(ms) AS max_ms FROM e),
+        ), mx AS (SELECT MAX(ms) AS max_ms FROM raw),
         agg AS (
             SELECT user_id,
                    MIN(ms) AS start_ms,

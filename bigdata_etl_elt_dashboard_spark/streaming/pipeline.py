@@ -123,7 +123,13 @@ def sessions_gold_batch(
     # drops null user_ids (stateful.drop_null_keys — semantic contract +
     # the measured Spark 4.1.2 null-key partition-absorption hazard), so
     # the batch twin must too or the pair diverges on any corpus with
-    # optional identity.
+    # optional identity. The terminal WATERMARK, by contrast, is
+    # computed over ALL events including null-key rows — the stream's
+    # withWatermark sits on bronze, upstream of the sessionizer's guard,
+    # so a null-key row's event time still advances eviction/timers.
+    mx = events.select(F.expr("unix_micros(ts) div 1000").alias("ms")).agg(
+        F.max("ms").alias("max_ms")
+    )
     ev = (
         events.filter(F.col("user_id").isNotNull())
         .select("user_id", "event_id", F.expr("unix_micros(ts) div 1000").alias("ms"))
@@ -144,7 +150,6 @@ def sessions_gold_batch(
         F.max("ms").alias("end_ms"),
         F.count("*").alias("n_events"),
     )
-    mx = ev.agg(F.max("ms").alias("max_ms"))
     last_end = F.max("end_ms").over(Window.partitionBy("user_id"))
     return (
         agg.join(F.broadcast(mx))
