@@ -62,7 +62,15 @@ spark = get_spark(
     app_name="count-sweep-child",
     master="local[8]",
     shuffle_partitions=200,
-    extra_conf={"spark.driver.memory": "1g", "spark.ui.enabled": "false"},
+    extra_conf={
+        "spark.driver.memory": "1g",
+        "spark.ui.enabled": "false",
+        # harness-posture broadcast budget: the factory's 64 MB threshold
+        # is sized for its 8 g default driver; under this sweep's pinned
+        # 1 g heap the Spark-default 10 MB applies (measured r14: 64 MB
+        # broadcasts OOM the two graph tail queries monolithically)
+        "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    },
 )
 import __spark_entry__ as e
 from bigdata_etl_elt_dashboard_spark.operators.scale import release_pins
