@@ -168,6 +168,42 @@ def _merge_driver_java_opts(caller_opts: str | None) -> str:
     return f"{base} {_STACK_GUARD}".strip() if base else _STACK_GUARD
 
 
+def local_cluster_conf(master: str) -> "dict[str, str]":
+    """Extra conf for a ``local-cluster[W,C,M]`` master (multi-executor mode).
+
+    ``local-cluster`` spawns W REAL executor JVMs (each with its own
+    Python workers), so closure serialization, broadcast exchange, and
+    executor-side imports cross genuine process boundaries — everything
+    single-JVM ``local[N]`` short-circuits. Two things local mode gives
+    for free must then be pinned explicitly:
+
+    - executor memory must fit the worker's advertised budget (the third
+      bracket field, MB) or the Worker never accepts the executor; 1 GiB
+      headroom is left for JVM overhead;
+    - executor-spawned Python workers unpickle module-referenced
+      functions (``mapInPandas`` decoders, stateful processors) by
+      IMPORT, so the repo root — and the vendored protobuf shim, which
+      ``ensure_protobuf`` prepends to ``os.environ['PYTHONPATH']`` —
+      must ride ``spark.executorEnv.PYTHONPATH`` to the executor side.
+
+    Returns ``{}`` for non-local-cluster masters, so callers can pass
+    the result unconditionally.
+    """
+    if not master.startswith("local-cluster"):
+        return {}
+    from .vendor import ensure_protobuf
+
+    ensure_protobuf()  # must mutate PYTHONPATH before the snapshot below
+    worker_mb = int(master.rstrip("]").split(",")[2])
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return {
+        "spark.executor.memory": f"{max(1024, worker_mb - 1024)}m",
+        "spark.executorEnv.PYTHONPATH": os.pathsep.join(
+            [p for p in [root, os.environ.get("PYTHONPATH", "")] if p]
+        ),
+    }
+
+
 def get_spark(
     app_name: str = "bigdata-etl-elt-dashboard-spark",
     master: str | None = None,

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -323,6 +324,28 @@ def test_factory_caps_ui_retained_executions(spark):
     sets it (callers can still override via extra_conf — the conf is set
     before the extra_conf loop in session.get_spark)."""
     assert spark.conf.get("spark.sql.ui.retainedExecutions") == "50"
+
+
+def test_local_cluster_conf_shape():
+    """local_cluster_conf pins executor memory inside the worker budget
+    (third bracket field, minus 1 GiB JVM headroom, floored at 1 GiB)
+    and exports the repo root on the executor-side PYTHONPATH so
+    executor-spawned Python workers can import module-referenced
+    functions; non-local-cluster masters get an empty dict so callers
+    can pass the result unconditionally."""
+    import bigdata_etl_elt_dashboard_spark as pkg
+    from bigdata_etl_elt_dashboard_spark.session import local_cluster_conf
+
+    assert local_cluster_conf("local[8]") == {}
+    assert local_cluster_conf("local[*]") == {}
+    conf = local_cluster_conf("local-cluster[2,8,4096]")
+    assert conf["spark.executor.memory"] == "3072m"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    assert root in conf["spark.executorEnv.PYTHONPATH"].split(os.pathsep)
+    # tiny worker budget floors at 1 GiB instead of going nonpositive
+    assert local_cluster_conf("local-cluster[1,2,512]")[
+        "spark.executor.memory"
+    ] == "1024m"
 
 
 def test_driver_java_opts_merge():

@@ -93,7 +93,22 @@ def _drain(spark, src: str, tag: str, max_files=None) -> tuple[float, str]:
 def main() -> None:
     shutil.rmtree(WORK, ignore_errors=True)
     os.makedirs(WORK)
-    spark = get_spark(app_name="medallion-drain-probe")
+    # Optional multi-executor posture (r14 extension): --master
+    # local-cluster[W,C,M] runs the same drain + bit-equality assertions
+    # with RocksDB state stores living on REAL separate executor JVMs —
+    # state rides the checkpoint dir (shared fs here, HDFS/S3 on a
+    # cluster), so a pass is distributed-state evidence, not just
+    # thread-pool evidence.
+    master = None
+    if "--master" in sys.argv:
+        master = sys.argv[sys.argv.index("--master") + 1]
+    from bigdata_etl_elt_dashboard_spark.session import local_cluster_conf
+
+    spark = get_spark(
+        app_name="medallion-drain-probe",
+        master=master,
+        extra_conf=local_cluster_conf(master) if master else None,
+    )
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."

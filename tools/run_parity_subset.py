@@ -2,10 +2,25 @@
 
 Usage: python tools/run_parity_subset.py q1 q2 ...  [--sf /root/testdata/sf0.01]
                                                     [--default-session]
+                                                    [--master local-cluster[2,8,4096]]
 Prints one line per query: OK/FAIL (+ mismatch details) and wall time.
 ``--default-session`` compares on a bare `SparkSession.builder` session
 (the driver's posture: ANSI on, 200 shuffle partitions) instead of the
 tuned factory — the closest local mirror of the CORRECTNESS gate.
+
+``--master`` overrides the Spark master. The load-bearing value is
+``local-cluster[W,C,M]`` (W worker JVMs x C cores x M MB): REAL separate
+executor JVMs with their own Python workers, so closure serialization,
+broadcast exchange, executor-side PYTHONPATH propagation (the vendored
+protobuf shim), and Arrow batch transfer all cross genuine process
+boundaries — everything single-JVM ``local[N]`` mode short-circuits
+(local mode never serializes broadcast values and shares the driver's
+module imports). A full-registry pass under this master is the closest
+available local evidence that the plans would survive a real cluster
+(SCALING.md "multi-executor" section). When the master is a
+local-cluster, executor memory is pinned to fit the worker budget and
+``spark.executorEnv.PYTHONPATH`` is exported so executor-side Python
+workers can unpickle module-referenced functions.
 """
 
 from __future__ import annotations
@@ -33,14 +48,30 @@ def main() -> int:
     default_session = "--default-session" in args
     if default_session:
         args = [a for a in args if a != "--default-session"]
+    master = None
+    if "--master" in args:
+        i = args.index("--master")
+        master = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     names = args or list(REGISTRY)
+    from bigdata_etl_elt_dashboard_spark.session import local_cluster_conf
+
+    cluster_conf = local_cluster_conf(master) if master else {}
     if default_session:
         from pyspark.sql import SparkSession
 
-        spark = SparkSession.builder.master("local[8]").getOrCreate()
+        b = SparkSession.builder.master(master or "local[8]")
+        for k, v in cluster_conf.items():
+            b = b.config(k, v)
+        spark = b.getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
     else:
-        spark = get_spark(app_name="parity-subset", master="local[8]", shuffle_partitions=8)
+        spark = get_spark(
+            app_name="parity-subset",
+            master=master or "local[8]",
+            shuffle_partitions=8,
+            extra_conf=cluster_conf or None,
+        )
     con = duck_connection(sf)
     failed = []
     for name in names:
