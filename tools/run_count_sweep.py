@@ -33,7 +33,10 @@ the default heap (r12 verdict task 3). Chunking remains available as
 isolation for DIAGNOSING a tail failure (a failure is real only if it
 reproduces in its own chunk).
 
-Usage: ``python tools/run_count_sweep.py [--sf DIR] [--chunk N]``
+Usage: ``python tools/run_count_sweep.py [--sf DIR] [--chunk N]
+[--master local-cluster[W,C,M]]`` — the ``--master`` form re-runs the
+same full-volume sweep with real executor JVMs (the at-volume
+complement of ``run_parity_subset.py --master``'s sf0.01 value check).
 Prints one line per chunk and a final verdict; exit 1 on any failure.
 """
 
@@ -57,12 +60,20 @@ import json, sys
 # the sweep now also PROVES the factory default suffices. The
 # harness-posture-critical knobs stay pinned: ANSI (Spark 4 default on),
 # 200 shuffle partitions, 1g driver heap.
-from bigdata_etl_elt_dashboard_spark.session import get_spark
+#
+# --master local-cluster[W,C,M] (r14): the same full-volume sweep with
+# REAL executor JVMs (session.local_cluster_conf supplies the
+# executor-memory fit + executorEnv PYTHONPATH). The 1 g driver heap
+# stays — in cluster mode the driver only plans/collects, which is
+# exactly the production shape the harness posture approximates.
+from bigdata_etl_elt_dashboard_spark.session import get_spark, local_cluster_conf
+master = sys.argv[1]
 spark = get_spark(
     app_name="count-sweep-child",
-    master="local[8]",
+    master=master,
     shuffle_partitions=200,
     extra_conf={
+        **local_cluster_conf(master),
         "spark.driver.memory": "1g",
         "spark.ui.enabled": "false",
         # harness-posture broadcast budget: the factory's 64 MB threshold
@@ -74,8 +85,8 @@ spark = get_spark(
 )
 import __spark_entry__ as e
 from bigdata_etl_elt_dashboard_spark.operators.scale import release_pins
-sf = sys.argv[1]
-names = sys.argv[2:]
+sf = sys.argv[2]
+names = sys.argv[3:]
 qs = e.queries()
 fails = []
 for name in names:
@@ -93,6 +104,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--chunk", type=int, default=60)
+    ap.add_argument("--master", default="local[8]")
     args = ap.parse_args()
 
     from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
@@ -102,7 +114,7 @@ def main() -> int:
     for i in range(0, len(names), args.chunk):
         chunk = names[i : i + args.chunk]
         p = subprocess.run(
-            [sys.executable, "-c", _CHILD, args.sf, *chunk],
+            [sys.executable, "-c", _CHILD, args.master, args.sf, *chunk],
             capture_output=True,
             text=True,
             cwd=_ROOT,
