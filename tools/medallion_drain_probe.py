@@ -102,6 +102,34 @@ def main() -> None:
     master = None
     if "--master" in sys.argv:
         master = sys.argv[sys.argv.index("--master") + 1]
+    # --kill-executor (r14, needs --master local-cluster[...]): SIGKILL
+    # one executor JVM ~1/3 into probe 1's drain, then assert the
+    # engine's documented failure semantics for the gold-MERGE
+    # materialization policy (one strategy per invocation; the session
+    # does not reliably outlive an aborted-stream + app-teardown storm,
+    # so the two strategies are two solo runs):
+    #
+    # --pin-strategy reliable (default): the preemptible-cluster posture
+    #   `sinks.merge_upsert_parquet`'s docstring prescribes. The drain
+    #   must COMPLETE and the gold table must still be bit-identical to
+    #   the batch twin — exactly-once through executor loss (retried
+    #   tasks re-read the merge's reliable-checkpoint files, RocksDB
+    #   state reloads its last committed snapshot).
+    # --pin-strategy local: the local[N] default. The merge's pinned
+    #   blocks die with the executor, and the contract is LOUD failure:
+    #   the drain must abort with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    #   (surfaced via FOREACH_BATCH_USER_FUNCTION_ERROR), never a
+    #   silently wrong gold table. First observed live: the kill
+    #   scenario's maiden run used the default strategy and died exactly
+    #   this way — the executor_loss_probe pin table biting the
+    #   streaming path.
+    kill_exec = "--kill-executor" in sys.argv
+    if kill_exec and not (master or "").startswith("local-cluster"):
+        raise SystemExit("--kill-executor requires --master local-cluster[...]")
+    kill_pin = "reliable"
+    if "--pin-strategy" in sys.argv:
+        kill_pin = sys.argv[sys.argv.index("--pin-strategy") + 1]
+        assert kill_pin in ("reliable", "local"), kill_pin
     from bigdata_etl_elt_dashboard_spark.session import local_cluster_conf
 
     spark = get_spark(
@@ -120,11 +148,79 @@ def main() -> None:
     # at-least-once delivery: every 7th event re-delivered byte-identically
     delivered = ev.unionByName(ev.filter(F.col("event_id") % 7 == 0))
     twin = sessions_gold_batch(delivered, gap_ms=GAP_MS, delay_ms=DELAY_MS)
-    twin = twin.localCheckpoint(eager=True)  # one compute, two probes
+    # one compute, two probes. In --kill-executor mode the twin's pinned
+    # blocks must OUTLIVE the executor we are about to murder — the first
+    # run of the kill scenario used localCheckpoint here and died with
+    # CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND when the twin was consumed after
+    # the kill: the pin-strategy table (executor_loss_probe) biting our
+    # own tooling. Reliable checkpoint is exactly the documented fix.
+    if kill_exec:
+        spark.sparkContext.setCheckpointDir(os.path.join(WORK, "pins"))
+        twin = twin.checkpoint(eager=True)
+        # the strategy under test governs the gold MERGE's in-stream
+        # materialization (sinks.merge_upsert_parquet reads it per batch)
+        spark.conf.set("spark.graft.pin.strategy", kill_pin)
+        spark.conf.set("spark.graft.pin.dir", os.path.join(WORK, "pins"))
+    else:
+        twin = twin.localCheckpoint(eager=True)
 
     # ---- probe 1: single-drain, scattered row order --------------------
     src1 = os.path.join(WORK, "src_single")
     delivered.repartition(8).write.parquet(src1)  # hash-scatter = disorder
+    killed: dict = {}
+    if kill_exec:
+        import signal
+        import subprocess
+        import threading
+
+        app_id = spark.sparkContext.applicationId
+
+        def _assassin() -> None:
+            # same discovery as tools/executor_loss_probe.py: this app's
+            # CoarseGrainedExecutorBackend JVMs by commandline app-id
+            time.sleep(20.0)  # ~1/3 into the ~60 s local-cluster drain
+            out = subprocess.run(
+                ["pgrep", "-f", f"CoarseGrainedExecutorBackend.*{app_id}"],
+                capture_output=True, text=True,
+            ).stdout
+            pids = sorted(int(p) for p in out.split())
+            if pids:
+                os.kill(pids[0], signal.SIGKILL)
+                killed["victim"] = pids[0]
+
+        threading.Thread(target=_assassin, daemon=True).start()
+        tag = f"kill_{kill_pin}"
+        try:
+            wall1, gold1 = _drain(spark, src1, tag)
+        except Exception as ex:  # noqa: BLE001 — local's contracted abort
+            assert killed.get("victim"), "drain failed but no executor killed"
+            msg = str(ex)
+            assert kill_pin == "local", f"{kill_pin} drain must survive: {msg[:400]}"
+            assert "CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND" in msg, msg[:400]
+            print(json.dumps({
+                "probe": "kill_drain", "pin_strategy": "local",
+                "executor_killed_mid_drain": killed["victim"],
+                "outcome": "loud_abort",
+                "error_class": "CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND",
+            }))
+            return
+        assert killed.get("victim"), "kill thread found no executor to kill"
+        assert kill_pin == "reliable", (
+            "pin=local drain SURVIVED the kill — blocks happened to live "
+            "on the survivor; rerun (contract is abort-or-correct, so a "
+            "survival must still pass the bit-equality below)"
+        )
+        g1 = spark.read.parquet(gold1).drop("_bucket")
+        extra1 = g1.exceptAll(twin).count()
+        miss1 = twin.exceptAll(g1).count()
+        print(json.dumps({
+            "probe": "kill_drain", "pin_strategy": kill_pin,
+            "executor_killed_mid_drain": killed["victim"],
+            "outcome": "completed", "wall_s": round(wall1, 1),
+            "gold_rows": g1.count(), "sym_diff": extra1 + miss1,
+        }))
+        assert extra1 == 0 and miss1 == 0, "kill-drain gold must be bit-equal"
+        return
     wall1, gold1 = _drain(spark, src1, "single")
     g1 = spark.read.parquet(gold1).drop("_bucket")
     extra1 = g1.exceptAll(twin).count()
