@@ -75,22 +75,51 @@ _METRICS_SQL = f"""
 
 
 def _doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc token repetition metrics as a single narrow projection."""
+    """Per-doc token repetition metrics as staged narrow projections.
+
+    Each EXPENSIVE array expression (the O(n) bigram ``transform``, the two
+    ``array_distinct``s, the array_sort+aggregate mode scan) is aliased in
+    its own projection and only its scalar size crosses to the next stage.
+    Inlining them via local Python variables re-evaluates the shared
+    subexpression per use — the pre-r14 plan evaluated the bigram transform
+    4× and array_distinct(toks) 2× per row (plan audit,
+    plans/r14/docs_repetition_metrics_before.txt Project (4)) — and
+    Catalyst's CollapseProject leaves multi-referenced NON-cheap aliases
+    staged, so the rewrite is a true 4×→1× per-row saving (guide §1.2
+    step 2: per-task work; measured 2.04 s → noop-sink at sf0.1, see
+    OPTIMIZATION_r14.md). Values are bit-identical: same expressions,
+    evaluated once instead of repeatedly."""
     docs = table(spark, sf_dir, "documents")
     d = docs.select("doc_id", "source", X.tokens(F.col("text")).alias("toks"))
-    n_tokens = F.size("toks")
-    n_distinct = F.size(F.array_distinct("toks"))
-    big = X.bigram_list(F.col("toks"))
-    n_bg = F.size(big)
-    n_bg_d = F.size(F.array_distinct(big))
-    return d.select(
+    counted = d.select(
         "doc_id",
         "source",
-        n_tokens.alias("n_tokens"),
-        n_distinct.alias("n_distinct_tokens"),
-        ((n_tokens - n_distinct) / n_tokens).alias("dup_token_ratio"),
-        (X.max_token_count(F.col("toks")) / n_tokens).alias("top_token_ratio"),
-        F.when(n_bg > 0, (n_bg - n_bg_d) / n_bg)
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        X.max_token_count(F.col("toks")).alias("_top_c"),
+        X.bigram_list(F.col("toks")).alias("_big"),
+    )
+    sized = counted.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "n_distinct_tokens",
+        "_top_c",
+        F.size("_big").alias("_n_bg"),
+        F.size(F.array_distinct("_big")).alias("_n_bg_d"),
+    )
+    n_tokens = F.col("n_tokens")
+    n_bg = F.col("_n_bg")
+    return sized.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "n_distinct_tokens",
+        ((n_tokens - F.col("n_distinct_tokens")) / n_tokens).alias(
+            "dup_token_ratio"
+        ),
+        (F.col("_top_c") / n_tokens).alias("top_token_ratio"),
+        F.when(n_bg > 0, (n_bg - F.col("_n_bg_d")) / n_bg)
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_ratio"),
     )
