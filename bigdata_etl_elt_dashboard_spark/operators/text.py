@@ -61,25 +61,50 @@ def punct_count(text: Column) -> Column:
 def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring projection: per-doc length, token count, mean token
     length, punctuation ratio, stopword ratio, and a deterministic composite
-    quality bucket (good/fair/poor)."""
+    quality bucket (good/fair/poor).
+
+    Staged so each expensive string expression evaluates ONCE per row: the
+    pre-r14 single-projection form re-ran ``split(lower(trim(text)))`` ~6×
+    and both regexp_replaces 2× per row through Python-side expression
+    reuse (r14 plan audit, text_quality ``split(`` ×6 in one Project) —
+    guide §1.2 step 2. Catalyst's CollapseProject keeps multi-referenced
+    non-cheap aliases staged, and every downstream value is the identical
+    expression over the shared columns, so results are bit-equal."""
     t = F.col(text_col)
-    n_chars = F.length(t)
-    n_tokens = token_count(t)
-    sw = stopword_hits(t, LANG_STOPWORDS["en"])
-    punct_ratio = punct_count(t) / F.nullif(n_chars.cast("double"), F.lit(0.0))
-    stop_ratio = sw / F.nullif(n_tokens.cast("double"), F.lit(0.0))
-    mean_tok_len = (F.length(F.regexp_replace(t, r"\s+", ""))) / F.nullif(
-        n_tokens.cast("double"), F.lit(0.0)
+    toked = df.select(
+        "doc_id",
+        F.length(t).alias("n_chars_m"),
+        (F.trim(t) == "").alias("_blank"),
+        tokens(t).alias("_toks"),
+        F.length(F.regexp_replace(t, r"\s+", "")).alias("_n_nospace"),
+        punct_count(t).alias("_n_punct"),
     )
+    counted = toked.select(
+        "doc_id",
+        "n_chars_m",
+        "_n_nospace",
+        "_n_punct",
+        F.when(F.col("_blank"), F.lit(0)).otherwise(F.size("_toks")).alias("n_tokens"),
+        F.size(
+            F.filter(F.col("_toks"), lambda x: x.isin(*LANG_STOPWORDS["en"]))
+        ).alias("_sw"),
+    )
+    n_tokens = F.col("n_tokens")
+    nt_d = F.nullif(n_tokens.cast("double"), F.lit(0.0))
+    punct_ratio = F.col("_n_punct") / F.nullif(
+        F.col("n_chars_m").cast("double"), F.lit(0.0)
+    )
+    stop_ratio = F.col("_sw") / nt_d
+    mean_tok_len = F.col("_n_nospace") / nt_d
     bucket = (
         F.when((n_tokens < 5) | (mean_tok_len > 15), "poor")
         .when(stop_ratio >= 0.05, "good")
         .otherwise("fair")
     )
-    return df.select(
+    return counted.select(
         "doc_id",
-        n_chars.alias("n_chars_m"),
-        n_tokens.alias("n_tokens"),
+        "n_chars_m",
+        "n_tokens",
         F.round(mean_tok_len, 4).alias("mean_token_len"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),

@@ -131,12 +131,18 @@ def sim_kmeans_lloyd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in cent_rows:
         cents.setdefault(int(r["c0"]), [0] * 64)[r["pos"]] = int(r["mi"])
 
+    # Stage the k-way array_min struct ONCE and read both fields from the
+    # staged column: referencing best1["lbl"] and best1["d2"] directly in
+    # one select re-evaluates the whole k-aggregate distance scan per field
+    # (measured: 24 ArrayAggregate evals/row → 16; guide §1.2 step 2).
+    # CollapseProject keeps the multi-referenced non-cheap alias staged.
     best1 = _best_assign(cents)
+    assigned = a0.select("c0", best1.alias("_b"))
     return (
-        a0.select(
+        assigned.select(
             "c0",
-            best1["lbl"].alias("cluster"),
-            best1["d2"].alias("best_d2"),
+            F.col("_b")["lbl"].alias("cluster"),
+            F.col("_b")["d2"].alias("best_d2"),
         )
         .groupBy("cluster")
         .agg(
@@ -211,16 +217,25 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
-    pn = F.concat(F.lit("P"), F.col("p").cast("string"))
-    sn = F.concat(F.lit("S"), F.col("s").cast("string"))
+    # Nodes are LONGS through every iteration — part p ↦ 2p, supplier s ↦
+    # 2s+1 — and the 'P…'/'S…' display names the oracle uses are derived
+    # in one projection over the ≤|nodes| final frame. The pre-r14 form
+    # carried the string names through all 3 join+groupBy rounds: every
+    # broadcast-hash probe and aggregate hash table keyed on ~8-char
+    # strings instead of 8-byte longs — measured 2.10 s → 0.86 s noop at
+    # sf0.1, bit-identical top-20 (guide §2.3 narrower types / shuffle
+    # keys not payloads). The encoding is collision-free (parity splits
+    # the two id spaces) and the name derivation is exact integer `div`.
+    pid = F.col("p") * 2
+    sid = F.col("s") * 2 + 1
     # edges and deg are referenced once per iteration (plus deg's init/count
     # uses): localCheckpoint both so the per-iteration plan starts from the
     # materialized edge list instead of re-deriving the lineitem distinct
     # each reference (judge-measured 14 scans at r03; now one) — the same
     # lineage-truncation pattern as operators/dedup.connected_components.
     edges = (
-        e0.select(pn.alias("src"), sn.alias("dst"))
-        .unionAll(e0.select(sn.alias("src"), pn.alias("dst")))
+        e0.select(pid.alias("src"), sid.alias("dst"))
+        .unionAll(e0.select(sid.alias("src"), pid.alias("dst")))
         .transform(pin)
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg")).transform(pin)
@@ -242,8 +257,14 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contrib.groupBy(F.col("dst").alias("node")).agg(
             (F.lit(base) + F.sum("c")).alias("r")
         )
+    name = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("P"), F.expr("node div 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("S"), F.expr("(node - 1) div 2").cast("string"))
+    )
     return (
-        ranks.select("node", F.col("r").alias("rank_units"))
+        ranks.select(name.alias("node"), F.col("r").alias("rank_units"))
         .orderBy(F.desc("rank_units"), "node")
         .limit(20)
     )
