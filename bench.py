@@ -240,6 +240,18 @@ def run_once(spark, sf_dir: str, name: str) -> float:
     return time.perf_counter() - t0
 
 
+def _timed_noop(df) -> float:
+    """One recompute-cost sample (guide §1.4): the noop sink re-executes the
+    WHOLE plan (a write command gets a fresh QueryExecution), so unlike the
+    warm re-collect it cannot reuse AQE's already-materialized shuffle query
+    stages. Recorded in the stderr full record only (r14 verdict item: the
+    warm-collect ledger is structurally insensitive to recompute-cost wins);
+    the stdout headline methodology is unchanged."""
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def build_df(spark, sf_dir: str, name: str):
     """Build the (lazy, immutable) DataFrame once; repeated collect()s on it
     re-execute the physical plan but reuse the analyzed/optimized plan —
@@ -296,7 +308,7 @@ def main() -> None:
 
     canary = _canary(spark)
 
-    timings, plan_s = {}, {}
+    timings, plan_s, noop_s = {}, {}, {}
     for label, name in HEADLINE.items():
         df, build = build_df(spark, sf_dir, name)
         plan_s[label] = build
@@ -304,17 +316,19 @@ def main() -> None:
         # (noisy-neighbor load spikes) dominates single samples — the min is
         # the stable estimator of the engine's actual cost
         timings[label] = round(min(_timed_collect(df) for _ in range(5)), 4)
+        noop_s[label] = round(_timed_noop(df), 4)
 
     # Beyond-baseline extension suite (no reference number exists; recorded
     # so round-over-round regressions in the training-data ops are visible).
     # ext_plan_s matters here more than for q1-q8: iterative operators
     # (star CC) do most of their work during the first materialization, so
     # the warm re-collect alone would under-report them.
-    ext, ext_plan_s = {}, {}
+    ext, ext_plan_s, ext_noop_s = {}, {}, {}
     for name in EXTENSION_SUITE:
         df, build = build_df(spark, sf_dir, name)
         ext_plan_s[name] = build
         ext[name] = round(min(_timed_collect(df) for _ in range(3)), 4)
+        ext_noop_s[name] = round(_timed_noop(df), 4)
 
     headline = {
         "metric": "warm per-query execution wall-clock, reference q1-q8 suite (sum)",
@@ -322,10 +336,27 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # effective parallelism contract, echoed so the driver's scaling
+        # check can verify $SPARK_GRAFT_CPUS is honored (r14 verdict item 2:
+        # `suspect_cpus_ignored` fired as a false positive because the
+        # headline JSON carried no evidence of the effective core count and
+        # the one-row-group-per-file sf0.1 layout makes every headline scan
+        # single-task, so flat per-query ratios are indistinguishable from a
+        # pinned master). Values are read back from the LIVE SparkContext,
+        # not from the env, so they prove what the session actually ran with.
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
         "plan_s": plan_s,  # one-time plan build+first-run cost per query
         "canary": canary,  # fixed-work host-drift reference (see _canary)
     }
-    full = dict(headline, extension_queries=ext, extension_plan_s=ext_plan_s)
+    full = dict(
+        headline,
+        extension_queries=ext,
+        extension_plan_s=ext_plan_s,
+        # recompute cost (noop sink, guide §1.4) — see _timed_noop
+        noop_s=noop_s,
+        extension_noop_s=ext_noop_s,
+    )
     # full record → stderr (for humans + tools/bench_diff.py); compact
     # headline → the FINAL stdout line, inside the driver's parse window
     print(json.dumps(full), file=sys.stderr)

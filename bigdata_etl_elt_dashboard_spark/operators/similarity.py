@@ -150,6 +150,118 @@ def threshold_cosine_pairs(
     )
 
 
+def _block_pair_scorer(min_sim: float):
+    """Cogrouped NumPy scorer for one (block_i, block_j) pair — the Arrow
+    block-matrix replacement (r15, guide §4.2) for the per-pair JVM HOF dot.
+
+    BIT-EXACTNESS ARGUMENT (why this hashes identically to the HOF form):
+    the JVM kernel computed, per pair, ``aggregate(zip_with(a, b, (x,y) ->
+    x*y), 0.0, (acc,t) -> acc + t)`` — a left-associative fold
+    ``((0.0 + a0·b0) + a1·b1) + …`` over IEEE-754 doubles. Here the dot
+    matrix is accumulated as ``C += A[:,k,None] * B[None,:,k]`` for
+    k = 0..dim-1 IN ORDER: every element of C experiences exactly the
+    same multiply-then-add sequence (NumPy elementwise ufuncs perform one
+    correctly-rounded IEEE operation per element — no FMA contraction, no
+    pairwise/reassociated reduction, which only np.sum/np.dot use), and
+    the 0.0 + first-product step is exact in both. Norms accumulate
+    ``x*x`` the same way (the HOF ``aggregate(a, 0.0, acc + x*x)``),
+    sqrt is correctly rounded in both runtimes, and the final division
+    is a single IEEE op on identical operands. Rounding and the
+    ≥ min_sim filter stay in the JVM (Spark's HALF_UP `round` and its
+    NaN-greatest comparison semantics are NOT replicated here): the
+    kernel emits RAW cosines for a strict superset — everything with
+    cos ≥ min_sim − 1e-6 (round(·, 6) moves a value by < 5e-7) plus any
+    NaN (Spark treats NaN as the largest double, so the JVM filter must
+    decide those).
+
+    Semantics preserved per pair class:
+    - same-block groups (ki == kj): both replicas hold the same rows;
+      keep id_a < id_b (the join met each pair twice, filtered likewise);
+    - cross-block groups: every unordered pair meets exactly once; keep
+      id_a != id_b and canonicalize via min/max (cosine is bit-symmetric:
+      commutative per-element products, same summation order);
+    - zero-norm vectors: denom == 0.0 → the JVM form's nullif made the
+      cosine NULL (dropped); the kernel drops them likewise;
+    - vectors of differing lengths: zip_with pads the shorter with NULL →
+      NULL dot → dropped; the kernel scores only same-length combos.
+    """
+
+    def score(left, right):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "_raw": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(left) or not len(right):
+            return empty
+        same_block = bool(left["_ki"].iat[0] == left["_kj"].iat[0])
+
+        def by_len(pdf):
+            groups: dict = {}
+            for vid, vec in zip(pdf["_id"], pdf["_v"]):
+                arr = np.asarray(vec, dtype=np.float64)
+                ids, rows = groups.setdefault(arr.shape[0], ([], []))
+                ids.append(vid)
+                rows.append(arr)
+            return {
+                ln: (
+                    np.asarray(ids, dtype=np.int64),
+                    np.vstack(rows) if ln else np.empty((len(rows), 0)),
+                )
+                for ln, (ids, rows) in groups.items()
+            }
+
+        la, ra = by_len(left), by_len(right)
+        out_a, out_b, out_c = [], [], []
+        for ln, (ids_a, A) in la.items():
+            if ln not in ra:
+                continue
+            ids_b, B = ra[ln]
+            na, nb = len(ids_a), len(ids_b)
+            # dot/norm accumulated in array-index order — see the
+            # bit-exactness argument in the docstring
+            C = np.zeros((na, nb))
+            sq_a = np.zeros(na)
+            sq_b = np.zeros(nb)
+            for k in range(ln):
+                C += A[:, k, None] * B[None, :, k]
+                sq_a += A[:, k] * A[:, k]
+                sq_b += B[:, k] * B[:, k]
+            denom = np.sqrt(sq_a)[:, None] * np.sqrt(sq_b)[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = C / denom
+            ia = ids_a[:, None]
+            ib = ids_b[None, :]
+            pair_ok = (ia < ib) if same_block else (ia != ib)
+            keep = (
+                pair_ok
+                & (denom != 0.0)  # nullif guard: zero norms drop
+                & (np.isnan(cos) | (cos >= min_sim - 1e-6))
+            )
+            ii, jj = np.nonzero(keep)
+            if len(ii):
+                da, db = ids_a[ii], ids_b[jj]
+                out_a.append(np.minimum(da, db))
+                out_b.append(np.maximum(da, db))
+                out_c.append(cos[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": np.concatenate(out_a),
+                "doc_b": np.concatenate(out_b),
+                "_raw": np.concatenate(out_c),
+            }
+        )
+
+    return score
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     min_sim: float,
@@ -159,74 +271,74 @@ def near_dup_pairs(
     """Exact all-pairs embedding-cosine near-dup: every (a, b) with a < b
     and cosine ≥ min_sim, over the WHOLE corpus (not a query subset).
 
-    Shape: BLOCKED pair enumeration as an EQUI-join, never a nested loop.
-    Each vector lands in one of ``n_blocks`` hash blocks; the left replica
-    carries keys (own_block, j ≥ own_block), the right replica (i ≤
-    own_block, own_block), so every unordered block pair meets on exactly
-    one (i, j) key. Block-pair keys are near-uniform by construction (hash
-    blocks), so the n² work spreads evenly across B(B+1)/2 tasks; at
-    100 TB grow ``n_blocks`` with the cluster. Cosine is exactly
-    symmetric (commutative products, same summation order), so emitting
-    least/greatest ids preserves the oracle's a < b orientation.
+    Shape: BLOCKED pair enumeration, never a nested loop. Each vector
+    lands in one of ``n_blocks`` hash blocks; the left replica carries
+    keys (own_block, j ≥ own_block), the right replica (i ≤ own_block,
+    own_block), so every unordered block pair meets on exactly one (i, j)
+    key. Block-pair keys are near-uniform by construction (hash blocks),
+    so the n² work spreads evenly across B(B+1)/2 tasks; at 100 TB grow
+    ``n_blocks`` with the cluster.
 
-    Kernel form (round-3 measurement, Spark 4.1): the dot/norm here use
-    the HIGHER-ORDER ``aggregate`` form, NOT the unrolled 64-term chain —
-    the giant unrolled expression trips codegen fallback (the projection
-    drops out of WholeStageCodegen and evaluates the ~600-node tree
-    interpreted PER PAIR), measured 10× slower on the 2M-pair stream
-    (19.7 s vs 2.0 s warm at sf0.1) plus ~20 s of failed-compile stall on
-    first run. ArrayAggregate's tight loop wins on wide vectors in the
-    quadratic kernel; both forms sum in identical sequential order, so
-    the oracle hash is unchanged. The unrolled form remains right for the
-    BOUNDED kernels (query-broadcast top-k), where the pair stream is
-    small and the expression stays inside one codegen span."""
+    Kernel form (r15, guide §4.2 — third generation): the pair scoring is
+    a COGROUPED ARROW/NumPy BLOCK-MATRIX kernel (`_block_pair_scorer`).
+    History: round 3 proved the unrolled 64-term JVM chain trips codegen
+    fallback (10× slower interpreted); round 14 measured the surviving
+    HOF ``aggregate`` form at ~0.6 s of the query's 1.45 s noop — a
+    per-pair ArrayAggregate lambda walk the JVM cannot vectorize. The
+    NumPy kernel does the identical arithmetic on whole block matrices
+    (one multiply-add sweep per dimension), with the bit-exactness vs the
+    sequential fold argued in `_block_pair_scorer`'s docstring. Each
+    vector crosses the Arrow boundary ~(B+2)/2 times as a *replica of a
+    64-double row* (~18 MiB total at sf0.1) instead of the JVM join
+    materializing a 2M-pair × 128-double projection; the JVM keeps the
+    round(·, 6) + threshold filter, so NULL/NaN/rounding semantics are
+    decided by Spark exactly as before."""
     n_blocks = 16
     keys = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
-
-    def side(id_alias, vec_alias, norm_alias, key_exprs):
-        return (
-            _fan_out(corpus)
-            .select(
-                F.col(id_col).alias(id_alias),
-                _as_double(F.col(vec_col)).alias(vec_alias),
-                F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
-            )
-            .withColumn(norm_alias, norm(F.col(vec_alias)))  # HOF: see kernel-form note
-            .withColumn("_k", F.explode(key_exprs))
-            .select(
-                id_alias, vec_alias, norm_alias, "_blk",
-                F.col("_k.i").alias("_ki"), F.col("_k.j").alias("_kj"),
-            )
-        )
 
     pair_structs = F.array(
         *[F.struct(F.lit(i).alias("i"), F.lit(j).alias("j")) for i, j in keys]
     )
     left_keys = F.filter(pair_structs, lambda s: s["i"] == F.col("_blk"))
     right_keys = F.filter(pair_structs, lambda s: s["j"] == F.col("_blk"))
-    a = side("doc_a", "_va", "_na", left_keys)
-    b = side("doc_b", "_vb", "_nb", right_keys).drop("_blk")
 
-    return (
-        a.join(b, ["_ki", "_kj"])
-        # same-block pairs meet twice (both orientations): keep one; the
-        # least/greatest projection then canonicalizes cross-block pairs
-        .filter(
-            (F.col("_ki") != F.col("_kj"))
-            | (F.col("doc_a") < F.col("doc_b"))
+    # null-element vectors: the HOF dot made every pair involving one NULL
+    # (zip_with product NULL → fold NULL → filter drops); np.float64 cannot
+    # hold NULL, so drop those rows before the kernel — same pair set.
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    ).filter(~F.exists(F.col("_v"), lambda x: x.isNull()))
+
+    def side(key_exprs):
+        # every output column is re-ALIASED so each side() call mints fresh
+        # attribute ids: left and right both derive from `base`, and a
+        # self-cogroup whose sides share ids breaks under column pruning —
+        # the analyzer dedups the right child's ids, the Python-side UDF
+        # references (captured before dedup) then all resolve to the LEFT,
+        # and an enclosing count()/agg prunes the right side down to its
+        # grouping keys (observed: right pdf = [_ki, _kj] only).
+        return base.withColumn("_k", F.explode(key_exprs)).select(
+            F.col("_k.i").alias("_ki"),
+            F.col("_k.j").alias("_kj"),
+            F.col("_id").alias("_id"),
+            F.col("_v").alias("_v"),
         )
-        .filter(F.col("doc_a") != F.col("doc_b"))
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
-            F.round(
-                dot(F.col("_va"), F.col("_vb"))  # HOF: see kernel-form note
-                / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
-                6,
-            ).alias("cosine_sim"),
+
+    scored = (
+        side(left_keys)
+        .groupBy("_ki", "_kj")
+        .cogroup(side(right_keys).groupBy("_ki", "_kj"))
+        .applyInPandas(
+            _block_pair_scorer(min_sim), "doc_a long, doc_b long, _raw double"
         )
-        .filter(F.col("cosine_sim") >= F.lit(min_sim))
     )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("_raw"), 6).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= F.lit(min_sim))
 
 
 def ivf_topk(

@@ -449,7 +449,15 @@ def agg_sketch_param_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users")
     )
-    g = nd.join(dd, "event_type")
+    # Null-safe equality (<=>): the pre-split single GROUP BY (and the
+    # DuckDB oracle) retain a NULL-event_type group; a plain inner equi-join
+    # would silently drop it. No NULL event_type exists in the current
+    # corpora (verified sf0.1), but the variant program injects NULL key
+    # classes — <=> keeps the recombination exactly GROUP-BY-equivalent
+    # while remaining a hashable equi-join key (plan stays BroadcastHashJoin).
+    g = nd.join(dd, nd["event_type"].eqNullSafe(dd["event_type"])).drop(
+        dd["event_type"]
+    )
     within_rsd = (
         F.abs(F.col("_approx_users") - F.col("exact_users"))
         * 10  # |err| <= 10% * exact  (5 sigma at rsd=0.02)
@@ -603,6 +611,91 @@ _JL_R_VALUES_SQL = ",\n            ".join(
 )
 
 
+def _jl_pair_d2_kernel():
+    """Cogrouped NumPy kernel: per hash block, the exact-integer squared
+    L2 distances (projected and original) for every (corpus row, query)
+    pair with vec_id > qid — replacing the per-pair JVM HOF folds (r15,
+    guide §4.2).
+
+    EXACTNESS: every quantity is int64 INTEGER algebra — the Rademacher
+    projection is a ±1 integer matmul over micro-quantized BIGINT
+    coordinates and both d2s are sums of integer squares, so results are
+    order-independent and exactly equal to the sequential JVM folds (no
+    floating point anywhere before the JVM's own decimal tail). Overflow
+    margins at |x| ≤ 1 (unit-ish embeddings, |xi| ≤ 1e6): |y| ≤ 64·1e6 =
+    6.4e7, d2p ≤ 16·(2·6.4e7)² ≈ 2.6e17, d2o ≤ 64·(2e6)² ≈ 2.6e14 — both
+    far inside int64 (9.2e18); the 128-bit d2p·640 bucket product stays
+    in the JVM's DECIMAL(38,0) tail exactly as before.
+
+    Rows whose xi length differs from the projection width keep the old
+    padded-zip_with semantics: same-length pairs get a real d2o with a
+    NULL d2p (the JVM projected NULL yarr for them); unequal-length pairs
+    drop via the JVM's d2o > 0 filter never seeing them (the old plan
+    produced NULL d2o)."""
+    proj_rows = _JL_R  # plain list literal — pickled by value with the fn
+
+    def compute(left, right):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "d2p": pd.Series(dtype="object"),
+                "d2o": pd.Series(dtype="object"),
+            }
+        )
+        if not len(left) or not len(right):
+            return empty
+        R = np.asarray(proj_rows, dtype=np.int64)
+
+        def by_len(ids, vecs):
+            groups: dict = {}
+            for vid, vec in zip(ids, vecs):
+                arr = np.asarray(vec, dtype=np.int64)
+                g_ids, rows = groups.setdefault(arr.shape[0], ([], []))
+                g_ids.append(vid)
+                rows.append(arr)
+            return {
+                ln: (
+                    np.asarray(g_ids, dtype=np.int64),
+                    np.vstack(rows)
+                    if ln
+                    else np.empty((len(rows), 0), dtype=np.int64),
+                )
+                for ln, (g_ids, rows) in groups.items()
+            }
+
+        cg = by_len(left["vec_id"], left["xi_arr"])
+        qg = by_len(right["qid"], right["q_xi"])
+        frames = []
+        for ln, (cids, X) in cg.items():
+            if ln not in qg:
+                continue
+            qids, Q = qg[ln]
+            mask = cids[:, None] > qids[None, :]
+            if not mask.any():
+                continue
+            D2O = np.zeros((len(cids), len(qids)), dtype=np.int64)
+            for k in range(ln):
+                d = X[:, k, None] - Q[None, :, k]
+                D2O += d * d
+            ii, jj = np.nonzero(mask)
+            if ln == R.shape[1]:
+                Yx = X @ R.T
+                Yq = Q @ R.T
+                D2P = np.zeros_like(D2O)
+                for k in range(R.shape[0]):
+                    d = Yx[:, k, None] - Yq[None, :, k]
+                    D2P += d * d
+                d2p_col = D2P[ii, jj]
+            else:
+                d2p_col = np.full(len(ii), None, dtype=object)
+            frames.append(pd.DataFrame({"d2p": d2p_col, "d2o": D2O[ii, jj]}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return compute
+
+
 @register(
     "emb_jl_projection_distortion",
     oracle=f"""
@@ -663,27 +756,37 @@ _JL_R_VALUES_SQL = ",\n            ".join(
 )
 def emb_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    fixed = emb.select("vec_id", _to_fixed(F.col("embedding")).alias("xi_arr"))
-    dots = ", ".join(
-        "aggregate(zip_with(xi_arr, array("
-        + ", ".join(f"{v}L" for v in _JL_R[p])
-        + "), (a, b) -> a * b), 0L, (s, v) -> s + v)"
-        for p in range(_JL_K)
+    # r15 kernel rewrite (guide §4.2): the _JL_NQ × corpus pair d2s moved
+    # from per-pair JVM HOF folds (interpreted ArrayAggregate per element)
+    # into one cogrouped NumPy block kernel; exact-integer algebra makes
+    # the equivalence order-free (see _jl_pair_d2_kernel). The decile /
+    # DECIMAL(38,0) tail and the d2o > 0 filter stay in the JVM unchanged.
+    n_groups = 16
+    fixed = emb.select("vec_id", _to_fixed(F.col("embedding")).alias("xi_arr")).filter(
+        # null-element vectors made every d2 involving them NULL (dropped
+        # by d2o > 0); int64 ndarrays cannot hold NULL, so drop the rows
+        # here — identical pair set.
+        ~F.exists(F.col("xi_arr"), lambda x: x.isNull())
     )
-    proj = fixed.select(
-        "vec_id", "xi_arr", F.expr(f"array({dots})").alias("yarr")
+    corpus = fixed.withColumn(
+        "_g", F.pmod(F.hash(F.col("vec_id")), F.lit(n_groups))
     )
-    q = proj.select(
-        F.col("vec_id").alias("qid"),
-        F.col("xi_arr").alias("q_xi"),
-        F.col("yarr").alias("q_y"),
-    ).filter(F.col("qid") < _JL_NQ)
-    d2 = "aggregate(zip_with({a}, {b}, (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v)"
+    queries = (
+        fixed.filter(F.col("vec_id") < _JL_NQ)
+        .crossJoin(
+            F.broadcast(
+                spark.range(n_groups).select(F.col("id").cast("int").alias("_g"))
+            )
+        )
+        .select("_g", F.col("vec_id").alias("qid"), F.col("xi_arr").alias("q_xi"))
+    )
     pairs = (
-        proj.join(F.broadcast(q), F.col("vec_id") > F.col("qid"))
+        corpus.groupBy("_g")
+        .cogroup(queries.groupBy("_g"))
+        .applyInPandas(_jl_pair_d2_kernel(), "d2p long, d2o long")
         .select(
-            F.expr(d2.format(a="yarr", b="q_y")).cast("decimal(38,0)").alias("d2p"),
-            F.expr(d2.format(a="xi_arr", b="q_xi")).cast("decimal(38,0)").alias("d2o"),
+            F.col("d2p").cast("decimal(38,0)").alias("d2p"),
+            F.col("d2o").cast("decimal(38,0)").alias("d2o"),
         )
         .filter(F.col("d2o") > 0)
     )

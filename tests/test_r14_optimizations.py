@@ -25,16 +25,6 @@ def _rows(df):
     return sorted(map(tuple, df.collect()))
 
 
-def _final_plan(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    txt = buf.getvalue()
-    # keep only the final-plan tree (drop the == Initial Plan == echo)
-    tree = txt.split("\n\n", 1)[0]
-    return tree.split("== Initial Plan ==")[0]
-
-
 # ---------------------------------------------------------------------------
 # agg_sketch_param_digest: distinct count split from imperative buffers
 # ---------------------------------------------------------------------------
@@ -102,7 +92,6 @@ def test_sketch_digest_no_buffers_on_distinct_key_groups(spark, sf_smoke):
 def test_doc_metrics_single_bigram_transform(spark, sf_smoke):
     """The bigram transform must be evaluated once per row (pre-r14: 4×)."""
     df = REGISTRY["docs_repetition_metrics"].fn(spark, sf_smoke)
-    tree_and_details = _final_plan(df)
     # final-plan node details: every Project's output expressions. The
     # whole formatted output (final section) must inline `transform(` at
     # most once per projection chain — with the staged form, exactly once.

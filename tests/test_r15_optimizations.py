@@ -1,0 +1,208 @@
+"""Round-15 optimization equivalence twins + plan-shape pins.
+
+The r15 kernel rewrites moved per-pair JVM HOF arithmetic into cogrouped
+Arrow/NumPy block kernels (guide §4.2). Each test pins one of the two
+halves: the optimized form still equals the pre-r15 formulation
+ROW-FOR-ROW (bit-exact — these queries are hash-gated by the oracle), and
+the plan property the optimization bought stays bought (the Arrow cogroup
+stage exists; the pair stream no longer carries a per-pair fold).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
+from bigdata_etl_elt_dashboard_spark.sources.catalog import table
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# near_dup_pairs: cogrouped NumPy block-matrix kernel (r15)
+# ---------------------------------------------------------------------------
+
+
+def _pre_r15_near_dup_pairs(corpus, min_sim):
+    """The r14-era blocked equi-join + HOF-fold formulation, reconstructed
+    inline (operators/similarity.py@r14). The r15 kernel must reproduce it
+    bit-for-bit: the NumPy accumulation performs the same IEEE ops in the
+    same order (see _block_pair_scorer's docstring)."""
+    from bigdata_etl_elt_dashboard_spark.operators.similarity import (
+        _as_double,
+        _fan_out,
+        dot,
+        norm,
+    )
+
+    n_blocks = 16
+    keys = [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j]
+
+    def side(id_alias, vec_alias, norm_alias, key_exprs):
+        return (
+            _fan_out(corpus)
+            .select(
+                F.col("vec_id").alias(id_alias),
+                _as_double(F.col("embedding")).alias(vec_alias),
+                F.pmod(F.hash(F.col("vec_id")), F.lit(n_blocks)).alias("_blk"),
+            )
+            .withColumn(norm_alias, norm(F.col(vec_alias)))
+            .withColumn("_k", F.explode(key_exprs))
+            .select(
+                id_alias, vec_alias, norm_alias, "_blk",
+                F.col("_k.i").alias("_ki"), F.col("_k.j").alias("_kj"),
+            )
+        )
+
+    pair_structs = F.array(
+        *[F.struct(F.lit(i).alias("i"), F.lit(j).alias("j")) for i, j in keys]
+    )
+    left_keys = F.filter(pair_structs, lambda s: s["i"] == F.col("_blk"))
+    right_keys = F.filter(pair_structs, lambda s: s["j"] == F.col("_blk"))
+    a = side("doc_a", "_va", "_na", left_keys)
+    b = side("doc_b", "_vb", "_nb", right_keys).drop("_blk")
+    return (
+        a.join(b, ["_ki", "_kj"])
+        .filter(
+            (F.col("_ki") != F.col("_kj")) | (F.col("doc_a") < F.col("doc_b"))
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= F.lit(min_sim))
+    )
+
+
+def test_near_dup_pairs_equals_pre_r15_form(spark, sf_smoke):
+    """Bit-exact equivalence of the NumPy kernel vs the JVM HOF fold on the
+    real corpus — including the float cosine values (tuple equality compares
+    the doubles exactly; the oracle gate hashes them)."""
+    emb = table(spark, sf_smoke, "embeddings")
+    for min_sim in (0.4, -1.0):
+        old = _rows(_pre_r15_near_dup_pairs(emb, min_sim))
+        new = _rows(
+            REGISTRY["dedup_embedding_cosine"].fn(spark, sf_smoke)
+            if min_sim == 0.4
+            else __import__(
+                "bigdata_etl_elt_dashboard_spark.operators.similarity",
+                fromlist=["near_dup_pairs"],
+            ).near_dup_pairs(emb, min_sim=min_sim)
+        )
+        assert old == new, f"kernel diverged from HOF form at min_sim={min_sim}"
+
+
+def test_near_dup_pairs_edge_semantics(spark):
+    """Zero-norm vectors drop (the nullif guard), ragged lengths drop (the
+    zip_with NULL-pad), duplicate values dedupe per the a<b contract —
+    the edge classes the variant corpus exercises."""
+    from bigdata_etl_elt_dashboard_spark.operators.similarity import near_dup_pairs
+
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(30)]
+    rows += [(100, [0.0] * 8), (101, [0.0] * 8)]  # zero-norm: must drop
+    rows += [(102, [1.0] * 4), (103, [1.0] * 4)]  # ragged island: pairs only inside
+    rows += [(104, [])]  # empty: drops
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = _rows(near_dup_pairs(df, min_sim=-1.0))
+    want = _rows(_pre_r15_near_dup_pairs(df, -1.0))
+    assert got == want
+    ids_in_pairs = {r[0] for r in got} | {r[1] for r in got}
+    assert 100 not in ids_in_pairs and 101 not in ids_in_pairs
+    assert (102, 103, 1.0) in got
+
+
+def test_near_dup_pairs_plan_is_arrow_cogroup(spark, sf_smoke):
+    """The pair scoring must run in ONE Arrow cogroup stage: the plan
+    carries FlatMapCoGroupsInPandas and the 2M-pair JVM projection with its
+    per-pair aggregate fold is gone (no zip_with in the final plan)."""
+    df = REGISTRY["dedup_embedding_cosine"].fn(spark, sf_smoke)
+    plan = _plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, "Arrow cogroup stage missing"
+    assert "zip_with" not in plan, (
+        "per-pair HOF dot back in the plan — the r15 kernel was bypassed"
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_jl_projection_distortion: integer-exact NumPy kernel (r15)
+# ---------------------------------------------------------------------------
+
+
+def _pre_r15_jl(spark, sf_dir):
+    """The r14-era broadcast-join + per-pair HOF integer folds."""
+    from bigdata_etl_elt_dashboard_spark.plans.similarity_gate import (
+        _DIM,
+        _JL_K,
+        _JL_NQ,
+        _JL_R,
+        _to_fixed,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    fixed = emb.select("vec_id", _to_fixed(F.col("embedding")).alias("xi_arr"))
+    dots = ", ".join(
+        "aggregate(zip_with(xi_arr, array("
+        + ", ".join(f"{v}L" for v in _JL_R[p])
+        + "), (a, b) -> a * b), 0L, (s, v) -> s + v)"
+        for p in range(_JL_K)
+    )
+    proj = fixed.select("vec_id", "xi_arr", F.expr(f"array({dots})").alias("yarr"))
+    q = proj.select(
+        F.col("vec_id").alias("qid"),
+        F.col("xi_arr").alias("q_xi"),
+        F.col("yarr").alias("q_y"),
+    ).filter(F.col("qid") < _JL_NQ)
+    d2 = "aggregate(zip_with({a}, {b}, (a, b) -> (a - b) * (a - b)), 0L, (s, v) -> s + v)"
+    pairs = (
+        proj.join(F.broadcast(q), F.col("vec_id") > F.col("qid"))
+        .select(
+            F.expr(d2.format(a="yarr", b="q_y")).cast("decimal(38,0)").alias("d2p"),
+            F.expr(d2.format(a="xi_arr", b="q_xi")).cast("decimal(38,0)").alias("d2o"),
+        )
+        .filter(F.col("d2o") > 0)
+    )
+    return (
+        pairs.select(
+            ((F.col("d2p") * _DIM * 10) / (F.col("d2o") * _JL_K))
+            .cast("long")
+            .alias("ratio_decile")
+        )
+        .groupBy("ratio_decile")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("ratio_decile")
+    )
+
+
+def test_jl_distortion_equals_pre_r15_form(spark, sf_smoke):
+    """Integer algebra end to end: the NumPy kernel's sums are exactly the
+    JVM folds' values regardless of accumulation order."""
+    old = _rows(_pre_r15_jl(spark, sf_smoke))
+    new = _rows(REGISTRY["emb_jl_projection_distortion"].fn(spark, sf_smoke))
+    assert old == new
+
+
+def test_jl_distortion_plan_is_arrow_cogroup(spark, sf_smoke):
+    """The pair d2s must come from the Arrow cogroup stage; the 36-fold
+    per-pair zip_with chain must be gone from the final plan."""
+    df = REGISTRY["emb_jl_projection_distortion"].fn(spark, sf_smoke)
+    plan = _plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, "Arrow cogroup stage missing"
+    assert "zip_with" not in plan, "per-pair HOF d2 back in the plan"

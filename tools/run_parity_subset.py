@@ -3,6 +3,13 @@
 Usage: python tools/run_parity_subset.py q1 q2 ...  [--sf /root/testdata/sf0.01]
                                                     [--default-session]
                                                     [--master local-cluster[2,8,4096]]
+                                                    [--json PARITY_r15.json]
+
+``--json`` writes the per-query outcomes as a machine-readable artifact
+(committed per round as PARITY_r{N}.json since r15 — the r14 verdict found
+the driver's rotating 50-query oracle sample missed every query the
+optimization round changed, so the full-registry parity run the builder
+already performs is now persisted where the driver/judge can read it).
 Prints one line per query: OK/FAIL (+ mismatch details) and wall time.
 ``--default-session`` compares on a bare `SparkSession.builder` session
 (the driver's posture: ANSI on, 200 shuffle partitions) instead of the
@@ -53,6 +60,11 @@ def main() -> int:
         i = args.index("--master")
         master = args[i + 1]
         args = args[:i] + args[i + 2 :]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     names = args or list(REGISTRY)
     from bigdata_etl_elt_dashboard_spark.session import local_cluster_conf
 
@@ -74,6 +86,7 @@ def main() -> int:
         )
     con = duck_connection(sf)
     failed = []
+    outcomes = {}
     for name in names:
         t0 = time.time()
         try:
@@ -82,18 +95,43 @@ def main() -> int:
                 df = q.fn(spark, sf)
                 n = df.count()
                 print(f"{name}: rows-only ({n} rows) [{time.time() - t0:.1f}s]")
+                outcomes[name] = {"status": "rows-only", "rows": n}
                 continue
             rep = compare(q.fn(spark, sf), con, q.oracle)
             dt = time.time() - t0
             if rep["ok"]:
                 print(f"{name}: OK [{dt:.1f}s]")
+                outcomes[name] = {"status": "ok"}
             else:
                 failed.append(name)
                 print(f"{name}: FAIL [{dt:.1f}s] {rep['mismatches'][:3]}")
+                outcomes[name] = {
+                    "status": "fail",
+                    "mismatches": [str(m) for m in rep["mismatches"][:3]],
+                }
         except Exception as e:  # noqa: BLE001
             failed.append(name)
             print(f"{name}: ERROR {type(e).__name__}: {e}")
+            outcomes[name] = {"status": "error", "error": f"{type(e).__name__}: {e}"}
     print(f"\n{len(names) - len(failed)}/{len(names)} ok")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as fh:
+            _json.dump(
+                {
+                    "sf": sf,
+                    "master": master or "local[8]",
+                    "session": "default" if default_session else "factory",
+                    "n_total": len(names),
+                    "n_ok": len(names) - len(failed),
+                    "failed": failed,
+                    "queries": outcomes,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_path}")
     return 1 if failed else 0
 
 
