@@ -291,6 +291,70 @@ def docs_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _semdedup_max_cos_kernel(dim: int):
+    """Grouped NumPy kernel: per label block, for every vector a the MAX
+    cosine against lower-id same-label vectors b, over the first ``dim``
+    coordinates (the unrolled-dot contract). One output row per vector
+    that has at least one scorable lower-id neighbor.
+
+    Exactness: the dot/norm sweeps accumulate in coordinate order — the
+    same IEEE multiply-add sequence as the unrolled JVM chain (NumPy
+    elementwise ufuncs, no FMA, no reassociation); see
+    operators.similarity._block_pair_scorer for the full argument. The
+    max is over bit-exact cosines and round() is monotone nondecreasing,
+    so the JVM's round(max_cos, 6) >= tau decides exactly the original
+    per-pair EXISTS. Zero-norm neighbors are masked out (the nullif guard
+    made those pairs NULL — never pruning); NaN cosines (NaN inputs)
+    propagate through the max so the JVM's NaN-greatest comparison keeps
+    deciding them."""
+
+    def compute(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "label": pd.Series(dtype="int32"),
+                "vec_id": pd.Series(dtype="int64"),
+                "max_cos": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        X = np.vstack([np.asarray(v, dtype=np.float64)[:dim] for v in pdf["ve"]])[
+            order
+        ]
+        n = len(ids)
+        C = np.zeros((n, n))
+        sq = np.zeros(n)
+        for k in range(dim):
+            C += X[:, k, None] * X[None, :, k]
+            sq += X[:, k] * X[:, k]
+        nrm = np.sqrt(sq)
+        denom = nrm[:, None] * nrm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = C / denom
+        valid = (ids[None, :] < ids[:, None]) & (denom != 0.0)
+        vals = np.where(valid, cos, -np.inf)
+        mx = vals.max(axis=1)
+        keep = (mx > -np.inf) | np.isnan(mx)
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "label": np.full(int(keep.sum()), pdf["label"].iat[0], dtype="int32"),
+                "vec_id": ids[keep],
+                "max_cos": mx[keep],
+            }
+        )
+
+    return compute
+
+
 @register(
     "dedup_semdedup_prune",
     oracle=f"""
@@ -324,40 +388,37 @@ def docs_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    # norms are computed per SIDE before the join (narrow projections that
-    # codegen on their own). Catalyst still pushes the dot-product filter
-    # into the join condition, but the dot ALONE fits Janino's 64 KB
-    # method limit; with the two unrolled norms also inlined there, the
-    # join's doConsume method (which cannot be split) exceeded the limit
-    # and the whole stage silently fell back to interpreted execution.
-    # Pinned by test_semdedup_norms_not_in_join_condition.
-    v = S._fan_out(emb).select(
-        "label", "vec_id", S._as_double(F.col("embedding")).alias("ve")
+    # r15 kernel rewrite (guide §4.2): the per-label quadratic cosine moved
+    # from a label-keyed pair JOIN with the unrolled 64-term codegen dot
+    # (history: the norms had to stay OUT of the join condition or Janino's
+    # 64 KB doConsume limit tripped interpreted fallback — r14 note) into a
+    # grouped NumPy block kernel. Two load-bearing reductions:
+    # - per-pair work becomes one in-order multiply-add sweep over the
+    #   label's whole block matrix (same IEEE op sequence as the unrolled
+    #   chain — the only divergence class is ±0.0 totals, which compare
+    #   identically against the threshold; round + >= tau stay in the JVM);
+    # - the Arrow emission is ONE ROW PER VECTOR, not per pair: a is pruned
+    #   iff EXISTS b<a with round(cos,6) >= tau, and round is monotone
+    #   nondecreasing, so exists(round(cos) >= tau) == round(MAX cos) >= tau
+    #   — the kernel emits max_b cos(a,b) and the JVM applies the exact
+    #   original predicate to it.
+    # Pre-filters mirror the join semantics exactly: NULL labels never pair
+    # (a.label == b.label is NULL-rejecting), NULL vector elements made the
+    # dot NULL (pair dropped, never prunes), and the unrolled dot reads
+    # exactly the first EMBEDDING_DIM elements — the kernel truncates to
+    # that width and (like the ANSI a[i] access) never scores shorter rows.
+    dim = S.EMBEDDING_DIM
+    v = (
+        emb.select("label", "vec_id", S._as_double(F.col("embedding")).alias("ve"))
+        .filter(F.col("label").isNotNull())
+        .filter(~F.exists(F.col("ve"), lambda x: x.isNull()))
+        .filter(F.size(F.col("ve")) >= dim)
     )
-    v = v.withColumn("_nrm", S.norm(F.col("ve"), S.EMBEDDING_DIM))
-    a = v.select(
-        F.col("label"),
-        F.col("vec_id").alias("_aid"),
-        F.col("ve").alias("_ave"),
-        F.col("_nrm").alias("_an"),
+    cand = v.groupBy("label").applyInPandas(
+        _semdedup_max_cos_kernel(dim), "label int, vec_id long, max_cos double"
     )
-    b = v.select(
-        F.col("label"),
-        F.col("vec_id").alias("_bid"),
-        F.col("ve").alias("_bve"),
-        F.col("_nrm").alias("_bn"),
-    )
-    cos = F.round(
-        S.dot(F.col("_ave"), F.col("_bve"), S.EMBEDDING_DIM)
-        / F.nullif(F.col("_an") * F.col("_bn"), F.lit(0.0)),
-        6,
-    )
-    removed = (
-        a.join(b, (a.label == b.label) & (F.col("_bid") < F.col("_aid")))
-        .select(a.label, F.col("_aid"), cos.alias("_cos"))
-        .filter(F.col("_cos") >= _SEM_TAU)
-        .select("label", F.col("_aid").alias("vec_id"))
-        .distinct()
+    removed = cand.filter(F.round(F.col("max_cos"), 6) >= _SEM_TAU).select(
+        "label", "vec_id"
     )
     n = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
     r = removed.groupBy("label").agg(F.count("*").alias("n_removed"))

@@ -3467,7 +3467,14 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = nc / (F.col("_na") + F.col("_nb") - nc).cast("double")
     est_j = F.col("n_match") / k
     return (
-        est.join(common, ["doc_a", "doc_b"], "left")
+        # SHUFFLE_HASH on the probe side (r15, guide §3.1): the est⋈common
+        # LeftOuter planned as SortMergeJoin — both sides sort ~10k-row
+        # pair frames per partition for one probe pass. The shuffled-hash
+        # build of `common` (the smaller side) skips both sorts; measured
+        # −14% warm-noop interleaved in r14, settled by the r15
+        # same-session-position bench A/B (OPTIMIZATION_r15.md). Results
+        # identical: join strategy never changes join semantics.
+        est.join(common.hint("shuffle_hash"), ["doc_a", "doc_b"], "left")
         .join(za, "doc_a")
         .join(zb, "doc_b")
         .select(

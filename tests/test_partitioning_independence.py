@@ -89,7 +89,20 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-@pytest.mark.parametrize("name", _QUERIES)
+_SLOW_ADVERSARIAL = {
+    # the four heaviest adversarial re-runs (~30 s combined) move to the
+    # full tier; the family keeps ~15 fast-tier parametrizations
+    'corpus_pipeline_v2_digest', 'dedup_verified_keepers', 'dedup_token_savings', 'sim_kmeans_trajectory',
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ADVERSARIAL else n
+        for n in _QUERIES
+    ],
+)
 def test_result_survives_adversarial_session(spark, sf_smoke, name):
     baseline = _rows(REGISTRY[name].fn(spark, sf_smoke))
     prev = {k: spark.conf.get(k, None) for k in _ADVERSARIAL}

@@ -309,13 +309,23 @@ def test_chunking_is_narrow(spark, sf_oracle):
 
 def test_all_pairs_cosine_is_blocked_equi_join(spark, sf_oracle):
     """The all-pairs near-dup kernel must enumerate pairs through a
-    block-keyed EQUI-join (codegen-able hash/merge join) — never a
-    BroadcastNestedLoopJoin, which cannot whole-stage-codegen and
-    serializes on a single input split."""
+    block-KEYED plan — never a BroadcastNestedLoopJoin/CartesianProduct,
+    which cannot whole-stage-codegen and serialize on a single input
+    split. Since r15 the block-pair meeting point is the cogrouped Arrow
+    kernel (one hash shuffle per side on the block-pair key) rather than
+    an equi-join; either shape satisfies the pin's intent."""
     plan = explain_str(REGISTRY["dedup_embedding_cosine"].fn(spark, sf_oracle))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert any(
+        j in plan
+        for j in (
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastHashJoin",
+            "FlatMapCoGroupsInPandas",
+        )
+    )
 
 
 def test_repetition_metrics_is_narrow(spark, sf_oracle):
@@ -403,13 +413,24 @@ def test_containment_is_inverted_index_equi_join(spark, sf_oracle):
 
 
 def test_semdedup_pairs_keyed_on_cluster(spark, sf_oracle):
-    """SemDeDup's pair stream must be an equi-join on the cluster label —
-    the clustering is what bounds the quadratic work, so a nested-loop
-    fallback here defeats the operator."""
+    """SemDeDup's pair work must be keyed on the cluster label — the
+    clustering is what bounds the quadratic work, so a nested-loop
+    fallback here defeats the operator. Since r15 the per-label pairing
+    happens inside the label-grouped Arrow kernel (FlatMapGroupsInPandas
+    after one label-keyed hash shuffle); an equi-join satisfies the pin
+    equally."""
     plan = explain_str(REGISTRY["dedup_semdedup_prune"].fn(spark, sf_oracle))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert any(
+        j in plan
+        for j in (
+            "SortMergeJoin",
+            "ShuffledHashJoin",
+            "BroadcastHashJoin",
+            "FlatMapGroupsInPandas",
+        )
+    )
 
 
 @pytest.mark.parametrize("name", ["li_value_share_parts", "li_value_share_topn"])
@@ -595,6 +616,7 @@ _SCAN_BUDGET_OK = {
 }
 
 
+@pytest.mark.slow
 def test_registry_plan_lint(spark, sf_smoke):
     """Sweep EVERY registered query's physical plan for the four
     scale-killers: CartesianProduct (quadratic shuffle-free blowup),
@@ -641,19 +663,19 @@ def test_registry_plan_lint(spark, sf_smoke):
 
 
 def test_semdedup_norms_not_in_join_condition(spark, sf_oracle):
-    """Regression pin: the SemDeDup norms must be computed per SIDE before
-    the pair join (Catalyst still pushes the dot-product filter into the
-    join condition — that alone fits Janino's method-size limit). With the
-    two unrolled norms ALSO inlined there, the join's doConsume method
-    exceeded 64 KB and the whole stage silently fell back to interpreted
-    execution; 'no sqrt in any join condition' is the compiled-shape
-    invariant."""
+    """Regression pin, r15 form: no SQRT (or any cosine arithmetic) may
+    appear in a join condition. Pre-r15 history: the norms had to stay out
+    of the pair join's condition or the join's doConsume method exceeded
+    Janino's 64 KB limit and the stage silently fell back to interpreted
+    execution. Since r15 the pair scoring lives in the label-grouped Arrow
+    kernel and the only join left is the tiny label-rollup stitch — the
+    invariant is that no scoring arithmetic leaks back into any join."""
     plan = explain_str(REGISTRY["dedup_semdedup_prune"].fn(spark, sf_oracle))
     join_details = [l for l in plan.splitlines() if "Join condition" in l]
-    assert join_details, "expected join nodes in the plan"
     assert all("SQRT" not in l.upper() for l in join_details), [
         l[:120] for l in join_details
     ]
+    assert "FlatMapGroupsInPandas" in plan, "label-grouped Arrow kernel missing"
 
 
 def assert_single_partition_exchanges_are_bounded(plan: str) -> None:

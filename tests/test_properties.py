@@ -5,6 +5,7 @@ jobs); the properties, not the volume, carry the value."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -95,6 +96,7 @@ def test_dedup_keep_first_deterministic_winner(spark, rows):
     lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=25),
     rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)), min_size=0, max_size=25),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_asof_join_matches_bruteforce(spark, lefts, rights):
     """asof_join == per-row brute force: for every left row, the right row
@@ -172,6 +174,7 @@ def test_interval_overlap_join_matches_bruteforce(spark, lefts, rights):
         max_size=8,
     )
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_blocked_all_pairs_enumeration_is_complete(spark, seeds):
     """The blocked equi-join must enumerate EVERY unordered pair exactly
@@ -213,6 +216,7 @@ def test_blocked_all_pairs_enumeration_is_complete(spark, seeds):
 )
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_star_cc_matches_union_find(spark, edges):
     """Large-star/small-star CC must agree with a driver-side union-find
     (and therefore with min-label propagation) on ANY graph: every node
@@ -359,6 +363,7 @@ def test_bmp_roundtrip_any_dims(w, h, seed):
     vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=80),
     parts=st.integers(1, 6),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_global_rank_matches_single_window(spark, vals, parts):
     """operators.scale.global_rank (range-partition + per-partition rank +
@@ -396,6 +401,7 @@ def test_global_rank_matches_single_window(spark, vals, parts):
     ),
     k=st.integers(2, 4),
 )
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None)
 def test_kcore_peel_matches_python_reference(spark, edges, k):
     """operators.graph.kcore_peel vs a plain-Python peel run to fixpoint:
@@ -443,6 +449,7 @@ def test_kcore_peel_matches_python_reference(spark, edges, k):
         max_size=10,
     ),
 )
+@pytest.mark.slow
 @settings(**_SETTINGS)
 def test_merge_upsert_matches_dict_and_is_idempotent(spark, target, updates):
     """merge_upsert == plain dict semantics (update wins, insert on miss,

@@ -20,7 +20,11 @@ from bigdata_etl_elt_dashboard_spark.sources.catalog import table
 
 
 def _rows(df):
-    return sorted(map(tuple, df.collect()))
+    # None-tolerant total order (the null-label edge corpus sorts too)
+    return sorted(
+        map(tuple, df.collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
 
 
 def _plan(df) -> str:
@@ -206,3 +210,108 @@ def test_jl_distortion_plan_is_arrow_cogroup(spark, sf_smoke):
     plan = _plan(df)
     assert "FlatMapCoGroupsInPandas" in plan, "Arrow cogroup stage missing"
     assert "zip_with" not in plan, "per-pair HOF d2 back in the plan"
+
+
+# ---------------------------------------------------------------------------
+# dedup_semdedup_prune: label-grouped NumPy max-cosine kernel (r15)
+# ---------------------------------------------------------------------------
+
+
+def _pre_r15_semdedup(emb):
+    """The r14-era label-keyed pair join with the unrolled codegen dot."""
+    from bigdata_etl_elt_dashboard_spark.operators import similarity as S
+    from bigdata_etl_elt_dashboard_spark.plans.corpus_spans import _SEM_TAU
+
+    v = S._fan_out(emb).select(
+        "label", "vec_id", S._as_double(F.col("embedding")).alias("ve")
+    )
+    v = v.withColumn("_nrm", S.norm(F.col("ve"), S.EMBEDDING_DIM))
+    a = v.select(
+        F.col("label"), F.col("vec_id").alias("_aid"),
+        F.col("ve").alias("_ave"), F.col("_nrm").alias("_an"),
+    )
+    b = v.select(
+        F.col("label"), F.col("vec_id").alias("_bid"),
+        F.col("ve").alias("_bve"), F.col("_nrm").alias("_bn"),
+    )
+    cos = F.round(
+        S.dot(F.col("_ave"), F.col("_bve"), S.EMBEDDING_DIM)
+        / F.nullif(F.col("_an") * F.col("_bn"), F.lit(0.0)),
+        6,
+    )
+    removed = (
+        a.join(b, (a.label == b.label) & (F.col("_bid") < F.col("_aid")))
+        .select(a.label, F.col("_aid"), cos.alias("_cos"))
+        .filter(F.col("_cos") >= _SEM_TAU)
+        .select("label", F.col("_aid").alias("vec_id"))
+        .distinct()
+    )
+    n = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    r = removed.groupBy("label").agg(F.count("*").alias("n_removed"))
+    return (
+        n.join(r, "label", "left")
+        .select(
+            "label", "n_vecs",
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_removed"), F.lit(0))).alias("n_kept"),
+        )
+        .orderBy("label")
+    )
+
+
+def test_semdedup_equals_pre_r15_form(spark, sf_smoke):
+    """The max-cosine kernel + JVM round/threshold must reproduce the
+    pair-join EXISTS exactly (round is monotone, so round(max) >= tau
+    decides the same set)."""
+    emb = table(spark, sf_smoke, "embeddings")
+    old = _rows(_pre_r15_semdedup(emb))
+    new = _rows(REGISTRY["dedup_semdedup_prune"].fn(spark, sf_smoke))
+    assert old == new
+
+
+def test_semdedup_zero_norm_and_null_label_semantics(spark):
+    """Zero-norm vectors never prune (the nullif guard made those pairs
+    NULL) and NULL labels never pair (the equi-join was NULL-rejecting) —
+    the two variant-corpus classes."""
+    rows = [(i % 3, i, [float((i * 13 + j) % 7 - 3) for j in range(64)]) for i in range(60)]
+    rows += [(0, 100, [0.0] * 64), (0, 101, [0.0] * 64)]  # zero-norm
+    rows += [(None, 102, [1.0] * 64), (None, 103, [1.0] * 64)]  # null label
+    df = spark.createDataFrame(rows, "label int, vec_id long, embedding array<float>")
+    old = _rows(_pre_r15_semdedup(df))
+    # run the registered internals over the synthetic frame
+    from bigdata_etl_elt_dashboard_spark.operators import similarity as S
+    from bigdata_etl_elt_dashboard_spark.plans.corpus_spans import (
+        _SEM_TAU,
+        _semdedup_max_cos_kernel,
+    )
+
+    dim = S.EMBEDDING_DIM
+    v = (
+        df.select("label", "vec_id", S._as_double(F.col("embedding")).alias("ve"))
+        .filter(F.col("label").isNotNull())
+        .filter(~F.exists(F.col("ve"), lambda x: x.isNull()))
+        .filter(F.size(F.col("ve")) >= dim)
+    )
+    cand = v.groupBy("label").applyInPandas(
+        _semdedup_max_cos_kernel(dim), "label int, vec_id long, max_cos double"
+    )
+    removed = cand.filter(F.round(F.col("max_cos"), 6) >= _SEM_TAU).select(
+        "label", "vec_id"
+    )
+    n = df.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    r = removed.groupBy("label").agg(F.count("*").alias("n_removed"))
+    new = _rows(
+        n.join(r, "label", "left").select(
+            "label", "n_vecs",
+            F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_removed"), F.lit(0))).alias("n_kept"),
+        )
+    )
+    assert old == new
+
+
+def test_semdedup_plan_is_grouped_arrow_kernel(spark, sf_smoke):
+    df = REGISTRY["dedup_semdedup_prune"].fn(spark, sf_smoke)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "zip_with" not in plan

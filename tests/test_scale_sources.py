@@ -1097,6 +1097,7 @@ def test_partitioned_prune_gate_scan_prunes(spark, sf_smoke):
     assert "order_year" in plan.split("PartitionFilters")[1][:250]
 
 
+@pytest.mark.slow
 def test_session_close_on_timer_v2(spark, tmp_path):
     """Event-time TIMERS (arbitrary state v2): sessions close through both
     paths — a successor event >= gap later closes inline ('gap'), and the
@@ -1204,6 +1205,7 @@ def test_session_close_on_timer_v2(spark, tmp_path):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+@pytest.mark.slow
 def test_map_state_ttl_expires_after_idle_v2(spark, tmp_path):
     """State TTL (arbitrary state v2, ProcessingTime time mode): a map
     entry not rewritten for ttl_ms of wall-clock time must read as ABSENT,
@@ -1283,6 +1285,7 @@ def test_map_state_ttl_expires_after_idle_v2(spark, tmp_path):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+@pytest.mark.slow
 def test_type_counts_backfill_initial_state_v2(spark, tmp_path):
     """initialState (arbitrary state v2): handleInitialState seeds MapState
     from a BATCH backfill DataFrame in the first micro-batch, so streaming
@@ -1469,6 +1472,7 @@ def test_merge_upsert_rides_pin_policy_and_prunes_buckets(spark, tmp_path):
     assert "_bucket" in plan.split("PartitionFilters")[1][:200]
 
 
+@pytest.mark.slow
 def test_session_timer_disorder_contract_v2(spark, tmp_path):
     """Cross-batch DISORDER contract of the timer sessionizer: (A) a
     straggler below the watermark is DROPPED in the processor (it must

@@ -201,6 +201,7 @@ def _all_rows(spark, *outs):
     return sorted(tuple(r) for r in rows)
 
 
+@pytest.mark.slow
 def test_state_variable_rename_migration(spark, tmp_path):
     """RENAME evolution (r13 verdict task 5): the store keys state by
     variable name, so v2-renamed (`sess` → `session`) reads an old
@@ -257,6 +258,7 @@ def test_state_variable_rename_migration(spark, tmp_path):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+@pytest.mark.slow
 def test_value_type_widening_migration(spark, tmp_path):
     """WIDENING evolution (r13 verdict task 5): a legacy deployment
     declared `n int`; the upgrade declares `n long`. The codec has no

@@ -177,6 +177,7 @@ def test_statestore_reads_transformwithstate_variable(spark, tmp_path):
     assert state == {1: (ms(30), ms(30), 1), 2: (ms(31), ms(31), 1)}
 
 
+@pytest.mark.slow
 def test_state_migration_via_reader_and_initialstate(spark, tmp_path):
     """Checkpoint MIGRATION without source replay: read a retired query's
     state offline (statestore reader), hand it to a FRESH query as

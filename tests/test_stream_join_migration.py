@@ -135,6 +135,7 @@ def _sorted_rows(tuples):
     "join_fn", [stream_click_view_join, stream_click_view_join_outer],
     ids=["inner", "leftOuter"],
 )
+@pytest.mark.slow
 def test_join_checkpoint_migration_converges(spark, tmp_path, join_fn):
     base = str(tmp_path / "base")
     mig = str(tmp_path / "mig")
@@ -214,6 +215,7 @@ def test_join_checkpoint_migration_converges(spark, tmp_path, join_fn):
         assert nulls_b == {13}
 
 
+@pytest.mark.slow
 def test_full_join_migration_reconciles_false_orphans(spark, tmp_path):
     """FULL-outer migration: the re-seed recipe alone over-emits — view 16
     re-enters without its pre-kill-closed click 17 and flushes as a FALSE

@@ -231,6 +231,7 @@ def test_stream_gold_upsert_incremental_backfill(spark, tmp_path):
     assert day1_mtimes == [os.path.getmtime(f) for f in day1_files]
 
 
+@pytest.mark.slow
 def test_stream_gold_upsert_crash_recovery(spark, tmp_path, monkeypatch):
     """Failure injection for the gold upsert's exactly-once claim: the
     first run CRASHES MID-SINK-WRITE (one partition written, the other
@@ -317,6 +318,7 @@ def test_stream_gold_upsert_crash_recovery(spark, tmp_path, monkeypatch):
     }
 
 
+@pytest.mark.slow
 def test_stream_medallion_capstone_crash_recovery(spark, tmp_path, monkeypatch):
     """The COMPOSED streaming capstone: at-least-once ingest (replayed
     rows) → dropDuplicatesWithinWatermark → event-time timer
@@ -449,6 +451,7 @@ def test_stream_medallion_capstone_crash_recovery(spark, tmp_path, monkeypatch):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+@pytest.mark.slow
 def test_stream_stream_range_join(spark, tmp_path):
     """Watermarked stream-stream join: clicks pair with the same user's
     views from the preceding 10 minutes — matches the batch range-join
@@ -489,6 +492,7 @@ def test_stream_stream_range_join(spark, tmp_path):
     assert got == {(3, 0, 1.0), (3, 5, 2.0)}
 
 
+@pytest.mark.slow
 def test_stream_click_view_outer_null_emission(spark, tmp_path):
     """LEFT OUTER stream-stream join contract, two sequential drains over
     one checkpoint:
@@ -594,6 +598,7 @@ def test_stream_click_view_outer_null_emission(spark, tmp_path):
     assert got2 == expected
 
 
+@pytest.mark.slow
 def test_stream_click_view_full_outer_both_null_classes(spark, tmp_path):
     """FULL OUTER stream-stream join: the two null classes emit on their
     OWN watermark horizons, derived from one join condition. Run 1 (all
@@ -666,6 +671,7 @@ def test_stream_click_view_full_outer_both_null_classes(spark, tmp_path):
     assert [(r["user_id"], r["view_value"]) for r in orphan] == [(3, 5.0)]
 
 
+@pytest.mark.slow
 def test_stream_click_view_outer_disorder_no_retraction(spark, tmp_path):
     """Outer-join disorder contract over four sequential drains:
 
@@ -809,6 +815,7 @@ def test_stream_dedup_within_watermark_equals_batch(spark, tmp_path):
     assert got == batch_ids
 
 
+@pytest.mark.slow
 def test_stream_medallion_disordered_nonzero_delay(spark, tmp_path):
     """VERDICT r09 task 4: the COMPOSED medallion chain (at-least-once
     ingest → dropDuplicatesWithinWatermark → timer sessionization → gold
@@ -926,6 +933,7 @@ def test_stream_medallion_disordered_nonzero_delay(spark, tmp_path):
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
 
+@pytest.mark.slow
 def test_timer_vs_gap_arrival_order_contract(spark, tmp_path):
     """VERDICT r09 task 5: the 8-batch incremental drain left 4 rows that
     differed from the batch twin ONLY in `closed_by` as a prose
