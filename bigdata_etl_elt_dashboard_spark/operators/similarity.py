@@ -434,6 +434,72 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _lsh_sig_kernel(planes: list[list[float]], planes_per_table: int, id_name: str):
+    """mapInPandas signature kernel (r15, guide §4.2): per input vector, the
+    sign-bit signature of every hash table in one NumPy sweep, replacing the
+    96-row-per-vector broadcast crossJoin whose per-(vector, plane) HOF dot
+    evaluated interpreted (ArrayAggregate never codegens).
+
+    Exactness mirrors the JVM path bit-for-bit where it matters:
+    - each dot accumulates in coordinate order (same IEEE sequence as the
+      ``aggregate`` fold — see `_block_pair_scorer`), and ``-0.0 >= 0`` is
+      true in both runtimes, so every sign bit matches;
+    - a NULL element/vector made the JVM dot NULL → ``when(dot >= 0, …)``
+      fell to the 0-bit; NULLs arrive here as NaN, and ``NaN >= 0`` is
+      False in NumPy → same 0-bit;
+    - vectors whose length differs from the plane width zip_with-padded to
+      NULL dots → all-zero signatures; the kernel gives non-conforming
+      rows all-zero bits likewise."""
+
+    def compute(it):
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(planes, dtype=np.float64)
+        n_tables = P.shape[0] // planes_per_table
+        weights = (1 << np.arange(planes_per_table)).astype(np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf[id_name].to_numpy()
+            n = len(ids)
+            bits = np.zeros((n, P.shape[0]), dtype=bool)
+            vecs = list(pdf["_v"])
+            ok = np.array(
+                [v is not None and len(v) == P.shape[1] for v in vecs]
+            )
+            if ok.any():
+                V = np.vstack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v, o in zip(vecs, ok)
+                        if o
+                    ]
+                )
+                D = np.zeros((V.shape[0], P.shape[0]))
+                for kk in range(P.shape[1]):
+                    D += V[:, kk, None] * P[None, :, kk]
+                bits[ok] = D >= 0  # NaN → False: the JVM NULL-dot 0-bit
+            frames = {
+                id_name: np.tile(ids, n_tables),
+                "table_id": np.repeat(
+                    np.arange(n_tables, dtype=np.int32), n
+                ),
+                "sig": np.concatenate(
+                    [
+                        (
+                            bits[:, t * planes_per_table : (t + 1) * planes_per_table]
+                            * weights
+                        ).sum(axis=1)
+                        for t in range(n_tables)
+                    ]
+                ).astype("int64"),
+            }
+            yield pd.DataFrame(frames)
+
+    return compute
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -457,20 +523,12 @@ def ann_lsh_topk(
     from .scale import pin
 
     all_planes = _hyperplanes(dim, n_tables * planes_per_table)
-    # Planes live in a 96-row broadcast DATAFRAME, not as plan literals:
-    # inlining 96 dot products over 64-element literal arrays builds a
-    # multi-thousand-node expression tree that Catalyst re-walks per rule —
-    # tens of seconds of driver-side plan time dwarfing the actual compute.
-    # As data, the tree stays tiny and the dots distribute with the corpus.
-    spark = corpus.sparkSession
-    planes_df = spark.createDataFrame(
-        [
-            (t, b, all_planes[t * planes_per_table + b])
-            for t in range(n_tables)
-            for b in range(planes_per_table)
-        ],
-        "table_id int, bit int, plane array<double>",
-    )
+    # Plane-constant history: plan LITERALS (r03) built a multi-thousand-
+    # node expression tree Catalyst re-walked per rule (tens of seconds of
+    # plan time); a 96-row broadcast DataFrame (r05–r14) fixed plan time
+    # but left one interpreted HOF dot per (vector, plane) row; since r15
+    # the planes ride as a NumPy constant inside the Arrow signature
+    # kernel — zero plan nodes, one vectorized sweep per batch.
     # the corpus feeds BOTH the signature build and the post-candidate
     # vector re-attach: pin the (id, vec) projection once instead of two
     # full parquet scans (the cast/fan_out work also runs once)
@@ -481,20 +539,18 @@ def ann_lsh_topk(
     )
 
     def with_sigs(v, id_alias):
-        return (
-            v.crossJoin(F.broadcast(planes_df))
-            .select(
-                id_alias,
-                "table_id",
-                F.when(
-                    dot(F.col("_v"), F.col("plane")) >= 0,
-                    F.expr("shiftleft(1L, bit)"),
-                )
-                .otherwise(F.lit(0).cast("long"))
-                .alias("bitval"),
-            )
-            .groupBy(id_alias, "table_id")
-            .agg(F.sum("bitval").alias("sig"))  # exact integer OR-as-sum
+        # r15 (guide §4.2): all n_tables signatures per vector from ONE
+        # NumPy sweep (see _lsh_sig_kernel) instead of the 96-way plane
+        # crossJoin with interpreted per-row HOF dots. The id-keyed
+        # groupBy-sum stays: it reproduces the old bitval aggregation
+        # exactly (including the duplicate-id summing semantics) and its
+        # input is n_tables rows per vector, not n_tables×bits.
+        raw = v.select(id_alias, "_v").mapInPandas(
+            _lsh_sig_kernel(all_planes, planes_per_table, id_alias),
+            f"{id_alias} long, table_id int, sig long",
+        )
+        return raw.groupBy(id_alias, "table_id").agg(
+            F.sum("sig").alias("sig")  # exact integer OR-as-sum
         )
 
     q = with_sigs(

@@ -315,3 +315,64 @@ def test_semdedup_plan_is_grouped_arrow_kernel(spark, sf_smoke):
     plan = _plan(df)
     assert "FlatMapGroupsInPandas" in plan
     assert "zip_with" not in plan
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_topk: NumPy signature kernel (r15)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_lsh_signatures_equal_hof_form(spark):
+    """The Arrow signature kernel must reproduce the crossJoin+HOF-dot
+    signatures bit-for-bit, including the NULL-dot → 0-bit and
+    ragged/NULL-vector → all-zero-signature semantics."""
+    from bigdata_etl_elt_dashboard_spark.operators import similarity as S
+
+    n_tables, ppt, dim = 16, 6, 64
+    all_planes = S._hyperplanes(dim, n_tables * ppt)
+    rows = [(i, [float((i * 5 + j) % 9 - 4) for j in range(dim)]) for i in range(25)]
+    rows += [(90, None), (91, [None] * dim), (92, [1.0] * 32), (93, [0.0] * dim)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        S._as_double(F.col("embedding")).alias("_v"),
+    )
+    planes_df = spark.createDataFrame(
+        [
+            (t, b, all_planes[t * ppt + b])
+            for t in range(n_tables)
+            for b in range(ppt)
+        ],
+        "table_id int, bit int, plane array<double>",
+    )
+    old = _rows(
+        v.crossJoin(F.broadcast(planes_df))
+        .select(
+            "neighbor_id",
+            "table_id",
+            F.when(
+                S.dot(F.col("_v"), F.col("plane")) >= 0,
+                F.expr("shiftleft(1L, bit)"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bitval"),
+        )
+        .groupBy("neighbor_id", "table_id")
+        .agg(F.sum("bitval").alias("sig"))
+    )
+    new = _rows(
+        v.select("neighbor_id", "_v")
+        .mapInPandas(
+            S._lsh_sig_kernel(all_planes, ppt, "neighbor_id"),
+            "neighbor_id long, table_id int, sig long",
+        )
+        .groupBy("neighbor_id", "table_id")
+        .agg(F.sum("sig").alias("sig"))
+    )
+    assert old == new
+
+
+def test_sim_ann_lsh_plan_has_arrow_signatures(spark, sf_smoke):
+    df = REGISTRY["sim_ann_lsh"].fn(spark, sf_smoke)
+    plan = _plan(df)
+    assert "MapInPandas" in plan, "Arrow signature kernel missing"
